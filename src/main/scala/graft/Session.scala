@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with graft's scale-oriented defaults.
+  *
+  * Local runs use `local[N]`; on a real cluster the same conf block applies
+  * unchanged (master comes from spark-submit). Defaults chosen for the
+  * 100 TB design point:
+  *   - AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+  *     and broadcast-join demotion/promotion based on observed sizes.
+  *   - shuffle.partitions sized to the local core count for tests; on a
+  *     cluster AQE's coalescing makes the initial number non-critical.
+  *   - `nanosAsLong` so parquet TIMESTAMP(NANOS) columns (the `events`
+  *     table) read as bigint nanoseconds instead of failing.
+  */
+object Session {
+  def builder(cores: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(cores: Int = 32): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply graft's runtime-settable defaults to an externally-built session
+    * (the Verify/Bench drivers build their own). Static confs are skipped by
+    * Spark automatically when already fixed.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    val runtime = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.session.timeZone" -> "UTC")
+    runtime.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    spark
+  }
+}

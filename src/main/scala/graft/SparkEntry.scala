@@ -1,13 +1,605 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.Text
+import graft.operators._
+import graft.sources.CsvSource
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline extensions), each with DuckDB oracle
+  * SQL over the same parquet tables.
+  *
+  * Oracle-parity conventions (every query follows them):
+  *   - deterministic trailing ORDER BY on both sides (Catalyst's
+  *     EliminateSorts removes it under Bench's count());
+  *   - float aggregates rounded identically on both sides (avg/std/median/
+  *     corr → 4dp, cosine/jaccard → 6dp, double sums → 2dp); money sums
+  *     computed in DECIMAL(38,2) (exact, associative, order-independent);
+  *   - integer-ish outputs cast so Spark and DuckDB types agree
+  *     (size()→long, row_number→long, year→int).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private val D382 = DecimalType(38, 2)
+  private val D384 = DecimalType(38, 4)
+
+  /** Discounted price in EXACT decimal arithmetic: cast the 2dp inputs to
+    * decimal first, multiply in decimal (scale 4, no rounding). A per-row
+    * double→decimal cast of the product is NOT portable — engines disagree
+    * on the rounding of products that land near a half-cent.
+    */
+  private def discPrice =
+    dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount")))
+
+  /** Flagship: the reference's entry-point-3 pipeline (SURVEY §3) re-expressed
+    * on the testdata star schema — scan → broadcast-join dim → filter
+    * (range + IN-set) → argmax-per-group → 7-fn grouped aggregate →
+    * broadcast-join meta. Driver smoke-checks rows>0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    covidChain(spark, "/root/testdata/sf0.001")
+
+  def covidChain(s: SparkSession, d: String): DataFrame = {
+    val enriched = Joins.broadcastJoin(Tables.orders(s, d), Tables.customer(s, d),
+      ("o_custkey", "c_custkey"))
+    val filtered = enriched.filter(
+      col("o_orderdate") >= lit("1996-01-01") &&
+        col("r_c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+    val latest = Analytics.latestPerGroup(filtered, "o_custkey", "o_orderdate", Seq("o_orderkey"))
+    val g = Agg.groupAgg(latest, Seq("r_c_nationkey"),
+      Seq("o_totalprice" -> Seq("count", "sum", "avg", "max", "median", "std")))
+    val rounded = g.select(
+      col("r_c_nationkey"), col("count_o_totalprice"),
+      round(col("sum_o_totalprice"), 2).as("sum_o_totalprice"),
+      round(col("avg_o_totalprice"), 4).as("avg_o_totalprice"),
+      col("max_o_totalprice"),
+      round(col("median_o_totalprice"), 4).as("median_o_totalprice"),
+      round(col("std_o_totalprice"), 4).as("std_o_totalprice"))
+    Joins.broadcastJoin(rounded, Tables.nation(s, d), ("r_c_nationkey", "n_nationkey"))
+      .orderBy("r_c_nationkey")
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1-S4: CSV scan with header/inference/coercion semantics
+    "s1_csv_scan" -> ((s, d) => {
+      val nation = Tables.nation(s, d)
+      val csvDir = s"/root/repo/target/tmp/csv_nation"
+      nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
+      CsvSource.read(s, csvDir).orderBy("n_nationkey")
+    }),
+
+    // F1: WHERE via predicate expression (pushed into the scan)
+    "f1_filter" -> ((s, d) =>
+      Ops.filter(Tables.lineitem(s, d),
+        col("l_quantity") > 30 && col("l_returnflag") === "R")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P1: projection with silent drop of missing names
+    "p1_select" -> ((s, d) =>
+      Ops.select(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_quantity", "no_such_column"))
+        .orderBy("l_orderkey", "l_partkey", "l_quantity")),
+
+    // O1: single-key sort, asc → nulls last
+    "o1_sort" -> ((s, d) =>
+      Ops.sortValues(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice"), "o_orderkey")),
+
+    // G1+G2: hash groupBy + the 7 reference agg fns, {fn}_{col} naming
+    "g2_group_agg" -> ((s, d) => {
+      val g = Agg.groupAgg(Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity" -> Agg.SupportedFns))
+      g.select(col("l_returnflag"), col("l_linestatus"),
+        col("count_l_quantity"), col("sum_l_quantity"),
+        round(col("avg_l_quantity"), 4).as("avg_l_quantity"),
+        col("min_l_quantity"), col("max_l_quantity"),
+        round(col("median_l_quantity"), 4).as("median_l_quantity"),
+        round(col("std_l_quantity"), 4).as("std_l_quantity"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // G3/A11: global whole-table aggregate (no dummy group key)
+    "g3_global_agg" -> ((s, d) => {
+      val g = Agg.globalAgg(Tables.customer(s, d),
+        Seq("c_acctbal" -> Agg.SupportedFns))
+      g.select(col("count_c_acctbal"),
+        round(col("sum_c_acctbal"), 2).as("sum_c_acctbal"),
+        round(col("avg_c_acctbal"), 4).as("avg_c_acctbal"),
+        col("min_c_acctbal"), col("max_c_acctbal"),
+        round(col("median_c_acctbal"), 4).as("median_c_acctbal"),
+        round(col("std_c_acctbal"), 4).as("std_c_acctbal"))
+    }),
+
+    // J1 inner: hash join, right columns r_-prefixed, broadcast dim
+    "j1_join_inner" -> ((s, d) =>
+      Joins.broadcastJoin(Tables.orders(s, d), Tables.customer(s, d),
+        ("o_custkey", "c_custkey"))
+        .orderBy("o_orderkey")),
+
+    // J1 left: unmatched left rows null-padded
+    "j1_join_left" -> ((s, d) =>
+      Joins.hashJoin(Tables.customer(s, d), Tables.orders(s, d),
+        ("c_custkey", "o_custkey"), "left")
+        .orderBy(col("c_custkey"), col("r_o_orderkey").asc_nulls_first)),
+
+    // A2: IS NOT NULL filter
+    "a2_notnull" -> ((s, d) =>
+      Ops.dropNullRows(Tables.orders(s, d), "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    // A4: IN-set membership
+    "a4_isin" -> ((s, d) =>
+      Ops.isInSet(Tables.orders(s, d), "o_orderstatus", Seq("O", "P"))
+        .orderBy("o_orderkey")),
+
+    // A5: BETWEEN range filter (inclusive)
+    "a5_between" -> ((s, d) =>
+      Ops.between(Tables.orders(s, d), "o_orderdate", "1996-01-01", "1996-12-31")
+        .orderBy("o_orderkey")),
+
+    // A3: latest-value wide table — ALL metrics in one groupBy pass
+    "a3_latest_table" -> ((s, d) =>
+      Agg.latestTable(Tables.lineitem(s, d), "l_suppkey",
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"))
+        .orderBy("l_suppkey")),
+
+    // A6: distinct dimension values, sorted
+    "a6_distinct" -> ((s, d) =>
+      Ops.distinctSorted(Tables.part(s, d), "p_brand")),
+
+    // A7: global min/max of one column
+    "a7_minmax" -> ((s, d) => Agg.minMax(Tables.orders(s, d), "o_orderdate")),
+
+    // A8: argmax-per-group via max_by (single partial-aggregated shuffle)
+    "a8_argmax" -> ((s, d) =>
+      Analytics.latestPerGroup(Tables.orders(s, d), "o_custkey", "o_orderdate",
+        Seq("o_orderkey"))
+        .orderBy("o_custkey")),
+
+    // A9: pivot with explicit values, max-on-conflict
+    "a9_pivot" -> ((s, d) =>
+      Analytics.pivotMax(
+        Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate"))),
+        "o_year", "o_orderstatus", Seq("O", "F", "P"), "o_totalprice")
+        .orderBy("o_year")),
+
+    // A10: forward-fill (LOCF) per series
+    "a10_ffill" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("v",
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      Analytics.forwardFill(ev, "user_id", Seq("ts_us", "event_id"), "v", "value_filled")
+        .select("event_id", "user_id", "ts_us", "value_filled")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // A17: trailing 7-row rolling average per series
+    "a17_rolling" -> ((s, d) =>
+      Analytics.rollingAvg(Tables.events(s, d), "user_id", Seq("ts_us", "event_id"),
+        "value", 7, "rolling_avg")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("rolling_avg"), 4).as("rolling_avg"))
+        .orderBy("user_id", "ts_us", "event_id")),
+
+    // X1: guarded pairwise-complete Pearson correlation
+    "x1_corr" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        round(Analytics.safeCorr(Tables.lineitem(s, d), "l_quantity", "l_extendedprice"), 4)
+          .as("corr_qty_price"))),
+
+    // A12: deterministic top-N
+    "a12_topn" -> ((s, d) =>
+      Ops.topN(Tables.orders(s, d), 10,
+        col("o_totalprice").desc, col("o_orderkey").asc)),
+
+    // A13: rename
+    "a13_rename" -> ((s, d) =>
+      Ops.rename(Tables.nation(s, d), "n_name" -> "nation_name")
+        .orderBy("n_nationkey")),
+
+    // A14: count / shape
+    "a14_count" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))),
+
+    // full pipeline: the reference's entry-point-3 chain (SURVEY §3)
+    "q_covid_chain" -> ((s, d) => covidChain(s, d)),
+
+    // TPC-H Q1-style pricing summary (decimal sums, partial aggregation)
+    "q1_pricing" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(D382).as("sum_base_price"),
+          sum(discPrice).cast(D384).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q3-style: 3-way join, grouped revenue, top-10
+    "q3_shipping" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1996-06-01"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1996-06-01"))
+      l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(discPrice).cast(D384).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5-style: star join through region→nation→customer→orders→lineitem→supplier
+    "q5_region" -> ((s, d) => {
+      val joined = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      joined.groupBy("n_name")
+        .agg(sum(discPrice).cast(D384).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // D1: exact dedup by normalized-text fingerprint
+    "d1_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text").orderBy("fingerprint")),
+
+    // D2: MinHash+LSH near-dup candidates, exact-Jaccard verified
+    "d2_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", 0.5)
+        .orderBy("id_1", "id_2")),
+
+    // D3: 64-bit SimHash sketch per document (no SQL oracle: xxhash64)
+    "d3_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // D4: exact word-bigram Jaccard pairs via inverted shingle index
+    "d4_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.1)
+        .orderBy("id_1", "id_2")),
+
+    // D5: embedding-cosine near-dup pairs (exact all-pairs, codegen'd cosine)
+    "d5_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
+        .orderBy("id_1", "id_2")),
+
+    // SIM: brute-force cosine top-k (exact ANN baseline)
+    "sim_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // T1: n-gram-heuristic language ID
+    "t1_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // T2: heuristic quality score
+    "t2_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // T3: token counting (whitespace + BPE-ish regex)
+    "t3_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.wsTokens(col("text")).cast("long").as("ws_tokens"),
+          Text.bpeTokens(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // T4: document fingerprint
+    "t4_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // M1: multimodal binary payload metadata (oracle-checkable scalars)
+    "m1_multimodal_meta" -> ((s, d) =>
+      Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("media_type"),
+          length(col("payload")).cast("long").as("byte_len"),
+          sha2(col("payload"), 256).as("sha256"))
+        .orderBy("doc_id")),
+
+    // M2: batch decode via mapPartitions (stub decoder; rows-only check)
+    "m2_multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeBatches(s,
+        Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text"), "doc_id")
+        .toDF().orderBy("doc_id")),
+
+    // E1: tumbling-window event aggregation (batch form of the stream op)
+    "e1_events_window" -> ((s, d) =>
+      StreamOps.tumblingCounts(Tables.events(s, d), 3600000000L)
+        .orderBy("bucket", "event_type")),
+
+    // E2: gap-based sessionization (batch form of the stream op)
+    "e2_sessionize" -> ((s, d) =>
+      StreamOps.sessionize(Tables.events(s, d), 1800000000L)
+        .orderBy("user_id", "session_id"))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** DuckDB SQL equivalents. Omitted for d3_simhash / m2_multimodal_decode
+    * (xxhash64 / stub decode not expressible) → driver rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "s1_csv_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "f1_filter" ->
+      "SELECT * FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber",
+
+    "p1_select" ->
+      "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_partkey, l_quantity",
+
+    "o1_sort" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey ASC NULLS LAST",
+
+    "g2_group_agg" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS count_l_quantity, " +
+        "sum(l_quantity) AS sum_l_quantity, round(avg(l_quantity), 4) AS avg_l_quantity, " +
+        "min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity, " +
+        "round(median(l_quantity), 4) AS median_l_quantity, " +
+        "round(stddev_samp(l_quantity), 4) AS std_l_quantity " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "g3_global_agg" ->
+      ("SELECT count(*) AS count_c_acctbal, round(sum(c_acctbal), 2) AS sum_c_acctbal, " +
+        "round(avg(c_acctbal), 4) AS avg_c_acctbal, min(c_acctbal) AS min_c_acctbal, " +
+        "max(c_acctbal) AS max_c_acctbal, round(median(c_acctbal), 4) AS median_c_acctbal, " +
+        "round(stddev_samp(c_acctbal), 4) AS std_c_acctbal FROM customer"),
+
+    "j1_join_inner" ->
+      ("SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, " +
+        "o.o_orderpriority, c.c_custkey AS r_c_custkey, c.c_name AS r_c_name, " +
+        "c.c_nationkey AS r_c_nationkey, c.c_acctbal AS r_c_acctbal, " +
+        "c.c_mktsegment AS r_c_mktsegment " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey"),
+
+    "j1_join_left" ->
+      ("SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment, " +
+        "o.o_orderkey AS r_o_orderkey, o.o_custkey AS r_o_custkey, " +
+        "o.o_orderstatus AS r_o_orderstatus, o.o_totalprice AS r_o_totalprice, " +
+        "o.o_orderdate AS r_o_orderdate, o.o_orderpriority AS r_o_orderpriority " +
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "ORDER BY c.c_custkey, r_o_orderkey ASC NULLS FIRST"),
+
+    "a2_notnull" ->
+      "SELECT * FROM orders WHERE o_orderpriority IS NOT NULL ORDER BY o_orderkey",
+
+    "a4_isin" ->
+      "SELECT * FROM orders WHERE o_orderstatus IN ('O', 'P') ORDER BY o_orderkey",
+
+    "a5_between" ->
+      ("SELECT * FROM orders WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND " +
+        "TIMESTAMP '1996-12-31' ORDER BY o_orderkey"),
+
+    "a3_latest_table" ->
+      ("SELECT l_suppkey, max(l_quantity) AS l_quantity, " +
+        "max(l_extendedprice) AS l_extendedprice, max(l_discount) AS l_discount, " +
+        "max(l_shipdate) AS l_shipdate FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"),
+
+    "a6_distinct" ->
+      "SELECT DISTINCT p_brand FROM part ORDER BY p_brand",
+
+    "a7_minmax" ->
+      "SELECT min(o_orderdate) AS min_o_orderdate, max(o_orderdate) AS max_o_orderdate FROM orders",
+
+    "a8_argmax" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM (SELECT o.*, row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders o) WHERE rn = 1 " +
+        "ORDER BY o_custkey"),
+
+    "a9_pivot" ->
+      ("SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
+        "max(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS \"O\", " +
+        "max(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS \"F\", " +
+        "max(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS \"P\" " +
+        "FROM orders GROUP BY 1 ORDER BY o_year"),
+
+    "a10_ffill" ->
+      ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+        "last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled " +
+        "FROM events ORDER BY user_id, ts_us, event_id"),
+
+    "a17_rolling" ->
+      ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+        "round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rolling_avg " +
+        "FROM events ORDER BY user_id, ts_us, event_id"),
+
+    "x1_corr" ->
+      ("SELECT round(CASE WHEN count(CASE WHEN l_quantity IS NOT NULL AND " +
+        "l_extendedprice IS NOT NULL THEN 1 END) >= 3 " +
+        "THEN coalesce(corr(l_quantity, l_extendedprice), 0.0) END, 4) AS corr_qty_price " +
+        "FROM lineitem"),
+
+    "a12_topn" ->
+      "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+
+    "a13_rename" ->
+      "SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "a14_count" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+
+    "q_covid_chain" ->
+      ("WITH enriched AS (" +
+        "SELECT o.*, c.c_custkey AS r_c_custkey, c.c_name AS r_c_name, " +
+        "c.c_nationkey AS r_c_nationkey, c.c_acctbal AS r_c_acctbal, " +
+        "c.c_mktsegment AS r_c_mktsegment " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')), " +
+        "latest AS (SELECT * FROM (SELECT e.*, row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM enriched e) WHERE rn = 1), " +
+        "g AS (SELECT r_c_nationkey, count(*) AS count_o_totalprice, " +
+        "round(sum(o_totalprice), 2) AS sum_o_totalprice, " +
+        "round(avg(o_totalprice), 4) AS avg_o_totalprice, " +
+        "max(o_totalprice) AS max_o_totalprice, " +
+        "round(median(o_totalprice), 4) AS median_o_totalprice, " +
+        "round(stddev_samp(o_totalprice), 4) AS std_o_totalprice " +
+        "FROM latest GROUP BY r_c_nationkey) " +
+        "SELECT g.*, n.n_nationkey AS r_n_nationkey, n.n_name AS r_n_name, " +
+        "n.n_regionkey AS r_n_regionkey " +
+        "FROM g JOIN nation n ON g.r_c_nationkey = n.n_nationkey ORDER BY r_c_nationkey"),
+
+    "q1_pricing" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price, " +
+        "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price, " +
+        "count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "q3_shipping" ->
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-06-01' " +
+        "AND l_shipdate > TIMESTAMP '1996-06-01' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
+
+    "q5_region" ->
+      ("SELECT n_name, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name ASC"),
+
+    "d1_dedup_exact" ->
+      ("SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint, " +
+        "min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1"),
+
+    "d2_minhash_lsh" ->
+      ("WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1), " +
+        "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' || " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM documents), " +
+        "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh) " +
+        "SELECT a.doc_id AS id_1, b.doc_id AS id_2, " +
+        "round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard " +
+        "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id " +
+        "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5 " +
+        "ORDER BY id_1, id_2"),
+
+    "d4_ngram_jaccard" ->
+      ("WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+'))), " +
+        "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1])) AS grams FROM documents), " +
+        "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh) " +
+        "SELECT a.doc_id AS id_1, b.doc_id AS id_2, " +
+        "round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard " +
+        "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id " +
+        "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.1 " +
+        "ORDER BY id_1, id_2"),
+
+    "d5_embed_neardup" ->
+      ("SELECT a.vec_id AS id_1, b.vec_id AS id_2, " +
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35 " +
+        "ORDER BY id_1, id_2"),
+
+    "sim_topk" ->
+      ("SELECT query_id, neighbor_id, cosine, rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC, " +
+        "c.vec_id ASC) AS rank " +
+        "FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id " +
+        "WHERE q.vec_id < 10) WHERE rank <= 5 ORDER BY query_id, rank"),
+
+    "t1_langid" ->
+      ("SELECT doc_id, CASE " +
+        "WHEN len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b')) = 0 " +
+        "AND len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein)\\b')) = 0 " +
+        "AND len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|dans)\\b')) = 0 " +
+        "AND len(regexp_extract_all(lower(text), '\\b(el|los|las|y|es|una|en)\\b')) = 0 THEN 'und' " +
+        "WHEN len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b')) >= " +
+        "len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein)\\b')) " +
+        "AND len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b')) >= " +
+        "len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|dans)\\b')) " +
+        "AND len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b')) >= " +
+        "len(regexp_extract_all(lower(text), '\\b(el|los|las|y|es|una|en)\\b')) THEN 'en' " +
+        "WHEN len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein)\\b')) >= " +
+        "len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|dans)\\b')) " +
+        "AND len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein)\\b')) >= " +
+        "len(regexp_extract_all(lower(text), '\\b(el|los|las|y|es|una|en)\\b')) THEN 'de' " +
+        "WHEN len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|dans)\\b')) >= " +
+        "len(regexp_extract_all(lower(text), '\\b(el|los|las|y|es|una|en)\\b')) THEN 'fr' " +
+        "ELSE 'es' END AS lang_pred FROM documents ORDER BY doc_id"),
+
+    "t2_quality" ->
+      ("SELECT doc_id, round(" +
+        "least(1.0, len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE / 200.0) * 0.5 + " +
+        "least(1.0, len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b'))::DOUBLE / " +
+        "greatest(len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE * 0.05, 1.0)) * 0.3 + " +
+        "(1.0 - least(1.0, len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / " +
+        "greatest(length(text)::DOUBLE, 1.0))) * 0.2, 4) AS quality " +
+        "FROM documents ORDER BY doc_id"),
+
+    "t3_tokens" ->
+      ("SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens " +
+        "FROM documents ORDER BY doc_id"),
+
+    "t4_fingerprint" ->
+      ("SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint " +
+        "FROM documents ORDER BY doc_id"),
+
+    "m1_multimodal_meta" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+        "ELSE 'video' END AS media_type, octet_length(encode(text))::BIGINT AS byte_len, " +
+        "sha256(text) AS sha256 FROM documents ORDER BY doc_id"),
+
+    "e1_events_window" ->
+      ("SELECT epoch_us(ts) // 3600000000 AS bucket, event_type, count(*) AS n_events, " +
+        "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"),
+
+    "e2_sessionize" ->
+      ("WITH marked AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_break " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)), " +
+        "sessions AS (SELECT user_id, ts_us, " +
+        "CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM marked) " +
+        "SELECT user_id, session_id, count(*) AS n_events, min(ts_us) AS session_start_us, " +
+        "max(ts_us) AS session_end_us, max(ts_us) - min(ts_us) AS duration_us " +
+        "FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id")
+  )
 }

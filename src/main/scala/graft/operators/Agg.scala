@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Grouped + global aggregation with the reference's semantics (G1–G3).
+  *
+  * Reference (`/root/reference/src/dataframe.py:28-87`):
+  *   - supported fns: count, sum, avg, min, max, median, std;
+  *   - output column naming `{fn}_{col}` (`dataframe.py:34`);
+  *   - `count` = GROUP ROW COUNT (`dataframe.py:53-54`), even if every
+  *     value in the column is null → `count(lit(1))`, not `count(col)`;
+  *   - non-numeric values are skipped by numeric aggs (`dataframe.py:48`)
+  *     — bridged here by `try_cast` when the column is a string (§7.4.1);
+  *   - `std` is SAMPLE stddev, null for n<2 (`dataframe.py:76-82`) —
+  *     Spark's `stddev_samp` already yields null at n=1 (divide-by-zero
+  *     guard since 3.1), matching;
+  *   - `median` exact, avg-of-middle-two for even n (`dataframe.py:68-75`)
+  *     — Spark's `median` matches exactly.
+  *
+  * Scale notes: all of count/sum/avg/min/max/std aggregate with partial
+  * (map-side) combine before the shuffle — one exchange of tiny partial
+  * buffers regardless of input size. Exact `median` is the exception: it
+  * buffers each group's values (`percentile` keeps a per-group array), so
+  * at 100 TB prefer `approxMedian = true` → `approx_percentile` (a fixed-
+  * size QuantileSummaries sketch that merges map-side like any other
+  * partial agg). Exact is the default because the correctness oracle needs
+  * it; the flag is the documented scale path (SURVEY §7.3).
+  */
+object Agg {
+
+  val SupportedFns = Seq("count", "sum", "avg", "min", "max", "median", "std")
+
+  /** One aggregate expression with reference naming + semantics. */
+  def aggExpr(df: DataFrame, fn: String, c: String,
+              approxMedian: Boolean = false): Column = {
+    // §7.4.1 bridge: per-cell typed reference columns may arrive as
+    // StringType; aggregate over try_cast-to-double so non-numerics skip.
+    val isString = df.schema.find(_.name == c).exists(_.dataType == StringType)
+    val v = if (isString) expr(s"try_cast(`$c` AS DOUBLE)") else col(c)
+    val e = fn match {
+      case "count"  => count(lit(1))
+      case "sum"    => sum(v)
+      case "avg"    => avg(v)
+      case "min"    => min(v)
+      case "max"    => max(v)
+      case "median" => if (approxMedian) approx_percentile(v, lit(0.5), lit(10000))
+                       else median(v)
+      case "std"    => stddev_samp(v)
+      case other    => throw new IllegalArgumentException(s"unknown agg fn: $other")
+    }
+    e.as(s"${fn}_$c")
+  }
+
+  /** G1+G2 — hash groupBy + multi-fn aggregation, one shuffle for all
+    * columns×fns (the reference loops one pass per metric —
+    * `/root/reference/app.py:130-139` — which §4.2 flags as waste).
+    * Spec preserves insertion order of `spec` for output column order.
+    */
+  def groupAgg(df: DataFrame, keys: Seq[String], spec: Seq[(String, Seq[String])],
+               approxMedian: Boolean = false): DataFrame = {
+    val exprs = for ((c, fns) <- spec; fn <- fns) yield aggExpr(df, fn, c, approxMedian)
+    require(exprs.nonEmpty, "groupAgg: empty aggregation spec")
+    df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** G3/A11 — global (whole-table) aggregate: the reference wraps the column
+    * in a dummy group (`/root/reference/app.py:938-988`); Spark aggregates
+    * directly, no dummy key, no shuffle of raw rows (partial aggs only).
+    */
+  def globalAgg(df: DataFrame, spec: Seq[(String, Seq[String])],
+                approxMedian: Boolean = false): DataFrame = {
+    val exprs = for ((c, fns) <- spec; fn <- fns) yield aggExpr(df, fn, c, approxMedian)
+    df.agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** A3 — "latest" (max-per-group) wide table in a SINGLE pass over the fact
+    * table for all metrics (`/root/reference/app.py:122-157` does ~20
+    * separate groupby passes). One shuffle, partial max map-side.
+    */
+  def latestTable(df: DataFrame, key: String, metrics: Seq[String]): DataFrame = {
+    val exprs = metrics.map(m => max(col(m)).as(m))
+    df.groupBy(col(key)).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** A7 — global min/max of one column (`/root/reference/app.py:248-251`). */
+  def minMax(df: DataFrame, c: String): DataFrame =
+    df.agg(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Derived analytics the reference computes as driver-side Python loops
+  * (SURVEY §2.2) — here each is a first-class distributed operator.
+  */
+object Analytics {
+
+  /** A8 — latest full row per group (argmax by an ordering column).
+    * Reference: row loop keeping max-date row per location
+    * (`/root/reference/app.py:711-729`).
+    *
+    * `tiebreak` columns make the winner deterministic when `orderCol` ties.
+    * Implementation is `max_by(struct(all columns), struct(order, tiebreak))`
+    * — a regular aggregate with map-side partial combine: ONE shuffle of
+    * one buffered row per (partition × group), strictly cheaper at scale
+    * than the window/row_number formulation (full shuffle of every row +
+    * per-group sort). SURVEY §4.3's suggested rewrite, applied directly.
+    */
+  def latestPerGroup(df: DataFrame, key: String, orderCol: String,
+                     tiebreak: Seq[String] = Nil): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val ord = struct((orderCol +: tiebreak).map(col): _*)
+    val picked = df.groupBy(col(key))
+      .agg(max_by(payload, ord).as("_row"))
+    picked.select(df.columns.map(c => col(s"_row.$c").as(c)): _*)
+  }
+
+  /** A8 (window form) — kept for ordering-sensitive callers; shuffles every
+    * row. Prefer [[latestPerGroup]] at scale.
+    */
+  def latestPerGroupWindow(df: DataFrame, key: String, orderCol: String,
+                           tiebreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy((col(orderCol).desc +: tiebreak.map(col(_).desc)): _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** A9 — pivot (date × series matrix, `/root/reference/app.py:1013-1024`).
+    * `values` must be supplied: with explicit pivot values Spark skips the
+    * extra distinct-collect job AND the output schema is deterministic —
+    * both required at scale and for oracle comparison. Conflicts keep max
+    * (reference `app.py:1132`).
+    */
+  def pivotMax(df: DataFrame, rowKey: String, pivotCol: String,
+               values: Seq[String], metric: String): DataFrame =
+    df.groupBy(col(rowKey)).pivot(pivotCol, values).agg(max(col(metric)))
+
+  /** A10 — forward-fill (LOCF) per series (`/root/reference/app.py:1039-1045`).
+    * `last(ignoreNulls).over(unboundedPreceding..current)` — one shuffle to
+    * co-locate each series, then a single ordered pass per partition. Series
+    * count (not series length) drives parallelism — fine when there are many
+    * series, the common shape at scale.
+    */
+  def forwardFill(df: DataFrame, key: String, orderCols: Seq[String],
+                  valueCol: String, filled: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(filled, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** A17 — trailing k-row rolling average per series
+    * (`new_cases_smoothed` reproduction, SURVEY §2.2 A17).
+    */
+  def rollingAvg(df: DataFrame, key: String, orderCols: Seq[String],
+                 valueCol: String, k: Int, out: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(k - 1), Window.currentRow)
+    df.withColumn(out, avg(col(valueCol)).over(w))
+  }
+
+  /** X1 — guarded pairwise-complete Pearson r
+    * (`/root/reference/src/dataframe.py:250-273`): null when fewer than
+    * `minPairs` complete pairs, 0.0 on zero denominator (constant series —
+    * Spark's `corr` yields null there, so coalesce after the guard).
+    */
+  def safeCorr(df: DataFrame, c1: String, c2: String, minPairs: Int = 3): Column = {
+    val pairs = count(when(col(c1).isNotNull && col(c2).isNotNull, 1))
+    when(pairs >= minPairs, coalesce(corr(col(c1), col(c2)), lit(0.0)))
+  }
+
+  /** A16 — wall-clock per-query timing, the reference's execution log
+    * (`/root/reference/app.py:913-918`). For plan-level metrics attach a
+    * `QueryExecutionListener` to the session instead.
+    */
+  def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+}

