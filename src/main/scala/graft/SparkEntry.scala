@@ -209,15 +209,18 @@ object SparkEntry {
     // full pipeline: the reference's entry-point-3 chain (SURVEY §3)
     "q_covid_chain" -> ((s, d) => covidChain(s, d)),
 
-    // TPC-H Q1-style pricing summary (decimal sums, partial aggregation)
+    // TPC-H Q1-style pricing summary. Sums are computed EXACTLY in decimal
+    // (associative, order-independent) and only the final value is cast to
+    // double — both sides of the oracle compare as float64 (the driver's
+    // canonicalizer hashes decimal128 and float64 differently).
     "q1_pricing" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast(D382).as("sum_base_price"),
-          sum(discPrice).cast(D384).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice"))).cast(D382).cast("double").as("sum_base_price"),
+          sum(discPrice).cast(D384).cast("double").as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"),
           count(lit(1)).as("count_order"))
@@ -234,6 +237,8 @@ object SparkEntry {
         .agg(sum(discPrice).cast(D384).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
+        // top-10 selected on the EXACT decimal; only the output is double
+        .withColumn("revenue", col("revenue").cast("double"))
     }),
 
     // TPC-H Q5-style: star join through region→nation→customer→orders→lineitem→supplier
@@ -249,7 +254,7 @@ object SparkEntry {
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
       joined.groupBy("n_name")
-        .agg(sum(discPrice).cast(D384).as("revenue"))
+        .agg(sum(discPrice).cast(D384).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
@@ -318,11 +323,17 @@ object SparkEntry {
           sha2(col("payload"), 256).as("sha256"))
         .orderBy("doc_id")),
 
-    // M2: batch decode via mapPartitions (stub decoder; rows-only check)
+    // M2: batch decode via mapPartitions (stub decoder; rows-only check).
+    // The decoded metadata struct is flattened to scalar columns — the
+    // driver's rows-only canonicalizer cannot sort nested structs.
     "m2_multimodal_decode" -> ((s, d) =>
       Multimodal.decodeBatches(s,
         Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text"), "doc_id")
-        .toDF().orderBy("doc_id")),
+        .toDF()
+        .select(col("doc_id"), col("media_type"), col("byte_len"), col("sha256"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_frames").as("n_frames"), col("meta.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")),
 
     // E1: tumbling-window event aggregation (batch form of the stream op)
     "e1_events_window" -> ((s, d) =>
@@ -467,25 +478,26 @@ object SparkEntry {
 
     "q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price, " +
         "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price, " +
         "count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
 
     "q3_shipping" ->
-      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(revenue AS DOUBLE) AS revenue FROM (" +
+        "SELECT l_orderkey, o_orderdate, o_orderpriority, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-06-01' " +
         "AND l_shipdate > TIMESTAMP '1996-06-01' " +
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
-        "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
+        "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10)"),
 
     "q5_region" ->
       ("SELECT n_name, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +

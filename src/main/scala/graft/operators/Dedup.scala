@@ -28,18 +28,31 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
   /** MinHash signature: `perms` independent min-hashes over the document's
-    * word-`n`-gram shingle set. Hash family: xxhash64 seeded by permutation
-    * index (an extra literal column folded into the hash input).
-    * Computed WITHOUT exploding: `perms` array-min expressions per row —
-    * no shuffle at all for signature construction.
+    * word-`n`-gram shingle set. Computed WITHOUT exploding — no shuffle at
+    * all for signature construction — in two projections:
+    *
+    *   1. ONE xxhash64 per shingle, materialized as a long array. Keeping
+    *      this in its own projection (a non-cheap alias referenced `perms`
+    *      times, which CollapseProject refuses to inline) is load-bearing:
+    *      inlining the full shingle pipeline into every signature column
+    *      builds a multi-MB expression tree whose optimizer + codegen cost
+    *      alone runs to minutes.
+    *   2. permutation p = min over xxhash64(p, baseHash) — re-hashing an
+    *      8-byte long per element instead of re-shingling and re-hashing
+    *      the document text. (Not an affine `a*h+b` map only because ANSI
+    *      mode rejects the intentional wraparound multiply.)
+    *
+    * Any fixed hash family gives a valid MinHash; signature VALUES are an
+    * internal detail (candidates are re-verified with exact Jaccard).
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, perms: Int = 64): DataFrame = {
-    val sh = Text.wordShingles(col(textCol), n)
+    val hashed = df.select(col(idCol),
+      transform(Text.wordShingles(col(textCol), n), s => xxhash64(s)).as("hs"))
     val sigCols = (0 until perms).map { p =>
-      array_min(transform(sh, s => xxhash64(lit(p), s))).as(s"mh_$p")
+      array_min(transform(col("hs"), h => xxhash64(lit(p), h))).as(s"mh_$p")
     }
-    df.select((col(idCol) +: sigCols): _*)
+    hashed.select((col(idCol) +: sigCols): _*)
   }
 
   /** LSH near-duplicate pairs via banded MinHash + exact-Jaccard
@@ -49,11 +62,16 @@ object Dedup {
     * contains no false positives (recall is the standard LSH S-curve:
     * P[candidate] = 1-(1-j^r)^b).
     *
+    * Default banding 32×2: recall at j = 0.5 is 1-(0.75)³² ≈ 0.9999 and →1
+    * above — effectively exact at the threshold, rather than the ~64%
+    * a 16×4 curve gives at j = 0.5. The wider low-j candidate tail this
+    * trades for is bounded by the exact-verify step.
+    *
     * Output: (id_1, id_2, jaccard) with id_1 < id_2, jaccard rounded to 6.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
-                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                      bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
     val perms = bands * rowsPerBand
     val sig = minhashSignature(df, idCol, textCol, n, perms)
     // one row per (doc, band): band key = hash of the band's minhashes
@@ -88,13 +106,18 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    val shingled = df
+    // The inverted index joins on an 8-byte xxhash64 of the shingle, not
+    // the shingle string: the self-join shuffles/broadcasts fixed-width
+    // longs instead of text. (A 64-bit collision between two DISTINCT
+    // shingles co-occurring in the same doc pair is the only way this can
+    // differ from string keys — negligible and accepted.)
+    val inv = df
       .select(col(idCol).as("id"), Text.wordShingles(col(textCol), n).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val inv = shingled.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    val a = inv.select(col("id").as("id_1"), col("n_sh").as("n_1"), col("s"))
-    val b = inv.select(col("id").as("id_2"), col("n_sh").as("n_2"), col("s"))
-    a.join(b, "s")
+      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+      .select(col("id"), col("n_sh"), xxhash64(col("s")).as("sk"))
+    val a = inv.select(col("id").as("id_1"), col("n_sh").as("n_1"), col("sk"))
+    val b = inv.select(col("id").as("id_2"), col("n_sh").as("n_2"), col("sk"))
+    a.join(b, "sk")
       .filter(col("id_1") < col("id_2"))
       .groupBy("id_1", "id_2", "n_1", "n_2")
       .agg(count(lit(1)).cast("double").as("inter"))

@@ -20,17 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  private def prefixRight(right: DataFrame): DataFrame =
+  /** Renames every right column to `r_<name>`, failing fast if the rename
+    * would collide with an existing left column — shared by all join paths
+    * so none can silently produce ambiguous names.
+    */
+  private def prefixRight(left: DataFrame, right: DataFrame): DataFrame = {
+    val collisions = left.columns.toSet.intersect(right.columns.map("r_" + _).toSet)
+    require(collisions.isEmpty,
+      s"join would collide on renamed right columns: ${collisions.mkString(",")}")
     right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+  }
 
   def hashJoin(left: DataFrame, right: DataFrame, on: (String, String),
                how: String = "inner"): DataFrame = {
     require(how == "inner" || how == "left",
       s"join type '$how' not supported by the reference surface (inner|left)")
-    val collisions = left.columns.toSet.intersect(right.columns.map("r_" + _).toSet)
-    require(collisions.isEmpty,
-      s"join would collide on renamed right columns: ${collisions.mkString(",")}")
-    val r = prefixRight(right)
+    val r = prefixRight(left, right)
     left.join(r, col(on._1) === col(s"r_${on._2}"), how)
   }
 
@@ -41,7 +46,7 @@ object Joins {
   def broadcastJoin(left: DataFrame, right: DataFrame, on: (String, String),
                     how: String = "inner"): DataFrame = {
     require(how == "inner" || how == "left", s"unsupported join type '$how'")
-    val r = prefixRight(right)
+    val r = prefixRight(left, right)
     left.join(broadcast(r), col(on._1) === col(s"r_${on._2}"), how)
   }
 
@@ -53,7 +58,7 @@ object Joins {
   def saltedJoin(left: DataFrame, right: DataFrame, on: (String, String),
                  buckets: Int): DataFrame = {
     val salted = left.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(buckets)))
-    val exploded = prefixRight(right)
+    val exploded = prefixRight(left, right)
       .withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted
       .join(exploded,
