@@ -50,12 +50,22 @@ object SparkEntry {
       col("o_orderdate") >= lit("1996-01-01") &&
         col("r_c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
     val latest = Analytics.latestPerGroup(filtered, "o_custkey", "o_orderdate", Seq("o_orderkey"))
-    val g = Agg.groupAgg(latest, Seq("r_c_nationkey"),
-      Seq("o_totalprice" -> Seq("count", "sum", "avg", "max", "median", "std")))
+    // sum/avg of o_totalprice in EXACT decimal (order-independent across
+    // engines) — the q1_pricing pattern; avg = decimal sum ÷ count so no
+    // run-order-dependent double summation survives into the comparison.
+    val g = latest.groupBy("r_c_nationkey").agg(
+      count(lit(1)).as("count_o_totalprice"),
+      sum(dec(col("o_totalprice"))).as("_dec_sum"),
+      max(col("o_totalprice")).as("max_o_totalprice"),
+      median(col("o_totalprice")).as("median_o_totalprice"),
+      stddev_samp(col("o_totalprice")).as("std_o_totalprice"))
     val rounded = g.select(
       col("r_c_nationkey"), col("count_o_totalprice"),
-      round(col("sum_o_totalprice"), 2).as("sum_o_totalprice"),
-      round(col("avg_o_totalprice"), 4).as("avg_o_totalprice"),
+      col("_dec_sum").cast(D382).cast("double").as("sum_o_totalprice"),
+      // exact decimal sum → double, then ONE IEEE division: identical on
+      // any engine (decimal-division scale rules are engine-specific).
+      round(col("_dec_sum").cast(D382).cast("double") / col("count_o_totalprice"), 4)
+        .as("avg_o_totalprice"),
       col("max_o_totalprice"),
       round(col("median_o_totalprice"), 4).as("median_o_totalprice"),
       round(col("std_o_totalprice"), 4).as("std_o_totalprice"))
@@ -187,10 +197,11 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id")),
 
     // X1: guarded pairwise-complete Pearson correlation
-    "x1_corr" -> ((s, d) =>
-      Tables.lineitem(s, d).agg(
-        round(Analytics.safeCorr(Tables.lineitem(s, d), "l_quantity", "l_extendedprice"), 4)
-          .as("corr_qty_price"))),
+    "x1_corr" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.agg(round(Analytics.safeCorr(li, "l_quantity", "l_extendedprice"), 4)
+        .as("corr_qty_price"))
+    }),
 
     // A12: deterministic top-N
     "a12_topn" -> ((s, d) =>
@@ -466,8 +477,8 @@ object SparkEntry {
         "latest AS (SELECT * FROM (SELECT e.*, row_number() OVER (PARTITION BY o_custkey " +
         "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM enriched e) WHERE rn = 1), " +
         "g AS (SELECT r_c_nationkey, count(*) AS count_o_totalprice, " +
-        "round(sum(o_totalprice), 2) AS sum_o_totalprice, " +
-        "round(avg(o_totalprice), 4) AS avg_o_totalprice, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_o_totalprice, " +
+        "round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / count(*), 4) AS avg_o_totalprice, " +
         "max(o_totalprice) AS max_o_totalprice, " +
         "round(median(o_totalprice), 4) AS median_o_totalprice, " +
         "round(stddev_samp(o_totalprice), 4) AS std_o_totalprice " +

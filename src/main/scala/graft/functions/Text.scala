@@ -80,6 +80,14 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
 
+  /** 60-bit token hash derived from md5 (first 15 hex digits): positive,
+    * fits a signed long, and — unlike xxhash64 — computable in any SQL
+    * engine with an md5 function, which is what makes SimHash sketches
+    * oracle-checkable. (DuckDB: `('0x' || substr(md5(t),1,15))::BIGINT`.)
+    */
+  def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /** Distinct word-n-gram shingle set (array<string>), the MinHash input.
     * Empty array when the document has fewer than n words.
     */

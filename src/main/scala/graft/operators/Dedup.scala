@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Text, Vectors}
+import graft.functions.{ArrayOps, Text, Vectors}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -9,11 +9,18 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (the whole point of these ops is the 100 TB corpus case):
   *   - exact dedup shuffles a 16-byte fingerprint, never document bodies;
-  *   - MinHash reduces each document to a fixed 64-long signature before
-  *     any pairwise work; candidate generation is an equi-join on band
-  *     hashes (shuffle co-locates only colliding docs);
-  *   - nothing here is O(n²) except the explicitly-exact verification of
-  *     LSH candidates, which is O(candidates) not O(pairs).
+  *   - every set-similarity operator reduces documents ONCE to a sorted
+  *     array of 8-byte shingle hashes ([[shingleSets]]); all pairwise
+  *     verification is the codegen'd two-pointer merge
+  *     [[graft.functions.SortedIntersectSize]] on those arrays — fixed
+  *     width, no string re-shingling, no per-pair allocation;
+  *   - MinHash reduces each document to a fixed signature before any
+  *     pairwise work; candidates come from an equi-join on band hashes;
+  *   - the explicitly-exact operators ([[ngramJaccardPairs]],
+  *     [[embeddingNearDups]]) have inherently quadratic worst-case output,
+  *     so they run on [[Pairs.blockedPairs]]: an equi-join on block-pair
+  *     keys that distributes the n²/2 evaluations over B(B+1)/2 tasks with
+  *     two-block memory per task and NO full-corpus broadcast.
   */
 object Dedup {
 
@@ -27,33 +34,56 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** Each document reduced to its distinct word-n-gram shingle set:
+    * (id, n_sh = |set|, shs = SORTED array of xxhash64 shingle keys).
+    * The one-time reduction every set-similarity operator here shares —
+    * downstream joins/verification ship 8-byte keys, never text. (Two
+    * distinct shingles colliding in 64 bits is the only divergence from
+    * string sets — negligible and accepted, as in the inverted index.)
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), Text.wordShingles(col(textCol), n).as("sh"))
+      .select(col(idCol), size(col("sh")).as("n_sh"),
+        array_sort(transform(col("sh"), s => xxhash64(s))).as("shs"))
+
+  /** Exact-Jaccard verification of candidate pairs against the hashed
+    * shingle sets: two hash joins to attach each side's sorted key array,
+    * then the codegen'd merge-intersect. O(|candidates| × avg set size).
+    */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+                            idCol: String, threshold: Double): DataFrame = {
+    val s1 = sets.select(col(idCol).as("id_1"), col("n_sh").as("n_1"), col("shs").as("shs_1"))
+    val s2 = sets.select(col(idCol).as("id_2"), col("n_sh").as("n_2"), col("shs").as("shs_2"))
+    candidates.join(s1, "id_1").join(s2, "id_2")
+      .withColumn("inter", ArrayOps.sortedIntersectSize(col("shs_1"), col("shs_2")).cast("double"))
+      .withColumn("uni", (col("n_1") + col("n_2") - col("inter")).cast("double"))
+      .withColumn("jaccard",
+        round(when(col("uni") > 0, col("inter") / col("uni")).otherwise(0.0), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_1", "id_2", "jaccard")
+  }
+
+  /** MinHash signature from prepared [[shingleSets]]: permutation p is
+    * min over xxhash64(p, shingleKey) — re-hashing an 8-byte long per
+    * element, never re-shingling text. Keeping the base hashes in their
+    * own projection (a non-cheap alias referenced `perms` times, which
+    * CollapseProject refuses to inline) is load-bearing: inlining the
+    * shingle pipeline into every signature column builds a multi-MB
+    * expression tree whose optimizer + codegen cost alone runs to minutes.
+    */
+  def minhashSignatureFromSets(sets: DataFrame, idCol: String, perms: Int): DataFrame = {
+    val sigCols = (0 until perms).map { p =>
+      array_min(transform(col("shs"), h => xxhash64(lit(p), h))).as(s"mh_$p")
+    }
+    sets.select((col(idCol) +: sigCols): _*)
+  }
+
   /** MinHash signature: `perms` independent min-hashes over the document's
-    * word-`n`-gram shingle set. Computed WITHOUT exploding — no shuffle at
-    * all for signature construction — in two projections:
-    *
-    *   1. ONE xxhash64 per shingle, materialized as a long array. Keeping
-    *      this in its own projection (a non-cheap alias referenced `perms`
-    *      times, which CollapseProject refuses to inline) is load-bearing:
-    *      inlining the full shingle pipeline into every signature column
-    *      builds a multi-MB expression tree whose optimizer + codegen cost
-    *      alone runs to minutes.
-    *   2. permutation p = min over xxhash64(p, baseHash) — re-hashing an
-    *      8-byte long per element instead of re-shingling and re-hashing
-    *      the document text. (Not an affine `a*h+b` map only because ANSI
-    *      mode rejects the intentional wraparound multiply.)
-    *
-    * Any fixed hash family gives a valid MinHash; signature VALUES are an
-    * internal detail (candidates are re-verified with exact Jaccard).
+    * word-`n`-gram shingle set. No shuffle — two narrow projections.
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, perms: Int = 64): DataFrame = {
-    val hashed = df.select(col(idCol),
-      transform(Text.wordShingles(col(textCol), n), s => xxhash64(s)).as("hs"))
-    val sigCols = (0 until perms).map { p =>
-      array_min(transform(col("hs"), h => xxhash64(lit(p), h))).as(s"mh_$p")
-    }
-    hashed.select((col(idCol) +: sigCols): _*)
-  }
+                       n: Int = 3, perms: Int = 64): DataFrame =
+    minhashSignatureFromSets(shingleSets(df, idCol, textCol, n), idCol, perms)
 
   /** LSH near-duplicate pairs via banded MinHash + exact-Jaccard
     * verification. `bands` × `rowsPerBand` must equal `perms`. A pair is a
@@ -63,17 +93,17 @@ object Dedup {
     * P[candidate] = 1-(1-j^r)^b).
     *
     * Default banding 32×2: recall at j = 0.5 is 1-(0.75)³² ≈ 0.9999 and →1
-    * above — effectively exact at the threshold, rather than the ~64%
-    * a 16×4 curve gives at j = 0.5. The wider low-j candidate tail this
-    * trades for is bounded by the exact-verify step.
+    * above. The wide low-j candidate tail this trades for is cheap now:
+    * verification is the codegen'd merge on prepared hash arrays, not a
+    * re-shingle + string array_intersect.
     *
     * Output: (id_1, id_2, jaccard) with id_1 < id_2, jaccard rounded to 6.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
                       bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
-    val perms = bands * rowsPerBand
-    val sig = minhashSignature(df, idCol, textCol, n, perms)
+    val sets = shingleSets(df, idCol, textCol, n)
+    val sig = minhashSignatureFromSets(sets, idCol, bands * rowsPerBand)
     // one row per (doc, band): band key = hash of the band's minhashes
     val bandRows = sig.select(
       col(idCol),
@@ -88,54 +118,73 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "bkey"))
       .filter(col("id_1") < col("id_2"))
       .select("id_1", "id_2").distinct()
-    val shingled = df.select(col(idCol), Text.wordShingles(col(textCol), n).as("sh"))
-    val verified = candidates
-      .join(shingled.select(col(idCol).as("id_1"), col("sh").as("sh_1")), "id_1")
-      .join(shingled.select(col(idCol).as("id_2"), col("sh").as("sh_2")), "id_2")
-      .withColumn("inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("double"))
-      .withColumn("uni", (size(col("sh_1")) + size(col("sh_2")) - col("inter")).cast("double"))
-      .withColumn("jaccard", round(when(col("uni") > 0, col("inter") / col("uni")).otherwise(0.0), 6))
-    verified.filter(col("jaccard") >= threshold).select("id_1", "id_2", "jaccard")
+    verifyJaccard(candidates, sets, idCol, threshold)
   }
 
-  /** Exact word-n-gram Jaccard similarity for ALL pairs above `threshold`,
-    * via an inverted shingle index: explode shingles, self-join on shingle,
-    * count co-occurrences, derive |A∪B| = |A|+|B|-|A∩B|. Exact (no LSH
-    * recall loss); cost is Σ_s freq(s)² over shingles — scalable when no
-    * shingle is hot (drop ubiquitous shingles upstream if they are).
+  /** Exact word-n-gram Jaccard for ALL pairs above `threshold`, on the
+    * block-partitioned all-pairs plan: every pair is evaluated exactly once
+    * with the codegen'd merge-intersect — no inverted-index self-join, so
+    * there is no Σ freq(shingle)² hot-key blowup no matter how skewed the
+    * shingle distribution is (the measured testdata corpus has ~900
+    * distinct shingles with avg document frequency ≈ 280: EVERY shingle is
+    * hot and >80% of all pairs co-occur somewhere, so candidate pruning is
+    * structurally impossible there). Exact low-threshold set joins are
+    * inherently quadratic in that regime; this plan distributes the n²/2
+    * merges over B(B+1)/2 equal tasks. For SPARSE corpora (real web text,
+    * high threshold) prefer [[ngramJaccardPairsSparse]], which prunes with
+    * an inverted index before the same exact verification.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
-    // The inverted index joins on an 8-byte xxhash64 of the shingle, not
-    // the shingle string: the self-join shuffles/broadcasts fixed-width
-    // longs instead of text. (A 64-bit collision between two DISTINCT
-    // shingles co-occurring in the same doc pair is the only way this can
-    // differ from string keys — negligible and accepted.)
-    val inv = df
-      .select(col(idCol).as("id"), Text.wordShingles(col(textCol), n).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-      .select(col("id"), col("n_sh"), xxhash64(col("s")).as("sk"))
-    val a = inv.select(col("id").as("id_1"), col("n_sh").as("n_1"), col("sk"))
-    val b = inv.select(col("id").as("id_2"), col("n_sh").as("n_2"), col("sk"))
-    a.join(b, "sk")
-      .filter(col("id_1") < col("id_2"))
-      .groupBy("id_1", "id_2", "n_1", "n_2")
-      .agg(count(lit(1)).cast("double").as("inter"))
+                        n: Int, threshold: Double, blocks: Int = 32): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    Pairs.blockedPairs(sets, idCol, blocks)
+      .select(col("id_1"), col("id_2"),
+        ArrayOps.sortedIntersectSize(col("s_1.shs"), col("s_2.shs")).cast("double").as("inter"),
+        (col("s_1.n_sh") + col("s_2.n_sh")).cast("double").as("sz"))
       .withColumn("jaccard",
-        round(col("inter") / (col("n_1") + col("n_2") - col("inter")), 6))
+        round(when(col("sz") > col("inter"), col("inter") / (col("sz") - col("inter")))
+          .otherwise(0.0), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_1", "id_2", "jaccard")
   }
 
-  /** 64-bit SimHash over whitespace tokens: bit i of the sketch is the sign
-    * of Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Near-dup docs differ
-    * in few bits (small Hamming distance). Computed per-row with array
-    * expressions — no explode, no shuffle.
+  /** Inverted-index variant for SPARSE shingle distributions: candidates =
+    * pairs co-occurring under some shingle with document frequency ≤
+    * `maxDf` (hot shingles are excluded from candidate generation ONLY —
+    * verification still uses full sets, so there are no false positives
+    * and no score error). Exact iff every qualifying pair shares at least
+    * one sub-ceiling shingle; otherwise recall loss is bounded to pairs
+    * whose entire overlap is ubiquitous shingles — document the ceiling
+    * with the corpus. Cost: Σ_{df(s)≤maxDf} df(s)² for candidates +
+    * O(|candidates| × set size) verify.
     */
+  def ngramJaccardPairsSparse(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, threshold: Double, maxDf: Int): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val inv = sets.select(col(idCol).as("id"), explode(col("shs")).as("sk"))
+    val rare = inv.join(
+      inv.groupBy("sk").agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf).select("sk"),
+      "sk")
+    val candidates = rare.select(col("id").as("id_1"), col("sk"))
+      .join(rare.select(col("id").as("id_2"), col("sk")), "sk")
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2").distinct()
+    verifyJaccard(candidates, sets, idCol, threshold)
+  }
+
+  /** 60-bit SimHash over whitespace tokens: bit i of the sketch is the sign
+    * of Σ_tokens (bit i of tokenHash(token) ? +1 : -1). Near-dup docs differ
+    * in few bits (small Hamming distance). Computed per-row with array
+    * expressions — no explode, no shuffle. Uses [[Text.tokenHash60]]
+    * (md5-derived, 60 bits) so the sketch is reproducible in any engine
+    * with an md5 — which is what makes the result oracle-checkable.
+    */
+  val SimhashBits = 60
+
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = array_distinct(split(lower(trim(col(textCol))), "\\s+"))
-    val hashes = transform(toks, t => xxhash64(t))
-    val sketch = (0 until 64).map { i =>
+    val hashes = transform(toks, t => Text.tokenHash60(t))
+    val sketch = (0 until SimhashBits).map { i =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << i)).otherwise(0L)
@@ -144,8 +193,8 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, banded into
-    * 4×16-bit chunks for candidate generation (a pair within Hamming ≤ 3 of
-    * a 64-bit sketch must agree exactly on ≥1 of 4 chunks — pigeonhole, so
+    * 4×15-bit chunks for candidate generation (a pair within Hamming ≤ 3 of
+    * a 60-bit sketch must agree exactly on ≥1 of 4 chunks — pigeonhole, so
     * recall is 100% for maxHamming ≤ 3).
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
@@ -156,7 +205,7 @@ object Dedup {
       col(idCol), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
+          shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL)).as("ckey"))
       }: _*)).as("cd"))
       .select(col(idCol), col("simhash"), col("cd.chunk"), col("cd.ckey"))
     val l = chunked.select(col(idCol).as("id_1"), col("simhash").as("sh_1"), col("chunk"), col("ckey"))
@@ -169,17 +218,39 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-duplicate pairs, EXACT all-pairs formulation:
-    * self-join id_1 < id_2 with the codegen'd cosine expression. Quadratic
-    * by definition — appropriate for verification scale or a pre-bucketed
-    * corpus; the scale path is [[Similarity.lshCandidates]] feeding this
-    * verification. Output cosine rounded to 6.
+  /** Embedding-cosine near-duplicate pairs, EXACT threshold join on the
+    * block-partitioned all-pairs plan ([[Pairs.blockedPairs]]): an
+    * equi-join on block-pair keys — NO broadcast of the corpus, no
+    * BroadcastNestedLoopJoin; per-task memory is two blocks of vectors and
+    * the n²/2 cosine evaluations (codegen'd) are spread over B(B+1)/2
+    * tasks. Exactness matters here because low thresholds (the testdata's
+    * 0.35 sits barely above the corpus' 0.2–0.3 background cosine) defeat
+    * LSH pruning structurally. For HIGH thresholds (true near-dups,
+    * cosine ≳ 0.8) use [[embeddingNearDupsLSH]], which prunes with banded
+    * sign sketches before the same exact scoring. Output cosine rounded
+    * to 6.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_1"), col(vecCol).as("v_1"))
-    val b = df.select(col(idCol).as("id_2"), col(vecCol).as("v_2"))
-    a.join(broadcast(b), col("id_1") < col("id_2"))
+                        threshold: Double, blocks: Int = 16): DataFrame =
+    Pairs.blockedPairs(df.select(col(idCol), col(vecCol)), idCol, blocks)
+      .withColumn("cosine", round(Vectors.cosine(col(s"s_1.$vecCol"), col(s"s_2.$vecCol")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_1", "id_2", "cosine")
+
+  /** High-threshold variant: banded sign-sketch LSH candidates
+    * ([[Similarity.lshCandidates]]) + exact cosine verification. Sub-
+    * quadratic candidate generation; recall follows the sign-LSH S-curve
+    * 1-(1-p^r)^L with p = 1 - acos(cos)/π — pick bands/bits for the target
+    * threshold (e.g. 16×8 gives recall ≈ 0.98 at cosine 0.9, and
+    * essentially 0 admission of the ~0.2-background pairs).
+    */
+  def embeddingNearDupsLSH(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, dim: Int,
+                           bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+    val candidates = Similarity.lshCandidates(df, idCol, vecCol, dim, bands, bitsPerBand)
+    val v1 = df.select(col(idCol).as("id_1"), col(vecCol).as("v_1"))
+    val v2 = df.select(col(idCol).as("id_2"), col(vecCol).as("v_2"))
+    candidates.join(v1, "id_1").join(v2, "id_2")
       .withColumn("cosine", round(Vectors.cosine(col("v_1"), col("v_2")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_1", "id_2", "cosine")

@@ -57,7 +57,12 @@ object Joins {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, on: (String, String),
                  buckets: Int): DataFrame = {
-    val salted = left.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(buckets)))
+    // Salt derived from the row's own values (all columns + a fixed seed):
+    // deterministic under task retry, unlike monotonically_increasing_id.
+    // Identical rows land in the same bucket — acceptable: duplicates of
+    // one row are bounded, the hot KEY still spreads across buckets.
+    val salted = left.withColumn("_salt",
+      pmod(hash(left.columns.map(col) :+ lit(0x5a17): _*), lit(buckets)))
     val exploded = prefixRight(left, right)
       .withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted

@@ -37,17 +37,19 @@ object Multimodal {
 
   /** ==== STUB ==== deterministic fake decoder: real implementations would
     * parse the container format here (e.g. JPEG headers / WAV chunks).
-    * Everything derived purely from payload bytes → reproducible.
+    * Metadata is derived from hex digits of the payload's sha256 — purely
+    * a function of the bytes (reproducible) AND expressible in any SQL
+    * engine with a sha256, which is what makes the decode oracle-checkable
+    * (DuckDB: `('0x' || substr(sha256(text), f, l))::BIGINT`).
     */
-  def stubDecode(payload: Array[Byte], mediaType: String): MediaMeta = {
-    var h = 1125899906842597L // FNV-ish rolling hash of the payload
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    def pick(mod: Int, shift: Int): Int = (((h >>> shift) % mod).toInt.abs + 1)
+  def stubDecode(shaHex: String, mediaType: String): MediaMeta = {
+    def hx(from: Int, len: Int): Long =
+      java.lang.Long.parseLong(shaHex.substring(from, from + len), 16)
     MediaMeta(
-      width = pick(4096, 0), height = pick(2160, 12),
-      n_frames = if (mediaType == "image") 1 else pick(14400, 24),
-      duration_ms = if (mediaType == "image") 0L else ((h >>> 36) % 600000L).abs)
+      width = (1 + hx(0, 6) % 4096).toInt,
+      height = (1 + hx(6, 6) % 2160).toInt,
+      n_frames = if (mediaType == "image") 1 else (1 + hx(12, 6) % 14400).toInt,
+      duration_ms = if (mediaType == "image") 0L else hx(18, 12) % 600000L)
   }
 
   /** Batch decode via mapPartitions: the decoder is initialized once per
@@ -66,7 +68,7 @@ object Multimodal {
         rows.map { case (id, payload, mt) =>
           digest.reset()
           val sha = digest.digest(payload).map("%02x".format(_)).mkString
-          MediaRow(id, mt, payload.length.toLong, sha, stubDecode(payload, mt))
+          MediaRow(id, mt, payload.length.toLong, sha, stubDecode(sha, mt))
         }
       }
   }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Block-partitioned exact all-pairs generation — the scale-safe plan for
+  * exact pairwise operators (exact n-gram Jaccard, exact cosine threshold
+  * join) whose OUTPUT is inherently quadratic in the worst case.
+  *
+  * The naive formulations are a cartesian/broadcast-nested-loop join, which
+  * ships the whole corpus to every executor (memory blowup) and computes
+  * the n² pairs wherever the broadcast landed. This operator instead:
+  *
+  *   - assigns each row a block `b = pmod(hash(id), B)`;
+  *   - emits each row under every block-pair key `(lo, hi)` it can
+  *     participate in: the `lo` side keeps rows with `b == lo`, the `hi`
+  *     side rows with `b == hi`, so row u is replicated exactly B times;
+  *   - a plain shuffled EQUI-join on `(lo, hi)` then yields every unordered
+  *     pair exactly once — pair (u, v) appears only under key
+  *     (min(b_u,b_v), max(b_u,b_v)); same-block pairs are halved by id<.
+  *
+  * Properties at scale: shuffle volume is B× the (reduced) row payload —
+  * never the full corpus per executor; per-task memory is two blocks;
+  * compute is the unavoidable n²/2 pair evaluations spread over B(B+1)/2
+  * independent keys. Choose B so a block fits comfortably in executor
+  * memory and B(B+1)/2 ≳ the cluster's task slots.
+  *
+  * Output columns: `id_1 < id_2` (least/greatest of the pair's ids) and
+  * payload structs `s_1`/`s_2` with all input columns. NOTE: `s_1` is NOT
+  * guaranteed to belong to `id_1` — sides are aligned by block, not id —
+  * so use this only with SYMMETRIC pair functions (intersection, cosine,
+  * distance), which is what every set/vector similarity here is.
+  */
+object Pairs {
+
+  def blockedPairs(df: DataFrame, idCol: String, blocks: Int): DataFrame = {
+    require(blocks >= 1, "blockedPairs: blocks must be >= 1")
+    val payload = struct(df.columns.map(col): _*)
+    val withB = df.select(pmod(hash(col(idCol)), lit(blocks)).as("_b"),
+      col(idCol).as("_id"), payload.as("_s"))
+    // lo side: row participates in keys (b, r) for r >= b
+    val lo = withB
+      .withColumn("_hi", explode(sequence(col("_b"), lit(blocks - 1))))
+      .select(col("_b").as("_lo"), col("_hi"), col("_id").as("_ida"), col("_s").as("s_1"))
+    // hi side: row participates in keys (r, b) for r <= b
+    val hi = withB
+      .withColumn("_lo", explode(sequence(lit(0), col("_b"))))
+      .select(col("_lo"), col("_b").as("_hi"), col("_id").as("_idb"), col("_s").as("s_2"))
+    lo.join(hi, Seq("_lo", "_hi"))
+      // same-block key would otherwise emit (u,v) and (v,u) plus (u,u)
+      .filter(col("_lo") =!= col("_hi") || col("_ida") < col("_idb"))
+      .select(least(col("_ida"), col("_idb")).as("id_1"),
+        greatest(col("_ida"), col("_idb")).as("id_2"),
+        col("s_1"), col("s_2"))
+  }
+}

@@ -35,19 +35,44 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** H-bit sign sketch under deterministic pseudo-random hyperplanes.
-    * Hyperplane h's component j is derived from xxhash64(h, j) — no
-    * materialized random matrix to ship, identical across executors.
+  /** H-bit sign sketch under deterministic pseudo-random hyperplanes
+    * (seeded Gaussian — no materialized random matrix to ship, identical
+    * across executors and across retries).
     */
-  def signSketch(vec: org.apache.spark.sql.Column, dim: Int, bits: Int): org.apache.spark.sql.Column = {
+  def signSketch(vec: org.apache.spark.sql.Column, dim: Int, bits: Int,
+                 seed: Long = 42L): org.apache.spark.sql.Column = {
     val planes = {
-      val rnd = new scala.util.Random(42)
+      val rnd = new scala.util.Random(seed)
       Array.fill(bits, dim)(rnd.nextGaussian().toFloat)
     }
     (0 until bits).map { h =>
       val proj = Vectors.dot(vec, lit(planes(h)))
       when(proj > 0, lit(1L << h)).otherwise(0L)
     }.reduce(_ + _)
+  }
+
+  /** Banded sign-sketch candidate pairs for high-threshold cosine
+    * similarity: `bands` independent `bitsPerBand`-bit sketches (one seed
+    * per band); a pair is a candidate iff some band matches exactly.
+    * P[candidate] = 1-(1-p^r)^L with p = 1 - acos(cosine)/π — the sign-LSH
+    * S-curve. Candidate generation is an equi-join on (band, sketch):
+    * only bucket-colliding pairs are ever materialized, never all pairs.
+    * Exact-verify downstream ([[Dedup.embeddingNearDupsLSH]]).
+    */
+  def lshCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+    val bandRows = df.select(
+      col(idCol),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          signSketch(col(vecCol), dim, bitsPerBand, seed = 1000L + b).as("bkey"))
+      }: _*)).as("bd"))
+      .select(col(idCol), col("bd.band"), col("bd.bkey"))
+    val l = bandRows.select(col(idCol).as("id_1"), col("band"), col("bkey"))
+    val r = bandRows.select(col(idCol).as("id_2"), col("band"), col("bkey"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2").distinct()
   }
 
   /** LSH-bucketed approximate top-k with 1-bit multiprobe. */
