@@ -1,0 +1,84 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.storage.StorageLevel
+
+/** A15 caching + A16 execution log.
+  *
+  * Reference: `@st.cache_resource` memoizes the parsed table across UI
+  * reruns (`/root/reference/app.py:84-85`), and every operation appends a
+  * wall-clock entry to an execution log rendered in the UI
+  * (`/root/reference/app.py:913-918, 1387-1391`).
+  *
+  * Spark mapping: memoization = `persist()` + a process-wide memo so
+  * repeated loads of the same table return the SAME cached plan (Spark's
+  * CacheManager then substitutes the InMemoryRelation into every query that
+  * uses it); the execution log = a `QueryExecutionListener`, which sees
+  * every completed action with its DURATION and the full `QueryExecution`
+  * (logical + executed plan) — strictly more than the reference's
+  * wall-clock lines, with zero per-row overhead.
+  */
+object Meta {
+
+  // ------------------------------------------------------------------- A15
+
+  private val tableMemo = TrieMap.empty[(String, String), DataFrame]
+
+  /** Memoized, persisted table load — the reference's cached-load semantics
+    * (`app.py:84-85`). First call per (dir, name) persists MEMORY_AND_DISK
+    * (spill-safe: partitions that don't fit in executor memory go to disk
+    * instead of OOMing — the right default at 100 TB where "fits in
+    * memory" is never a given); later calls return the identical cached
+    * DataFrame.
+    */
+  def cachedTable(spark: SparkSession, dir: String, name: String): DataFrame =
+    tableMemo.getOrElseUpdate((dir, name),
+      Tables.table(spark, dir, name).persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop all memoized tables (unpersist + forget). */
+  def clearCachedTables(): Unit = {
+    tableMemo.values.foreach(_.unpersist())
+    tableMemo.clear()
+  }
+
+  // ------------------------------------------------------------------- A16
+
+  /** One completed action: the action name (`count`, `collect`, ...), its
+    * duration, and the physical plan that ran.
+    */
+  final case class ExecEntry(action: String, durationNs: Long, physicalPlan: String)
+
+  /** Execution log via `QueryExecutionListener` — the engine-level analogue
+    * of the reference's per-op wall-clock log. Thread-safe (listener
+    * callbacks arrive on the listener bus thread).
+    */
+  final class ExecLog extends QueryExecutionListener {
+    private val q = new ConcurrentLinkedQueue[ExecEntry]()
+
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      q.add(ExecEntry(funcName, durationNs, qe.executedPlan.toString))
+
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      q.add(ExecEntry(s"$funcName FAILED: ${exception.getClass.getSimpleName}", -1L, ""))
+
+    def entries: Seq[ExecEntry] = q.asScala.toSeq
+    def clear(): Unit = q.clear()
+  }
+
+  /** Attach a fresh ExecLog to the session. Entries appear after each
+    * completed action (the listener bus is asynchronous — tests should
+    * `spark.sparkContext.listenerBus.waitUntilEmpty()` equivalent via
+    * retry/eventually before asserting).
+    */
+  def attachExecLog(spark: SparkSession): ExecLog = {
+    val log = new ExecLog
+    spark.listenerManager.register(log)
+    log
+  }
+}

@@ -73,6 +73,53 @@ object SparkEntry {
       .orderBy("r_c_nationkey")
   }
 
+  /** The reference's entry-point-2 dashboard pipeline (SURVEY §3,
+    * `app.py:296-337, 1004-1176, 1343-1360`) re-expressed on the star
+    * schema: date-range re-filter → broadcast-join dim → IN-set filter →
+    * pivot (series×month × segment, max-on-conflict) → forward-fill per
+    * series → per-group stats + a global metric tile → broadcast-join the
+    * nation dim. The re-filtered frame is `persist()`ed (A15): BOTH the
+    * tile subtree and the pivot subtree read it, the reference's cached-
+    * table reuse model — without the cache Spark would scan orders twice.
+    */
+  def dashboardChain(s: SparkSession, d: String): DataFrame = {
+    val segs = Seq("BUILDING", "AUTOMOBILE", "MACHINERY")
+    val enriched = Joins.broadcastJoin(
+      Ops.between(Tables.orders(s, d), "o_orderdate", "1995-01-01", "1996-12-31"),
+      Tables.customer(s, d), ("o_custkey", "c_custkey"))
+    val filtered = enriched
+      .filter(col("r_c_mktsegment").isin(segs: _*))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .persist()
+    // metric tile: global decimal-exact average (A11)
+    val tile = filtered.agg(
+      round(sum(dec(col("o_totalprice"))).cast(D382).cast("double") / count(lit(1)), 4)
+        .as("tile_avg_totalprice"))
+    // chart pipeline: pivot → forward-fill (A9, A10)
+    val pivoted = Analytics.pivotMax(filtered, Seq("r_c_nationkey", "o_month"),
+      "r_c_mktsegment", segs, "o_totalprice")
+    val filled = Analytics.forwardFill(pivoted, "r_c_nationkey", Seq("o_month"),
+      "BUILDING", "building_filled")
+    // per-nation stats over the filled series (G2 pattern, decimal-exact avg)
+    val stats = filled.groupBy("r_c_nationkey").agg(
+      count(lit(1)).as("count_months"),
+      count(col("building_filled")).as("_n_filled"),
+      sum(dec(col("building_filled"))).as("_dec_sum"),
+      max(col("building_filled")).as("max_building"),
+      median(col("building_filled")).as("median_building"),
+      stddev_samp(col("building_filled")).as("std_building"))
+    val rounded = stats.select(
+      col("r_c_nationkey"), col("count_months"),
+      round(col("_dec_sum").cast(D382).cast("double") / col("_n_filled"), 4)
+        .as("avg_building"),
+      col("max_building"),
+      round(col("median_building"), 4).as("median_building"),
+      round(col("std_building"), 4).as("std_building"))
+    Joins.broadcastJoin(rounded, Tables.nation(s, d), ("r_c_nationkey", "n_nationkey"))
+      .crossJoin(broadcast(tile))
+      .orderBy("r_c_nationkey")
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -220,6 +267,18 @@ object SparkEntry {
     // full pipeline: the reference's entry-point-3 chain (SURVEY §3)
     "q_covid_chain" -> ((s, d) => covidChain(s, d)),
 
+    // full pipeline: the reference's entry-point-2 dashboard chain (SURVEY §3)
+    "q_dashboard_chain" -> ((s, d) => dashboardChain(s, d)),
+
+    // G3 arbitrary-function aggregate surface: typed Aggregator (order-
+    // independent example fns so the oracle compare is exact)
+    "g4_custom_agg" -> ((s, d) =>
+      CustomAgg.customGlobalAgg(Tables.customer(s, d), Seq(
+        ("midrange", "c_acctbal", CustomAgg.midrange),
+        ("spread", "c_acctbal", CustomAgg.spread)))
+        .select(round(col("midrange_c_acctbal"), 4).as("midrange_c_acctbal"),
+          round(col("spread_c_acctbal"), 4).as("spread_c_acctbal"))),
+
     // TPC-H Q1-style pricing summary. Sums are computed EXACTLY in decimal
     // (associative, order-independent) and only the final value is cast to
     // double — both sides of the oracle compare as float64 (the driver's
@@ -278,13 +337,26 @@ object SparkEntry {
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", 0.5)
         .orderBy("id_1", "id_2")),
 
-    // D3: 64-bit SimHash sketch per document (no SQL oracle: xxhash64)
+    // D3: 60-bit md5-derived SimHash sketch per document (oracle-checkable)
     "d3_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // D3b: SimHash near-dup pairs, 4×15-bit pigeonhole banding (exact
+    // recall for Hamming <= 3, so output == the all-pairs oracle)
+    "d3b_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_1", "id_2")),
 
     // D4: exact word-bigram Jaccard pairs via inverted shingle index
     "d4_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.1)
+        .orderBy("id_1", "id_2")),
+
+    // D4b: inverted-index sparse variant with document-frequency cap — the
+    // cap is mirrored exactly in the oracle, so parity is exact
+    "d4b_jaccard_sparse" -> ((s, d) =>
+      Dedup.ngramJaccardPairsSparse(Tables.documents(s, d), "doc_id", "text", 3, 0.2, maxDf = 50)
         .orderBy("id_1", "id_2")),
 
     // D5: embedding-cosine near-dup pairs (exact all-pairs, codegen'd cosine)
@@ -292,10 +364,30 @@ object SparkEntry {
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
         .orderBy("id_1", "id_2")),
 
+    // D5b: sign-sketch LSH candidates + exact cosine verify — the scale
+    // path. 32×4 banding: recall ≈ 0.998 at cosine 0.45 (sign-LSH S-curve;
+    // measured in DedupSpec). Seeded hyperplanes aren't SQL-expressible →
+    // driver rows-only check; recall is asserted in the test suite.
+    "d5b_embed_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupsLSH(Tables.embeddings(s, d), "vec_id", "embedding",
+        0.45, dim = 64, bands = 32, bitsPerBand = 4)
+        .orderBy("id_1", "id_2")),
+
     // SIM: brute-force cosine top-k (exact ANN baseline)
     "sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // SIM-LSH: bucketed approximate top-k with 1-bit multiprobe — the ANN
+    // scale path. Approximate by construction (no SQL oracle); recall vs
+    // the exact sim_topk is measured and asserted in SimilaritySpec.
+    "sim_lsh_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        5, dim = 64, bits = 6)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -334,16 +426,19 @@ object SparkEntry {
           sha2(col("payload"), 256).as("sha256"))
         .orderBy("doc_id")),
 
-    // M2: batch decode via mapPartitions (stub decoder; rows-only check).
-    // The decoded metadata struct is flattened to scalar columns — the
-    // driver's rows-only canonicalizer cannot sort nested structs.
+    // M2: batch decode via mapPartitions. The stub decoder derives metadata
+    // from sha256 hex digits (Multimodal.stubDecode), so the whole decode
+    // is oracle-checkable in DuckDB. Struct flattened to scalars; ints cast
+    // to long to match the oracle's BIGINT arithmetic.
     "m2_multimodal_decode" -> ((s, d) =>
       Multimodal.decodeBatches(s,
         Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text"), "doc_id")
         .toDF()
         .select(col("doc_id"), col("media_type"), col("byte_len"), col("sha256"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.n_frames").as("n_frames"), col("meta.duration_ms").as("duration_ms"))
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.n_frames").cast("long").as("n_frames"),
+          col("meta.duration_ms").as("duration_ms"))
         .orderBy("doc_id")),
 
     // E1: tumbling-window event aggregation (batch form of the stream op)
@@ -359,10 +454,99 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracle SQL
 
-  /** DuckDB SQL equivalents. Omitted for d3_simhash / m2_multimodal_decode
-    * (xxhash64 / stub decode not expressible) → driver rows-only check.
+  /** DuckDB rendition of [[graft.operators.Dedup.simhash]]: the 60-bit
+    * sketch as a machine-generated sum of per-bit vote terms over the
+    * md5-derived token hashes (`Text.tokenHash60`). Shared by the
+    * d3/d3b oracles.
+    */
+  private val simhashCte: String = {
+    val bitTerms = (0 until Dedup.SimhashBits).map { i =>
+      s"(CASE WHEN list_sum(list_transform(hh, h -> CASE WHEN (h >> $i) & 1 = 1 " +
+        s"THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    "hs AS (SELECT doc_id, list_transform(" +
+      "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), " +
+      "t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS hh FROM documents), " +
+      s"sh AS (SELECT doc_id, ($bitTerms)::BIGINT AS simhash FROM hs)"
+  }
+
+  /** DuckDB SQL equivalents. Omitted only for the structurally-approximate
+    * LSH paths (d5b_embed_lsh, sim_lsh_topk — seeded hyperplanes aren't
+    * SQL-expressible) → driver rows-only check + recall asserted in tests.
     */
   def oracleSql: Map[String, String] = Map(
+    "q_dashboard_chain" ->
+      ("WITH enriched AS (" +
+        "SELECT o.*, c.c_nationkey AS r_c_nationkey, c.c_mktsegment AS r_c_mktsegment " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "WHERE o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31' " +
+        "AND c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')), " +
+        "mo AS (SELECT *, strftime(o_orderdate, '%Y-%m') AS o_month FROM enriched), " +
+        "tile AS (SELECT round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "AS DECIMAL(38,2)) AS DOUBLE) / count(*), 4) AS tile_avg_totalprice FROM mo), " +
+        "piv AS (SELECT r_c_nationkey, o_month, " +
+        "max(CASE WHEN r_c_mktsegment = 'BUILDING' THEN o_totalprice END) AS building " +
+        "FROM mo GROUP BY 1, 2), " +
+        "filled AS (SELECT r_c_nationkey, o_month, " +
+        "last_value(building IGNORE NULLS) OVER (PARTITION BY r_c_nationkey " +
+        "ORDER BY o_month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS building_filled " +
+        "FROM piv), " +
+        "stats AS (SELECT r_c_nationkey, count(*) AS count_months, " +
+        "round(CAST(CAST(sum(CAST(building_filled AS DECIMAL(18,2))) AS DECIMAL(38,2)) " +
+        "AS DOUBLE) / count(building_filled), 4) AS avg_building, " +
+        "max(building_filled) AS max_building, " +
+        "round(median(building_filled), 4) AS median_building, " +
+        "round(stddev_samp(building_filled), 4) AS std_building " +
+        "FROM filled GROUP BY r_c_nationkey) " +
+        "SELECT s.*, n.n_nationkey AS r_n_nationkey, n.n_name AS r_n_name, " +
+        "n.n_regionkey AS r_n_regionkey, t.tile_avg_totalprice " +
+        "FROM stats s JOIN nation n ON s.r_c_nationkey = n.n_nationkey CROSS JOIN tile t " +
+        "ORDER BY r_c_nationkey"),
+
+    "g4_custom_agg" ->
+      ("SELECT round((min(c_acctbal) + max(c_acctbal)) / 2.0, 4) AS midrange_c_acctbal, " +
+        "round(max(c_acctbal) - min(c_acctbal), 4) AS spread_c_acctbal FROM customer"),
+
+    "d3_simhash" ->
+      s"WITH $simhashCte SELECT doc_id, simhash FROM sh ORDER BY doc_id",
+
+    "d3b_simhash_pairs" ->
+      (s"WITH $simhashCte " +
+        "SELECT a.doc_id AS id_1, b.doc_id AS id_2, " +
+        "bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY id_1, id_2"),
+
+    "d4b_jaccard_sparse" ->
+      ("WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1), " +
+        "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' || " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM documents), " +
+        "inv AS (SELECT doc_id, unnest(grams) AS g FROM sh), " +
+        "rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 50), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2 " +
+        "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id " +
+        "WHERE a.g IN (SELECT g FROM rare)), " +
+        "v AS (SELECT c.id_1, c.id_2, " +
+        "len(list_intersect(s1.grams, s2.grams))::DOUBLE AS inter, " +
+        "(len(s1.grams) + len(s2.grams))::DOUBLE AS sz " +
+        "FROM cand c JOIN sh s1 ON c.id_1 = s1.doc_id JOIN sh s2 ON c.id_2 = s2.doc_id) " +
+        "SELECT id_1, id_2, round(CASE WHEN sz > inter THEN inter / (sz - inter) " +
+        "ELSE 0 END, 6) AS jaccard FROM v " +
+        "WHERE round(CASE WHEN sz > inter THEN inter / (sz - inter) ELSE 0 END, 6) >= 0.2 " +
+        "ORDER BY id_1, id_2"),
+
+    "m2_multimodal_decode" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+        "ELSE 'video' END AS media_type, octet_length(encode(text))::BIGINT AS byte_len, " +
+        "sha256(text) AS sha256, " +
+        "(1 + ('0x' || substr(sha256(text),1,6))::BIGINT % 4096)::BIGINT AS width, " +
+        "(1 + ('0x' || substr(sha256(text),7,6))::BIGINT % 2160)::BIGINT AS height, " +
+        "(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + ('0x' || substr(sha256(text),13,6))::BIGINT % 14400 END)::BIGINT AS n_frames, " +
+        "(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE ('0x' || substr(sha256(text),19,12))::BIGINT % 600000 END)::BIGINT AS duration_ms " +
+        "FROM documents ORDER BY doc_id"),
+
     "s1_csv_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 

@@ -47,7 +47,12 @@ object Analytics {
     */
   def pivotMax(df: DataFrame, rowKey: String, pivotCol: String,
                values: Seq[String], metric: String): DataFrame =
-    df.groupBy(col(rowKey)).pivot(pivotCol, values).agg(max(col(metric)))
+    pivotMax(df, Seq(rowKey), pivotCol, values, metric)
+
+  /** A9, multi-key form — e.g. (series, month) × segment matrices. */
+  def pivotMax(df: DataFrame, rowKeys: Seq[String], pivotCol: String,
+               values: Seq[String], metric: String): DataFrame =
+    df.groupBy(rowKeys.map(col): _*).pivot(pivotCol, values).agg(max(col(metric)))
 
   /** A10 — forward-fill (LOCF) per series (`/root/reference/app.py:1039-1045`).
     * `last(ignoreNulls).over(unboundedPreceding..current)` — one shuffle to
