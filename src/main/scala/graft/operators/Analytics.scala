@@ -81,12 +81,24 @@ object Analytics {
 
   /** X1 — guarded pairwise-complete Pearson r
     * (`/root/reference/src/dataframe.py:250-273`): null when fewer than
-    * `minPairs` complete pairs, 0.0 on zero denominator (constant series —
-    * Spark's `corr` yields null there, so coalesce after the guard).
+    * `minPairs` complete pairs, 0.0 on zero denominator (constant series).
+    *
+    * Built from covar_pop / stddev_pop rather than `corr`: under Spark 4's
+    * ANSI default, `corr` raises DIVIDE_BY_ZERO on a constant series before
+    * any outer guard can run (caught by AnalyticsSpec), while the
+    * population moments never divide by a data-dependent zero and the one
+    * explicit division sits behind a lazy CaseWhen. corr_pop ≡ corr_samp
+    * (the n/(n-1) factors cancel), and the inputs are masked to
+    * pairwise-complete rows so the stddevs see exactly the rows the
+    * covariance sees.
     */
   def safeCorr(df: DataFrame, c1: String, c2: String, minPairs: Int = 3): Column = {
-    val pairs = count(when(col(c1).isNotNull && col(c2).isNotNull, 1))
-    when(pairs >= minPairs, coalesce(corr(col(c1), col(c2)), lit(0.0)))
+    val both = col(c1).isNotNull && col(c2).isNotNull
+    val x = when(both, col(c1)); val y = when(both, col(c2))
+    val pairs = count(when(both, 1))
+    val den = stddev_pop(x) * stddev_pop(y)
+    when(pairs >= minPairs,
+      when(den === 0.0, 0.0).otherwise(covar_pop(x, y) / den))
   }
 
   /** A16 — wall-clock per-query timing, the reference's execution log

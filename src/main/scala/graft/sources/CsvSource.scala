@@ -24,13 +24,18 @@ import org.apache.spark.sql.types.StructType
   */
 object CsvSource {
 
-  /** Inference path — compatibility with the reference's schema-less scan. */
+  /** Inference path — compatibility with the reference's schema-less scan.
+    * `escape = "` selects the reference's doubled-quote escaping
+    * (`csv_parser.py:30-33`) — Spark's default escape is backslash, which
+    * would leave `""` sequences un-unescaped (caught by CsvSourceSpec).
+    */
   def read(spark: SparkSession, path: String, sep: String = ","): DataFrame =
     spark.read
       .option("header", "true")
       .option("sep", sep)
       .option("inferSchema", "true")
       .option("nullValue", "")
+      .option("escape", "\"")
       .option("mode", "PERMISSIVE")
       .csv(path)
 
@@ -41,6 +46,7 @@ object CsvSource {
       .option("header", "true")
       .option("sep", sep)
       .option("nullValue", "")
+      .option("escape", "\"")
       .option("mode", "PERMISSIVE")
       .schema(schema)
       .csv(path)

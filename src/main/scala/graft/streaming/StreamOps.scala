@@ -58,16 +58,24 @@ object StreamOps {
   case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   case class SessionOut(user_id: Long, n_events: Long, session_start_us: Long,
                         session_end_us: Long, duration_us: Long)
-  private case class SessionState(n: Long, start: Long, last: Long)
+  // public: Spark's state-store encoder codegen constructs it reflectively
+  case class SessionState(n: Long, start: Long, last: Long)
 
   /** Gap-based sessionization, STREAMING form: custom state machine via
     * flatMapGroupsWithState. State per user is O(1) (count/start/last);
-    * sessions emit on timeout — the scalable continuous analogue of
-    * [[sessionize]]. (Spark's built-in `session_window` aggregate covers
-    * the common case; this demonstrates the custom-state escape hatch.)
+    * a session emits when a later event exceeds the gap, or on idle
+    * timeout — the scalable continuous analogue of [[sessionize]].
+    * (Spark's built-in `session_window` aggregate covers the common case;
+    * this demonstrates the custom-state escape hatch.)
+    *
+    * `withTimeout = false` disables the processing-time idle timeout:
+    * sessions then close only via a later event. Deterministic — the mode
+    * test harnesses use (wall-clock timeouts make `processAllAvailable`
+    * block on timer-driven batches).
     */
   def sessionizeStreaming(spark: SparkSession, events: DataFrame, gapUs: Long,
-                          timeoutMs: Long = 30000): Dataset[SessionOut] = {
+                          timeoutMs: Long = 30000,
+                          withTimeout: Boolean = true): Dataset[SessionOut] = {
     import spark.implicits._
     def fn(userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]): Iterator[SessionOut] = {
       var out = List.empty[SessionOut]
@@ -84,12 +92,14 @@ object StreamOps {
         state.remove()
       } else {
         state.update(st)
-        state.setTimeoutDuration(timeoutMs)
+        if (withTimeout) state.setTimeoutDuration(timeoutMs)
       }
       out.reverseIterator
     }
+    val timeoutConf =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     events.select(col("user_id"), col("ts_us"), col("event_id")).as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(fn)
   }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.Agg
+import org.apache.spark.sql.Row
+
+/** G1–G3/A3/A7 edge semantics pinned to the reference
+  * (`/root/reference/src/dataframe.py:28-87`).
+  */
+class AggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", Some(1.0)), ("a", Some(3.0)),            // group a: n=2
+    ("b", Some(2.0)),                              // group b: n=1
+    ("c", None), ("c", None),                      // group c: all-null values
+    (null.asInstanceOf[String], Some(10.0))        // null group key
+  ).toDF("k", "v")
+
+  test("count is GROUP ROW COUNT, even when every value is null (dataframe.py:53-54)") {
+    val out = Agg.groupAgg(df, Seq("k"), Seq("v" -> Seq("count")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out("a") == 2 && out("b") == 1 && out("c") == 2)
+  }
+
+  test("null is a valid group key (dataframe.py:25; Spark groups nulls identically)") {
+    val out = Agg.groupAgg(df, Seq("k"), Seq("v" -> Seq("sum")))
+      .filter("k IS NULL").collect()
+    assert(out.length == 1 && out(0).getDouble(1) == 10.0)
+  }
+
+  test("std is SAMPLE stddev and null for n<2 (dataframe.py:76-82)") {
+    val out = Agg.groupAgg(df, Seq("k"), Seq("v" -> Seq("std")))
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toMap
+    assert(out("b").isEmpty, "n=1 group must be null, not NaN")
+    assert(out("c").isEmpty, "all-null group must be null")
+    assert(approx(out("a").get.asInstanceOf[Double], math.sqrt(2.0)), "sample std of {1,3} = sqrt(2)")
+  }
+
+  test("all-null value column yields null for sum/avg/min/max/median (dataframe.py:55-56)") {
+    val out = Agg.groupAgg(df, Seq("k"), Seq("v" -> Seq("sum", "avg", "min", "max", "median")))
+      .filter("k = 'c'").collect()(0)
+    (1 to 5).foreach(i => assert(out.isNullAt(i), s"col $i must be null for all-null group"))
+  }
+
+  test("median exact: avg-of-middle-two for even n, middle for odd (dataframe.py:68-75)") {
+    val even = Seq(("g", 1.0), ("g", 2.0), ("g", 10.0), ("g", 20.0)).toDF("k", "v")
+    val odd = Seq(("g", 1.0), ("g", 5.0), ("g", 100.0)).toDF("k", "v")
+    assert(Agg.groupAgg(even, Seq("k"), Seq("v" -> Seq("median"))).collect()(0).getDouble(1) == 6.0)
+    assert(Agg.groupAgg(odd, Seq("k"), Seq("v" -> Seq("median"))).collect()(0).getDouble(1) == 5.0)
+  }
+
+  test("string column aggregates via try_cast bridge: non-numerics skipped (dataframe.py:48, SURVEY 7.4.1)") {
+    val mixed = Seq(("g", "1"), ("g", "2.5"), ("g", "oops"), ("g", "")).toDF("k", "v")
+    val out = Agg.groupAgg(mixed, Seq("k"), Seq("v" -> Seq("count", "sum")))
+      .collect()(0)
+    assert(out.getLong(1) == 4, "count stays row-count")
+    assert(out.getDouble(2) == 3.5, "sum skips non-numeric cells")
+  }
+
+  test("unknown aggregate fn raises (dataframe.py:83-84)") {
+    intercept[IllegalArgumentException] {
+      Agg.groupAgg(df, Seq("k"), Seq("v" -> Seq("mode")))
+    }
+  }
+
+  test("output columns follow {fn}_{col} naming (dataframe.py:34)") {
+    val cols = Agg.groupAgg(df, Seq("k"), Seq("v" -> Agg.SupportedFns)).columns.toSeq
+    assert(cols == Seq("k", "count_v", "sum_v", "avg_v", "min_v", "max_v", "median_v", "std_v"))
+  }
+
+  test("globalAgg aggregates without a dummy group key (app.py:938-988)") {
+    val out = Agg.globalAgg(df, Seq("v" -> Seq("count", "sum")))
+    assert(out.columns.toSeq == Seq("count_v", "sum_v"))
+    val r = out.collect()(0)
+    assert(r.getLong(0) == 6 && r.getDouble(1) == 16.0)
+  }
+
+  test("latestTable computes every metric in ONE pass (app.py:122-157 collapsed)") {
+    val t = Seq((1, 5.0, "x"), (1, 9.0, "a"), (2, 3.0, "z")).toDF("id", "m1", "m2")
+    val out = Agg.latestTable(t, "id", Seq("m1", "m2")).orderBy("id").collect()
+    assert(out(0) == Row(1, 9.0, "x") && out(1) == Row(2, 3.0, "z"))
+  }
+
+  test("minMax returns global min/max (app.py:248-251)") {
+    val r = Agg.minMax(df.filter("v IS NOT NULL"), "v").collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 10.0)
+  }
+
+  test("approxMedian flag swaps in the sketch-based scale path (SURVEY 7.3)") {
+    val t = (1 to 1001).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val exact = Agg.groupAgg(t, Seq("k"), Seq("v" -> Seq("median"))).collect()(0).getDouble(1)
+    val appr = Agg.groupAgg(t, Seq("k"), Seq("v" -> Seq("median")), approxMedian = true)
+      .collect()(0).getDouble(1)
+    assert(exact == 501.0 && math.abs(appr - exact) <= 5.0)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+/** A8/A9/A10/A17/X1 semantics (reference loops → distributed operators). */
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("latestPerGroup keeps the argmax row; tiebreak makes it deterministic (app.py:711-729)") {
+    val t = Seq(
+      (1, "2020-01-01", 100, "a"),
+      (1, "2020-03-01", 300, "b"),
+      (1, "2020-03-01", 200, "c"),  // date tie -> higher id wins
+      (2, "2020-02-01", 50, "d")
+    ).toDF("g", "date", "id", "payload")
+    val out = Analytics.latestPerGroup(t, "g", "date", Seq("id"))
+      .orderBy("g").collect()
+    assert(out(0).getString(3) == "b", "tie on date broken by max id")
+    assert(out(1).getString(3) == "d")
+  }
+
+  test("latestPerGroup (max_by) equals the window/row_number formulation") {
+    val t = Tables.nation(spark, "/root/testdata/sf0.001")
+      .withColumn("g", pmod(col("n_nationkey"), lit(5)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).toSeq.sorted
+    assert(
+      canon(Analytics.latestPerGroup(t, "g", "n_name", Seq("n_nationkey"))) ==
+        canon(Analytics.latestPerGroupWindow(t, "g", "n_name", Seq("n_nationkey"))))
+  }
+
+  test("pivotMax keeps MAX on key conflicts (app.py:1132)") {
+    val t = Seq(("r1", "A", 1.0), ("r1", "A", 9.0), ("r1", "B", 2.0)).toDF("k", "p", "v")
+    val out = Analytics.pivotMax(t, "k", "p", Seq("A", "B"), "v").collect()(0)
+    assert(out.getDouble(1) == 9.0 && out.getDouble(2) == 2.0)
+  }
+
+  test("forwardFill carries the last non-null within the series only (app.py:1039-1045)") {
+    val t = Seq(
+      ("u1", 1, Some(10.0)), ("u1", 2, None), ("u1", 3, None), ("u1", 4, Some(40.0)),
+      ("u2", 1, None), ("u2", 2, Some(5.0))
+    ).toDF("k", "t", "v")
+    val out = Analytics.forwardFill(t, "k", Seq("t"), "v", "f")
+      .orderBy("k", "t").select("f").collect().map(r => Option(r.get(0)))
+    assert(out.toSeq == Seq(Some(10.0), Some(10.0), Some(10.0), Some(40.0), None, Some(5.0)),
+      "fills forward per series; leading nulls stay null (no cross-series leak)")
+  }
+
+  test("forwardFill is idempotent (SURVEY 5.3 property)") {
+    val t = Seq(("u", 1, Some(1.0)), ("u", 2, None), ("u", 3, Some(3.0))).toDF("k", "t", "v")
+    val once = Analytics.forwardFill(t, "k", Seq("t"), "v", "f")
+    val twice = Analytics.forwardFill(once.drop("v").withColumnRenamed("f", "v"),
+      "k", Seq("t"), "v", "f")
+    assert(once.select("k", "t", "f").collect().toSet ==
+      twice.select("k", "t", "f").collect().toSet)
+  }
+
+  test("rollingAvg: trailing k-row mean per series (A17)") {
+    val t = Seq(("u", 1, 2.0), ("u", 2, 4.0), ("u", 3, 6.0), ("u", 4, 8.0)).toDF("k", "t", "v")
+    val out = Analytics.rollingAvg(t, "k", Seq("t"), "v", 2, "ra")
+      .orderBy("t").select("ra").as[Double].collect().toSeq
+    assert(out == Seq(2.0, 3.0, 5.0, 7.0))
+  }
+
+  test("safeCorr: null under min pairs; 0.0 for constant series; exact for linear (dataframe.py:250-273)") {
+    val few = Seq((1.0, 1.0), (2.0, 2.0)).toDF("x", "y")
+    assert(few.agg(Analytics.safeCorr(few, "x", "y")).collect()(0).isNullAt(0),
+      "2 pairs < min_pairs=3 -> null")
+    val const = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "y")
+    assert(const.agg(Analytics.safeCorr(const, "x", "y")).collect()(0).getDouble(0) == 0.0,
+      "zero denominator -> 0.0, not null")
+    val lin = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+    assert(approx(lin.agg(Analytics.safeCorr(lin, "x", "y")).collect()(0).getDouble(0), 1.0))
+  }
+
+  test("safeCorr counts pairwise-COMPLETE pairs toward the guard") {
+    val t = Seq((Some(1.0), Some(1.0)), (Some(2.0), None), (None, Some(3.0)),
+      (Some(4.0), Some(4.0))).toDF("x", "y")
+    assert(t.agg(Analytics.safeCorr(t, "x", "y")).collect()(0).isNullAt(0),
+      "only 2 complete pairs -> under guard -> null")
+  }
+}

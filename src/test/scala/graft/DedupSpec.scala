@@ -1,0 +1,129 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dedup operators: exactness against brute-force ground truth on small
+  * corpora, plus recall of the approximate (LSH) scale paths.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "THE QUICK BROWN FOX jumps over the lazy dog!!"), // exact dup of 1 mod case/punct
+    (4L, "a completely different sentence about spark engines"),
+    (5L, "yet another unrelated text with no overlap at all"),
+    (6L, "the quick brown fox jumps over the lazy dog")    // identical to 1
+  ).toDF("doc_id", "text")
+
+  /** Brute-force exact word-n-gram Jaccard over ALL pairs (ground truth). */
+  private def bruteJaccard(df: DataFrame, n: Int): Map[(Long, Long), Double] = {
+    val sets = df.collect().map { r =>
+      val words = r.getString(1).toLowerCase.trim.split("\\s+").toSeq
+      r.getLong(0) -> words.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
+    }.toMap
+    (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) intersect sets(b)).size.toDouble
+      uni = (sets(a) union sets(b)).size.toDouble
+    } yield (a, b) -> (if (uni > 0) inter / uni else 0.0)).toMap
+  }
+
+  test("exact dedup groups case/punct/whitespace-equal texts, keeps min id (D1)") {
+    val out = Dedup.exact(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.length == 4, "6 docs, {1,3,6} collapse into one class")
+    assert(out.contains((1L, 3L)), "class representative is min id with n_dups=3")
+  }
+
+  test("wordShingles: fewer than n words yields empty set, not descending-sequence garbage") {
+    val t = Seq((1L, "one two"), (2L, "one")).toDF("id", "text")
+    val sizes = t.select(size(Text.wordShingles(col("text"), 3))).as[Int].collect().toSeq
+    assert(sizes == Seq(0, 0))
+  }
+
+  test("ngramJaccardPairs (blocked all-pairs) equals brute-force ground truth (D4)") {
+    val got = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.1, blocks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = bruteJaccard(corpus, 2).filter { case (_, j) =>
+      BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.1
+    }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, j) => assert(approx(j, want(k), 1e-6), s"pair $k") }
+  }
+
+  test("ngramJaccardPairsSparse with a permissive cap equals the exact blocked plan (D4b)") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.1)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val sparse = Dedup.ngramJaccardPairsSparse(corpus, "doc_id", "text", 2, 0.1, maxDf = 1000)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(sparse == exact, "uncapped inverted index must reproduce the exact result")
+  }
+
+  test("minhashNearDups: no false positives; full recall on high-jaccard pairs (D2)") {
+    val got = Dedup.minhashNearDups(corpus, "doc_id", "text", 0.5, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = bruteJaccard(corpus, 2)
+    // verification stage guarantees zero false positives
+    got.foreach { case (k, j) =>
+      assert(truth(k) >= 0.5 - 1e-9, s"false positive $k at j=$j")
+    }
+    // 32x2 banding: P[candidate] at j>=0.5 is 1-(1-j^2)^32 >= 0.9999
+    val want = truth.filter(_._2 >= 0.5).keySet
+    assert(got.keySet == want, "high-jaccard pairs must all be found")
+  }
+
+  test("simhash: deterministic, 60-bit, near-dups differ in few bits (D3)") {
+    val sh = Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh == again, "sketch must be run-deterministic")
+    sh.values.foreach(v => assert(v >= 0 && v < (1L << 60)))
+    assert(sh(1L) == sh(6L), "identical docs -> identical sketch")
+    val hammingNear = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    val hammingFar = java.lang.Long.bitCount(sh(1L) ^ sh(5L))
+    assert(hammingNear < hammingFar, "near-dup pair closer in Hamming space than unrelated")
+  }
+
+  test("simhashNearDups equals the all-pairs Hamming filter (pigeonhole recall, D3b)") {
+    val sh = Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhashNearDups(corpus, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got == want)
+  }
+
+  test("embeddingNearDups (blocked) equals brute-force cosine threshold join (D5)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4, blocks = 8)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val brute = emb.select(col("vec_id").as("id_1"), col("embedding").as("v1"))
+      .crossJoin(emb.select(col("vec_id").as("id_2"), col("embedding").as("v2")))
+      .filter(col("id_1") < col("id_2"))
+      .filter(round(graft.functions.Vectors.cosine(col("v1"), col("v2")), 6) >= 0.4)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+  }
+
+  test("embeddingNearDupsLSH: measured recall vs the exact path (D5b scale path)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.45)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupsLSH(emb, "vec_id", "embedding", 0.45,
+      dim = 64, bands = 32, bitsPerBand = 4)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "exact verification stage forbids false positives")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    info(f"embeddingNearDupsLSH recall at 0.45 (32x4): $recall%.3f over ${exact.size} pairs")
+    assert(recall >= 0.9, f"S-curve predicts ~0.998 recall; measured $recall%.3f")
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Joins
+
+/** J1 edge semantics pinned to `/root/reference/src/dataframe.py:214-248`. */
+class JoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def left = Seq(
+    (Some(1), "l1"), (Some(2), "l2"), (Some(2), "l2b"), (None, "lnull"), (Some(9), "lmiss")
+  ).toDF("k", "lv")
+
+  private def right = Seq(
+    (Some(1), "r1"), (Some(2), "r2a"), (Some(2), "r2b"), (None, "rnull")
+  ).toDF("k", "rv")
+
+  test("inner join: 1-to-many expansion, right columns r_-prefixed (dataframe.py:231-237)") {
+    val out = Joins.hashJoin(left, right, ("k", "k"))
+    assert(out.columns.toSeq == Seq("k", "lv", "r_k", "r_rv"))
+    // l1 matches 1 row; each of l2/l2b matches 2 rows => 1 + 4 = 5
+    assert(out.count() == 5)
+  }
+
+  test("null keys never match — not even null==null (dataframe.py:227; SQL semantics)") {
+    val out = Joins.hashJoin(left, right, ("k", "k"))
+    assert(out.filter("k IS NULL").count() == 0)
+  }
+
+  test("left join: unmatched left rows (incl. null-key) null-padded (dataframe.py:242-246)") {
+    val out = Joins.hashJoin(left, right, ("k", "k"), "left")
+    assert(out.count() == 7, "5 matches + lnull + lmiss")
+    val padded = out.filter("r_k IS NULL").select("lv").as[String].collect().toSet
+    assert(padded == Set("lnull", "lmiss"))
+  }
+
+  test("unsupported join type raises (dataframe.py:222-223)") {
+    intercept[IllegalArgumentException](Joins.hashJoin(left, right, ("k", "k"), "outer"))
+  }
+
+  test("r_ prefix collision fails fast on all three join paths (SURVEY 7.4.5 deviation)") {
+    val poisoned = left.withColumnRenamed("lv", "r_rv") // collides with renamed right rv
+    intercept[IllegalArgumentException](Joins.hashJoin(poisoned, right, ("k", "k")))
+    intercept[IllegalArgumentException](Joins.broadcastJoin(poisoned, right, ("k", "k")))
+    intercept[IllegalArgumentException](Joins.saltedJoin(poisoned, right, ("k", "k"), 4))
+  }
+
+  test("broadcastJoin and saltedJoin produce the same multiset as hashJoin") {
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq.sorted
+    val base = canon(Joins.hashJoin(left, right, ("k", "k")))
+    assert(canon(Joins.broadcastJoin(left, right, ("k", "k"))) == base)
+    assert(canon(Joins.saltedJoin(left, right, ("k", "k"), 4)) == base)
+  }
+}

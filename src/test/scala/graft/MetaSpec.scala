@@ -1,0 +1,30 @@
+package graft
+
+/** A15 caching + A16 execution log. */
+class MetaSpec extends SparkTestBase {
+
+  test("cachedTable memoizes: same DataFrame instance, persisted storage level (A15)") {
+    Meta.clearCachedTables()
+    val a = Meta.cachedTable(spark, "/root/testdata/sf0.001", "nation")
+    val b = Meta.cachedTable(spark, "/root/testdata/sf0.001", "nation")
+    assert(a eq b, "second load must return the memoized frame")
+    assert(a.storageLevel.useMemory || a.storageLevel.useDisk, "frame must be persisted")
+    assert(a.count() == 25)
+    Meta.clearCachedTables()
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "clear must unpersist")
+  }
+
+  test("ExecLog records completed actions with duration and physical plan (A16)") {
+    val log = Meta.attachExecLog(spark)
+    try {
+      Tables.nation(spark, "/root/testdata/sf0.001").count()
+      // listener bus is async — poll briefly
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (log.entries.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val es = log.entries
+      assert(es.nonEmpty, "an action must produce a log entry")
+      assert(es.exists(e => e.durationNs > 0 && e.physicalPlan.nonEmpty))
+    } finally spark.listenerManager.unregister(log)
+  }
+}

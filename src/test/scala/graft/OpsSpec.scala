@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Ops
+import org.apache.spark.sql.functions._
+
+/** F1/P1/O1/A-series edge semantics pinned to the reference. */
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1, Some("b")), (2, Some("a")), (3, None), (4, Some("c"))
+  ).toDF("id", "s")
+
+  test("select silently drops missing names, keeps present ones (dataframe.py:139-153)") {
+    val out = Ops.select(df, Seq("id", "no_such_column"))
+    assert(out.columns.toSeq == Seq("id"))
+  }
+
+  test("select errors when NO requested column exists or list is empty (dataframe.py:143,151)") {
+    intercept[IllegalArgumentException](Ops.select(df, Seq("nope", "nada")))
+    intercept[IllegalArgumentException](Ops.select(df, Seq.empty))
+  }
+
+  test("sort ascending puts nulls LAST — opposite of Spark's default (dataframe.py:180)") {
+    val out = Ops.sortValues(df, "s").select("id").as[Int].collect().toSeq
+    assert(out == Seq(2, 1, 4, 3), "null row must sort last ascending")
+  }
+
+  test("sort descending puts nulls FIRST (dataframe.py:180)") {
+    val out = Ops.sortValues(df, "s", ascending = false).select("id").as[Int].collect().toSeq
+    assert(out == Seq(3, 4, 1, 2), "null row must sort first descending")
+  }
+
+  test("dropNullRows keeps only non-null (app.py:117-120)") {
+    assert(Ops.dropNullRows(df, "s").count() == 3)
+  }
+
+  test("isInSet membership (app.py:388)") {
+    val out = Ops.isInSet(df, "s", Seq("a", "c")).select("id").as[Int].collect().toSet
+    assert(out == Set(2, 4))
+  }
+
+  test("between is inclusive on both ends (app.py:296-299)") {
+    val t = Seq(0, 5, 10, 15).toDF("v")
+    val out = Ops.between(t, "v", 5, 10).as[Int].collect().toSet
+    assert(out == Set(5, 10))
+  }
+
+  test("distinctSorted returns unique sorted values (app.py:143)") {
+    val t = Seq("b", "a", "b", "c", "a").toDF("v")
+    assert(Ops.distinctSorted(t, "v").as[String].collect().toSeq == Seq("a", "b", "c"))
+  }
+
+  test("topN is deterministic given a total order (app.py:399-402)") {
+    val t = Seq((1, 5.0), (2, 5.0), (3, 9.0)).toDF("id", "v")
+    val out = Ops.topN(t, 2, col("v").desc, col("id").asc).select("id").as[Int].collect().toSeq
+    assert(out == Seq(3, 1), "tie on v broken by ascending id")
+  }
+
+  test("rename maps old to new names (app.py:178-184)") {
+    assert(Ops.rename(df, "s" -> "name").columns.toSeq == Seq("id", "name"))
+  }
+
+  test("requireColumns passes when present, fails listing the missing (app.py:86-115)") {
+    Ops.requireColumns(df, Seq("id", "s"))
+    val e = intercept[IllegalArgumentException](Ops.requireColumns(df, Seq("id", "ghost")))
+    assert(e.getMessage.contains("ghost"))
+  }
+
+  test("filter composes: filter(p).filter(q) == filter(p && q) (SURVEY 5.3)") {
+    val t = (1 to 100).toDF("v")
+    val a = Ops.filter(Ops.filter(t, col("v") > 10), col("v") < 50).count()
+    val b = Ops.filter(t, col("v") > 10 && col("v") < 50).count()
+    assert(a == b && a == 39)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** ANN paths: exact brute-force baseline and LSH recall. */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bruteForceTopK: known ranking with deterministic tiebreak") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),   // closest to 0
+      (2L, Array(0.0f, 1.0f)),   // orthogonal to 0
+      (3L, Array(0.9f, 0.1f))    // same cosine as 1 -> tie broken by id
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 3L, 2L), "cosine ties broken by ascending neighbor id")
+  }
+
+  test("bruteForceTopK excludes self and returns exactly k per query") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 4)
+    val counts = out.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(counts.length == 5 && counts.forall(_ == 4))
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+
+  test("signSketch is deterministic and within bit range") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val a = emb.select(Similarity.signSketch(col("embedding"), 64, 12).as("s")).as[Long].collect()
+    val b = emb.select(Similarity.signSketch(col("embedding"), 64, 12).as("s")).as[Long].collect()
+    assert(a.toSeq == b.toSeq)
+    a.foreach(v => assert(v >= 0 && v < (1L << 12)))
+  }
+
+  test("lshCandidates emits unordered pairs, no self-pairs, subset of all pairs") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    val cand = Similarity.lshCandidates(emb, "vec_id", "embedding", 64, bands = 8, bitsPerBand = 4)
+      .as[(Long, Long)].collect()
+    assert(cand.forall { case (a, b) => a < b })
+    assert(cand.distinct.length == cand.length)
+  }
+
+  test("lshTopK: measured recall vs exact top-k (declared ANN tradeoff)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approxSet = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5, dim = 64, bits = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approxSet).size.toDouble / exact.size
+    info(f"lshTopK recall@5 (6-bit buckets, 1-bit multiprobe): $recall%.3f")
+    // 6-bit sketch + 1-bit multiprobe scores ~11% of the corpus per query;
+    // on isotropic (structureless) gaussian embeddings the sign-LSH S-curve
+    // predicts ~0.3 recall@5 at that budget — real-corpus embeddings with
+    // cluster structure do far better. Floor set at the random-scoring
+    // baseline x2 (random 11% sampling would land ~0.11).
+    assert(recall >= 0.2, "ANN recall must clearly beat the 0.11 random-sampling baseline")
+    assert(approxSet.forall { case (q, n) => q != n })
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** T1–T4 text primitives: deterministic, engine-reproducible semantics. */
+class TextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c).collect()(0).get(0)
+
+  test("langId picks the dominant stopword language; all-zero -> und (T1)") {
+    assert(one(Text.langId(col("t")), "the cat is in the house") == "en")
+    assert(one(Text.langId(col("t")), "der Hund ist nicht ein Problem") == "de")
+    assert(one(Text.langId(col("t")), "le chat est dans la maison") == "fr")
+    assert(one(Text.langId(col("t")), "los gatos y las casas en verano") == "es")
+    assert(one(Text.langId(col("t")), "zzz qqq xxx") == "und")
+  }
+
+  test("wsTokens / bpeTokens count as documented (T3)") {
+    assert(one(Text.wsTokens(col("t")), "  a b   c  ") == 3)
+    assert(one(Text.bpeTokens(col("t")), "hello world42!") == 4,
+      "letter run, letter run, digit run, punct = 4")
+  }
+
+  test("fingerprint is invariant to case/punct/whitespace and nothing else (T4)") {
+    val a = one(Text.fingerprint(col("t")), "Hello, World!")
+    val b = one(Text.fingerprint(col("t")), "  hello world  ")
+    val c = one(Text.fingerprint(col("t")), "hello worlds")
+    assert(a == b && a != c)
+  }
+
+  test("tokenHash60 is 60-bit non-negative and distinct across tokens") {
+    val hs = Seq("alpha", "beta", "gamma", "").toDF("t")
+      .select(Text.tokenHash60(col("t"))).as[Long].collect()
+    hs.foreach(h => assert(h >= 0 && h < (1L << 60)))
+    assert(hs.distinct.length == hs.length)
+  }
+
+  test("wordShingles produces distinct n-grams in order-independent set form") {
+    val sh = one(Text.wordShingles(col("t"), 2), "a b a b c")
+      .asInstanceOf[scala.collection.Seq[String]].toSet
+    assert(sh == Set("a b", "b a", "b c"))
+  }
+
+  test("qualityScore stays within [0,1] on testdata") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val mm = docs.select(Text.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).collect()(0)
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+}
