@@ -10,8 +10,24 @@ import org.apache.spark.sql.functions._
   * needs the nanos conf (FIXTURES.md §B note), which `Session.tune` sets.
   */
 object Tables {
+
+  /** A parquet file is splittable only at row-group granularity: a
+    * single-row-group file arrives as ONE partition, serializing every
+    * per-row pipeline upstream of the first shuffle onto one core (measured
+    * 8-30× slowdowns on the text/dedup operators — the testdata writes one
+    * row group per table). When the scan yields fewer partitions than the
+    * session's parallelism, redistribute once right after the scan; a real
+    * 100 TB table has thousands of row groups and is left untouched.
+    * Filters/pruning still push into the scan below the exchange
+    * (PushPredicateThroughNonJoin handles Repartition).
+    */
+  private def parallelized(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    parallelized(spark, spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

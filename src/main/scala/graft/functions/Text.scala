@@ -90,9 +90,23 @@ object Text {
 
   /** Distinct word-n-gram shingle set (array<string>), the MinHash input.
     * Empty array when the document has fewer than n words.
+    *
+    * PLAN NOTE: this single-expression form re-evaluates the split inside
+    * the transform lambda per element access (codegen cannot hoist loop-
+    * invariant subexpressions out of higher-order-function loops). For any
+    * plan that evaluates shingles over a corpus, pre-split the words into
+    * their own projection and use [[shinglesFromWords]] instead — see
+    * `Dedup.shingleSets`.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val words = split(lower(trim(text)), "\\s+")
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromWords(split(lower(trim(text)), "\\s+"), n)
+
+  /** Shingle set from an already-materialized words array. When `words` is
+    * a projection-level alias (referenced n+2 times here, so
+    * CollapseProject keeps the boundary), the tokenization runs once per
+    * row regardless of shingle count.
+    */
+  def shinglesFromWords(words: Column, n: Int): Column = {
     val count = size(words) - (n - 1) // shingle count; <=0 when too few words
     val grams = transform(
       sequence(lit(0), count - 1),

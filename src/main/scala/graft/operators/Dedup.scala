@@ -40,9 +40,18 @@ object Dedup {
     * downstream joins/verification ship 8-byte keys, never text. (Two
     * distinct shingles colliding in 64 bits is the only divergence from
     * string sets — negligible and accepted, as in the inverted index.)
+    *
+    * The tokenization lives in its own projection: the words array is an
+    * alias the shingle expression references n+2 times, which CollapseProject
+    * refuses to inline — so the regex split runs ONCE per row. Inlined (as
+    * `Text.wordShingles` composes for one-off use), the split re-executes
+    * inside the transform lambda per element access: ~3× per gram, measured
+    * 6× end-to-end slowdown on the d4b plan where the subtree appears 4
+    * times.
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), Text.wordShingles(col(textCol), n).as("sh"))
+    df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_words"))
+      .select(col(idCol), Text.shinglesFromWords(col("_words"), n).as("sh"))
       .select(col(idCol), size(col("sh")).as("n_sh"),
         array_sort(transform(col("sh"), s => xxhash64(s))).as("shs"))
 
@@ -182,14 +191,19 @@ object Dedup {
   val SimhashBits = 60
 
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = array_distinct(split(lower(trim(col(textCol))), "\\s+"))
-    val hashes = transform(toks, t => Text.tokenHash60(t))
+    // token hashes materialized as their own projection alias: the sketch
+    // references it 60 times (once per bit), which keeps the projection
+    // boundary (CollapseProject) — md5-per-token runs once per row, not
+    // once per bit.
+    val withHashes = df.select(col(idCol),
+      transform(array_distinct(split(lower(trim(col(textCol))), "\\s+")),
+        t => Text.tokenHash60(t)).as("_hh"))
     val sketch = (0 until SimhashBits).map { i =>
-      val vote = aggregate(hashes, lit(0L),
+      val vote = aggregate(col("_hh"), lit(0L),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
-    df.select(col(idCol), sketch.as("simhash"))
+    withHashes.select(col(idCol), sketch.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, banded into
@@ -214,8 +228,11 @@ object Dedup {
       .filter(col("id_1") < col("id_2"))
       .select(col("id_1"), col("id_2"),
         bit_count(col("sh_1").bitwiseXOR(col("sh_2"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the dedup exchange then carries only
+      // within-threshold pairs, not every chunk collision (on a dense
+      // corpus the collision set is orders of magnitude larger)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs, EXACT threshold join on the
