@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.Vectors
+import graft.functions.{TopK, Vectors}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -19,11 +19,41 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Rank a (query_id, sn: struct<score,id>) frame to the top-k per query
+    * via the bounded-heap aggregate [[graft.functions.TopK]]: the map side
+    * prunes each partition to k before the shuffle, so the exchange carries
+    * Q×partitions×k rows instead of every scored pair (the window/
+    * row_number formulation ships Q×N). Identical output to the window
+    * form — ties break by ascending id inside the aggregator.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(TopK.topK(k, col("sn.score"), col("sn.id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).as("rank"))
+
   /** Exact cosine top-k. Ties broken by ascending neighbor id on the
-    * 6-decimal-rounded score (fully deterministic output).
+    * 6-decimal-rounded score (fully deterministic output). Queries are
+    * broadcast; the corpus is scanned once and never shuffled — only
+    * k-bounded partial buffers cross the exchange.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        struct(round(Vectors.cosine(col("q_vec"), col("c_vec")), 6).as("score"),
+          col("neighbor_id").as("id")).as("sn"))
+    rankTopK(scored, k)
+  }
+
+  /** Window/row_number formulation — kept for reference and differential
+    * tests; shuffles every scored pair. Prefer [[bruteForceTopK]] at scale.
+    */
+  def bruteForceTopKWindow(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -75,7 +105,11 @@ object Similarity {
       .select("id_1", "id_2").distinct()
   }
 
-  /** LSH-bucketed approximate top-k with 1-bit multiprobe. */
+  /** LSH-bucketed approximate top-k with 1-bit multiprobe. Candidates from
+    * bucket collisions only; exact scores; the same k-bounded aggregate as
+    * [[bruteForceTopK]] ranks them (multiprobe duplicates removed first so
+    * one neighbor cannot occupy two top-k slots).
+    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, bits: Int = 12): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
@@ -90,10 +124,8 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(Vectors.cosine(col("q_vec"), col("c_vec")), 6).as("cosine"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+      .select(col("query_id"),
+        struct(col("cosine").as("score"), col("neighbor_id").as("id")).as("sn"))
+    rankTopK(scored, k)
   }
 }

@@ -19,6 +19,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(out == Seq(1L, 3L, 2L), "cosine ties broken by ascending neighbor id")
   }
 
+  test("bounded-heap top-k aggregate equals the window/row_number formulation") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 20)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank")
+        .collect().map(_.mkString("|")).toSeq.sorted
+    assert(canon(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 7)) ==
+      canon(Similarity.bruteForceTopKWindow(emb, q, "vec_id", "embedding", 7)))
+  }
+
   test("bruteForceTopK excludes self and returns exactly k per query") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 4)
