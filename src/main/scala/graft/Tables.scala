@@ -15,19 +15,27 @@ object Tables {
     * single-row-group file arrives as ONE partition, serializing every
     * per-row pipeline upstream of the first shuffle onto one core (measured
     * 8-30× slowdowns on the text/dedup operators — the testdata writes one
-    * row group per table). When the scan yields fewer partitions than the
-    * session's parallelism, redistribute once right after the scan; a real
-    * 100 TB table has thousands of row groups and is left untouched.
-    * Filters/pruning still push into the scan below the exchange
-    * (PushPredicateThroughNonJoin handles Repartition).
+    * row group per table). A bare `repartition(n)` does NOT fix this: the
+    * optimizer pushes expensive projections BELOW the exchange to shrink
+    * the shuffle, landing the per-row compute back on the single scan
+    * partition (measured: the shingle pipeline stayed serial). So small
+    * scans are repartitioned AND persisted — the InMemoryRelation is a
+    * pushdown barrier with a fixed 32-way partitioning, and doubles as the
+    * reference's load-once caching model (`app.py:84-85`, A15). Memoized so
+    * every load of the same table shares one cached plan. A real large
+    * table (many row groups ≥ session parallelism) is returned untouched —
+    * no shuffle, no cache.
     */
-  private def parallelized(spark: SparkSession, df: DataFrame): DataFrame = {
-    val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private val memo = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    parallelized(spark, spark.read.parquet(s"$dir/$name.parquet"))
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val target = spark.sparkContext.defaultParallelism
+    if (raw.rdd.getNumPartitions >= target) raw
+    else memo.getOrElseUpdate((dir, name),
+      raw.repartition(target)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
