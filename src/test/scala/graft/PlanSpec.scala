@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the physical properties the 100 TB design
+  * depends on, asserted against `.explain` so they cannot silently rot.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter predicates push into the parquet scan (F1)") {
+    // raw scan (no repartition/cache barrier) so pushdown reaches the file
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    val p = plan(raw.filter(col("l_quantity") > 30))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"),
+      s"expected pushed filter in:\n$p")
+  }
+
+  test("projection prunes the scan to selected columns (P1)") {
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+    val p = plan(raw.select("l_orderkey", "l_quantity"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity"),
+      s"expected pruned ReadSchema in:\n$p")
+  }
+
+  test("exact embedding near-dup never plans a broadcast nested-loop join (D5)") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs must be blocked, not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs must be blocked, not cartesian:\n$p")
+  }
+
+  test("dimension joins in the flagship chains broadcast the dim side (J1)") {
+    Seq(plan(SparkEntry.covidChain(spark, sf)), plan(SparkEntry.dashboardChain(spark, sf)))
+      .foreach { p =>
+        assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim join in:\n$p")
+        assert(!p.contains("SortMergeJoin"), s"no shuffle join should appear at dim sizes:\n$p")
+      }
+  }
+
+  test("deterministic top-N plans as TakeOrderedAndProject, not a global sort (A12)") {
+    val p = plan(Ops.topN(Tables.orders(spark, sf), 10,
+      col("o_totalprice").desc, col("o_orderkey").asc))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-N heap plan in:\n$p")
+  }
+
+  test("latestPerGroup aggregates with a map-side partial phase (A8)") {
+    val p = plan(Analytics.latestPerGroup(Tables.orders(spark, sf),
+      "o_custkey", "o_orderdate", Seq("o_orderkey")))
+    // partial + final aggregate phases around one exchange (max_by over a
+    // struct buffer plans as SortAggregate)
+    val aggs = "(?i)(hash|sort)aggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"expected partial+final aggregate phases in:\n$p")
+    assert(!p.contains("Window"), s"max_by formulation must not plan a window:\n$p")
+  }
+
+  test("grouped aggregation partial-aggregates before the exchange (G2)") {
+    val p = plan(Agg.groupAgg(Tables.lineitem(spark, sf),
+      Seq("l_returnflag"), Seq("l_quantity" -> Seq("count", "sum", "min", "max"))))
+    val idxAgg = p.indexOf("HashAggregate")
+    val idxEx = p.indexOf("Exchange")
+    assert(idxAgg >= 0 && idxEx >= 0, s"expected agg+exchange in:\n$p")
+  }
+
+  test("whole-stage codegen covers the scalar text pipeline (T1-T4)") {
+    val docs = Tables.documents(spark, sf)
+    // raw scan: an AQE-wrapped plan hides codegen ids until execution
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(raw.select(col("doc_id"),
+      graft.functions.Text.fingerprint(col("text")).as("fp")))
+    // formatted explain tags codegen'd operators with "[codegen id : N]"
+    assert(p.contains("codegen id"), s"expected codegen span in:\n$p")
+  }
+
+  test("top-k ranks via partial aggregation, not a window over all scored pairs (SIM)") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(Similarity.bruteForceTopK(emb, emb.limit(5), "vec_id", "embedding", 5))
+    assert(!p.contains("Window"), s"bounded-heap top-k must not plan a window:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+      p.contains("HashAggregate"), s"expected aggregate-based ranking in:\n$p")
+  }
+}
