@@ -185,6 +185,36 @@ object SparkEntry {
         ("c_custkey", "o_custkey"), "left")
         .orderBy(col("c_custkey"), col("r_o_orderkey").asc_nulls_first)),
 
+    // J2: left-semi join — customers WITH at least one order
+    "j2_join_semi" -> ((s, d) =>
+      Joins.semiJoin(Tables.customer(s, d), Tables.orders(s, d), ("c_custkey", "o_custkey"))
+        .orderBy("c_custkey")),
+
+    // J2: left-anti join — customers WITHOUT orders
+    "j2_join_anti" -> ((s, d) =>
+      Joins.antiJoin(Tables.customer(s, d), Tables.orders(s, d), ("c_custkey", "o_custkey"))
+        .orderBy("c_custkey")),
+
+    // X2: set operations — (O ∪ P statuses) ∖ high-value, SET semantics
+    "x2_setops" -> ((s, d) => {
+      val keys = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val o = keys.filter(col("o_orderstatus") === "O")
+      val p = keys.filter(col("o_orderstatus") === "P")
+      val high = keys.filter(col("o_totalprice") > 200000)
+      Ops.except(Ops.union(o, p), high).select("o_orderkey").orderBy("o_orderkey")
+    }),
+
+    // G5: exact distinct-count per group (HLL sketch variant in tests)
+    "g5_distinct_count" -> ((s, d) =>
+      Agg.distinctCount(Tables.lineitem(s, d), Seq("l_returnflag"), "l_suppkey")
+        .orderBy("l_returnflag")),
+
+    // G6: rollup — subtotals per returnflag plus grand total
+    "g6_rollup" -> ((s, d) =>
+      Agg.rollupAgg(Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity" -> Seq("count", "sum")))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
     // A2: IS NOT NULL filter
     "a2_notnull" -> ((s, d) =>
       Ops.dropNullRows(Tables.orders(s, d), "o_orderpriority")
@@ -587,6 +617,33 @@ object SparkEntry {
         "o.o_orderdate AS r_o_orderdate, o.o_orderpriority AS r_o_orderpriority " +
         "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey " +
         "ORDER BY c.c_custkey, r_o_orderkey ASC NULLS FIRST"),
+
+    "j2_join_semi" ->
+      ("SELECT * FROM customer c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey"),
+
+    "j2_join_anti" ->
+      ("SELECT * FROM customer c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey"),
+
+    "x2_setops" ->
+      ("SELECT o_orderkey FROM (" +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O' " +
+        "UNION " +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'P' " +
+        "EXCEPT " +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 200000" +
+        ") ORDER BY o_orderkey"),
+
+    "g5_distinct_count" ->
+      ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_l_suppkey " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "g6_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS count_l_quantity, " +
+        "sum(l_quantity) AS sum_l_quantity FROM lineitem " +
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
 
     "a2_notnull" ->
       "SELECT * FROM orders WHERE o_orderpriority IS NOT NULL ORDER BY o_orderkey",

@@ -87,4 +87,27 @@ object Agg {
   /** A7 — global min/max of one column (`/root/reference/app.py:248-251`). */
   def minMax(df: DataFrame, c: String): DataFrame =
     df.agg(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+
+  /** Distinct-count per group — absent from the reference (SURVEY §2.3).
+    * `exact = true` plans a two-phase expand+aggregate (exact, heavier
+    * shuffle); `exact = false` uses HyperLogLog++ partial sketches
+    * (`approx_count_distinct`, fixed-size buffers — the 100 TB path, with
+    * `rsd` relative error).
+    */
+  def distinctCount(df: DataFrame, keys: Seq[String], c: String,
+                    exact: Boolean = true, rsd: Double = 0.05): DataFrame = {
+    val e = if (exact) countDistinct(col(c)) else approx_count_distinct(col(c), rsd)
+    df.groupBy(keys.map(col): _*).agg(e.as(s"distinct_$c"))
+  }
+
+  /** Rollup aggregation (hierarchical subtotals + grand total) — absent
+    * from the reference (SURVEY §2.3). Subtotal rows carry null group
+    * keys, SQL ROLLUP semantics; one shuffle via Expand.
+    */
+  def rollupAgg(df: DataFrame, keys: Seq[String], spec: Seq[(String, Seq[String])],
+                approxMedian: Boolean = false): DataFrame = {
+    val exprs = for ((c, fns) <- spec; fn <- fns) yield aggExpr(df, fn, c, approxMedian)
+    require(exprs.nonEmpty, "rollupAgg: empty aggregation spec")
+    df.rollup(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
 }

@@ -50,6 +50,18 @@ object Joins {
     left.join(broadcast(r), col(on._1) === col(s"r_${on._2}"), how)
   }
 
+  /** Existence joins — absent from the reference (SURVEY §2.3) but part of
+    * the complete join surface. Semi/anti ship NO right-side columns: the
+    * build side reduces to its distinct keys before broadcast/shuffle, so
+    * the probe side streams through unexpanded — the scale-correct form of
+    * `WHERE [NOT] EXISTS`.
+    */
+  def semiJoin(left: DataFrame, right: DataFrame, on: (String, String)): DataFrame =
+    left.join(right, left(on._1) === right(on._2), "left_semi")
+
+  def antiJoin(left: DataFrame, right: DataFrame, on: (String, String)): DataFrame =
+    left.join(right, left(on._1) === right(on._2), "left_anti")
+
   /** Skew escape hatch: salt the left (skewed) side's key into `buckets`
     * sub-keys and explode the right side once per bucket, so one hot key
     * spreads over `buckets` reducers. AQE's skew-join handles most cases

@@ -83,4 +83,18 @@ object Ops {
     require(missing.isEmpty, s"missing required columns: ${missing.mkString(",")}")
     df
   }
+
+  // Set operations — absent from the reference (SURVEY §2.3 scope
+  // boundary) but part of the complete relational surface this library
+  // ships. All three are SET semantics (DISTINCT), matching SQL
+  // UNION/INTERSECT/EXCEPT. unionAll is the multiset form (SQL UNION ALL)
+  // — a zero-shuffle concatenation of partitions.
+
+  def union(a: DataFrame, b: DataFrame): DataFrame = a.union(b).distinct()
+
+  def unionAll(a: DataFrame, b: DataFrame): DataFrame = a.union(b)
+
+  def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+
+  def except(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
 }

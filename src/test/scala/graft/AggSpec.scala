@@ -86,6 +86,26 @@ class AggSpec extends SparkTestBase {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 10.0)
   }
 
+  test("distinctCount: exact per group; HLL sketch within rsd on larger data") {
+    val t = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
+    val exact = Agg.distinctCount(t, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("a" -> 2L, "b" -> 1L))
+    val big = (1 to 20000).map(i => ("g", i % 5000)).toDF("k", "v")
+    val appr = Agg.distinctCount(big, Seq("k"), "v", exact = false, rsd = 0.02)
+      .collect()(0).getLong(1)
+    assert(math.abs(appr - 5000L) <= 5000 * 0.1, s"HLL estimate $appr too far from 5000")
+  }
+
+  test("rollupAgg emits subtotal rows with null keys plus a grand total") {
+    val t = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)).toDF("k1", "k2", "v")
+    val out = Agg.rollupAgg(t, Seq("k1", "k2"), Seq("v" -> Seq("sum")))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getDouble(2))).toSet
+    assert(out == Set(
+      (Some("a"), Some("x"), 1.0), (Some("a"), Some("y"), 2.0), (Some("b"), Some("x"), 4.0),
+      (Some("a"), None, 3.0), (Some("b"), None, 4.0), (None, None, 7.0)))
+  }
+
   test("approxMedian flag swaps in the sketch-based scale path (SURVEY 7.3)") {
     val t = (1 to 1001).map(i => ("g", i.toDouble)).toDF("k", "v")
     val exact = Agg.groupAgg(t, Seq("k"), Seq("v" -> Seq("median"))).collect()(0).getDouble(1)

@@ -44,6 +44,16 @@ class JoinsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Joins.saltedJoin(poisoned, right, ("k", "k"), 4))
   }
 
+  test("semi join keeps matching left rows once, no right columns; anti is its complement") {
+    val semi = Joins.semiJoin(left, right, ("k", "k"))
+    assert(semi.columns.toSeq == Seq("k", "lv"), "semi join must not ship right columns")
+    assert(semi.select("lv").as[String].collect().toSet == Set("l1", "l2", "l2b"),
+      "matching rows appear ONCE despite 1-to-many right matches")
+    val anti = Joins.antiJoin(left, right, ("k", "k"))
+    assert(anti.select("lv").as[String].collect().toSet == Set("lnull", "lmiss"),
+      "anti keeps non-matching rows incl. null keys")
+  }
+
   test("broadcastJoin and saltedJoin produce the same multiset as hashJoin") {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.mkString("|")).toSeq.sorted

@@ -67,6 +67,15 @@ class OpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("ghost"))
   }
 
+  test("set operations use SET semantics; unionAll keeps duplicates") {
+    val a = Seq(1, 2, 2, 3).toDF("v")
+    val b = Seq(3, 4).toDF("v")
+    assert(Ops.union(a, b).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(Ops.unionAll(a, b).count() == 6)
+    assert(Ops.intersect(a, b).as[Int].collect().toSeq == Seq(3))
+    assert(Ops.except(a, b).as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
   test("filter composes: filter(p).filter(q) == filter(p && q) (SURVEY 5.3)") {
     val t = (1 to 100).toDF("v")
     val a = Ops.filter(Ops.filter(t, col("v") > 10), col("v") < 50).count()
