@@ -20,12 +20,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Session.tune(spark)
+    // Warm the JVM (Spark core JIT, codegen infra) on data-free work so the
+    // first measured query doesn't absorb one-time startup cost.
+    spark.range(1000000).selectExpr("sum(id)").collect()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // deterministic (sorted) execution order: hash-map order changes when
+    // queries are added, which silently moves cache-fill and codegen-warmup
+    // costs between queries across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
                 catch { case e: Throwable =>
