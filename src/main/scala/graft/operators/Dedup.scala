@@ -169,7 +169,14 @@ object Dedup {
     */
   def ngramJaccardPairsSparse(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double, maxDf: Int): DataFrame = {
+    // The reduced sets feed FIVE plan positions (df-count, both sides of
+    // the candidate self-join via inv, both verify sides); without a cache
+    // boundary Spark re-evaluates the shingling subtree for each. The sets
+    // table is the corpus reduced to 8-byte keys (~1-2% of text size) —
+    // persisting it is the standard inverted-index-build trade. Evicted
+    // LRU under pressure; callers can spark.catalog.clearCache() to drop.
     val sets = shingleSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sets.select(col(idCol).as("id"), explode(col("shs")).as("sk"))
     val rare = inv.join(
       inv.groupBy("sk").agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf).select("sk"),
