@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, MaxBy, MinBy}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: rewrite the window-argmax idiom
+  *
+  *   `Filter(rn = 1, Window(rn := row_number() OVER (PARTITION BY k ORDER BY o DESC...)))`
+  *
+  * into the aggregate formulation
+  *
+  *   `max_by(struct(<child output>), struct(o...))` grouped by `k`
+  *
+  * (SURVEY §4.3). The window form shuffles EVERY row and sorts each
+  * partition before discarding all but one row per group; the aggregate
+  * form partial-aggregates map-side — one buffered row per (partition ×
+  * group) crosses the exchange. At 100 TB this is the difference between
+  * shuffling the fact table and shuffling one row per group.
+  *
+  * Fires only on the exact shape: a single row_number window expression,
+  * a `rn = 1` / `1 = rn` / `rn <= 1` filter directly above it, a non-empty
+  * order spec with ALL Descending (argmax → max_by) or ALL Ascending
+  * (argmin → min_by) directions. Tie-breaking among equal order keys is
+  * arbitrary in BOTH forms (distributed row_number ties depend on
+  * partition order), so the rewrite preserves semantics exactly when the
+  * ordering is total — same caveat the window form already carries.
+  *
+  * Output attributes (including the rn column, rewritten to literal 1)
+  * keep their original exprIds, so upstream operators resolve unchanged.
+  *
+  * Register per-session via `spark.experimental.extraOptimizations` or
+  * globally with `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object ArgmaxRewrite extends Rule[LogicalPlan] {
+
+  private def isRnOne(cond: Expression, rn: Attribute): Boolean = cond match {
+    case EqualTo(a: Attribute, IntegerLiteral(1)) => a.semanticEquals(rn)
+    case EqualTo(IntegerLiteral(1), a: Attribute) => a.semanticEquals(rn)
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(1)) => a.semanticEquals(rn)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case Filter(cond,
+      Window(Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)),
+        partitionSpec, orderSpec, child, _))
+      if orderSpec.nonEmpty && spec.orderSpec == orderSpec &&
+        isRnOne(cond, alias.toAttribute) &&
+        (orderSpec.forall(_.direction == Descending) ||
+          orderSpec.forall(_.direction == Ascending)) &&
+        partitionSpec.forall(_.deterministic) &&
+        orderSpec.forall(_.child.deterministic) =>
+
+      // InferWindowGroupLimit may already have inserted a per-partition
+      // top-1 pre-prune below the window; the aggregate needs no sorted
+      // pre-prune (max_by partial-aggregates), so strip it.
+      val base = child match {
+        case wgl: WindowGroupLimit if wgl.limit == 1 &&
+          wgl.partitionSpec == partitionSpec && wgl.orderSpec == orderSpec => wgl.child
+        case other => other
+      }
+      val payload = CreateStruct(base.output)
+      val ordering = if (orderSpec.length == 1) orderSpec.head.child
+                     else CreateStruct(orderSpec.map(_.child))
+      val aggFn = if (orderSpec.head.direction == Descending) MaxBy(payload, ordering)
+                  else MinBy(payload, ordering)
+      val rowAlias = Alias(AggregateExpression(aggFn, Complete, isDistinct = false), "_argmax_row")()
+      val agg = Aggregate(partitionSpec, Seq(rowAlias), base)
+      // restore the original output attributes (same exprIds) from the
+      // struct, plus the rn column as literal 1
+      val restored = child.output.zipWithIndex.map { case (a, i) =>
+        Alias(GetStructField(rowAlias.toAttribute, i, Some(a.name)), a.name)(exprId = a.exprId)
+      }
+      val rnOut = Alias(Literal(1, IntegerType), alias.name)(exprId = alias.exprId)
+      Project(restored :+ rnOut, agg)
+  }
+}
+
+/** `spark.sql.extensions` entry point injecting graft's optimizer rules. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => ArgmaxRewrite)
+}
