@@ -111,7 +111,10 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
                       bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    // sets feed the signature pipeline AND both verify sides — persist the
+    // reduced (8-byte-keys) form once (see ngramJaccardPairsSparse note)
     val sets = shingleSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatureFromSets(sets, idCol, bands * rowsPerBand)
     // one row per (doc, band): band key = hash of the band's minhashes
     val bandRows = sig.select(
@@ -145,7 +148,10 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, blocks: Int = 32): DataFrame = {
+    // blockedPairs replicates its input onto both join sides — persist the
+    // reduced sets so the shingling runs once, not once per side
     val sets = shingleSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Pairs.blockedPairs(sets, idCol, blocks)
       .select(col("id_1"), col("id_2"),
         ArrayOps.sortedIntersectSize(col("s_1.shs"), col("s_2.shs")).cast("double").as("inter"),
