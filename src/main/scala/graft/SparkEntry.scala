@@ -471,6 +471,37 @@ object SparkEntry {
           col("meta.duration_ms").as("duration_ms"))
         .orderBy("doc_id")),
 
+    // J3: as-of join — for each purchase, the latest preceding click by
+    // that user (union-merge formulation, one shuffle)
+    "j3_asof_join" -> ((s, d) => {
+      val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      Joins.asofJoin(purchases, clicks, ("user_id", "user_id"), ("ts_us", "ts_us"),
+        tiebreak = Some("event_id"))
+        .select("event_id", "user_id", "ts_us", "r_event_id", "r_ts_us")
+        .orderBy("event_id")
+    }),
+
+    // S5: reproducible hash-based sampling (engine-portable, retry-safe)
+    "s5_sample" -> ((s, d) =>
+      Sampling.deterministicSample(Tables.documents(s, d), "doc_id", 0.1)
+        .select("doc_id").orderBy("doc_id")),
+
+    // T5: corpus statistics — doc count, token totals, mean quality.
+    // avg computed as exact decimal sum of per-row 4dp scores ÷ count (the
+    // q1 pattern) so summation order cannot flip the rounded result.
+    "t5_corpus_stats" -> ((s, d) =>
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(Text.wsTokens(col("text")).cast("long")).as("total_ws_tokens"),
+        sum(Text.bpeTokens(col("text")).cast("long")).as("total_bpe_tokens"),
+        round(sum(Text.qualityScore(col("text")).cast(DecimalType(18, 4)))
+          .cast(D384).cast("double") / count(lit(1)), 4).as("avg_quality"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))),
+
     // E1: tumbling-window event aggregation (batch form of the stream op)
     "e1_events_window" -> ((s, d) =>
       StreamOps.tumblingCounts(Tables.events(s, d), 3600000000L)
@@ -849,6 +880,39 @@ object SparkEntry {
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
         "ELSE 'video' END AS media_type, octet_length(encode(text))::BIGINT AS byte_len, " +
         "sha256(text) AS sha256 FROM documents ORDER BY doc_id"),
+
+    "j3_asof_join" ->
+      ("WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'click'), " +
+        "purchases AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "u AS (SELECT user_id AS k, ts_us AS t, 0 AS tag, event_id AS tb, " +
+        "NULL::BIGINT AS l_event, event_id AS b_event, ts_us AS b_ts FROM clicks " +
+        "UNION ALL SELECT user_id, ts_us, 1, NULL, event_id, NULL, NULL FROM purchases), " +
+        "f AS (SELECT *, last_value(b_event IGNORE NULLS) OVER w AS r_event_id, " +
+        "last_value(b_ts IGNORE NULLS) OVER w AS r_ts_us FROM u " +
+        "WINDOW w AS (PARTITION BY k ORDER BY t, tag, tb NULLS FIRST " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT l_event AS event_id, k AS user_id, t AS ts_us, r_event_id, r_ts_us " +
+        "FROM f WHERE tag = 1 ORDER BY event_id"),
+
+    "s5_sample" ->
+      (s"SELECT doc_id FROM documents WHERE " +
+        s"('0x' || substr(md5(doc_id::VARCHAR || '_0'), 1, 15))::BIGINT < " +
+        s"${(BigDecimal(0.1) * BigDecimal(1L << 60)).toLong} ORDER BY doc_id"),
+
+    "t5_corpus_stats" ->
+      ("SELECT count(*) AS n_docs, " +
+        "sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS total_ws_tokens, " +
+        "sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')))::BIGINT AS total_bpe_tokens, " +
+        "round(CAST(CAST(sum(CAST(round(" +
+        "least(1.0, len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE / 200.0) * 0.5 + " +
+        "least(1.0, len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b'))::DOUBLE / " +
+        "greatest(len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE * 0.05, 1.0)) * 0.3 + " +
+        "(1.0 - least(1.0, len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / " +
+        "greatest(length(text)::DOUBLE, 1.0))) * 0.2, 4) AS DECIMAL(18,4))) " +
+        "AS DECIMAL(38,4)) AS DOUBLE) / count(*), 4) AS avg_quality, " +
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars FROM documents"),
 
     "e1_events_window" ->
       ("SELECT epoch_us(ts) // 3600000000 AS bucket, event_type, count(*) AS n_events, " +

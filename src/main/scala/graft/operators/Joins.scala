@@ -62,6 +62,54 @@ object Joins {
   def antiJoin(left: DataFrame, right: DataFrame, on: (String, String)): DataFrame =
     left.join(right, left(on._1) === right(on._2), "left_anti")
 
+  /** As-of join (point-in-time join): for each left row, attach the single
+    * LATEST right row whose time is <= the left row's time, per key —
+    * left-join semantics (no match → null right side), right columns
+    * `r_`-prefixed. The operator Spark's built-ins lack; standard in
+    * time-series/feature-store pipelines.
+    *
+    * Scale design — the union-merge formulation, NOT a range join: both
+    * sides are tagged and unioned, ONE shuffle co-partitions by key, and a
+    * running `last(right_payload, ignoreNulls)` window ordered by
+    * (time, tag, tiebreak) carries the most recent right row forward onto
+    * each left row. Build rows sort before probe rows at equal time (tag
+    * 0 < 1 ⇒ "<=" semantics). Cost: one exchange + one per-key ordered
+    * pass — no per-row probing, no range-bucket explosion, robust to any
+    * time skew. Null-key right rows are excluded (null never matches);
+    * null-key left rows emit with a null right side. Ties among right rows
+    * at the same (key, time) resolve to the greatest `tiebreak` value when
+    * given, else arbitrarily.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, on: (String, String),
+               time: (String, String), tiebreak: Option[String] = None): DataFrame = {
+    val collisions = left.columns.toSet.intersect(right.columns.map("r_" + _).toSet)
+    require(collisions.isEmpty,
+      s"asofJoin would collide on renamed right columns: ${collisions.mkString(",")}")
+    val lStructT = left.select(struct(left.columns.map(col): _*)).schema.head.dataType
+    val rStructT = right.select(struct(right.columns.map(col): _*)).schema.head.dataType
+    val tbType = tiebreak.map(c => right.select(col(c)).schema.head.dataType.catalogString)
+      .getOrElse("int")
+    val l = left.select(
+      col(on._1).as("_k"), col(time._1).as("_t"), lit(1).as("_tag"),
+      struct(left.columns.map(col): _*).as("_lrow"),
+      lit(null).cast(rStructT).as("_rrow"),
+      lit(null).cast(tbType).as("_tb"))
+    val r = right.filter(col(on._2).isNotNull).select(
+      col(on._2).as("_k"), col(time._2).as("_t"), lit(0).as("_tag"),
+      lit(null).cast(lStructT).as("_lrow"),
+      struct(right.columns.map(col): _*).as("_rrow"),
+      tiebreak.map(col(_).cast(tbType)).getOrElse(lit(null).cast(tbType)).as("_tb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_tag").asc, col("_tb").asc_nulls_first)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_r", last(col("_rrow"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(left.columns.map(c => col(s"_lrow.$c").as(c)) ++
+        right.columns.map(c => col(s"_r.$c").as(s"r_$c")): _*)
+  }
+
   /** Skew escape hatch: salt the left (skewed) side's key into `buckets`
     * sub-keys and explode the right side once per bucket, so one hot key
     * spreads over `buckets` reducers. AQE's skew-join handles most cases

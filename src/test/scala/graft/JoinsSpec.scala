@@ -54,6 +54,26 @@ class JoinsSpec extends SparkTestBase {
       "anti keeps non-matching rows incl. null keys")
   }
 
+  test("asofJoin: latest right row at or before each left time, per key") {
+    val probe = Seq((1L, "u1", 100L), (2L, "u1", 200L), (3L, "u2", 50L), (4L, "u3", 10L))
+      .toDF("id", "k", "t")
+    val build = Seq((10L, "u1", 90L), (11L, "u1", 100L), (12L, "u1", 150L),
+      (13L, "u2", 60L)).toDF("id", "k", "t")
+    val out = Joins.asofJoin(probe, build, ("k", "k"), ("t", "t"), tiebreak = Some("id"))
+      .select("id", "r_id").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(11L), "equal time matches (<= semantics)")
+    assert(out(2L) == Some(12L), "latest preceding wins")
+    assert(out(3L).isEmpty, "build row AFTER probe time does not match")
+    assert(out(4L).isEmpty, "key with no build rows null-pads")
+  }
+
+  test("asofJoin ties at same (key,time) resolve to the greatest tiebreak deterministically") {
+    val probe = Seq((1L, "u", 100L)).toDF("id", "k", "t")
+    val build = Seq((7L, "u", 100L), (9L, "u", 100L), (8L, "u", 100L)).toDF("id", "k", "t")
+    val out = Joins.asofJoin(probe, build, ("k", "k"), ("t", "t"), tiebreak = Some("id"))
+    assert(out.select("r_id").collect()(0).getLong(0) == 9L)
+  }
+
   test("broadcastJoin and saltedJoin produce the same multiset as hashJoin") {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.mkString("|")).toSeq.sorted
