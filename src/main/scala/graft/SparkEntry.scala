@@ -484,6 +484,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // J4: range join — assign each error event to its containing session
+    // (bucketized interval blocking; inner semantics)
+    "j4_range_join" -> ((s, d) => {
+      val errors = Tables.events(s, d).filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts_us")
+      val sessions = StreamOps.sessionize(Tables.events(s, d), 1800000000L)
+        .select(col("user_id"), col("session_id"),
+          col("session_start_us"), col("session_end_us"))
+      Joins.rangeJoin(errors, sessions, ("user_id", "user_id"), "ts_us",
+        "session_start_us", "session_end_us", width = 3600000000L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("r_session_id").as("session_id"))
+        .orderBy("event_id")
+    }),
+
     // S5: reproducible hash-based sampling (engine-portable, retry-safe)
     "s5_sample" -> ((s, d) =>
       Sampling.deterministicSample(Tables.documents(s, d), "doc_id", 0.1)
@@ -895,6 +910,23 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
         "SELECT l_event AS event_id, k AS user_id, t AS ts_us, r_event_id, r_ts_us " +
         "FROM f WHERE tag = 1 ORDER BY event_id"),
+
+    "j4_range_join" ->
+      ("WITH marked AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_break " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)), " +
+        "numbered AS (SELECT user_id, ts_us, " +
+        "CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM marked), " +
+        "sessions AS (SELECT user_id, session_id, min(ts_us) AS session_start_us, " +
+        "max(ts_us) AS session_end_us FROM numbered GROUP BY user_id, session_id), " +
+        "errors AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'error') " +
+        "SELECT e.event_id, e.user_id, e.ts_us, s.session_id " +
+        "FROM errors e JOIN sessions s ON e.user_id = s.user_id " +
+        "AND e.ts_us BETWEEN s.session_start_us AND s.session_end_us " +
+        "ORDER BY event_id"),
 
     "s5_sample" ->
       (s"SELECT doc_id FROM documents WHERE " +

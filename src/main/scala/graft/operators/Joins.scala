@@ -110,6 +110,34 @@ object Joins {
         right.columns.map(c => col(s"_r.$c").as(s"r_$c")): _*)
   }
 
+  /** Range (interval) join: match each left POINT row to every right
+    * INTERVAL row with the same key whose `[lo, hi]` contains the point —
+    * another operator Spark's built-ins lack (a naive `BETWEEN` join
+    * condition plans a broadcast-nested-loop or per-key cartesian).
+    *
+    * Scale design — bucketized blocking: points map to ONE time bucket
+    * (`floor(p / width)`), intervals explode to every bucket they overlap;
+    * a plain shuffled equi-join on (key, bucket) then meets each
+    * qualifying pair EXACTLY once (the point's single bucket), and the
+    * residual `lo <= p <= hi` filter is evaluated only on bucket-colliding
+    * pairs. Shuffle volume: points ×1, intervals ×(span/width + 1) — pick
+    * `width` near the typical interval span. Right columns `r_`-prefixed;
+    * inner-join semantics (unmatched points drop).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                on: (String, String), pointCol: String,
+                loCol: String, hiCol: String, width: Long): DataFrame = {
+    require(width > 0, "rangeJoin: width must be positive")
+    val r = prefixRight(points, intervals)
+    val l = points.withColumn("_b", floor(col(pointCol) / width))
+    val rb = r.filter(col(s"r_$loCol") <= col(s"r_$hiCol"))
+      .withColumn("_b", explode(sequence(
+        floor(col(s"r_$loCol") / width), floor(col(s"r_$hiCol") / width))))
+    l.join(rb, l(on._1) === rb(s"r_${on._2}") && l("_b") === rb("_b"))
+      .filter(col(pointCol) >= col(s"r_$loCol") && col(pointCol) <= col(s"r_$hiCol"))
+      .drop("_b")
+  }
+
   /** Skew escape hatch: salt the left (skewed) side's key into `buckets`
     * sub-keys and explode the right side once per bucket, so one hot key
     * spreads over `buckets` reducers. AQE's skew-join handles most cases

@@ -74,6 +74,18 @@ class JoinsSpec extends SparkTestBase {
     assert(out.select("r_id").collect()(0).getLong(0) == 9L)
   }
 
+  test("rangeJoin: each (point, containing interval) pair exactly once, inclusive bounds") {
+    val points = Seq((1L, "u", 5L), (2L, "u", 10L), (3L, "u", 99L), (4L, "v", 5L))
+      .toDF("id", "k", "p")
+    // interval 100L..110L spans multiple width-4 buckets; 0..10 contains two points
+    val intervals = Seq((100L, "u", 0L, 10L), (200L, "u", 8L, 50L), (300L, "u", 95L, 120L))
+      .toDF("iid", "k", "lo", "hi")
+    val out = Joins.rangeJoin(points, intervals, ("k", "k"), "p", "lo", "hi", width = 4L)
+      .select("id", "r_iid").as[(Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((1L, 100L), (2L, 100L), (2L, 200L), (3L, 300L)),
+      "inclusive bounds, exactly-once per qualifying pair, key isolation")
+  }
+
   test("broadcastJoin and saltedJoin produce the same multiset as hashJoin") {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.mkString("|")).toSeq.sorted
