@@ -297,6 +297,19 @@ object SparkEntry {
     // full pipeline: the reference's entry-point-3 chain (SURVEY §3)
     "q_covid_chain" -> ((s, d) => covidChain(s, d)),
 
+    // full pipeline: the reference's entry-point-1 load chain (SURVEY §3):
+    // scan → required-column validation → IS NOT NULL filter → single-pass
+    // latest-value table (the reference loops one groupBy per metric;
+    // app.py:122-157) → persist (A15)
+    "q_load_chain" -> ((s, d) => {
+      val orders = Ops.requireColumns(Tables.orders(s, d),
+        Seq("o_custkey", "o_orderdate", "o_totalprice", "o_orderpriority"))
+      val clean = Ops.dropNullRows(orders, "o_orderpriority")
+      Agg.latestTable(clean, "o_custkey", Seq("o_orderdate", "o_totalprice"))
+        .persist()
+        .orderBy("o_custkey")
+    }),
+
     // full pipeline: the reference's entry-point-2 dashboard chain (SURVEY §3)
     "q_dashboard_chain" -> ((s, d) => dashboardChain(s, d)),
 
@@ -551,6 +564,11 @@ object SparkEntry {
     * SQL-expressible) → driver rows-only check + recall asserted in tests.
     */
   def oracleSql: Map[String, String] = Map(
+    "q_load_chain" ->
+      ("SELECT o_custkey, max(o_orderdate) AS o_orderdate, " +
+        "max(o_totalprice) AS o_totalprice FROM orders " +
+        "WHERE o_orderpriority IS NOT NULL GROUP BY o_custkey ORDER BY o_custkey"),
+
     "q_dashboard_chain" ->
       ("WITH enriched AS (" +
         "SELECT o.*, c.c_nationkey AS r_c_nationkey, c.c_mktsegment AS r_c_mktsegment " +
