@@ -530,6 +530,16 @@ object SparkEntry {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))),
 
+    // T6: token-budget sequence packing — documents → training batches
+    "t6_packing" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), Text.bpeTokens(col("text")).cast("long").as("n_tokens"))
+      Packing.packByTokenBudget(toks, "doc_id", "n_tokens", budget = 2048, shards = 8,
+        shardExpr = Some(pmod(col("doc_id"), lit(8)))) // engine-portable shard
+        .select("doc_id", "n_tokens", "shard", "bin")
+        .orderBy("doc_id")
+    }),
+
     // E1: tumbling-window event aggregation (batch form of the stream op)
     "e1_events_window" -> ((s, d) =>
       StreamOps.tumblingCounts(Tables.events(s, d), 3600000000L)
@@ -963,6 +973,14 @@ object SparkEntry {
         "greatest(length(text)::DOUBLE, 1.0))) * 0.2, 4) AS DECIMAL(18,4))) " +
         "AS DECIMAL(38,4)) AS DOUBLE) / count(*), 4) AS avg_quality, " +
         "min(n_chars) AS min_chars, max(n_chars) AS max_chars FROM documents"),
+
+    "t6_packing" ->
+      ("SELECT doc_id, n_tokens, shard, " +
+        "CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2048.0) AS BIGINT) AS bin " +
+        "FROM (SELECT doc_id, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens, " +
+        "doc_id % 8 AS shard FROM documents) ORDER BY doc_id"),
 
     "e1_events_window" ->
       ("SELECT epoch_us(ts) // 3600000000 AS bucket, event_type, count(*) AS n_events, " +

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget sequence packing: assign documents to training batches so
+  * each batch's token total stays near `budget` — the step between a
+  * deduped corpus and a training dataloader.
+  *
+  * Contiguous packing per shard: documents are sharded by a hash of their
+  * id (shards are the unit of parallelism — a GLOBAL running sum would be
+  * one sequential pass on one executor), ordered deterministically within
+  * the shard, and cut into bins wherever the running token total crosses a
+  * budget boundary: `bin = floor(exclusive_prefix_sum / budget)`. Bins may
+  * overflow by at most one document — the standard streaming-packing
+  * bound; documents longer than the budget get a bin of their own.
+  * Deterministic for a fixed (shards, budget): membership depends only on
+  * ids and token counts, never on partitioning or run order.
+  */
+object Packing {
+
+  /** `shardExpr` overrides the default murmur3 id-hash shard — e.g. an
+    * md5-derived or modulo shard when cross-engine reproducibility of the
+    * assignment matters (murmur3 is Spark-specific).
+    */
+  def packByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+                        budget: Long, shards: Int = 32,
+                        shardExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(budget > 0 && shards > 0, "packByTokenBudget: budget and shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shardExpr.getOrElse(pmod(hash(col(idCol)), lit(shards))))
+      .withColumn("_cum", sum(col(tokenCol)).over(w) - col(tokenCol))
+      .withColumn("bin", floor(col("_cum") / budget))
+      .drop("_cum")
+  }
+}
