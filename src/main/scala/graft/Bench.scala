@@ -32,6 +32,7 @@ object Bench {
     // queries are added, which silently moves cache-fill and codegen-warmup
     // costs between queries across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.gc() // isolate queries from each other's garbage
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
                 catch { case e: Throwable =>
