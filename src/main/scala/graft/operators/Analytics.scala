@@ -22,11 +22,11 @@ object Analytics {
     */
   def latestPerGroup(df: DataFrame, key: String, orderCol: String,
                      tiebreak: Seq[String] = Nil): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val ord = struct((orderCol +: tiebreak).map(col): _*)
     val picked = df.groupBy(col(key))
       .agg(max_by(payload, ord).as("_row"))
-    picked.select(df.columns.map(c => col(s"_row.$c").as(c)): _*)
+    picked.select(df.columns.toIndexedSeq.map(c => col(s"_row.$c").as(c)): _*)
   }
 
   /** A8 (window form) — kept for ordering-sensitive callers; shuffles every

@@ -85,19 +85,19 @@ object Joins {
     val collisions = left.columns.toSet.intersect(right.columns.map("r_" + _).toSet)
     require(collisions.isEmpty,
       s"asofJoin would collide on renamed right columns: ${collisions.mkString(",")}")
-    val lStructT = left.select(struct(left.columns.map(col): _*)).schema.head.dataType
-    val rStructT = right.select(struct(right.columns.map(col): _*)).schema.head.dataType
+    val lStructT = left.select(struct(left.columns.toIndexedSeq.map(col): _*)).schema.head.dataType
+    val rStructT = right.select(struct(right.columns.toIndexedSeq.map(col): _*)).schema.head.dataType
     val tbType = tiebreak.map(c => right.select(col(c)).schema.head.dataType.catalogString)
       .getOrElse("int")
     val l = left.select(
       col(on._1).as("_k"), col(time._1).as("_t"), lit(1).as("_tag"),
-      struct(left.columns.map(col): _*).as("_lrow"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("_lrow"),
       lit(null).cast(rStructT).as("_rrow"),
       lit(null).cast(tbType).as("_tb"))
     val r = right.filter(col(on._2).isNotNull).select(
       col(on._2).as("_k"), col(time._2).as("_t"), lit(0).as("_tag"),
       lit(null).cast(lStructT).as("_lrow"),
-      struct(right.columns.map(col): _*).as("_rrow"),
+      struct(right.columns.toIndexedSeq.map(col): _*).as("_rrow"),
       tiebreak.map(col(_).cast(tbType)).getOrElse(lit(null).cast(tbType)).as("_tb"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_tag").asc, col("_tb").asc_nulls_first)
@@ -106,8 +106,8 @@ object Joins {
     l.unionByName(r)
       .withColumn("_r", last(col("_rrow"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
-      .select(left.columns.map(c => col(s"_lrow.$c").as(c)) ++
-        right.columns.map(c => col(s"_r.$c").as(s"r_$c")): _*)
+      .select(left.columns.toIndexedSeq.map(c => col(s"_lrow.$c").as(c)) ++
+        right.columns.toIndexedSeq.map(c => col(s"_r.$c").as(s"r_$c")): _*)
   }
 
   /** Range (interval) join: match each left POINT row to every right
@@ -150,7 +150,7 @@ object Joins {
     // Identical rows land in the same bucket — acceptable: duplicates of
     // one row are bounded, the hot KEY still spreads across buckets.
     val salted = left.withColumn("_salt",
-      pmod(hash(left.columns.map(col) :+ lit(0x5a17): _*), lit(buckets)))
+      pmod(hash(left.columns.toIndexedSeq.map(col) :+ lit(0x5a17): _*), lit(buckets)))
     val exploded = prefixRight(left, right)
       .withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted

@@ -35,7 +35,7 @@ object Pairs {
 
   def blockedPairs(df: DataFrame, idCol: String, blocks: Int): DataFrame = {
     require(blocks >= 1, "blockedPairs: blocks must be >= 1")
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val withB = df.select(pmod(hash(col(idCol)), lit(blocks)).as("_b"),
       col(idCol).as("_id"), payload.as("_s"))
     // lo side: row participates in keys (b, r) for r >= b
