@@ -28,22 +28,34 @@ object Meta {
 
   // ------------------------------------------------------------------- A15
 
-  private val tableMemo = TrieMap.empty[(String, String), DataFrame]
+  /** (dir, name) → (frame, weOwnThePersist). Keyed by session (a frame is
+    * bound to the session that planned it). Ownership matters: when
+    * `Tables.table` already persisted the frame (its small-scan pushdown
+    * barrier), unpersisting it here would silently strip that barrier for
+    * every later `Tables.table` call — so [[clearCachedTables]] only
+    * unpersists frames THIS memo persisted.
+    */
+  private val tableMemo =
+    TrieMap.empty[(SparkSession, String, String), (DataFrame, Boolean)]
 
   /** Memoized, persisted table load — the reference's cached-load semantics
-    * (`app.py:84-85`). First call per (dir, name) persists MEMORY_AND_DISK
-    * (spill-safe: partitions that don't fit in executor memory go to disk
-    * instead of OOMing — the right default at 100 TB where "fits in
-    * memory" is never a given); later calls return the identical cached
-    * DataFrame.
+    * (`app.py:84-85`). First call per (session, dir, name) ensures the
+    * frame is persisted MEMORY_AND_DISK (spill-safe: partitions that don't
+    * fit in executor memory go to disk instead of OOMing — the right
+    * default at 100 TB where "fits in memory" is never a given); later
+    * calls return the identical cached DataFrame.
     */
   def cachedTable(spark: SparkSession, dir: String, name: String): DataFrame =
-    tableMemo.getOrElseUpdate((dir, name),
-      Tables.table(spark, dir, name).persist(StorageLevel.MEMORY_AND_DISK))
+    tableMemo.getOrElseUpdate((spark, dir, name), {
+      val df = Tables.table(spark, dir, name)
+      if (df.storageLevel == StorageLevel.NONE)
+        (df.persist(StorageLevel.MEMORY_AND_DISK), true)
+      else (df, false) // already persisted by Tables' small-scan path
+    })._1
 
-  /** Drop all memoized tables (unpersist + forget). */
+  /** Drop this memo's tables, unpersisting only the frames it persisted. */
   def clearCachedTables(): Unit = {
-    tableMemo.values.foreach(_.unpersist())
+    tableMemo.values.foreach { case (df, owned) => if (owned) df.unpersist() }
     tableMemo.clear()
   }
 

@@ -26,15 +26,25 @@ object Tables {
     * table (many row groups ≥ session parallelism) is returned untouched —
     * no shuffle, no cache.
     */
-  private val memo = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val target = spark.sparkContext.defaultParallelism
     if (raw.rdd.getNumPartitions >= target) raw
-    else memo.getOrElseUpdate((dir, name),
+    // keyed by session too: a memoized frame is bound to the session that
+    // planned it — returning it to another (or a stopped) session would
+    // execute on the wrong SparkContext
+    else memo.getOrElseUpdate((spark, dir, name),
       raw.repartition(target)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Unpersist and forget every memoized small-scan table (all sessions). */
+  def clearMemo(): Unit = {
+    memo.values.foreach(df => try df.unpersist() catch { case _: Exception => () })
+    memo.clear()
   }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")

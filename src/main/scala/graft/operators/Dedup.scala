@@ -112,7 +112,9 @@ object Dedup {
                       threshold: Double, n: Int = 3,
                       bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
     // sets feed the signature pipeline AND both verify sides — persist the
-    // reduced (8-byte-keys) form once (see ngramJaccardPairsSparse note)
+    // reduced (8-byte-keys) form once. Like the sparse variant: evicted
+    // LRU under pressure, dropped by spark.catalog.clearCache(); repeated
+    // calls re-persist (bounded by the reduced-set size, ~1-2% of text).
     val sets = shingleSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatureFromSets(sets, idCol, bands * rowsPerBand)

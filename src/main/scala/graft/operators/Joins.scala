@@ -75,10 +75,10 @@ object Joins {
     * each left row. Build rows sort before probe rows at equal time (tag
     * 0 < 1 ⇒ "<=" semantics). Cost: one exchange + one per-key ordered
     * pass — no per-row probing, no range-bucket explosion, robust to any
-    * time skew. Null-key right rows are excluded (null never matches);
-    * null-key left rows emit with a null right side. Ties among right rows
-    * at the same (key, time) resolve to the greatest `tiebreak` value when
-    * given, else arbitrarily.
+    * time skew. Null-key and null-TIME right rows are excluded (a null
+    * never satisfies `t <= point`); null-key or null-time left rows emit
+    * with a null right side. Ties among right rows at the same (key, time)
+    * resolve to the greatest `tiebreak` value when given, else arbitrarily.
     */
   def asofJoin(left: DataFrame, right: DataFrame, on: (String, String),
                time: (String, String), tiebreak: Option[String] = None): DataFrame = {
@@ -94,7 +94,7 @@ object Joins {
       struct(left.columns.toIndexedSeq.map(col): _*).as("_lrow"),
       lit(null).cast(rStructT).as("_rrow"),
       lit(null).cast(tbType).as("_tb"))
-    val r = right.filter(col(on._2).isNotNull).select(
+    val r = right.filter(col(on._2).isNotNull && col(time._2).isNotNull).select(
       col(on._2).as("_k"), col(time._2).as("_t"), lit(0).as("_tag"),
       lit(null).cast(lStructT).as("_lrow"),
       struct(right.columns.toIndexedSeq.map(col): _*).as("_rrow"),
@@ -145,12 +145,22 @@ object Joins {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, on: (String, String),
                  buckets: Int): DataFrame = {
-    // Salt derived from the row's own values (all columns + a fixed seed):
+    // Salt derived from the row's own HASHABLE values (+ a fixed seed):
     // deterministic under task retry, unlike monotonically_increasing_id.
-    // Identical rows land in the same bucket — acceptable: duplicates of
-    // one row are bounded, the hot KEY still spreads across buckets.
+    // Map-typed columns are excluded — `hash` rejects MapType. Identical
+    // rows land in the same bucket — acceptable: duplicates of one row are
+    // bounded, the hot KEY still spreads across buckets.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltCols = left.schema.fields.toIndexedSeq
+      .filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(saltCols.nonEmpty, "saltedJoin: no hashable columns to derive a salt from")
     val salted = left.withColumn("_salt",
-      pmod(hash(left.columns.toIndexedSeq.map(col) :+ lit(0x5a17): _*), lit(buckets)))
+      pmod(hash(saltCols :+ lit(0x5a17): _*), lit(buckets)))
     val exploded = prefixRight(left, right)
       .withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted

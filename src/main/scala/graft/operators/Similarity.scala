@@ -24,14 +24,33 @@ object Similarity {
     * prunes each partition to k before the shuffle, so the exchange carries
     * Q×partitions×k rows instead of every scored pair (the window/
     * row_number formulation ships Q×N). Identical output to the window
-    * form — ties break by ascending id inside the aggregator.
+    * form — ties break by ascending id inside the aggregator. Null-scored
+    * pairs (null embeddings) are dropped.
+    *
+    * The aggregator's buffer encoder is fixed at (double, long); non-
+    * integral id types (string doc ids) fall back to the window
+    * formulation rather than mis-casting.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy("query_id")
-      .agg(TopK.topK(k, col("sn.score"), col("sn.id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), col("col.id").as("neighbor_id"),
-        col("col.score").as("cosine"), (col("pos") + 1).as("rank"))
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = scored.schema("sn").dataType.asInstanceOf[StructType]("id").dataType
+    val clean = scored.filter(col("sn.score").isNotNull && col("sn.id").isNotNull)
+    idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        clean.groupBy("query_id")
+          .agg(TopK.topK(k, col("sn.score"), col("sn.id").cast("long")).as("top"))
+          .select(col("query_id"), posexplode(col("top")))
+          .select(col("query_id"), col("col.id").cast(idType).as("neighbor_id"),
+            col("col.score").as("cosine"), (col("pos") + 1).as("rank"))
+      case _ =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sn.score").desc, col("sn.id").asc)
+        clean.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("sn.id").as("neighbor_id"),
+            col("sn.score").as("cosine"), col("rank"))
+    }
+  }
 
   /** Exact cosine top-k. Ties broken by ascending neighbor id on the
     * 6-decimal-rounded score (fully deterministic output). Queries are

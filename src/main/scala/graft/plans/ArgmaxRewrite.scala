@@ -24,10 +24,17 @@ import org.apache.spark.sql.types.IntegerType
   * Fires only on the exact shape: a single row_number window expression,
   * a `rn = 1` / `1 = rn` / `rn <= 1` filter directly above it, a non-empty
   * order spec with ALL Descending (argmax → max_by) or ALL Ascending
-  * (argmin → min_by) directions. Tie-breaking among equal order keys is
-  * arbitrary in BOTH forms (distributed row_number ties depend on
-  * partition order), so the rewrite preserves semantics exactly when the
-  * ordering is total — same caveat the window form already carries.
+  * (argmin → min_by) directions, and NULLS LAST on every key (the
+  * default for desc; asc requires explicit `asc_nulls_last`). Null
+  * semantics are preserved by ordering on (null-flag, key) pairs: for
+  * max_by the flag is `key IS NOT NULL` so any non-null key beats every
+  * null; for min_by it is `key IS NULL` so null keys order above all
+  * values; a group whose keys are ALL null still returns one of its real
+  * rows (all flag-structs compare equal), exactly like the window form.
+  * Tie-breaking among equal order keys is arbitrary in BOTH forms
+  * (distributed row_number ties depend on partition order), so the
+  * rewrite preserves semantics exactly when the ordering is total — same
+  * caveat the window form already carries.
   *
   * Output attributes (including the rn column, rewritten to literal 1)
   * keep their original exprIds, so upstream operators resolve unchanged.
@@ -52,6 +59,7 @@ object ArgmaxRewrite extends Rule[LogicalPlan] {
         isRnOne(cond, alias.toAttribute) &&
         (orderSpec.forall(_.direction == Descending) ||
           orderSpec.forall(_.direction == Ascending)) &&
+        orderSpec.forall(_.nullOrdering == NullsLast) &&
         partitionSpec.forall(_.deterministic) &&
         orderSpec.forall(_.child.deterministic) =>
 
@@ -63,11 +71,14 @@ object ArgmaxRewrite extends Rule[LogicalPlan] {
           wgl.partitionSpec == partitionSpec && wgl.orderSpec == orderSpec => wgl.child
         case other => other
       }
+      val isMax = orderSpec.head.direction == Descending
       val payload = CreateStruct(base.output)
-      val ordering = if (orderSpec.length == 1) orderSpec.head.child
-                     else CreateStruct(orderSpec.map(_.child))
-      val aggFn = if (orderSpec.head.direction == Descending) MaxBy(payload, ordering)
-                  else MinBy(payload, ordering)
+      // (null-flag, key) pairs reproduce NULLS LAST exactly — see scaladoc
+      val ordering = CreateStruct(orderSpec.flatMap { so =>
+        val flag = if (isMax) IsNotNull(so.child) else IsNull(so.child)
+        Seq(flag, so.child)
+      })
+      val aggFn = if (isMax) MaxBy(payload, ordering) else MinBy(payload, ordering)
       val rowAlias = Alias(AggregateExpression(aggFn, Complete, isDistinct = false), "_argmax_row")()
       val agg = Aggregate(partitionSpec, Seq(rowAlias), base)
       // restore the original output attributes (same exprIds) from the

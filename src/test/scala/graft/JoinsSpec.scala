@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Joins
+import org.apache.spark.sql.functions.{lit, map}
 
 /** J1 edge semantics pinned to `/root/reference/src/dataframe.py:214-248`. */
 class JoinsSpec extends SparkTestBase {
@@ -72,6 +73,21 @@ class JoinsSpec extends SparkTestBase {
     val build = Seq((7L, "u", 100L), (9L, "u", 100L), (8L, "u", 100L)).toDF("id", "k", "t")
     val out = Joins.asofJoin(probe, build, ("k", "k"), ("t", "t"), tiebreak = Some("id"))
     assert(out.select("r_id").collect()(0).getLong(0) == 9L)
+  }
+
+  test("asofJoin: null-time build rows never match; null-time probe rows null-pad") {
+    val probe = Seq((1L, "u", Some(100L)), (2L, "u", None)).toDF("id", "k", "t")
+    val build = Seq((10L, "u", None: Option[Long]), (11L, "u", Some(90L))).toDF("id", "k", "t")
+    val out = Joins.asofJoin(probe, build, ("k", "k"), ("t", "t"), tiebreak = Some("id"))
+      .select("id", "r_id").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(11L), "null-time build row must not shadow the real predecessor")
+    assert(out(2L).isEmpty, "a probe row with no defined time matches nothing")
+  }
+
+  test("saltedJoin tolerates unhashable (map) columns by excluding them from the salt") {
+    val l = left.withColumn("props", map(lit("a"), lit("b")))
+    val base = Joins.hashJoin(left, right, ("k", "k")).count()
+    assert(Joins.saltedJoin(l, right, ("k", "k"), 4).count() == base)
   }
 
   test("rangeJoin: each (point, containing interval) pair exactly once, inclusive bounds") {

@@ -11,8 +11,10 @@ class MetaSpec extends SparkTestBase {
     assert(a.storageLevel.useMemory || a.storageLevel.useDisk, "frame must be persisted")
     assert(a.count() == 25)
     Meta.clearCachedTables()
-    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
-      "clear must unpersist")
+    // nation is a small scan that Tables.table itself persisted (pushdown
+    // barrier) — clearCachedTables must NOT strip a persist it doesn't own
+    assert(a.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "clear must leave Tables' own small-scan persist intact")
   }
 
   test("ExecLog records completed actions with duration and physical plan (A16)") {

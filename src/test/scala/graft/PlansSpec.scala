@@ -31,6 +31,31 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("null order keys: rewrite matches the window form; nulls-first windows are left alone") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // group a: mixed null/non-null order keys; group b: ALL-null order keys
+    val t = Seq(("a", Some(3), 1), ("a", None, 2), ("a", Some(7), 3),
+      ("b", None, 4), ("b", None, 5)).toDF("k", "o", "id")
+    def argmax = t.withColumn("rn", row_number().over(
+      Window.partitionBy("k").orderBy(col("o").desc, col("id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val expected = argmax.collect().map(_.toString).sorted.toSeq
+    withRule {
+      val a = argmax
+      assert(!a.queryExecution.optimizedPlan.toString.contains("Window ["),
+        "desc (nulls-last default) must rewrite")
+      assert(a.collect().map(_.toString).sorted.toSeq == expected,
+        "null-flag ordering must reproduce nulls-last; all-null group keeps a real row")
+      val nf = t.withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("o").desc_nulls_first)))
+        .filter(col("rn") === 1)
+      assert(nf.queryExecution.optimizedPlan.toString.contains("Window ["),
+        "nulls-first ordering is not expressible as max_by; window must remain")
+    }
+  }
+
   test("does not fire on rank<=k windows or mixed sort directions") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -56,9 +81,11 @@ class PlansSpec extends SparkTestBase {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
     // queryExecution is cached per DataFrame — build a fresh frame inside
     // withRule or the pre-rule plan is reused
+    // asc must be NULLS LAST for the rewrite to fire (asc default is
+    // nulls-first, which min_by cannot reproduce)
     def earliest = orders.withColumn("rn", row_number().over(
       Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)))
+        .orderBy(col("o_orderdate").asc_nulls_last, col("o_orderkey").asc_nulls_last)))
       .filter(col("rn") === 1).drop("rn")
     val expected = canon(earliest)
     withRule {

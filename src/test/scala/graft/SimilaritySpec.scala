@@ -29,6 +29,17 @@ class SimilaritySpec extends SparkTestBase {
       canon(Similarity.bruteForceTopKWindow(emb, q, "vec_id", "embedding", 7)))
   }
 
+  test("non-integral id types fall back to the window path with identical semantics") {
+    val vecs = Seq(
+      ("q", Array(1.0f, 0.0f)), ("a", Array(0.9f, 0.1f)),
+      ("b", Array(0.0f, 1.0f)), ("c", Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === "q"),
+      "vec_id", "embedding", 3)
+      .orderBy("rank").select("neighbor_id").as[String].collect().toSeq
+    assert(out == Seq("a", "c", "b"), "string ids rank identically (ties by ascending id)")
+  }
+
   test("bruteForceTopK excludes self and returns exactly k per query") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 4)
