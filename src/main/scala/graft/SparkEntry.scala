@@ -402,6 +402,14 @@ object SparkEntry {
       Dedup.ngramJaccardPairsSparse(Tables.documents(s, d), "doc_id", "text", 3, 0.2, maxDf = 50)
         .orderBy("id_1", "id_2")),
 
+    // D6: connected components over the exact bigram-Jaccard pairs —
+    // pairs → clusters, component = min id (the canonical keep)
+    "d6_components" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.1))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // D5: embedding-cosine near-dup pairs (exact all-pairs, codegen'd cosine)
     "d5_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
@@ -568,6 +576,21 @@ object SparkEntry {
       "t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS hh FROM documents), " +
       s"sh AS (SELECT doc_id, ($bitTerms)::BIGINT AS simhash FROM hs)"
   }
+
+  /** Exact word-bigram Jaccard pairs (threshold 0.1) — shared by the
+    * d4_ngram_jaccard and d6_components oracles.
+    */
+  private val bigramJaccardSql: String =
+    "WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
+      "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+'))), " +
+      "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
+      "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1])) AS grams FROM documents), " +
+      "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh) " +
+      "SELECT a.doc_id AS id_1, b.doc_id AS id_2, " +
+      "round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard " +
+      "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
+      "GROUP BY a.doc_id, b.doc_id " +
+      "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.1"
 
   /** DuckDB SQL equivalents. Omitted only for the structurally-approximate
     * LSH paths (d5b_embed_lsh, sim_lsh_topk — seeded hyperplanes aren't
@@ -851,18 +874,16 @@ object SparkEntry {
         "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5 " +
         "ORDER BY id_1, id_2"),
 
-    "d4_ngram_jaccard" ->
-      ("WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
-        "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+'))), " +
-        "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
-        "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1])) AS grams FROM documents), " +
-        "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh) " +
-        "SELECT a.doc_id AS id_1, b.doc_id AS id_2, " +
-        "round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard " +
-        "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
-        "GROUP BY a.doc_id, b.doc_id " +
-        "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.1 " +
-        "ORDER BY id_1, id_2"),
+    "d4_ngram_jaccard" -> (bigramJaccardSql + " ORDER BY id_1, id_2"),
+
+    // components over the same pairs via transitive closure (recursive CTE)
+    "d6_components" ->
+      (s"WITH RECURSIVE pairs AS ($bigramJaccardSql), " +
+        "bidir AS (SELECT id_1, id_2 FROM pairs UNION SELECT id_2, id_1 FROM pairs), " +
+        "nodes AS (SELECT DISTINCT id_1 AS id FROM bidir), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT b.id_1, r.r FROM reach r JOIN bidir b ON b.id_2 = r.id) " +
+        "SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id ORDER BY doc_id"),
 
     "d5_embed_neardup" ->
       ("SELECT a.vec_id AS id_1, b.vec_id AS id_2, " +

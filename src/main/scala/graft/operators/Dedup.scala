@@ -196,6 +196,59 @@ object Dedup {
     verifyJaccard(candidates, sets, idCol, threshold)
   }
 
+  /** Connected components over near-duplicate PAIRS — the final dedup
+    * stage: pairs → clusters → one canonical representative per cluster.
+    * Output: (id, component) for every id appearing in a pair, where
+    * `component` is the cluster's minimum id (its canonical keep).
+    *
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each round, labels flow across (bidirectional) edges and each
+    * node keeps the minimum seen; converged when no label changes. Rounds
+    * needed = graph diameter — near-dup clusters are dense, so a handful.
+    * Each round is one join + one aggregate, all distributed; the driver
+    * only evaluates the converged? flag.
+    *
+    * Every round `localCheckpoint`s its result: without truncation the
+    * LOGICAL plan doubles per iteration (cache substitution only happens
+    * at physical planning), and analysis alone OOMs the driver within ~15
+    * rounds — the standard iterative-on-Spark pitfall. On a cluster with
+    * executor loss concerns, set a checkpoint dir and swap in reliable
+    * `checkpoint()`.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_1"), col("id_2"))
+    val bidir = edges.union(edges.select(col("id_2").as("id_1"), col("id_1").as("id_2")))
+      .localCheckpoint() // cut the (possibly heavy) pair-generation plan out of the loop
+    var labels = edges.select(explode(array(col("id_1"), col("id_2"))).as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val prev = labels
+      val propagated = bidir.join(prev, bidir("id_2") === prev("id"))
+        .select(bidir("id_1").as("id"), col("component"))
+      val next = prev.select("id", "component").union(propagated)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      converged = next.as("n").join(prev.as("o"), "id")
+        .filter(col("n.component") =!= col("o.component"))
+        .limit(1).count() == 0
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Canonical-keep selection: drop every document that belongs to a
+    * near-dup cluster but is not its minimum-id representative.
+    */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component")).select("id")
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
   /** 60-bit SimHash over whitespace tokens: bit i of the sketch is the sign
     * of Σ_tokens (bit i of tokenHash(token) ? +1 : -1). Near-dup docs differ
     * in few bits (small Hamming distance). Computed per-row with array

@@ -77,6 +77,24 @@ class DedupSpec extends SparkTestBase {
     assert(got.keySet == want, "high-jaccard pairs must all be found")
   }
 
+  test("connectedComponents: multi-hop chains collapse; disjoint clusters stay apart (D6)") {
+    // chain 1-2-3-4 (one component via transitivity) + pair 10-11 + 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("id_1", "id_2")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("keepCanonical drops every cluster member except the min id (D6)") {
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_1", "id_2")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 99L), "min per cluster + untouched singletons survive")
+  }
+
   test("simhash: deterministic, 60-bit, near-dups differ in few bits (D3)") {
     val sh = Dedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
