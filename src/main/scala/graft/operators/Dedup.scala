@@ -216,9 +216,12 @@ object Dedup {
     * `checkpoint()`.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_1"), col("id_2"))
+    // checkpoint the edge list ONCE: the (possibly heavy) pair-generation
+    // pipeline runs exactly one time, and bidir/labels both derive from the
+    // materialized edges (deriving them from `pairs` directly re-evaluated
+    // the whole dedup pipeline per derivation — measured 2× the loop cost)
+    val edges = pairs.select(col("id_1"), col("id_2")).localCheckpoint()
     val bidir = edges.union(edges.select(col("id_2").as("id_1"), col("id_1").as("id_2")))
-      .localCheckpoint() // cut the (possibly heavy) pair-generation plan out of the loop
     var labels = edges.select(explode(array(col("id_1"), col("id_2"))).as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
@@ -228,9 +231,26 @@ object Dedup {
       val prev = labels
       val propagated = bidir.join(prev, bidir("id_2") === prev("id"))
         .select(bidir("id_1").as("id"), col("component"))
-      val next = prev.select("id", "component").union(propagated)
+      // checkpoint BEFORE the pointer-jump self-join: it both truncates the
+      // per-round lineage and gives the self-join a clean leaf plan (a
+      // self-join on the union-derived frame trips Union constraint
+      // rewriting with a missing-attribute error)
+      // labels are a few machine-words per NODE (tiny next to the corpus);
+      // coalesce before materializing so per-round overhead is a handful
+      // of tasks, not one per shuffle partition
+      val merged = prev.select("id", "component").union(propagated)
         .groupBy("id").agg(min("component").as("component"))
+        .coalesce(4)
         .localCheckpoint()
+      // pointer jumping: also adopt the label OF the current label — halves
+      // the remaining diameter every round, so long chains converge in
+      // O(log d) rounds instead of O(d)
+      val byId = merged.select(col("id").as("cid"), col("component").as("ccomp"))
+      val next = merged
+        .join(byId, merged("component") === byId("cid"), "left")
+        .select(merged("id"),
+          least(merged("component"), coalesce(byId("ccomp"), merged("component")))
+            .as("component"))
       converged = next.as("n").join(prev.as("o"), "id")
         .filter(col("n.component") =!= col("o.component"))
         .limit(1).count() == 0
