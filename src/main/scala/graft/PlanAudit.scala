@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Diagnostic main: print the formatted physical plan and wall time for
   * selected SparkEntry queries. Usage:
   *   runMain graft.PlanAudit <sfDir> <queryName> [queryName...]
-  * With no query names, audits every query (plans only, no execution).
+  * With no query names, audits every query (plans only — though ITERATIVE
+  * operators like d6_components run their driver loop at construction, so
+  * building their frame already executes jobs and the printed plan shows
+  * the final checkpointed leaves, not the pipeline).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

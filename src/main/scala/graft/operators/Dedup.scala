@@ -211,16 +211,26 @@ object Dedup {
     * Every round `localCheckpoint`s its result: without truncation the
     * LOGICAL plan doubles per iteration (cache substitution only happens
     * at physical planning), and analysis alone OOMs the driver within ~15
-    * rounds — the standard iterative-on-Spark pitfall. On a cluster with
-    * executor loss concerns, set a checkpoint dir and swap in reliable
-    * `checkpoint()`.
+    * rounds — the standard iterative-on-Spark pitfall. Intermediate
+    * checkpoints are released by Spark's ContextCleaner once the driver
+    * loop drops their references (each round); only the returned labels
+    * stay resident. On a cluster with executor loss concerns, set a
+    * checkpoint dir and swap in reliable `checkpoint()`.
+    *
+    * `labelPartitions` sizes the per-round label frames (0 → a fraction of
+    * the session's parallelism: labels are a few machine-words per node,
+    * far smaller than the corpus, and one task per corpus partition is
+    * pure overhead — but on a very large node set pass an explicit count).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          labelPartitions: Int = 0): DataFrame = {
     // checkpoint the edge list ONCE: the (possibly heavy) pair-generation
     // pipeline runs exactly one time, and bidir/labels both derive from the
     // materialized edges (deriving them from `pairs` directly re-evaluated
     // the whole dedup pipeline per derivation — measured 2× the loop cost)
     val edges = pairs.select(col("id_1"), col("id_2")).localCheckpoint()
+    val lp = if (labelPartitions > 0) labelPartitions
+             else math.max(2, edges.sparkSession.sparkContext.defaultParallelism / 8)
     val bidir = edges.union(edges.select(col("id_2").as("id_1"), col("id_1").as("id_2")))
     var labels = edges.select(explode(array(col("id_1"), col("id_2"))).as("id")).distinct()
       .withColumn("component", col("id"))
@@ -235,28 +245,32 @@ object Dedup {
       // per-round lineage and gives the self-join a clean leaf plan (a
       // self-join on the union-derived frame trips Union constraint
       // rewriting with a missing-attribute error)
-      // labels are a few machine-words per NODE (tiny next to the corpus);
-      // coalesce before materializing so per-round overhead is a handful
-      // of tasks, not one per shuffle partition
       val merged = prev.select("id", "component").union(propagated)
         .groupBy("id").agg(min("component").as("component"))
-        .coalesce(4)
+        .coalesce(lp)
         .localCheckpoint()
       // pointer jumping: also adopt the label OF the current label — halves
       // the remaining diameter every round, so long chains converge in
       // O(log d) rounds instead of O(d)
       val byId = merged.select(col("id").as("cid"), col("component").as("ccomp"))
+      // checkpointed too: un-materialized, this join re-executes for the
+      // convergence count AND inside the next round's merged/convergence
       val next = merged
         .join(byId, merged("component") === byId("cid"), "left")
         .select(merged("id"),
           least(merged("component"), coalesce(byId("ccomp"), merged("component")))
             .as("component"))
+        .localCheckpoint()
       converged = next.as("n").join(prev.as("o"), "id")
         .filter(col("n.component") =!= col("o.component"))
         .limit(1).count() == 0
       labels = next
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents: labels not converged after $maxIter rounds — " +
+          "components may be split; raise maxIter")
     labels
   }
 
