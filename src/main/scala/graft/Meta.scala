@@ -45,13 +45,20 @@ object Meta {
     * default at 100 TB where "fits in memory" is never a given); later
     * calls return the identical cached DataFrame.
     */
-  def cachedTable(spark: SparkSession, dir: String, name: String): DataFrame =
+  def cachedTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // evict entries whose session has stopped: their persisted frames are
+    // unreachable (nothing can unpersist on a dead context), so a long-lived
+    // process that cycles sessions would otherwise accumulate them forever
+    tableMemo.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) tableMemo.remove(k)
+    }
     tableMemo.getOrElseUpdate((spark, dir, name), {
       val df = Tables.table(spark, dir, name)
       if (df.storageLevel == StorageLevel.NONE)
         (df.persist(StorageLevel.MEMORY_AND_DISK), true)
       else (df, false) // already persisted by Tables' small-scan path
     })._1
+  }
 
   /** Drop this memo's tables, unpersisting only the frames it persisted. */
   def clearCachedTables(): Unit = {

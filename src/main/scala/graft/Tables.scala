@@ -30,6 +30,9 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // evict memo entries from stopped sessions — their cached frames can
+    // never be reused or unpersisted, only leaked (see Meta.cachedTable)
+    memo.keys.foreach { k => if (k._1.sparkContext.isStopped) memo.remove(k) }
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val target = spark.sparkContext.defaultParallelism
     if (raw.rdd.getNumPartitions >= target) raw

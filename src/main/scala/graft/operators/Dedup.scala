@@ -235,6 +235,18 @@ object Dedup {
     var labels = edges.select(explode(array(col("id_1"), col("id_2"))).as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
+    // Convergence check without a join: labels only ever DECREASE (every
+    // round takes a min over {own label} ∪ neighbors ∪ label-of-label), so
+    // the exact total Σ component is strictly smaller after any change and
+    // identical iff the round was a no-op. One narrow aggregate over the
+    // already-checkpointed frame replaces the per-round next⋈prev
+    // changed-row count. Decimal sum: exact, overflow-free at any id range.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("component").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0))).as("s")).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
@@ -254,16 +266,16 @@ object Dedup {
       // O(log d) rounds instead of O(d)
       val byId = merged.select(col("id").as("cid"), col("component").as("ccomp"))
       // checkpointed too: un-materialized, this join re-executes for the
-      // convergence count AND inside the next round's merged/convergence
+      // convergence sum AND inside the next round's merged
       val next = merged
         .join(byId, merged("component") === byId("cid"), "left")
         .select(merged("id"),
           least(merged("component"), coalesce(byId("ccomp"), merged("component")))
             .as("component"))
         .localCheckpoint()
-      converged = next.as("n").join(prev.as("o"), "id")
-        .filter(col("n.component") =!= col("o.component"))
-        .limit(1).count() == 0
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       i += 1
     }

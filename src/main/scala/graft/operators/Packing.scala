@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   * id (shards are the unit of parallelism — a GLOBAL running sum would be
   * one sequential pass on one executor), ordered deterministically within
   * the shard, and cut into bins wherever the running token total crosses a
-  * budget boundary: `bin = floor(exclusive_prefix_sum / budget)`. Bins may
+  * budget boundary: `bin = exclusive_prefix_sum div budget` (integer
+  * division on longs — exact at any cumulative total, unlike a double
+  * `floor(x / b)` which loses integer precision past 2^53). Bins may
   * overflow by at most one document — the standard streaming-packing
   * bound; documents longer than the budget get a bin of their own.
-  * Deterministic for a fixed (shards, budget): membership depends only on
+  * REQUIRES unique ids: the in-shard order is `ORDER BY id` alone, so
+  * duplicate ids would make the running sum (hence bin membership)
+  * partition-order-dependent. With unique ids the assignment is fully
+  * deterministic for a fixed (shards, budget): membership depends only on
   * ids and token counts, never on partitioning or run order.
   */
 object Packing {
@@ -31,8 +36,9 @@ object Packing {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", shardExpr.getOrElse(pmod(hash(col(idCol)), lit(shards))))
-      .withColumn("_cum", sum(col(tokenCol)).over(w) - col(tokenCol))
-      .withColumn("bin", floor(col("_cum") / budget))
+      .withColumn("_cum", sum(col(tokenCol).cast("long")).over(w) - col(tokenCol))
+      // `div` = integer division on longs; _cum >= 0 so it equals floor
+      .withColumn("bin", expr(s"_cum div ${budget}L"))
       .drop("_cum")
   }
 }

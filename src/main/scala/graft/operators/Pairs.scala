@@ -36,8 +36,13 @@ object Pairs {
   def blockedPairs(df: DataFrame, idCol: String, blocks: Int): DataFrame = {
     require(blocks >= 1, "blockedPairs: blocks must be >= 1")
     val payload = struct(df.columns.toIndexedSeq.map(col): _*)
-    val withB = df.select(pmod(hash(col(idCol)), lit(blocks)).as("_b"),
-      col(idCol).as("_id"), payload.as("_s"))
+    // null ids are excluded up front: a null id breaks pair dedup (`_ida <
+    // _idb` is null-false, so same-block null pairs vanish while cross-block
+    // ones survive with least/greatest collapsing to the one non-null id) —
+    // every downstream dedup operator assumes well-formed non-null ids.
+    val withB = df.filter(col(idCol).isNotNull)
+      .select(pmod(hash(col(idCol)), lit(blocks)).as("_b"),
+        col(idCol).as("_id"), payload.as("_s"))
     // lo side: row participates in keys (b, r) for r >= b
     val lo = withB
       .withColumn("_hi", explode(sequence(col("_b"), lit(blocks - 1))))

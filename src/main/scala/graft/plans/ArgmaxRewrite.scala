@@ -23,7 +23,9 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Fires only on the exact shape: a single row_number window expression,
   * a `rn = 1` / `1 = rn` / `rn <= 1` filter directly above it, a non-empty
-  * order spec with ALL Descending (argmax → max_by) or ALL Ascending
+  * PARTITION BY (the global-window case is excluded: over an empty input
+  * the window form yields 0 rows but a grouping-less aggregate yields 1 —
+  * see the guard), a non-empty order spec with ALL Descending (argmax → max_by) or ALL Ascending
   * (argmin → min_by) directions, and NULLS LAST on every key (the
   * default for desc; asc requires explicit `asc_nulls_last`). Null
   * semantics are preserved by ordering on (null-flag, key) pairs: for
@@ -55,7 +57,11 @@ object ArgmaxRewrite extends Rule[LogicalPlan] {
     case Filter(cond,
       Window(Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)),
         partitionSpec, orderSpec, child, _))
-      if orderSpec.nonEmpty && spec.orderSpec == orderSpec &&
+      // partitionSpec.nonEmpty: the global (unpartitioned) window over an
+      // EMPTY input yields 0 rows, but a grouping-less Aggregate yields 1
+      // row (max_by of empty = null struct) — the rewrite would invent a
+      // spurious all-null row, so the global case stays on the window path.
+      if partitionSpec.nonEmpty && orderSpec.nonEmpty && spec.orderSpec == orderSpec &&
         isRnOne(cond, alias.toAttribute) &&
         (orderSpec.forall(_.direction == Descending) ||
           orderSpec.forall(_.direction == Ascending)) &&

@@ -25,6 +25,17 @@ class PackingSpec extends SparkTestBase {
     assert(run(docs) == run(docs.repartition(11)))
   }
 
+  test("bin arithmetic is exact past 2^53 (integer div, not double floor)") {
+    // second doc's exclusive prefix sum is 2^53 + 1, which a double cannot
+    // represent: floor((2^53+1) / 1.0) would round down to 2^53
+    val big = (1L << 53) + 1L
+    val docs = Seq((1L, big), (2L, 10L)).toDF("doc_id", "n_tokens")
+    val out = Packing.packByTokenBudget(docs, "doc_id", "n_tokens",
+      budget = 1, shards = 1, shardExpr = Some(lit(0)))
+      .orderBy("doc_id").select("bin").as[Long].collect().toSeq
+    assert(out == Seq(0L, big), s"expected exact long bins, got $out")
+  }
+
   test("no bin exceeds budget by more than its last document") {
     val docs = (1 to 300).map(i => (i.toLong, (i % 50 + 1).toLong * 10)).toDF("doc_id", "n_tokens")
     val bins = Packing.packByTokenBudget(docs, "doc_id", "n_tokens", budget = 1000, shards = 4)

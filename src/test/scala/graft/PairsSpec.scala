@@ -18,6 +18,15 @@ class PairsSpec extends SparkTestBase {
     }
   }
 
+  test("null ids are excluded — no self-pairs or dropped pairs from null comparisons") {
+    val df = Seq(Some(1L), Some(2L), Some(3L), None, None)
+      .map(id => (id, "p")).toDF("id", "payload")
+    val got = Pairs.blockedPairs(df, "id", 3)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "null-id rows must not produce pairs (nor id_1 == id_2 artifacts)")
+  }
+
   test("payload structs carry the pair's two rows (sides aligned by block, not id)") {
     val df = (1 to 10).map(i => (i.toLong, i * 100)).toDF("id", "v")
     val ok = Pairs.blockedPairs(df, "id", 4)

@@ -75,6 +75,22 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("global (no PARTITION BY) window is left alone — empty input must stay empty") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val empty = Seq.empty[(Int, Int)].toDF("o", "id")
+    withRule {
+      val globalArgmax = empty.withColumn("rn", row_number().over(
+        Window.orderBy(col("o").desc)))
+        .filter(col("rn") === 1)
+      // a grouping-less max_by over empty input would fabricate one all-null
+      // row; the rule must not fire on an empty partition spec
+      assert(globalArgmax.count() == 0,
+        "global window argmax over empty input must yield 0 rows")
+    }
+  }
+
   test("ascending order rewrites to min_by (argmin)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
