@@ -415,13 +415,15 @@ object SparkEntry {
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
         .orderBy("id_1", "id_2")),
 
-    // D5b: sign-sketch LSH candidates + exact cosine verify — the scale
-    // path. 32×4 banding: recall ≈ 0.998 at cosine 0.45 (sign-LSH S-curve;
-    // measured in DedupSpec). Seeded hyperplanes aren't SQL-expressible →
-    // driver rows-only check; recall is asserted in the test suite.
+    // D5b: banded-LSH candidates + exact cosine verify — the scale path.
+    // Ordinal (WTA-style) sketches: bit = vec[a] > vec[b] on md5-derived
+    // index pairs — same collision S-curve as sign-LSH (recall ≈ 0.998 at
+    // cosine 0.45 under 32×4 banding; measured in DedupSpec) but ZERO float
+    // arithmetic, so the sketch is bit-identical in DuckDB and the whole
+    // path is hash-checkable against the oracle.
     "d5b_embed_lsh" -> ((s, d) =>
       Dedup.embeddingNearDupsLSH(Tables.embeddings(s, d), "vec_id", "embedding",
-        0.45, dim = 64, bands = 32, bitsPerBand = 4)
+        0.45, dim = 64, bands = 32, bitsPerBand = 4, ordinal = true)
         .orderBy("id_1", "id_2")),
 
     // SIM: brute-force cosine top-k (exact ANN baseline)
@@ -433,12 +435,13 @@ object SparkEntry {
     }),
 
     // SIM-LSH: bucketed approximate top-k with 1-bit multiprobe — the ANN
-    // scale path. Approximate by construction (no SQL oracle); recall vs
-    // the exact sim_topk is measured and asserted in SimilaritySpec.
+    // scale path. Ordinal sketch buckets (engine-portable, see d5b) make
+    // the full candidate+rank pipeline hash-checkable in DuckDB; recall vs
+    // the exact sim_topk is additionally asserted in SimilaritySpec.
     "sim_lsh_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        5, dim = 64, bits = 6)
+        5, dim = 64, bits = 6, ordinal = true)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -577,6 +580,17 @@ object SparkEntry {
       s"sh AS (SELECT doc_id, ($bitTerms)::BIGINT AS simhash FROM hs)"
   }
 
+  /** DuckDB rendition of [[graft.operators.Similarity.ordinalSketch]]:
+    * Σ_h CASE WHEN vec[a_h+1] > vec[b_h+1] THEN 2^h — the SAME md5-derived
+    * index pairs the Scala side uses (the pairs are the operator's
+    * parameters, like a seed; the sketch/bucketing/ranking computation
+    * itself is expressed independently in SQL). DuckDB lists are 1-based.
+    */
+  private def ordinalSketchSql(vecExpr: String, dim: Int, bits: Int, seed: Long): String =
+    Similarity.ordinalIndexPairs(dim, bits, seed).zipWithIndex.map { case ((a, b), h) =>
+      s"(CASE WHEN $vecExpr[${a + 1}] > $vecExpr[${b + 1}] THEN ${1L << h} ELSE 0 END)"
+    }.mkString("(", " + ", ")::BIGINT")
+
   /** Exact word-bigram Jaccard pairs (threshold 0.1) — shared by the
     * d4_ngram_jaccard and d6_components oracles.
     */
@@ -592,11 +606,50 @@ object SparkEntry {
       "GROUP BY a.doc_id, b.doc_id " +
       "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.1"
 
-  /** DuckDB SQL equivalents. Omitted only for the structurally-approximate
-    * LSH paths (d5b_embed_lsh, sim_lsh_topk — seeded hyperplanes aren't
-    * SQL-expressible) → driver rows-only check + recall asserted in tests.
+  /** DuckDB SQL equivalents — one per `queries` entry, zero omissions: the
+    * LSH paths use ordinal sketches (comparisons only, no float
+    * arithmetic), so even the approximate paths replay bit-identically.
     */
   def oracleSql: Map[String, String] = Map(
+    "d5b_embed_lsh" -> {
+      // 32 bands × 4-bit ordinal band keys, seeds 1000+b — mirrors
+      // Similarity.lshCandidates(ordinal = true) + exact cosine verify
+      val bandSelects = (0 until 32).map { b =>
+        s"SELECT vec_id, $b AS band, " +
+          ordinalSketchSql("embedding", dim = 64, bits = 4, seed = 1000L + b) +
+          " AS bkey FROM embeddings"
+      }.mkString(" UNION ALL ")
+      s"WITH bands AS ($bandSelects), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2 " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+        "AND a.vec_id < b.vec_id) " +
+        "SELECT c.id_1, c.id_2, " +
+        "round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) AS cosine " +
+        "FROM cand c JOIN embeddings e1 ON c.id_1 = e1.vec_id " +
+        "JOIN embeddings e2 ON c.id_2 = e2.vec_id " +
+        "WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) >= 0.45 " +
+        "ORDER BY id_1, id_2"
+    },
+
+    "sim_lsh_topk" -> {
+      // 6-bit ordinal bucket (seed 42) + 1-bit multiprobe + exact cosine +
+      // deterministic rank — mirrors Similarity.lshTopK(ordinal = true)
+      val bucket = ordinalSketchSql("embedding", dim = 64, bits = 6, seed = 42L)
+      s"WITH sk AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb FROM sk WHERE vec_id < 10), " +
+        "probes AS (SELECT query_id, qe, qb AS bucket FROM q " +
+        "UNION ALL SELECT query_id, qe, xor(qb, (1::BIGINT << r.range)) AS bucket " +
+        "FROM q CROSS JOIN range(0, 6) r), " +
+        "scored AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(p.qe::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine " +
+        "FROM probes p JOIN sk c ON p.bucket = c.bucket AND c.vec_id != p.query_id), " +
+        "ranked AS (SELECT query_id, neighbor_id, cosine, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank " +
+        "FROM scored) " +
+        "SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"
+    },
+
     "q_load_chain" ->
       ("SELECT o_custkey, max(o_orderdate) AS o_orderdate, " +
         "max(o_totalprice) AS o_totalprice FROM orders " +

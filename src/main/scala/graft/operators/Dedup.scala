@@ -377,8 +377,9 @@ object Dedup {
     */
   def embeddingNearDupsLSH(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, dim: Int,
-                           bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
-    val candidates = Similarity.lshCandidates(df, idCol, vecCol, dim, bands, bitsPerBand)
+                           bands: Int = 16, bitsPerBand: Int = 8,
+                           ordinal: Boolean = false): DataFrame = {
+    val candidates = Similarity.lshCandidates(df, idCol, vecCol, dim, bands, bitsPerBand, ordinal)
     val v1 = df.select(col(idCol).as("id_1"), col(vecCol).as("v_1"))
     val v2 = df.select(col(idCol).as("id_2"), col(vecCol).as("v_2"))
     candidates.join(v1, "id_1").join(v2, "id_2")

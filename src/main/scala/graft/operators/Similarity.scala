@@ -100,6 +100,48 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** md5-derived coordinate index pairs for [[ordinalSketch]] — reproducible
+    * in any engine or language (no JVM RNG): a_h / b_h come from the leading
+    * 8 bytes of md5("<seed>:<h>:a" / ":b"), b rejection-resampled ("b1",
+    * "b2", ...) until distinct from a.
+    */
+  def ordinalIndexPairs(dim: Int, bits: Int, seed: Long): IndexedSeq[(Int, Int)] = {
+    require(dim >= 2, "ordinalSketch needs at least 2 coordinates")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def idx(h: Int, tag: String): Int = {
+      val d = md.digest(s"$seed:$h:$tag".getBytes("UTF-8"))
+      ((BigInt(1, d.take(8)).toLong & Long.MaxValue) % dim).toInt
+    }
+    (0 until bits).map { h =>
+      val a = idx(h, "a")
+      var b = idx(h, "b")
+      var k = 0
+      while (b == a) { k += 1; b = idx(h, "b" + k) }
+      (a, b)
+    }
+  }
+
+  /** Ordinal (winner-take-all-style) H-bit sketch: bit h = 1 iff
+    * vec[a_h] > vec[b_h] for md5-derived index pairs (a_h, b_h) — rank-
+    * correlation LSH in the WTA-hashing family (Yagnik et al., ICCV 2011).
+    * For jointly-Gaussian coordinates the bit-collision probability for a
+    * pair with correlation ρ is 1 - acos(ρ)/π — the SAME S-curve as the
+    * Gaussian sign sketch (the coordinate-difference vector plays the role
+    * of the random hyperplane) — so banding parameters transfer unchanged.
+    *
+    * The point of this variant: ZERO floating-point arithmetic — only
+    * comparisons of stored values — so the sketch is bit-identical in any
+    * engine reading the same floats. A projection sketch's sign can flip
+    * between engines when the dot product lands near 0 (summation-order
+    * ulps), which is why [[signSketch]] paths are not oracle-checkable but
+    * ordinal ones are.
+    */
+  def ordinalSketch(vec: org.apache.spark.sql.Column, dim: Int, bits: Int,
+                    seed: Long = 42L): org.apache.spark.sql.Column =
+    ordinalIndexPairs(dim, bits, seed).zipWithIndex.map { case ((a, b), h) =>
+      when(element_at(vec, a + 1) > element_at(vec, b + 1), lit(1L << h)).otherwise(0L)
+    }.reduce(_ + _)
+
   /** Banded sign-sketch candidate pairs for high-threshold cosine
     * similarity: `bands` independent `bitsPerBand`-bit sketches (one seed
     * per band); a pair is a candidate iff some band matches exactly.
@@ -109,12 +151,15 @@ object Similarity {
     * Exact-verify downstream ([[Dedup.embeddingNearDupsLSH]]).
     */
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                    bands: Int = 16, bitsPerBand: Int = 8): DataFrame = {
+                    bands: Int = 16, bitsPerBand: Int = 8,
+                    ordinal: Boolean = false): DataFrame = {
+    def sketch(b: Int) =
+      if (ordinal) ordinalSketch(col(vecCol), dim, bitsPerBand, seed = 1000L + b)
+      else signSketch(col(vecCol), dim, bitsPerBand, seed = 1000L + b)
     val bandRows = df.select(
       col(idCol),
       explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          signSketch(col(vecCol), dim, bitsPerBand, seed = 1000L + b).as("bkey"))
+        struct(lit(b).as("band"), sketch(b).as("bkey"))
       }: _*)).as("bd"))
       .select(col(idCol), col("bd.band"), col("bd.bkey"))
     val l = bandRows.select(col(idCol).as("id_1"), col("band"), col("bkey"))
@@ -130,11 +175,15 @@ object Similarity {
     * one neighbor cannot occupy two top-k slots).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, dim: Int, bits: Int = 12): DataFrame = {
+              vecCol: String, k: Int, dim: Int, bits: Int = 12,
+              ordinal: Boolean = false): DataFrame = {
+    val sketch =
+      if (ordinal) ordinalSketch(col(vecCol), dim, bits)
+      else signSketch(col(vecCol), dim, bits)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      signSketch(col(vecCol), dim, bits).as("bucket"))
+      sketch.as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      signSketch(col(vecCol), dim, bits).as("qb"))
+      sketch.as("qb"))
       // probe own bucket + every bucket one bit-flip away
       .withColumn("bucket", explode(array(
         (col("qb") +: (0 until bits).map(b => col("qb").bitwiseXOR(lit(1L << b)))): _*)))

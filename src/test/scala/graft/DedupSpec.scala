@@ -143,5 +143,15 @@ class DedupSpec extends SparkTestBase {
     val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
     info(f"embeddingNearDupsLSH recall at 0.45 (32x4): $recall%.3f over ${exact.size} pairs")
     assert(recall >= 0.9, f"S-curve predicts ~0.998 recall; measured $recall%.3f")
+
+    // the ordinal (oracle-checkable) sketch family shares the same
+    // collision S-curve — same banding must deliver comparable recall
+    val ord = Dedup.embeddingNearDupsLSH(emb, "vec_id", "embedding", 0.45,
+      dim = 64, bands = 32, bitsPerBand = 4, ordinal = true)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(ord.subsetOf(exact), "ordinal path: exact verify forbids false positives")
+    val ordRecall = if (exact.isEmpty) 1.0 else ord.size.toDouble / exact.size
+    info(f"embeddingNearDupsLSH(ordinal) recall at 0.45 (32x4): $ordRecall%.3f")
+    assert(ordRecall >= 0.9, f"ordinal S-curve matches sign-LSH; measured $ordRecall%.3f")
   }
 }

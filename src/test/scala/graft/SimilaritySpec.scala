@@ -56,6 +56,33 @@ class SimilaritySpec extends SparkTestBase {
     a.foreach(v => assert(v >= 0 && v < (1L << 12)))
   }
 
+  test("ordinalSketch: deterministic, in bit range, distinct md5-derived index pairs") {
+    val pairs = Similarity.ordinalIndexPairs(64, 16, seed = 7L)
+    assert(pairs.length == 16 && pairs.forall { case (a, b) => a != b })
+    assert(pairs == Similarity.ordinalIndexPairs(64, 16, seed = 7L), "pairs are a pure function of (dim,bits,seed)")
+    assert(pairs != Similarity.ordinalIndexPairs(64, 16, seed = 8L), "seed must matter")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val a = emb.select(Similarity.ordinalSketch(col("embedding"), 64, 12).as("s")).as[Long].collect()
+    val b = emb.select(Similarity.ordinalSketch(col("embedding"), 64, 12).as("s")).as[Long].collect()
+    assert(a.toSeq == b.toSeq)
+    a.foreach(v => assert(v >= 0 && v < (1L << 12)))
+  }
+
+  test("lshTopK(ordinal): recall comparable to the sign-sketch path") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ord = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      dim = 64, bits = 6, ordinal = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ord).size.toDouble / exact.size
+    info(f"lshTopK(ordinal) recall@5: $recall%.3f")
+    // ordinal bits share the sign-LSH collision S-curve (1 - acos(rho)/pi
+    // for gaussian coordinates) — same floor as the sign-sketch test
+    assert(recall >= 0.2, "ordinal ANN recall must clearly beat random sampling")
+  }
+
   test("lshCandidates emits unordered pairs, no self-pairs, subset of all pairs") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
     val cand = Similarity.lshCandidates(emb, "vec_id", "embedding", 64, bands = 8, bitsPerBand = 4)
