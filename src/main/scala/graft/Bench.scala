@@ -41,7 +41,11 @@ object Bench {
     // deterministic (sorted) execution order: hash-map order changes when
     // queries are added, which silently moves cache-fill and codegen-warmup
     // costs between queries across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run — for focused iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       System.gc() // isolate queries from each other's garbage
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }

@@ -528,6 +528,38 @@ object SparkEntry {
       Sampling.deterministicSample(Tables.documents(s, d), "doc_id", 0.1)
         .select("doc_id").orderBy("doc_id")),
 
+    // S5b: stratified per-language sampling — corpus balancing with
+    // per-stratum keep fractions (strata absent from the map are dropped)
+    "s5b_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // D6b: canonical-keep — the corpus minus every near-dup cluster member
+    // that is not its cluster's minimum id (the end-to-end dedup output)
+    "d6b_keep_canonical" -> ((s, d) =>
+      Dedup.keepCanonical(Tables.documents(s, d), "doc_id",
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.1))
+        .select("doc_id", "n_chars").orderBy("doc_id")),
+
+    // T7: vocabulary build — token histogram, deterministic top-100
+    "t7_vocab" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(100)),
+
+    // G7: grouped exact percentiles (linear-interpolating, matches
+    // DuckDB quantile_cont) — the quantile surface beyond median
+    "g7_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_l_quantity"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_l_quantity"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75_l_quantity"),
+          round(expr("percentile(l_quantity, 0.99)"), 4).as("p99_l_quantity"))
+        .orderBy("l_returnflag")),
+
     // T5: corpus statistics — doc count, token totals, mean quality.
     // avg computed as exact decimal sum of per-row 4dp scores ÷ count (the
     // q1 pattern) so summation order cannot flip the rounded result.
@@ -1034,6 +1066,38 @@ object SparkEntry {
       (s"SELECT doc_id FROM documents WHERE " +
         s"('0x' || substr(md5(doc_id::VARCHAR || '_0'), 1, 15))::BIGINT < " +
         s"${(BigDecimal(0.1) * BigDecimal(1L << 60)).toLong} ORDER BY doc_id"),
+
+    "s5b_stratified" -> {
+      def th(f: Double) = (BigDecimal(f) * BigDecimal(1L << 60)).toLong
+      "SELECT doc_id, lang FROM documents WHERE " +
+        "('0x' || substr(md5(doc_id::VARCHAR || '_0'), 1, 15))::BIGINT < " +
+        s"(CASE WHEN lang = 'en' THEN ${th(0.5)} WHEN lang = 'de' THEN ${th(0.25)} " +
+        s"WHEN lang = 'fr' THEN ${th(1.0)} ELSE -1 END) ORDER BY doc_id"
+    },
+
+    "d6b_keep_canonical" ->
+      (s"WITH RECURSIVE pairs AS ($bigramJaccardSql), " +
+        "bidir AS (SELECT id_1, id_2 FROM pairs UNION SELECT id_2, id_1 FROM pairs), " +
+        "nodes AS (SELECT DISTINCT id_1 AS id FROM bidir), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT b.id_1, r.r FROM reach r JOIN bidir b ON b.id_2 = r.id), " +
+        "losers AS (SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id) " +
+        "WHERE id != component) " +
+        "SELECT doc_id, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id"),
+
+    "t7_vocab" ->
+      ("SELECT token, count(*) AS n FROM (SELECT unnest(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents) " +
+        "GROUP BY token ORDER BY n DESC, token ASC LIMIT 100"),
+
+    "g7_percentiles" ->
+      ("SELECT l_returnflag, " +
+        "round(quantile_cont(l_quantity, 0.25), 4) AS p25_l_quantity, " +
+        "round(quantile_cont(l_quantity, 0.5), 4) AS p50_l_quantity, " +
+        "round(quantile_cont(l_quantity, 0.75), 4) AS p75_l_quantity, " +
+        "round(quantile_cont(l_quantity, 0.99), 4) AS p99_l_quantity " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "t5_corpus_stats" ->
       ("SELECT count(*) AS n_docs, " +

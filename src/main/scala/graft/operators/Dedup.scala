@@ -231,9 +231,22 @@ object Dedup {
     val edges = pairs.select(col("id_1"), col("id_2")).localCheckpoint()
     val lp = if (labelPartitions > 0) labelPartitions
              else math.max(2, edges.sparkSession.sparkContext.defaultParallelism / 8)
+    // bidir is read every round as the probe side of the propagate join —
+    // materialize it ONCE, hash-partitioned by the join key at label scale
+    // (a plain union would carry 2× the edge-pipeline partition count into
+    // every round's join stage; the label frames are a few machine words
+    // per node, so lp-wide stages, not corpus-wide ones)
     val bidir = edges.union(edges.select(col("id_2").as("id_1"), col("id_1").as("id_2")))
-    var labels = edges.select(explode(array(col("id_1"), col("id_2"))).as("id")).distinct()
-      .withColumn("component", col("id"))
+      .repartition(lp, col("id_2"))
+      .localCheckpoint()
+    // Round 1 folded into the seed: every node starts at its own id, so the
+    // first propagate-merge is just min(self, neighbors) — one aggregation
+    // (bidir holds both directions, so DISTINCT id_1 covers every node),
+    // replacing a separate node-distinct job + checkpoint + full round.
+    var labels = bidir
+      .select(col("id_1").as("id"), least(col("id_1"), col("id_2")).as("component"))
+      .repartition(lp, col("id"))
+      .groupBy("id").agg(min("component").as("component"))
       .localCheckpoint()
     // Convergence check without a join: labels only ever DECREASE (every
     // round takes a min over {own label} ∪ neighbors ∪ label-of-label), so
@@ -248,7 +261,7 @@ object Dedup {
     }
     var prevSum = labelSum(labels)
     var converged = false
-    var i = 0
+    var i = 1 // the seed above IS round 1
     while (i < maxIter && !converged) {
       val prev = labels
       val propagated = bidir.join(prev, bidir("id_2") === prev("id"))
@@ -258,8 +271,8 @@ object Dedup {
       // self-join on the union-derived frame trips Union constraint
       // rewriting with a missing-attribute error)
       val merged = prev.select("id", "component").union(propagated)
+        .repartition(lp, col("id"))
         .groupBy("id").agg(min("component").as("component"))
-        .coalesce(lp)
         .localCheckpoint()
       // pointer jumping: also adopt the label OF the current label — halves
       // the remaining diameter every round, so long chains converge in
