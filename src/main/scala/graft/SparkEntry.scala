@@ -495,6 +495,23 @@ object SparkEntry {
           col("meta.duration_ms").as("duration_ms"))
         .orderBy("doc_id")),
 
+    // M3: uniform temporal frame sampling over video payloads — k evenly-
+    // spaced frame indices per clip, one row per sampled frame
+    "m3_frame_sample" -> ((s, d) => {
+      val decoded = Multimodal.decodeBatches(s,
+        Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text"), "doc_id")
+        .toDF()
+      Multimodal.uniformFrameSample(decoded.filter(col("media_type") === "video"),
+        "doc_id", 8)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // V1: per-label embedding centroids (class prototypes) — map-side
+    // partial aggregation of per-coordinate means, long-format output
+    "v1_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding", 64)
+        .orderBy("label", "dim_idx")),
+
     // J3: as-of join — for each purchase, the latest preceding click by
     // that user (union-merge formulation, one shuffle)
     "j3_asof_join" -> ((s, d) => {
@@ -1029,6 +1046,19 @@ object SparkEntry {
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
         "ELSE 'video' END AS media_type, octet_length(encode(text))::BIGINT AS byte_len, " +
         "sha256(text) AS sha256 FROM documents ORDER BY doc_id"),
+
+    "m3_frame_sample" ->
+      ("WITH m AS (SELECT doc_id, " +
+        "(1 + ('0x' || substr(sha256(text),13,6))::BIGINT % 14400)::BIGINT AS n_frames " +
+        "FROM documents WHERE doc_id % 3 = 2) " +
+        "SELECT DISTINCT doc_id, (r.range * n_frames) // 8 AS frame_idx " +
+        "FROM m CROSS JOIN range(0, 8) r ORDER BY doc_id, frame_idx"),
+
+    "v1_label_centroids" ->
+      ("SELECT label, count(*) AS n_vecs, r.range AS dim_idx, " +
+        "round(avg(embedding[r.range + 1]), 4) AS centroid_val " +
+        "FROM embeddings CROSS JOIN range(0, 64) r " +
+        "GROUP BY label, r.range ORDER BY label, dim_idx"),
 
     "j3_asof_join" ->
       ("WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +

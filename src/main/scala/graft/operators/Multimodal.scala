@@ -80,4 +80,18 @@ object Multimodal {
     df.withColumn("frame_indices",
       transform(sequence(lit(0), lit(k - 1)),
         i => pmod(xxhash64(col("payload"), i), greatest(col("meta.n_frames").cast("long"), lit(1L)))))
+
+  /** Uniform temporal frame sampling — the standard video-pipeline recipe:
+    * k evenly-spaced indices `floor(i·n_frames/k)`, deduplicated when the
+    * clip has fewer than k frames. One output row per (doc, frame). Pure
+    * integer arithmetic (no hash, no float), so the selection is identical
+    * in any engine. Narrow op: expands rows ≤ k× with no shuffle; real
+    * frame extraction plugs into the downstream `mapPartitions` decode.
+    */
+  def uniformFrameSample(decoded: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "uniformFrameSample: k must be >= 1")
+    decoded.select(col(idCol), col("meta.n_frames").cast("long").as("_nf"))
+      .select(col(idCol), explode(array_distinct(
+        expr(s"transform(sequence(0, ${k - 1}), i -> (i * _nf) div $k)"))).as("frame_idx"))
+  }
 }

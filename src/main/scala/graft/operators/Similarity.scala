@@ -169,6 +169,25 @@ object Similarity {
       .select("id_1", "id_2").distinct()
   }
 
+  /** Per-label embedding centroids in long format: (label, n_vecs,
+    * dim_idx, centroid_val). One aggregation with `dim` per-coordinate
+    * `avg(element_at(vec, i))` columns — partial-aggregated map-side, so
+    * the exchange carries #labels × dim doubles, never vectors (the
+    * posexplode to long format runs AFTER the aggregate, on #labels rows).
+    * The explode-first formulation (n×dim rows through the shuffle) is the
+    * anti-pattern this avoids.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+                     dim: Int, roundTo: Int = 4): DataFrame = {
+    val cent = df.groupBy(labelCol)
+      .agg(count(lit(1)).as("n_vecs"),
+        array((0 until dim).map(i =>
+          round(avg(element_at(col(vecCol), i + 1)), roundTo)): _*).as("_centroid"))
+    cent.select(col(labelCol), col("n_vecs"), posexplode(col("_centroid")))
+      .select(col(labelCol), col("n_vecs"),
+        col("pos").cast("long").as("dim_idx"), col("col").as("centroid_val"))
+  }
+
   /** LSH-bucketed approximate top-k with 1-bit multiprobe. Candidates from
     * bucket collisions only; exact scores; the same k-bounded aggregate as
     * [[bruteForceTopK]] ranks them (multiprobe duplicates removed first so

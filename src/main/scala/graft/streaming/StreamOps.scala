@@ -55,6 +55,23 @@ object StreamOps {
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
   }
 
+  /** Streaming exact dedup (E3): keep the FIRST arrival of each normalized-
+    * text fingerprint, drop later duplicates — ingest-time dedup for a
+    * continuously-fed corpus (batch analogue: [[graft.operators.Dedup.exact]]).
+    * `dropDuplicatesWithinWatermark` bounds the fingerprint state: dups
+    * arriving within the watermark horizon dedup exactly, and state older
+    * than the watermark is evicted — at continuous 100 TB-scale ingest,
+    * unbounded dedup state is the failure mode, so the watermark is the
+    * explicit knob trading dedup horizon for state size. Only the 16-byte
+    * fingerprint + event-time is held per distinct document, never text.
+    */
+  def dedupExactStreaming(docs: DataFrame, textCol: String, tsCol: String,
+                          watermark: String): DataFrame =
+    docs.withColumn("fingerprint", graft.functions.Text.fingerprint(col(textCol)))
+      .withColumn("event_time", timestamp_micros(col(tsCol)))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   case class SessionOut(user_id: Long, n_events: Long, session_start_us: Long,
                         session_end_us: Long, duration_us: Long)

@@ -56,6 +56,24 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupExactStreaming: first arrival wins; later normalized-equal docs dropped (E3 streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val src = mem.toDF().toDF("doc_id", "text", "ts_us")
+    val q = StreamOps.dedupExactStreaming(src, "text", "ts_us", "10 seconds")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1000000000L * 1000000L
+      mem.addData((1L, "Hello,  World!", t0), (2L, "hello world", t0 + 1))
+      mem.addData((3L, "a different document", t0 + 2))
+      mem.addData((4L, "HELLO WORLD?!", t0 + 3)) // same fingerprint as 1/2
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L), s"expected first-arrival dedup, got $kept")
+    } finally q.stop()
+  }
+
   test("sessionizeStreaming: a later event past the gap closes and emits the old session (E2 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Ev]
