@@ -472,6 +472,12 @@ object SparkEntry {
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // T8: repetition score — Gopher-style duplicate-token quality signal
+    "t8_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.repetitionScore(col("text")).as("repetition"))
+        .orderBy("doc_id")),
+
     // M1: multimodal binary payload metadata (oracle-checkable scalars)
     "m1_multimodal_meta" -> ((s, d) =>
       Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text")
@@ -1040,6 +1046,12 @@ object SparkEntry {
 
     "t4_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint " +
+        "FROM documents ORDER BY doc_id"),
+
+    "t8_repetition" ->
+      ("SELECT doc_id, round(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) > 0 " +
+        "THEN 1.0 - len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))::DOUBLE / " +
+        "len(regexp_split_to_array(lower(trim(text)), '\\s+'))::DOUBLE ELSE 0.0 END, 4) AS repetition " +
         "FROM documents ORDER BY doc_id"),
 
     "m1_multimodal_meta" ->

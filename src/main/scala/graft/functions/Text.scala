@@ -72,6 +72,19 @@ object Text {
     round(lenComponent * lit(0.5) + stopComponent * lit(0.3) + punctComponent * lit(0.2), 4)
   }
 
+  /** Repetition score in [0,1]: 1 − distinct-words/words over casefolded
+    * whitespace tokens — 0 = no repetition, →1 = the document is one token
+    * repeated (Gopher-style "repetition" quality signal; heavily repeated
+    * boilerplate/spam scores high and gets filtered upstream of training).
+    * Single-pass array expressions, no shuffle.
+    */
+  def repetitionScore(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val n = size(words).cast("double")
+    round(when(n > 0, lit(1.0) - size(array_distinct(words)).cast("double") / n)
+      .otherwise(0.0), 4)
+  }
+
   /** Document fingerprint: md5 of the casefolded, alphanumeric-only
     * normalization — equal fingerprints ⇔ texts equal modulo case,
     * punctuation, and whitespace. The exact-dedup key at scale (16-byte key

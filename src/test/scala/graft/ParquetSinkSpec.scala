@@ -1,0 +1,44 @@
+package graft
+
+import graft.sources.ParquetSink
+import org.apache.spark.sql.functions._
+
+/** Sharded / partitioned parquet output. */
+class ParquetSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("writeSharded: exact shard count, lossless round-trip, partitioning-invariant membership") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = "target/tmp/sink_sharded"
+    ParquetSink.writeSharded(docs, path, "doc_id", 4)
+    val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 shard files, got ${files.length}")
+    val back = spark.read.parquet(path)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").as[Long].collect().sorted.toSeq ==
+      docs.select("doc_id").as[Long].collect().sorted.toSeq)
+    // membership must be a function of the id, not the input partitioning
+    val fileOf = (p: String) => spark.read.parquet(p)
+      .select(col("doc_id"), input_file_name().as("f"))
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.head._2.split("/").last).toMap
+    val m1 = fileOf(path)
+    ParquetSink.writeSharded(docs.repartition(13), path + "_b", "doc_id", 4)
+    val m2 = fileOf(path + "_b")
+    val sameGrouping = m1.groupBy(_._2).values.map(_.keySet).toSet ==
+      m2.groupBy(_._2).values.map(_.keySet).toSet
+    assert(sameGrouping, "shard membership must not depend on input partitioning")
+  }
+
+  test("writePartitioned: hive layout; scans prune to the filtered partition") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = "target/tmp/sink_partitioned"
+    ParquetSink.writePartitioned(docs, path, "lang")
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("lang=")) && dirs.nonEmpty)
+    val one = spark.read.parquet(path).filter(col("lang") === "en")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"partition filter must prune at plan time:\n$plan")
+    assert(one.count() == docs.filter(col("lang") === "en").count())
+  }
+}

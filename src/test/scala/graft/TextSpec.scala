@@ -44,6 +44,18 @@ class TextSpec extends SparkTestBase {
     assert(sh == Set("a b", "b a", "b c"))
   }
 
+  test("repetitionScore: 0 for all-distinct, ->1 for one repeated token, bounded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),  // all distinct -> 0
+      (2L, "spam spam spam spam"),     // 1 distinct of 4 -> 0.75
+      (3L, "The the THE mix")          // casefolds: the x3 + mix -> 0.5
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), Text.repetitionScore(col("text")).as("r"))
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 0.0), (2L, 0.75), (3L, 0.5)))
+  }
+
   test("qualityScore stays within [0,1] on testdata") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val mm = docs.select(Text.qualityScore(col("text")).as("q"))
