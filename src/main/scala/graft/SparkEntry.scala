@@ -273,6 +273,31 @@ object SparkEntry {
           round(col("rolling_avg"), 4).as("rolling_avg"))
         .orderBy("user_id", "ts_us", "event_id")),
 
+    // A18: lag-window per-series delta (the §2.3 lag/lead surface)
+    "a18_lag_delta" -> ((s, d) =>
+      Analytics.lagDelta(Tables.events(s, d), "user_id", Seq("ts_us", "event_id"),
+        "value", "delta")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("delta"), 4).as("delta"))
+        .orderBy("user_id", "ts_us", "event_id")),
+
+    // X2b: INTERSECT set semantics — customers with both O and F orders
+    "x2b_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      Ops.intersect(
+        o.filter(col("o_orderstatus") === "O").select("o_custkey"),
+        o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // G8: HAVING — post-aggregation filter on the aggregate value
+    "g8_having" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 1000)
+        .orderBy("l_returnflag", "l_linestatus")),
+
     // X1: guarded pairwise-complete Pearson correlation
     "x1_corr" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -896,6 +921,22 @@ object SparkEntry {
         "round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
         "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rolling_avg " +
         "FROM events ORDER BY user_id, ts_us, event_id"),
+
+    "a18_lag_delta" ->
+      ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+        "round(value - lag(value) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(ts), event_id), 4) AS delta " +
+        "FROM events ORDER BY user_id, ts_us, event_id"),
+
+    "x2b_intersect" ->
+      ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+        "INTERSECT " +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' ORDER BY o_custkey"),
+
+    "g8_having" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem " +
+        "GROUP BY l_returnflag, l_linestatus HAVING count(*) >= 1000 " +
+        "ORDER BY l_returnflag, l_linestatus"),
 
     "x1_corr" ->
       ("SELECT round(CASE WHEN count(CASE WHEN l_quantity IS NOT NULL AND " +

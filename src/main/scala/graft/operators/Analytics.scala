@@ -79,6 +79,17 @@ object Analytics {
     df.withColumn(out, avg(col(valueCol)).over(w))
   }
 
+  /** A18 — per-series lag difference (day-over-day-style delta): value −
+    * previous value in (key, orderCols) order; null for each series' first
+    * row. One shuffle to co-locate series, then a single sorted pass —
+    * lag/lead share the window SortExec with any other same-spec window op.
+    */
+  def lagDelta(df: DataFrame, key: String, orderCols: Seq[String],
+               valueCol: String, out: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(orderCols.map(col): _*)
+    df.withColumn(out, col(valueCol) - lag(col(valueCol), 1).over(w))
+  }
+
   /** X1 — guarded pairwise-complete Pearson r
     * (`/root/reference/src/dataframe.py:250-273`): null when fewer than
     * `minPairs` complete pairs, 0.0 on zero denominator (constant series).
