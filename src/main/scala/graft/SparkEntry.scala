@@ -120,6 +120,38 @@ object SparkEntry {
       .orderBy("r_c_nationkey")
   }
 
+  /** Flagship LLM-pipeline composition — the training-data counterpart of
+    * the reference entry-point chains: language gate (T1) → quality gate
+    * (T2) → repetition gate (T8) → exact dedup keep-min (D1) → near-dup
+    * canonical keep (D4 pairs + D6 components) → reproducible 50% sample
+    * (S5) → token count (T3) → token-budget packing (T6). Every stage is
+    * individually oracle-verified; this chain verifies their COMPOSITION
+    * end-to-end (filter ordering, id flow, determinism across stages).
+    * Scale shape: the gates and sample are narrow row-wise filters that
+    * shrink the corpus BEFORE the pairwise dedup stage — the standard
+    * funnel (cheap filters first, quadratic-risk ops on the survivors).
+    */
+  def pipelineChain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val gated = docs.filter(
+      Text.langId(col("text")) === "en" &&
+        Text.qualityScore(col("text")) >= 0.3 &&
+        Text.repetitionScore(col("text")) <= 0.5)
+    // exact dedup: keep each fingerprint class' min id (semi-join on the
+    // D1 representative set — the kept-row formulation of Dedup.exact)
+    val exactKeep = gated.join(
+      Dedup.exact(gated, "doc_id", "text").select("doc_id"), Seq("doc_id"), "left_semi")
+    val nearKeep = Dedup.keepCanonical(exactKeep, "doc_id",
+      Dedup.ngramJaccardPairs(exactKeep, "doc_id", "text", 2, 0.1))
+    val sampled = Sampling.deterministicSample(nearKeep, "doc_id", 0.5)
+    val toks = sampled.select(col("doc_id"),
+      Text.bpeTokens(col("text")).cast("long").as("n_tokens"))
+    Packing.packByTokenBudget(toks, "doc_id", "n_tokens", budget = 4096, shards = 8,
+      shardExpr = Some(pmod(col("doc_id"), lit(8))))
+      .select("doc_id", "n_tokens", "shard", "bin")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -337,6 +369,10 @@ object SparkEntry {
 
     // full pipeline: the reference's entry-point-2 dashboard chain (SURVEY §3)
     "q_dashboard_chain" -> ((s, d) => dashboardChain(s, d)),
+
+    // full pipeline: the LLM training-data funnel (gates → dedup → near-dup
+    // keep → sample → packing), every stage composed end-to-end
+    "q_pipeline_chain" -> ((s, d) => pipelineChain(s, d)),
 
     // G3 arbitrary-function aggregate surface: typed Aggregator (order-
     // independent example fns so the oracle compare is exact)
@@ -660,6 +696,33 @@ object SparkEntry {
       s"sh AS (SELECT doc_id, ($bitTerms)::BIGINT AS simhash FROM hs)"
   }
 
+  /** DuckDB expression snippets for the text gates — single definitions
+    * shared by the t1/t2/t8 oracles and the q_pipeline_chain composition
+    * (`t` = a text-typed column reference).
+    */
+  private def langHitsSql(t: String, pat: String): String =
+    s"len(regexp_extract_all(lower($t), '$pat'))"
+  private def langIdSql(t: String): String = {
+    val Seq(en, de, fr, es) = Text.LangPatterns.map { case (_, p) => langHitsSql(t, p) }
+    s"(CASE WHEN $en = 0 AND $de = 0 AND $fr = 0 AND $es = 0 THEN 'und' " +
+      s"WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en' " +
+      s"WHEN $de >= $fr AND $de >= $es THEN 'de' " +
+      s"WHEN $fr >= $es THEN 'fr' ELSE 'es' END)"
+  }
+  private def qualitySql(t: String): String = {
+    val en = langHitsSql(t, Text.LangPatterns.head._2)
+    val toks = s"len(regexp_split_to_array(trim($t), '\\s+'))::DOUBLE"
+    s"round(least(1.0, $toks / 200.0) * 0.5 + " +
+      s"least(1.0, $en::DOUBLE / greatest($toks * 0.05, 1.0)) * 0.3 + " +
+      s"(1.0 - least(1.0, len(regexp_extract_all($t, '[^\\w\\s]'))::DOUBLE / " +
+      s"greatest(length($t)::DOUBLE, 1.0))) * 0.2, 4)"
+  }
+  private def repetitionSql(t: String): String = {
+    val words = s"regexp_split_to_array(lower(trim($t)), '\\s+')"
+    s"round(CASE WHEN len($words) > 0 THEN 1.0 - " +
+      s"len(list_distinct($words))::DOUBLE / len($words)::DOUBLE ELSE 0.0 END, 4)"
+  }
+
   /** DuckDB rendition of [[graft.operators.Similarity.ordinalSketch]]:
     * Σ_h CASE WHEN vec[a_h+1] > vec[b_h+1] THEN 2^h — the SAME md5-derived
     * index pairs the Scala side uses (the pairs are the operator's
@@ -671,20 +734,23 @@ object SparkEntry {
       s"(CASE WHEN $vecExpr[${a + 1}] > $vecExpr[${b + 1}] THEN ${1L << h} ELSE 0 END)"
     }.mkString("(", " + ", ")::BIGINT")
 
-  /** Exact word-bigram Jaccard pairs (threshold 0.1) — shared by the
-    * d4_ngram_jaccard and d6_components oracles.
+  /** Exact word-bigram Jaccard pairs over relation `src` (threshold `th`) —
+    * shared by the d4_ngram_jaccard / d6_components / q_pipeline_chain
+    * oracles. `src` must expose (doc_id, text).
     */
-  private val bigramJaccardSql: String =
-    "WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
-      "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+'))), " +
-      "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
-      "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1])) AS grams FROM documents), " +
+  private def bigramJaccardSqlOver(src: String, th: Double): String =
+    s"WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
+      s"range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+'))), " +
+      s"i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
+      s"regexp_split_to_array(lower(trim(text)), '\\s+')[i+1])) AS grams FROM $src), " +
       "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh) " +
       "SELECT a.doc_id AS id_1, b.doc_id AS id_2, " +
       "round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard " +
       "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
       "GROUP BY a.doc_id, b.doc_id " +
-      "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.1"
+      s"HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= $th"
+
+  private val bigramJaccardSql: String = bigramJaccardSqlOver("documents", 0.1)
 
   /** DuckDB SQL equivalents — one per `queries` entry, zero omissions: the
     * LSH paths use ordinal sketches (comparisons only, no float
@@ -762,6 +828,32 @@ object SparkEntry {
         "n.n_regionkey AS r_n_regionkey, t.tile_avg_totalprice " +
         "FROM stats s JOIN nation n ON s.r_c_nationkey = n.n_nationkey CROSS JOIN tile t " +
         "ORDER BY r_c_nationkey"),
+
+    "q_pipeline_chain" -> {
+      val sampleTh = (BigDecimal(0.5) * BigDecimal(1L << 60)).toLong
+      "WITH RECURSIVE " +
+        s"gated AS (SELECT doc_id, text FROM documents WHERE ${langIdSql("text")} = 'en' " +
+        s"AND ${qualitySql("text")} >= 0.3 AND ${repetitionSql("text")} <= 0.5), " +
+        "dmin AS (SELECT min(doc_id) AS doc_id FROM gated " +
+        "GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))), " +
+        "kept AS (SELECT g.doc_id, g.text FROM gated g JOIN dmin USING (doc_id)), " +
+        s"pairs AS (${bigramJaccardSqlOver("kept", 0.1)}), " +
+        "bidir AS (SELECT id_1, id_2 FROM pairs UNION SELECT id_2, id_1 FROM pairs), " +
+        "nodes AS (SELECT DISTINCT id_1 AS id FROM bidir), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT b.id_1, r.r FROM reach r JOIN bidir b ON b.id_2 = r.id), " +
+        "losers AS (SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id) " +
+        "WHERE id != component), " +
+        "final AS (SELECT doc_id, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens, " +
+        "doc_id % 8 AS shard FROM kept " +
+        "WHERE doc_id NOT IN (SELECT id FROM losers) " +
+        s"AND ('0x' || substr(md5(doc_id::VARCHAR || '_0'), 1, 15))::BIGINT < $sampleTh) " +
+        "SELECT doc_id, n_tokens, shard, " +
+        "CAST(((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - n_tokens) AS BIGINT) // 4096 AS bin " +
+        "FROM final ORDER BY doc_id"
+    },
 
     "g4_custom_agg" ->
       ("SELECT round((min(c_acctbal) + max(c_acctbal)) / 2.0, 4) AS midrange_c_acctbal, " +
@@ -1052,33 +1144,10 @@ object SparkEntry {
         "WHERE q.vec_id < 10) WHERE rank <= 5 ORDER BY query_id, rank"),
 
     "t1_langid" ->
-      ("SELECT doc_id, CASE " +
-        "WHEN len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b')) = 0 " +
-        "AND len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein)\\b')) = 0 " +
-        "AND len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|dans)\\b')) = 0 " +
-        "AND len(regexp_extract_all(lower(text), '\\b(el|los|las|y|es|una|en)\\b')) = 0 THEN 'und' " +
-        "WHEN len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b')) >= " +
-        "len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein)\\b')) " +
-        "AND len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b')) >= " +
-        "len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|dans)\\b')) " +
-        "AND len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b')) >= " +
-        "len(regexp_extract_all(lower(text), '\\b(el|los|las|y|es|una|en)\\b')) THEN 'en' " +
-        "WHEN len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein)\\b')) >= " +
-        "len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|dans)\\b')) " +
-        "AND len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein)\\b')) >= " +
-        "len(regexp_extract_all(lower(text), '\\b(el|los|las|y|es|una|en)\\b')) THEN 'de' " +
-        "WHEN len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|dans)\\b')) >= " +
-        "len(regexp_extract_all(lower(text), '\\b(el|los|las|y|es|una|en)\\b')) THEN 'fr' " +
-        "ELSE 'es' END AS lang_pred FROM documents ORDER BY doc_id"),
+      s"SELECT doc_id, ${langIdSql("text")} AS lang_pred FROM documents ORDER BY doc_id",
 
     "t2_quality" ->
-      ("SELECT doc_id, round(" +
-        "least(1.0, len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE / 200.0) * 0.5 + " +
-        "least(1.0, len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b'))::DOUBLE / " +
-        "greatest(len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE * 0.05, 1.0)) * 0.3 + " +
-        "(1.0 - least(1.0, len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / " +
-        "greatest(length(text)::DOUBLE, 1.0))) * 0.2, 4) AS quality " +
-        "FROM documents ORDER BY doc_id"),
+      s"SELECT doc_id, ${qualitySql("text")} AS quality FROM documents ORDER BY doc_id",
 
     "t3_tokens" ->
       ("SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens, " +
@@ -1090,10 +1159,7 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
 
     "t8_repetition" ->
-      ("SELECT doc_id, round(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) > 0 " +
-        "THEN 1.0 - len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))::DOUBLE / " +
-        "len(regexp_split_to_array(lower(trim(text)), '\\s+'))::DOUBLE ELSE 0.0 END, 4) AS repetition " +
-        "FROM documents ORDER BY doc_id"),
+      s"SELECT doc_id, ${repetitionSql("text")} AS repetition FROM documents ORDER BY doc_id",
 
     "m1_multimodal_meta" ->
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
