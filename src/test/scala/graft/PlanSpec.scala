@@ -86,4 +86,29 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
       p.contains("HashAggregate"), s"expected aggregate-based ranking in:\n$p")
   }
+
+  test("label centroids aggregate before exploding to long format (V1)") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(Similarity.labelCentroids(emb, "label", "embedding", 64))
+    // the Generate (posexplode) must sit ABOVE the final aggregate: the
+    // exchange then carries #labels x dim partials, never n x dim rows
+    val idxGen = p.indexOf("Generate")
+    val idxAgg = p.indexOf("HashAggregate")
+    assert(idxGen >= 0 && idxAgg >= 0 && idxGen < idxAgg,
+      s"posexplode must come after (above) the aggregate in:\n$p")
+  }
+
+  test("vocabulary top-N plans as TakeOrderedAndProject over a partial-agged count (T7)") {
+    val p = plan(SparkEntry.queries("t7_vocab")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-N heap in:\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"expected partial+final count phases in:\n$p")
+  }
+
+  test("uniform frame sampling is narrow — no exchange between decode and explode (M3)") {
+    val p = plan(SparkEntry.queries("m3_frame_sample")(spark, sf))
+    // the only exchange allowed is the final orderBy's range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"frame sampling must not hash-shuffle:\n$p")
+  }
 }
