@@ -133,14 +133,21 @@ object SparkEntry {
     */
   def pipelineChain(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // persist the gate output (A15 model, as in dashboardChain): the ~10
+    // regex extractions per row would otherwise re-execute for EVERY
+    // downstream consumer — both exact-dedup sides, the shingle pipeline,
+    // the canonical-keep anti-join, and the sample (measured 12.1s -> the
+    // gates dominate; the funnel output is a fraction of the corpus)
     val gated = docs.filter(
       Text.langId(col("text")) === "en" &&
         Text.qualityScore(col("text")) >= 0.3 &&
         Text.repetitionScore(col("text")) <= 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact dedup: keep each fingerprint class' min id (semi-join on the
     // D1 representative set — the kept-row formulation of Dedup.exact)
     val exactKeep = gated.join(
       Dedup.exact(gated, "doc_id", "text").select("doc_id"), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearKeep = Dedup.keepCanonical(exactKeep, "doc_id",
       Dedup.ngramJaccardPairs(exactKeep, "doc_id", "text", 2, 0.1))
     val sampled = Sampling.deterministicSample(nearKeep, "doc_id", 0.5)
