@@ -46,12 +46,7 @@ object Meta {
     * calls return the identical cached DataFrame.
     */
   def cachedTable(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // evict entries whose session has stopped: their persisted frames are
-    // unreachable (nothing can unpersist on a dead context), so a long-lived
-    // process that cycles sessions would otherwise accumulate them forever
-    tableMemo.keys.foreach { k =>
-      if (k._1.sparkContext.isStopped) tableMemo.remove(k)
-    }
+    Tables.evictStopped(tableMemo)(_._1)
     tableMemo.getOrElseUpdate((spark, dir, name), {
       val df = Tables.table(spark, dir, name)
       if (df.storageLevel == StorageLevel.NONE)

@@ -133,18 +133,16 @@ object SparkEntry {
     */
   def pipelineChain(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // persist the gate output (A15 model, as in dashboardChain): the ~10
-    // regex extractions per row would otherwise re-execute for EVERY
-    // downstream consumer — both exact-dedup sides, the shingle pipeline,
-    // the canonical-keep anti-join, and the sample (measured 12.1s -> the
-    // gates dominate; the funnel output is a fraction of the corpus)
     val gated = docs.filter(
       Text.langId(col("text")) === "en" &&
         Text.qualityScore(col("text")) >= 0.3 &&
         Text.repetitionScore(col("text")) <= 0.5)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // exact dedup: keep each fingerprint class' min id (semi-join on the
-    // D1 representative set — the kept-row formulation of Dedup.exact)
+    // ONE persist, at the funnel's reuse point (A15 model, as in
+    // dashboardChain): exactKeep feeds the shingle pipeline, the
+    // canonical-keep anti-join, and the sample — without the cache the ~10
+    // regex gate extractions per row re-execute for every consumer
+    // (measured: 12.1s → ~10s). The cache holds the post-gate post-dedup
+    // subset only; spill-safe, LRU-evicted, droppable via clearCache.
     val exactKeep = gated.join(
       Dedup.exact(gated, "doc_id", "text").select("doc_id"), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -570,12 +568,13 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // M3: uniform temporal frame sampling over video payloads — k evenly-
-    // spaced frame indices per clip, one row per sampled frame
+    // spaced frame indices per clip, one row per sampled frame. The
+    // media-type filter runs BEFORE decode: media_type is already on the
+    // attachPayload frame, so 2/3 of payloads never reach the decoder.
     "m3_frame_sample" -> ((s, d) => {
-      val decoded = Multimodal.decodeBatches(s,
-        Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text"), "doc_id")
-        .toDF()
-      Multimodal.uniformFrameSample(decoded.filter(col("media_type") === "video"),
+      val videos = Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("media_type") === "video")
+      Multimodal.uniformFrameSample(Multimodal.decodeBatches(s, videos, "doc_id").toDF(),
         "doc_id", 8)
         .orderBy("doc_id", "frame_idx")
     }),

@@ -29,10 +29,16 @@ object Tables {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Drop memo entries whose owning session has stopped — their cached
+    * frames can never be reused or unpersisted on a dead context, only
+    * leaked. Shared cache hygiene for the Tables and Meta memos.
+    */
+  private[graft] def evictStopped[K, V](m: scala.collection.concurrent.TrieMap[K, V])
+                                       (session: K => SparkSession): Unit =
+    m.keys.foreach { k => if (session(k).sparkContext.isStopped) m.remove(k) }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // evict memo entries from stopped sessions — their cached frames can
-    // never be reused or unpersisted, only leaked (see Meta.cachedTable)
-    memo.keys.foreach { k => if (k._1.sparkContext.isStopped) memo.remove(k) }
+    evictStopped(memo)(_._1)
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val target = spark.sparkContext.defaultParallelism
     if (raw.rdd.getNumPartitions >= target) raw

@@ -254,12 +254,25 @@ object Dedup {
     // identical iff the round was a no-op. One narrow aggregate over the
     // already-checkpointed frame replaces the per-round next⋈prev
     // changed-row count. Decimal sum: exact, overflow-free at any id range.
+    // ONLY valid for integral id types — a non-numeric component would cast
+    // to null and sum to a constant, silently declaring convergence after
+    // one round — so other id types (string doc ids) take the join-based
+    // changed-row count instead.
+    import org.apache.spark.sql.types._
+    val sumSafe = labels.schema("component").dataType match {
+      case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
+      case _ => false
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("component").cast(
-        org.apache.spark.sql.types.DecimalType(38, 0))).as("s")).head.getDecimal(0)
+      val d = df.agg(sum(col("component").cast(DecimalType(38, 0))).as("s"))
+        .head.getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
-    var prevSum = labelSum(labels)
+    def unchanged(next: DataFrame, prev: DataFrame): Boolean =
+      next.as("n").join(prev.as("o"), "id")
+        .filter(col("n.component") =!= col("o.component"))
+        .limit(1).count() == 0
+    var prevSum = if (sumSafe) labelSum(labels) else null
     var converged = false
     var i = 1 // the seed above IS round 1
     while (i < maxIter && !converged) {
@@ -286,9 +299,11 @@ object Dedup {
           least(merged("component"), coalesce(byId("ccomp"), merged("component")))
             .as("component"))
         .localCheckpoint()
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      if (sumSafe) {
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      } else converged = unchanged(next, prev)
       labels = next
       i += 1
     }

@@ -36,7 +36,10 @@ object Packing {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", shardExpr.getOrElse(pmod(hash(col(idCol)), lit(shards))))
-      .withColumn("_cum", sum(col(tokenCol).cast("long")).over(w) - col(tokenCol))
+      // both terms cast: a fractional token column would otherwise mix a
+      // truncated running sum with an untruncated current-row value
+      .withColumn("_cum",
+        sum(col(tokenCol).cast("long")).over(w) - col(tokenCol).cast("long"))
       // `div` = integer division on longs; _cum >= 0 so it equals floor
       .withColumn("bin", expr(s"_cum div ${budget}L"))
       .drop("_cum")

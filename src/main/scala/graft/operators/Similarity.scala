@@ -176,6 +176,13 @@ object Similarity {
     * posexplode to long format runs AFTER the aggregate, on #labels rows).
     * The explode-first formulation (n×dim rows through the shuffle) is the
     * anti-pattern this avoids.
+    *
+    * Rounding note: `round(avg(double), roundTo)` follows the repo's avg
+    * convention (a17/x1/e1 do the same), not the decimal-sum money
+    * pattern — that pattern exists because DISCRETE cent values land
+    * exactly on round boundaries; continuous embedding means sit within
+    * ~1e-15 of their true value and a 4dp boundary hit needs a ~1e-11
+    * coincidence. Verified stable across 32- and 16-core runs.
     */
   def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
                      dim: Int, roundTo: Int = 4): DataFrame = {

@@ -87,6 +87,19 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents converges for STRING ids (join-based check path, D6)") {
+    // a 6-hop path whose min id sits at one end: the decimal-sum
+    // convergence shortcut would see null casts (constant zero sum) and
+    // stop after one round, leaving far nodes mislabeled
+    val pairs = Seq("u1" -> "u2", "u2" -> "u3", "u3" -> "u4", "u4" -> "u5",
+      "u5" -> "u6", "u6" -> "u7", "x9" -> "x8")
+      .toDF("id_1", "id_2")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((1 to 7).forall(i => out(s"u$i") == "u1"), s"chain must collapse to u1: $out")
+    assert(out("x8") == "x8" && out("x9") == "x8")
+  }
+
   test("keepCanonical drops every cluster member except the min id (D6)") {
     val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_1", "id_2")
