@@ -223,12 +223,24 @@ object Dedup {
     * pure overhead — but on a very large node set pass an explicit count).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          labelPartitions: Int = 0): DataFrame = {
+                          labelPartitions: Int = 0,
+                          localEdgeLimit: Long = 1L << 20): DataFrame = {
     // checkpoint the edge list ONCE: the (possibly heavy) pair-generation
     // pipeline runs exactly one time, and bidir/labels both derive from the
     // materialized edges (deriving them from `pairs` directly re-evaluated
     // the whole dedup pipeline per derivation — measured 2× the loop cost)
     val edges = pairs.select(col("id_1"), col("id_2")).localCheckpoint()
+    // Size-gated LOCAL fast path — the standard hybrid (GraphFrames-style):
+    // after heavy near-dup thresholds the PAIR graph is typically orders of
+    // magnitude smaller than the corpus, and each distributed label round
+    // costs several scheduler round-trips regardless of data size. When the
+    // materialized edge list is small (≤ localEdgeLimit edges — the count
+    // is a cheap scan of the checkpoint), union-find on the driver answers
+    // in O(E α(E)) with identical output; anything larger takes the
+    // distributed loop below, which remains the scale path. Pass
+    // localEdgeLimit = 0 to force the distributed path.
+    if (localEdgeLimit > 0 && edges.count() <= localEdgeLimit)
+      return localComponents(edges)
     val lp = if (labelPartitions > 0) labelPartitions
              else math.max(2, edges.sparkSession.sparkContext.defaultParallelism / 8)
     // bidir is read every round as the probe side of the propagate join —
@@ -312,6 +324,49 @@ object Dedup {
         .warn(s"connectedComponents: labels not converged after $maxIter rounds — " +
           "components may be split; raise maxIter")
     labels
+  }
+
+  /** Driver-side union-find with path compression for the small-graph fast
+    * path of [[connectedComponents]]. Works for any Comparable id type
+    * (long doc ids, string urls); component = the cluster's minimum id,
+    * identical to the distributed loop's fixpoint. Output schema matches
+    * the loop's: (id, component) with the input id type.
+    */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val es = edges.collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    es.foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(ra, rb)
+    }
+    @annotation.nowarn("cat=unchecked")
+    def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val minOfRoot = new java.util.HashMap[Any, Any]()
+    parent.keySet().forEach { id =>
+      val r = find(id)
+      val cur = minOfRoot.get(r)
+      if (cur == null || lt(id, cur)) minOfRoot.put(r, id)
+    }
+    val idType = edges.schema.head.dataType
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    parent.keySet().forEach { id =>
+      out += org.apache.spark.sql.Row(id, minOfRoot.get(find(id)))
+    }
+    edges.sparkSession.createDataFrame(
+      edges.sparkSession.sparkContext.parallelize(out.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("component", idType, nullable = false))))
   }
 
   /** Canonical-keep selection: drop every document that belongs to a

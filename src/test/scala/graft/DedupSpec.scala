@@ -78,13 +78,18 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("connectedComponents: multi-hop chains collapse; disjoint clusters stay apart (D6)") {
-    // chain 1-2-3-4 (one component via transitivity) + pair 10-11 + 20-21
+    // chain 1-2-3-4 (one component via transitivity) + pair 10-11 + 20-21;
+    // both the local union-find fast path (default) and the distributed
+    // label-propagation loop (localEdgeLimit = 0) must agree
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
       .toDF("id_1", "id_2")
-    val out = Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    for (limit <- Seq(1L << 20, 0L)) {
+      val out = Dedup.connectedComponents(pairs, localEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == want, s"localEdgeLimit=$limit")
+    }
   }
 
   test("connectedComponents converges for STRING ids (join-based check path, D6)") {
@@ -94,10 +99,13 @@ class DedupSpec extends SparkTestBase {
     val pairs = Seq("u1" -> "u2", "u2" -> "u3", "u3" -> "u4", "u4" -> "u5",
       "u5" -> "u6", "u6" -> "u7", "x9" -> "x8")
       .toDF("id_1", "id_2")
-    val out = Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert((1 to 7).forall(i => out(s"u$i") == "u1"), s"chain must collapse to u1: $out")
-    assert(out("x8") == "x8" && out("x9") == "x8")
+    for (limit <- Seq(1L << 20, 0L)) {
+      val out = Dedup.connectedComponents(pairs, localEdgeLimit = limit)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert((1 to 7).forall(i => out(s"u$i") == "u1"),
+        s"chain must collapse to u1 (localEdgeLimit=$limit): $out")
+      assert(out("x8") == "x8" && out("x9") == "x8")
+    }
   }
 
   test("keepCanonical drops every cluster member except the min id (D6)") {
