@@ -66,6 +66,22 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** All testdata table names (the star schema + the LLM-pipeline tables). */
+  val AllNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "documents", "embeddings", "events")
+
+  /** Register every table as a temp view so the full `spark.sql(...)`
+    * surface works over the corpus — ANSI SQL queries, joins, windows, CTEs
+    * — on top of the same cached, parallelized scans the typed API uses.
+    * (The reference has no SQL parser — SURVEY §1 — but Catalyst gives the
+    * whole SQL front-end for free once the views exist.)
+    */
+  def registerAll(s: SparkSession, dir: String): Unit =
+    AllNames.foreach {
+      case "events" => events(s, dir).createOrReplaceTempView("events")
+      case n => table(s, dir, n).createOrReplaceTempView(n)
+    }
+
   /** `events.parquet` stores ts as parquet TIMESTAMP(NANOS); with
     * `spark.sql.legacy.parquet.nanosAsLong=true` it reads as bigint nanos.
     * Exposes an extra `ts_us` (microseconds) column matching what
