@@ -241,6 +241,24 @@ object SparkEntry {
       Ops.except(Ops.union(o, p), high).select("o_orderkey").orderBy("o_orderkey")
     }),
 
+    // J1 full: full-outer join — both unmatched sides null-padded. The
+    // supplier/customer nation keys only partially overlap per segment,
+    // so both padding directions are exercised.
+    "j1_join_full" -> ((s, d) => {
+      val bld = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_building"))
+      val sup = Tables.supplier(s, d)
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_suppliers"))
+      Joins.fullJoin(bld, sup, ("c_nationkey", "s_nationkey"))
+        .orderBy(col("c_nationkey").asc_nulls_first, col("r_s_nationkey").asc_nulls_first)
+    }),
+
+    // G6b: CUBE — all grouping-set combinations (rollup's sibling)
+    "g6b_cube" -> ((s, d) =>
+      Agg.cubeAgg(Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity" -> Seq("count", "sum")))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
     // G5: exact distinct-count per group (HLL sketch variant in tests)
     "g5_distinct_count" -> ((s, d) =>
       Agg.distinctCount(Tables.lineitem(s, d), Seq("l_returnflag"), "l_suppkey")
@@ -962,6 +980,21 @@ object SparkEntry {
         "EXCEPT " +
         "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 200000" +
         ") ORDER BY o_orderkey"),
+
+    "j1_join_full" ->
+      ("SELECT b.c_nationkey, b.n_building, s.s_nationkey AS r_s_nationkey, " +
+        "s.n_suppliers AS r_n_suppliers FROM " +
+        "(SELECT c_nationkey, count(*) AS n_building FROM customer " +
+        "WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey) b " +
+        "FULL JOIN (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier " +
+        "GROUP BY s_nationkey) s ON b.c_nationkey = s.s_nationkey " +
+        "ORDER BY b.c_nationkey ASC NULLS FIRST, r_s_nationkey ASC NULLS FIRST"),
+
+    "g6b_cube" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS count_l_quantity, " +
+        "sum(l_quantity) AS sum_l_quantity FROM lineitem " +
+        "GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
 
     "g5_distinct_count" ->
       ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_l_suppkey " +

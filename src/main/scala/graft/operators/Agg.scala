@@ -110,4 +110,16 @@ object Agg {
     require(exprs.nonEmpty, "rollupAgg: empty aggregation spec")
     df.rollup(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
+
+  /** CUBE — every grouping-set combination of the keys (rollup's sibling;
+    * SURVEY §2.3 free built-in). Same single-shuffle expansion: Spark
+    * replicates each row once per grouping set map-side and partial-
+    * aggregates before the exchange.
+    */
+  def cubeAgg(df: DataFrame, keys: Seq[String], spec: Seq[(String, Seq[String])],
+              approxMedian: Boolean = false): DataFrame = {
+    val exprs = for ((c, fns) <- spec; fn <- fns) yield aggExpr(df, fn, c, approxMedian)
+    require(exprs.nonEmpty, "cubeAgg: empty aggregation spec")
+    df.cube(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
 }

@@ -50,6 +50,17 @@ object Joins {
     left.join(broadcast(r), col(on._1) === col(s"r_${on._2}"), how)
   }
 
+  /** Full-outer join with the same `r_` prefixing — beyond the reference's
+    * inner|left surface (it raises NotImplementedError for other modes,
+    * `dataframe.py:222-223`; SURVEY §2.3 lists outer as a free built-in).
+    * Null-padded on BOTH unmatched sides; null keys never equi-match, so
+    * null-keyed rows from each side surface as their own padded rows.
+    */
+  def fullJoin(left: DataFrame, right: DataFrame, on: (String, String)): DataFrame = {
+    val r = prefixRight(left, right)
+    left.join(r, col(on._1) === col(s"r_${on._2}"), "full_outer")
+  }
+
   /** Existence joins — absent from the reference (SURVEY §2.3) but part of
     * the complete join surface. Semi/anti ship NO right-side columns: the
     * build side reduces to its distinct keys before broadcast/shuffle, so
