@@ -112,13 +112,4 @@ object Analytics {
       when(den === 0.0, 0.0).otherwise(covar_pop(x, y) / den))
   }
 
-  /** A16 — wall-clock per-query timing, the reference's execution log
-    * (`/root/reference/app.py:913-918`). For plan-level metrics attach a
-    * `QueryExecutionListener` to the session instead.
-    */
-  def timed[T](body: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r = body
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
 }

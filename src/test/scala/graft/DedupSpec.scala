@@ -64,6 +64,15 @@ class DedupSpec extends SparkTestBase {
     assert(sparse == exact, "uncapped inverted index must reproduce the exact result")
   }
 
+  test("minhashSignature: deterministic, one column per permutation (D2 API)") {
+    val sig = Dedup.minhashSignature(corpus, "doc_id", "text", n = 2, perms = 16)
+    assert(sig.columns.toSeq == "doc_id" +: (0 until 16).map(p => s"mh_$p"))
+    val a = sig.collect().map(_.toString).sorted.toSeq
+    val b = Dedup.minhashSignature(corpus, "doc_id", "text", n = 2, perms = 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "signatures must be reproducible run-to-run")
+  }
+
   test("minhashNearDups: no false positives; full recall on high-jaccard pairs (D2)") {
     val got = Dedup.minhashNearDups(corpus, "doc_id", "text", 0.5, n = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
