@@ -328,12 +328,14 @@ object SparkEntry {
           round(col("rolling_avg"), 4).as("rolling_avg"))
         .orderBy("user_id", "ts_us", "event_id")),
 
-    // A18: lag-window per-series delta (the §2.3 lag/lead surface)
+    // A18: lag-window per-series delta (the §2.3 lag/lead surface).
+    // + 0.0: deltas cross zero, so a tiny negative difference rounds to
+    // -0.0 — normalized on both sides (see v1_label_centroids).
     "a18_lag_delta" -> ((s, d) =>
       Analytics.lagDelta(Tables.events(s, d), "user_id", Seq("ts_us", "event_id"),
         "value", "delta")
         .select(col("event_id"), col("user_id"), col("ts_us"),
-          round(col("delta"), 4).as("delta"))
+          (round(col("delta"), 4) + lit(0.0)).as("delta"))
         .orderBy("user_id", "ts_us", "event_id")),
 
     // X2b: INTERSECT set semantics — customers with both O and F orders
@@ -356,7 +358,7 @@ object SparkEntry {
     // X1: guarded pairwise-complete Pearson correlation
     "x1_corr" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      li.agg(round(Analytics.safeCorr(li, "l_quantity", "l_extendedprice"), 4)
+      li.agg((round(Analytics.safeCorr(li, "l_quantity", "l_extendedprice"), 4) + lit(0.0))
         .as("corr_qty_price"))
     }),
 
@@ -1056,7 +1058,7 @@ object SparkEntry {
     "a18_lag_delta" ->
       ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
         "round(value - lag(value) OVER (PARTITION BY user_id " +
-        "ORDER BY epoch_us(ts), event_id), 4) AS delta " +
+        "ORDER BY epoch_us(ts), event_id), 4) + 0.0 AS delta " +
         "FROM events ORDER BY user_id, ts_us, event_id"),
 
     "x2b_intersect" ->
@@ -1072,7 +1074,7 @@ object SparkEntry {
     "x1_corr" ->
       ("SELECT round(CASE WHEN count(CASE WHEN l_quantity IS NOT NULL AND " +
         "l_extendedprice IS NOT NULL THEN 1 END) >= 3 " +
-        "THEN coalesce(corr(l_quantity, l_extendedprice), 0.0) END, 4) AS corr_qty_price " +
+        "THEN coalesce(corr(l_quantity, l_extendedprice), 0.0) END, 4) + 0.0 AS corr_qty_price " +
         "FROM lineitem"),
 
     "a12_topn" ->
@@ -1214,7 +1216,8 @@ object SparkEntry {
 
     "v1_label_centroids" ->
       ("SELECT label, count(*) AS n_vecs, r.range AS dim_idx, " +
-        "round(avg(embedding[r.range + 1]), 4) AS centroid_val " +
+        // + 0.0 normalizes -0.0 (matches the Spark side; see labelCentroids)
+        "round(avg(embedding[r.range + 1]), 4) + 0.0 AS centroid_val " +
         "FROM embeddings CROSS JOIN range(0, 64) r " +
         "GROUP BY label, r.range ORDER BY label, dim_idx"),
 

@@ -186,10 +186,14 @@ object Similarity {
     */
   def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
                      dim: Int, roundTo: Int = 4): DataFrame = {
+    // `+ 0.0` normalizes IEEE negative zero: a small negative mean rounds
+    // to -0.0, which engines print/sort differently than 0.0 (found at
+    // sf0.1: DuckDB kept the sign and the differential gate's string-sorted
+    // row order diverged). -0.0 + 0.0 = +0.0 in IEEE 754, null-safe.
     val cent = df.groupBy(labelCol)
       .agg(count(lit(1)).as("n_vecs"),
         array((0 until dim).map(i =>
-          round(avg(element_at(col(vecCol), i + 1)), roundTo)): _*).as("_centroid"))
+          round(avg(element_at(col(vecCol), i + 1)), roundTo) + lit(0.0)): _*).as("_centroid"))
     cent.select(col(labelCol), col("n_vecs"), posexplode(col("_centroid")))
       .select(col(labelCol), col("n_vecs"),
         col("pos").cast("long").as("dim_idx"), col("col").as("centroid_val"))
