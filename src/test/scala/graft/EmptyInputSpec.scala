@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators._
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** Empty-relation semantics (SURVEY §7.4.8): the engine keeps schemas and
+  * returns empty results where the reference loses schema or raises —
+  * every operator family must degrade to empty, not throw or fabricate.
+  */
+class EmptyInputSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("dedup family: empty corpus -> empty outputs, schemas intact") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
+    val nd = Dedup.minhashNearDups(emptyDocs, "doc_id", "text", 0.5)
+    assert(nd.columns.toSeq == Seq("id_1", "id_2", "jaccard") && nd.count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text", 2, 0.1).count() == 0)
+    assert(Dedup.simhashNearDups(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("connectedComponents: empty pair set -> empty labels (both paths)") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_1", "id_2")
+    for (limit <- Seq(1L << 20, 0L))
+      assert(Dedup.connectedComponents(noPairs, localEdgeLimit = limit).count() == 0)
+    // keepCanonical over no pairs keeps everything
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    assert(Dedup.keepCanonical(docs, "doc_id", noPairs).count() == 2)
+  }
+
+  test("pairs / similarity: empty inputs -> empty outputs") {
+    assert(Pairs.blockedPairs(emptyDocs, "doc_id", 8).count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(noVecs, noVecs, "vec_id", "embedding", 5).count() == 0)
+    assert(Dedup.embeddingNearDups(noVecs, "vec_id", "embedding", 0.5).count() == 0)
+  }
+
+  test("aggregation / packing / sampling: empty -> empty (grouped) or null row (global)") {
+    assert(Agg.groupAgg(emptyDocs, Seq("doc_id"), Seq("text" -> Seq("count"))).count() == 0)
+    // global aggregate over empty input yields ONE row (SQL semantics):
+    // count = 0, value aggs null — documented deviation from the
+    // reference's schema-less DataFrame({})
+    val g = Agg.globalAgg(emptyDocs.withColumn("v", lit(1.0)), Seq("v" -> Seq("count", "sum")))
+    val row = g.head
+    assert(row.getLong(0) == 0L && row.isNullAt(1))
+    assert(Packing.packByTokenBudget(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 100).count() == 0)
+    assert(Sampling.deterministicSample(emptyDocs, "doc_id", 0.5).count() == 0)
+  }
+
+  test("text functions: empty string and whitespace-only documents") {
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
+    val out = edge.select(
+      Text.wsTokens(col("text")).as("t"),
+      Text.repetitionScore(col("text")).as("r"),
+      Text.qualityScore(col("text")).as("q"),
+      Text.fingerprint(col("text")).as("f")).collect()
+    out.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3))
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(2) >= 0.0)
+    }
+    // empty and whitespace-only normalize to the same fingerprint
+    assert(out(0).getString(3) == out(1).getString(3))
+  }
+}
