@@ -27,6 +27,33 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("forward-fill is idempotent (SURVEY §5.3)") {
+    import graft.operators.Analytics
+    check("ffill-idempotent", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.choose(0, 20),
+        Gen.option(Gen.choose(-50.0, 50.0))))) { xs =>
+      val df = xs.zipWithIndex.map { case ((k, o, v), i) => (k, o, i, v) }
+        .toDF("k", "o", "tb", "v")
+      val once = Analytics.forwardFill(df, "k", Seq("o", "tb"), "v", "f")
+      val twice = Analytics.forwardFill(once.drop("v").withColumnRenamed("f", "v"),
+        "k", Seq("o", "tb"), "v", "f")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.select("k", "o", "tb", "f").collect().map(_.toString).sorted.toSeq
+      canon(once) == canon(twice)
+    }, samples = 4)
+  }
+
+  test("repetitionScore stays in [0,1] for arbitrary text") {
+    import graft.functions.Text
+    check("repetition-bounds", Prop.forAll(Gen.listOfN(6, Gen.asciiPrintableStr)) { ss =>
+      val scores = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "text")
+        .select(Text.repetitionScore(col("text")).as("r"))
+        .collect().map(_.getDouble(0))
+      scores.forall(r => r >= 0.0 && r <= 1.0)
+    }, samples = 4)
+  }
+
   test("|inner join| equals sum of key-multiplicity products") {
     check("join-cardinality", Prop.forAll(
       Gen.nonEmptyListOf(Gen.choose(0, 4)), Gen.nonEmptyListOf(Gen.choose(0, 4))) { (ls, rs) =>
