@@ -117,14 +117,21 @@ object Dedup {
     // calls re-persist (bounded by the reduced-set size, ~1-2% of text).
     val sets = shingleSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatureFromSets(sets, idCol, bands * rowsPerBand)
-    // one row per (doc, band): band key = hash of the band's minhashes
+    // Signature as ONE nested-HOF array expression instead of perms
+    // separate columns: the expression tree (hence codegen size) is O(1)
+    // in perms rather than O(perms), and per-row work is identical. Band
+    // key = hash of the band's signature slice — any hash is candidate-
+    // correct (equal band tuples always collide; spurious collisions are
+    // removed by the exact verify stage).
+    val perms = bands * rowsPerBand
+    val sig = sets.select(col(idCol),
+      expr(s"transform(sequence(0, ${perms - 1}), " +
+        "p -> array_min(transform(shs, h -> xxhash64(p, h))))").as("_sigs"))
     val bandRows = sig.select(
       col(idCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(p => col(s"mh_$p")): _*)
-            .as("bkey"))
+          hash(slice(col("_sigs"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
       }: _*)).as("bd"))
       .select(col(idCol), col("bd.band"), col("bd.bkey"))
     val l = bandRows.select(col(idCol).as("id_1"), col("band"), col("bkey"))
