@@ -645,6 +645,11 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0))
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // S5c: fixed-size per-language quota (k smallest id-hashes per group)
+    "s5c_quota" -> ((s, d) =>
+      Sampling.quotaSample(Tables.documents(s, d), "doc_id", "lang", 20)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // D6b: canonical-keep — the corpus minus every near-dup cluster member
     // that is not its cluster's minimum id (the end-to-end dedup output)
     "d6b_keep_canonical" -> ((s, d) =>
@@ -1289,6 +1294,12 @@ object SparkEntry {
         "round(quantile_cont(l_quantity, 0.75), 4) AS p75_l_quantity, " +
         "round(quantile_cont(l_quantity, 0.99), 4) AS p99_l_quantity " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "s5c_quota" ->
+      ("SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (" +
+        "PARTITION BY lang ORDER BY " +
+        "('0x' || substr(md5(doc_id::VARCHAR || '_q0'), 1, 15))::BIGINT ASC, doc_id ASC" +
+        ") AS qrn FROM documents) WHERE qrn <= 20 ORDER BY doc_id"),
 
     "t5_corpus_stats" ->
       ("SELECT count(*) AS n_docs, " +

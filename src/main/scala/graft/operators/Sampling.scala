@@ -27,6 +27,25 @@ object Sampling {
       Text.tokenHash60(concat(col(idCol).cast("string"), lit(s"_$seed"))) < threshold)
   }
 
+  /** Fixed-size per-group quota sample: the `k` rows of each group with the
+    * smallest id-hash (ties broken by id) — "keep 10k docs per language"
+    * corpus balancing. Deterministic and engine-portable like the fraction
+    * samplers: membership is a pure function of (id, seed, k). One shuffle
+    * to co-locate groups, per-group sort of hashes; groups are the
+    * parallelism unit (same shape as sessionization — fine when groups are
+    * many, the corpus-balancing case).
+    */
+  def quotaSample(df: DataFrame, idCol: String, groupCol: String, k: Int,
+                  seed: Long = 0L): DataFrame = {
+    require(k >= 1, "quotaSample: k must be >= 1")
+    val h = Text.tokenHash60(concat(col(idCol).cast("string"), lit(s"_q$seed")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("_qrn", row_number().over(w))
+      .filter(col("_qrn") <= k)
+      .drop("_qrn")
+  }
+
   /** Stratified variant: per-stratum keep fractions (e.g. per-language
     * corpus balancing). Strata absent from the map are dropped.
     */

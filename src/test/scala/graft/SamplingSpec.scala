@@ -30,6 +30,20 @@ class SamplingSpec extends SparkTestBase {
     assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() == docs.count())
   }
 
+  test("quotaSample: exactly min(k, group size) per group, deterministic, partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 200).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    val out = Sampling.quotaSample(df, "id", "g", 15)
+    val sizes = out.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ == 15L), s"each group capped at k: $sizes")
+    val tiny = Sampling.quotaSample(df.filter(col("id") <= 4), "id", "g", 15)
+    assert(tiny.count() == 4, "groups smaller than k keep all rows")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(out) == ids(Sampling.quotaSample(df.repartition(13), "id", "g", 15)),
+      "membership must not depend on partitioning")
+  }
+
   test("stratifiedSample honors per-stratum fractions and drops absent strata") {
     val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 1.0), seed = 0)
