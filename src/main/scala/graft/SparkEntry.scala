@@ -564,6 +564,16 @@ object SparkEntry {
         .select(col("doc_id"), Text.repetitionScore(col("text")).as("repetition"))
         .orderBy("doc_id")),
 
+    // T9: PII scrubbing — emails and long digit runs redacted, plus the
+    // audit count (C4-style cleaning). Fingerprint of the scrubbed text
+    // keeps the output compact while pinning every replacement exactly.
+    "t9_pii_scrub" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.piiCount(col("text")).as("n_pii"),
+          md5(Text.scrubPii(col("text"))).as("scrubbed_md5"))
+        .orderBy("doc_id")),
+
     // M1: multimodal binary payload metadata (oracle-checkable scalars)
     "m1_multimodal_meta" -> ((s, d) =>
       Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text")
@@ -1206,6 +1216,18 @@ object SparkEntry {
 
     "t8_repetition" ->
       s"SELECT doc_id, ${repetitionSql("text")} AS repetition FROM documents ORDER BY doc_id",
+
+    "t9_pii_scrub" -> {
+      // DuckDB single-quoted literals pass backslashes through verbatim
+      // (same as the \b patterns in the t1/t2 oracles) — no re-escaping
+      val email = Text.EmailPattern
+      val digits = Text.LongDigitPattern
+      s"SELECT doc_id, (len(regexp_extract_all(text, '$email')) + " +
+        s"len(regexp_extract_all(text, '$digits')))::BIGINT AS n_pii, " +
+        s"md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), " +
+        s"'$digits', '<NUMBER>', 'g')) AS scrubbed_md5 " +
+        "FROM documents ORDER BY doc_id"
+    },
 
     "m1_multimodal_meta" ->
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +

@@ -85,6 +85,25 @@ object Text {
       .otherwise(0.0), 4)
   }
 
+  /** PII scrubbing, C4-style: redact email addresses and long digit runs
+    * (phone/account numbers) with fixed placeholder tokens. Patterns are
+    * RE2-compatible (no lookaround/backrefs) so the same pattern text runs
+    * identically under Java regex and the oracle's RE2. Narrow per-row op.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongDigitPattern = "[0-9]{7,}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongDigitPattern, "<NUMBER>")
+
+  /** Count of PII hits (emails + long digit runs) — the audit metric that
+    * pairs with [[scrubPii]].
+    */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(LongDigitPattern), lit(0)))).cast("long")
+
   /** Document fingerprint: md5 of the casefolded, alphanumeric-only
     * normalization — equal fingerprints ⇔ texts equal modulo case,
     * punctuation, and whitespace. The exact-dedup key at scale (16-byte key

@@ -56,6 +56,21 @@ class TextSpec extends SparkTestBase {
     assert(out == Seq((1L, 0.0), (2L, 0.75), (3L, 0.5)))
   }
 
+  test("scrubPii redacts emails and long digit runs; piiCount matches (T9)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact me at jane.doe+x@example.co.uk or call 5551234567 now"),
+      (2L, "short 123456 stays, 1234567 goes"),
+      (3L, "no pii here")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), Text.scrubPii(col("text")).as("s"),
+      Text.piiCount(col("text")).as("n"))
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(out(0)._2 == "contact me at <EMAIL> or call <NUMBER> now" && out(0)._3 == 2L)
+    assert(out(1)._2 == "short 123456 stays, <NUMBER> goes" && out(1)._3 == 1L)
+    assert(out(2)._2 == "no pii here" && out(2)._3 == 0L)
+  }
+
   test("qualityScore stays within [0,1] on testdata") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val mm = docs.select(Text.qualityScore(col("text")).as("q"))
