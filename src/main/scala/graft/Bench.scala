@@ -24,7 +24,10 @@ object Bench {
     // first measured query doesn't absorb one-time startup cost.
     spark.range(1000000).selectExpr("sum(id)").collect()
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run — for focused iteration
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // (blank env var means "all")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     // Materialize the table caches before measuring: Tables.table
     // repartitions+persists single-row-group scans, and the first query (in
     // sorted order) to touch each table would otherwise absorb its one-time

@@ -19,8 +19,15 @@ object Verify {
     Session.tune(spark)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q1,q2 dumps a subset — targeted re-checks at big SF
-    // where a full DuckDB replay takes tens of minutes
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // where a full DuckDB replay takes tens of minutes. The filtered
+    // oracle_sql.json overwrites the one in outDir, so subset runs MUST
+    // use their own outDir (warned below); a blank env var means "all".
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach(o => System.err.println(
+      s"[verify] SUBSET run (${o.size} queries) — $outDir/oracle_sql.json covers only these; " +
+        "do not reuse a full-run outDir"))
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

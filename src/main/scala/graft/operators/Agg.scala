@@ -104,12 +104,17 @@ object Agg {
     * from the reference (SURVEY §2.3). Subtotal rows carry null group
     * keys, SQL ROLLUP semantics; one shuffle via Expand.
     */
-  def rollupAgg(df: DataFrame, keys: Seq[String], spec: Seq[(String, Seq[String])],
-                approxMedian: Boolean = false): DataFrame = {
+  private def groupingSetAgg(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+                             df: DataFrame, spec: Seq[(String, Seq[String])],
+                             approxMedian: Boolean, what: String): DataFrame = {
     val exprs = for ((c, fns) <- spec; fn <- fns) yield aggExpr(df, fn, c, approxMedian)
-    require(exprs.nonEmpty, "rollupAgg: empty aggregation spec")
-    df.rollup(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+    require(exprs.nonEmpty, s"$what: empty aggregation spec")
+    grouped.agg(exprs.head, exprs.tail: _*)
   }
+
+  def rollupAgg(df: DataFrame, keys: Seq[String], spec: Seq[(String, Seq[String])],
+                approxMedian: Boolean = false): DataFrame =
+    groupingSetAgg(df.rollup(keys.map(col): _*), df, spec, approxMedian, "rollupAgg")
 
   /** CUBE — every grouping-set combination of the keys (rollup's sibling;
     * SURVEY §2.3 free built-in). Same single-shuffle expansion: Spark
@@ -117,9 +122,6 @@ object Agg {
     * aggregates before the exchange.
     */
   def cubeAgg(df: DataFrame, keys: Seq[String], spec: Seq[(String, Seq[String])],
-              approxMedian: Boolean = false): DataFrame = {
-    val exprs = for ((c, fns) <- spec; fn <- fns) yield aggExpr(df, fn, c, approxMedian)
-    require(exprs.nonEmpty, "cubeAgg: empty aggregation spec")
-    df.cube(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
-  }
+              approxMedian: Boolean = false): DataFrame =
+    groupingSetAgg(df.cube(keys.map(col): _*), df, spec, approxMedian, "cubeAgg")
 }

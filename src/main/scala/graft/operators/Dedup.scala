@@ -72,20 +72,27 @@ object Dedup {
       .select("id_1", "id_2", "jaccard")
   }
 
+  /** The MinHash signature array over a prepared `shs` (sorted shingle-key)
+    * column: element p = min over xxhash64(p, shingleKey). ONE nested-HOF
+    * expression — the tree (and codegen size) is O(1) in `perms` — shared
+    * by the column-form signature API and the banded LSH path so the two
+    * can never silently diverge on the hashing scheme.
+    */
+  private[operators] def sigArrayExpr(perms: Int): org.apache.spark.sql.Column =
+    expr(s"transform(sequence(0, ${perms - 1}), " +
+      "p -> array_min(transform(shs, h -> xxhash64(p, h))))")
+
   /** MinHash signature from prepared [[shingleSets]]: permutation p is
     * min over xxhash64(p, shingleKey) — re-hashing an 8-byte long per
-    * element, never re-shingling text. Keeping the base hashes in their
-    * own projection (a non-cheap alias referenced `perms` times, which
-    * CollapseProject refuses to inline) is load-bearing: inlining the
-    * shingle pipeline into every signature column builds a multi-MB
-    * expression tree whose optimizer + codegen cost alone runs to minutes.
+    * element, never re-shingling text. Column form (`mh_0..mh_{p-1}`)
+    * built from the shared [[sigArrayExpr]] in its own projection (the
+    * array alias is referenced `perms` times, which CollapseProject
+    * refuses to inline — the signature computes once per row).
     */
-  def minhashSignatureFromSets(sets: DataFrame, idCol: String, perms: Int): DataFrame = {
-    val sigCols = (0 until perms).map { p =>
-      array_min(transform(col("shs"), h => xxhash64(lit(p), h))).as(s"mh_$p")
-    }
-    sets.select((col(idCol) +: sigCols): _*)
-  }
+  def minhashSignatureFromSets(sets: DataFrame, idCol: String, perms: Int): DataFrame =
+    sets.select(col(idCol), sigArrayExpr(perms).as("_sigs"))
+      .select(col(idCol) +:
+        (0 until perms).map(p => element_at(col("_sigs"), p + 1).as(s"mh_$p")): _*)
 
   /** MinHash signature: `perms` independent min-hashes over the document's
     * word-`n`-gram shingle set. No shuffle — two narrow projections.
@@ -117,16 +124,12 @@ object Dedup {
     // calls re-persist (bounded by the reduced-set size, ~1-2% of text).
     val sets = shingleSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Signature as ONE nested-HOF array expression instead of perms
-    // separate columns: the expression tree (hence codegen size) is O(1)
-    // in perms rather than O(perms), and per-row work is identical. Band
+    // Signature as the shared array expression ([[sigArrayExpr]] — O(1)
+    // tree in perms, identical hashing to the public signature API). Band
     // key = hash of the band's signature slice — any hash is candidate-
     // correct (equal band tuples always collide; spurious collisions are
     // removed by the exact verify stage).
-    val perms = bands * rowsPerBand
-    val sig = sets.select(col(idCol),
-      expr(s"transform(sequence(0, ${perms - 1}), " +
-        "p -> array_min(transform(shs, h -> xxhash64(p, h))))").as("_sigs"))
+    val sig = sets.select(col(idCol), sigArrayExpr(bands * rowsPerBand).as("_sigs"))
     val bandRows = sig.select(
       col(idCol),
       explode(array((0 until bands).map { b =>
@@ -231,7 +234,7 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           labelPartitions: Int = 0,
-                          localEdgeLimit: Long = 1L << 20): DataFrame = {
+                          localEdgeLimit: Long = 1L << 18): DataFrame = {
     // checkpoint the edge list ONCE: the (possibly heavy) pair-generation
     // pipeline runs exactly one time, and bidir/labels both derive from the
     // materialized edges (deriving them from `pairs` directly re-evaluated
@@ -356,8 +359,26 @@ object Dedup {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent.put(ra, rb)
     }
+    // Strings compare in UTF-8 byte order — Spark's least/min semantics —
+    // NOT Java's UTF-16 compareTo (they diverge for supplementary chars vs
+    // U+E000..U+FFFF, which would silently flip the canonical id between
+    // the local and distributed paths). Other id types share one ordering.
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
     @annotation.nowarn("cat=unchecked")
-    def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (s: String, t: String) => utf8Lt(s, t)
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     val minOfRoot = new java.util.HashMap[Any, Any]()
     parent.keySet().forEach { id =>
       val r = find(id)
@@ -378,9 +399,12 @@ object Dedup {
 
   /** Canonical-keep selection: drop every document that belongs to a
     * near-dup cluster but is not its minimum-id representative.
+    * `localEdgeLimit` passes through to [[connectedComponents]] (0 forces
+    * the distributed label loop).
     */
-  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val losers = connectedComponents(pairs)
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+                    localEdgeLimit: Long = 1L << 18): DataFrame = {
+    val losers = connectedComponents(pairs, localEdgeLimit = localEdgeLimit)
       .filter(col("id") =!= col("component")).select("id")
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
