@@ -609,6 +609,16 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // M4: aspect-preserving fit-to-box resize planning (integer-exact
+    // dimension math; stub digest lineage) over decoded visual media
+    "m4_resize" -> ((s, d) => {
+      val visual = Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("media_type") =!= "audio")
+      Multimodal.resizeToBox(Multimodal.decodeBatches(s, visual, "doc_id").toDF(),
+        640, 480)
+        .orderBy("doc_id")
+    }),
+
     // V1: per-label embedding centroids (class prototypes) — map-side
     // partial aggregation of per-coordinate means, long-format output
     "v1_label_centroids" -> ((s, d) =>
@@ -1233,6 +1243,22 @@ object SparkEntry {
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
         "ELSE 'video' END AS media_type, octet_length(encode(text))::BIGINT AS byte_len, " +
         "sha256(text) AS sha256 FROM documents ORDER BY doc_id"),
+
+    "m4_resize" ->
+      ("WITH m AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'video' END AS media_type, " +
+        "sha256(text) AS sha, " +
+        "(1 + ('0x' || substr(sha256(text),1,6))::BIGINT % 4096)::BIGINT AS width, " +
+        "(1 + ('0x' || substr(sha256(text),7,6))::BIGINT % 2160)::BIGINT AS height " +
+        "FROM documents WHERE doc_id % 3 != 1) " +
+        "SELECT doc_id, media_type, width, height, " +
+        "CASE WHEN width <= 640 AND height <= 480 THEN width " +
+        "WHEN width * 480 >= height * 640 THEN 640 ELSE (width * 480) // height END AS new_width, " +
+        "CASE WHEN width <= 640 AND height <= 480 THEN height " +
+        "WHEN width * 480 >= height * 640 THEN (height * 640) // width ELSE 480 END AS new_height, " +
+        "CASE WHEN width <= 640 AND height <= 480 THEN sha " +
+        "ELSE sha256(sha || '->640x480') END AS resized_sha " +
+        "FROM m ORDER BY doc_id"),
 
     "m3_frame_sample" ->
       ("WITH m AS (SELECT doc_id, " +

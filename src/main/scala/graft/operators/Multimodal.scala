@@ -81,6 +81,33 @@ object Multimodal {
       transform(sequence(lit(0), lit(k - 1)),
         i => pmod(xxhash64(col("payload"), i), greatest(col("meta.n_frames").cast("long"), lit(1L)))))
 
+  /** ==== STUB ==== aspect-preserving fit-to-box resize plan over decoded
+    * media: computes target dimensions with PURE INTEGER arithmetic (no
+    * float scale factor — `w*boxH >= h*boxW` picks the binding axis, then
+    * one integer multiply/divide) and derives the "resized" payload's
+    * digest deterministically from the source digest and the box. A real
+    * implementation would decode + rescale pixels inside the decode
+    * `mapPartitions` stage; the dimension planning, schema, and lineage
+    * digest here are the engine-side contract either way. Narrow, no
+    * shuffle. Rows already inside the box pass through unscaled.
+    */
+  def resizeToBox(decoded: DataFrame, boxW: Int, boxH: Int): DataFrame = {
+    require(boxW >= 1 && boxH >= 1, "resizeToBox: box must be positive")
+    val w = col("meta.width").cast("long")
+    val h = col("meta.height").cast("long")
+    val fits = w <= boxW && h <= boxH
+    val wide = w * boxH >= h * boxW // binding axis: width
+    decoded.select(
+      col("doc_id"), col("media_type"), w.as("width"), h.as("height"),
+      when(fits, w).when(wide, lit(boxW.toLong))
+        .otherwise(expr(s"(meta.width * ${boxH}L) div meta.height")).as("new_width"),
+      when(fits, h).when(wide, expr(s"(meta.height * ${boxW}L) div meta.width"))
+        .otherwise(lit(boxH.toLong)).as("new_height"),
+      when(fits, col("sha256"))
+        .otherwise(sha2(concat(col("sha256"), lit(s"->${boxW}x$boxH")), 256))
+        .as("resized_sha"))
+  }
+
   /** Uniform temporal frame sampling — the standard video-pipeline recipe:
     * k evenly-spaced indices `floor(i·n_frames/k)`, deduplicated when the
     * clip has fewer than k frames. One output row per (doc, frame). Pure

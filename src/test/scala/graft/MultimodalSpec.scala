@@ -40,6 +40,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.length == 4 && out.map(_.doc_id).toSet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("resizeToBox: integer fit-to-box, aspect preserved, pass-through when inside (M4)") {
+    import spark.implicits._
+    // (id, w, h): wider-than-box, taller-than-box, already-fits
+    val rows = Seq((1L, 2000L, 1000L), (2L, 500L, 2000L), (3L, 320L, 200L))
+      .map { case (id, w, h) =>
+        (id, "image", 1L, s"sha$id", Multimodal.MediaMeta(w.toInt, h.toInt, 1, 0L))
+      }.toDF("doc_id", "media_type", "byte_len", "sha256", "meta")
+    val out = Multimodal.resizeToBox(rows, 640, 480)
+      .select("doc_id", "new_width", "new_height", "resized_sha")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 640L && out(0).getLong(2) == 320L) // width-bound
+    assert(out(1).getLong(1) == 120L && out(1).getLong(2) == 480L) // height-bound
+    assert(out(2).getLong(1) == 320L && out(2).getLong(2) == 200L
+      && out(2).getString(3) == "sha3") // inside: untouched, digest kept
+    // aspect ratio error bounded by integer floor
+    assert(math.abs(640.0 / 320.0 - 2000.0 / 1000.0) < 1e-9)
+  }
+
   test("sampleFrameIndices: k deterministic indices within [0, n_frames) (M-frames)") {
     val decoded = Multimodal.decodeBatches(spark,
       Multimodal.attachPayload(docs, "doc_id", "text"), "doc_id").toDF()
