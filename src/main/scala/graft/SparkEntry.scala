@@ -338,6 +338,21 @@ object SparkEntry {
           (round(col("delta"), 4) + lit(0.0)).as("delta"))
         .orderBy("user_id", "ts_us", "event_id")),
 
+    // A19: rank / dense_rank — the remaining §2.3 window functions. Ranks
+    // by acctbal CENTS (exact decimal → bigint) so tie groups are value-
+    // exact, then a deterministic final sort.
+    "a19_rank" -> ((s, d) => {
+      val cents = (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment")).orderBy(cents.desc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), cents.as("acct_cents"),
+          rank().over(w).cast("long").as("bal_rank"),
+          dense_rank().over(w).cast("long").as("bal_dense_rank"))
+        .filter(col("bal_rank") <= 10)
+        .orderBy("c_mktsegment", "bal_rank", "c_custkey")
+    }),
+
     // X2b: INTERSECT set semantics — customers with both O and F orders
     "x2b_intersect" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -1096,6 +1111,15 @@ object SparkEntry {
         "round(value - lag(value) OVER (PARTITION BY user_id " +
         "ORDER BY epoch_us(ts), event_id), 4) + 0.0 AS delta " +
         "FROM events ORDER BY user_id, ts_us, event_id"),
+
+    "a19_rank" ->
+      ("SELECT c_custkey, c_mktsegment, acct_cents, bal_rank, bal_dense_rank FROM (" +
+        "SELECT c_custkey, c_mktsegment, " +
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acct_cents, " +
+        "rank() OVER w AS bal_rank, dense_rank() OVER w AS bal_dense_rank " +
+        "FROM customer WINDOW w AS (PARTITION BY c_mktsegment " +
+        "ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) DESC)) " +
+        "WHERE bal_rank <= 10 ORDER BY c_mktsegment, bal_rank, c_custkey"),
 
     "x2b_intersect" ->
       ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
