@@ -484,6 +484,22 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // TPC-H Q18-style: large-quantity orders — aggregate lineitem per
+    // order, HAVING-filter, then enrich through orders→customer and take
+    // the top 10 by value. The aggregate side shrinks BEFORE the joins
+    // (AQE broadcasts the filtered survivors), and sum(long) is exact.
+    "q18_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      Tables.orders(s, d).join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
     // D1: exact dedup by normalized-text fingerprint
     "d1_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text").orderBy("fingerprint")),
@@ -1216,6 +1232,14 @@ object SparkEntry {
         "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
         "AND o_orderdate < TIMESTAMP '1997-01-01' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name ASC"),
+
+    "q18_large_orders" ->
+      ("SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty FROM (" +
+        "SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem " +
+        "GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big " +
+        "JOIN orders ON o_orderkey = big.l_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),
 
     "d1_dedup_exact" ->
       ("SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint, " +
