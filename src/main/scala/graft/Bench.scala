@@ -66,7 +66,18 @@ object Bench {
     val failed = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the line to a file: stdout capture truncates on long
+    // runs (BENCH_r04 lost 9 of 78 per-query timings to the log tail), so
+    // the artifact must not depend on buffer luck.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

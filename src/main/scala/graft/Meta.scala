@@ -95,4 +95,33 @@ object Meta {
     spark.listenerManager.register(log)
     log
   }
+
+  /** Surface the exec log as a queryable relation (the reference renders
+    * its log in the UI, `app.py:1387-1391` — here it's a temp view, so
+    * `SELECT * FROM graft_exec_log` works like any other table). One row
+    * per completed action: seq (arrival order), action, duration_ms, and
+    * an md5 digest of the physical plan (the full plan text is log-sized,
+    * not cell-sized; the digest identifies re-runs of the same plan).
+    * Driver-side data by construction — the log holds one row per ACTION,
+    * not per data row, so localizing it is not a scale concern. Re-call
+    * after new actions to refresh the snapshot.
+    */
+  def execLogTable(spark: SparkSession, log: ExecLog,
+                   view: String = "graft_exec_log"): DataFrame = {
+    val rows = log.entries.zipWithIndex.map { case (e, i) =>
+      org.apache.spark.sql.Row(i.toLong, e.action, e.durationNs / 1e6,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(e.physicalPlan.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("action", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("duration_ms", org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("plan_md5", org.apache.spark.sql.types.StringType, nullable = false)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    df.createOrReplaceTempView(view)
+    df
+  }
 }

@@ -423,6 +423,17 @@ object SparkEntry {
         .select(round(col("midrange_c_acctbal"), 4).as("midrange_c_acctbal"),
           round(col("spread_c_acctbal"), 4).as("spread_c_acctbal"))),
 
+    // G3 grouped form: the same arbitrary fold aggregators per group —
+    // order-independent fns so the oracle compare is exact
+    "g4b_custom_group_agg" -> ((s, d) =>
+      CustomAgg.customGroupAgg(Tables.customer(s, d), Seq("c_mktsegment"), Seq(
+        ("midrange", "c_acctbal", CustomAgg.midrange),
+        ("spread", "c_acctbal", CustomAgg.spread)))
+        .select(col("c_mktsegment"),
+          round(col("midrange_c_acctbal"), 4).as("midrange_c_acctbal"),
+          round(col("spread_c_acctbal"), 4).as("spread_c_acctbal"))
+        .orderBy("c_mktsegment")),
+
     // TPC-H Q1-style pricing summary. Sums are computed EXACTLY in decimal
     // (associative, order-independent) and only the final value is cast to
     // double — both sides of the oracle compare as float64 (the driver's
@@ -963,6 +974,12 @@ object SparkEntry {
     "g4_custom_agg" ->
       ("SELECT round((min(c_acctbal) + max(c_acctbal)) / 2.0, 4) AS midrange_c_acctbal, " +
         "round(max(c_acctbal) - min(c_acctbal), 4) AS spread_c_acctbal FROM customer"),
+
+    "g4b_custom_group_agg" ->
+      ("SELECT c_mktsegment, " +
+        "round((min(c_acctbal) + max(c_acctbal)) / 2.0, 4) AS midrange_c_acctbal, " +
+        "round(max(c_acctbal) - min(c_acctbal), 4) AS spread_c_acctbal " +
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
 
     "d3_simhash" ->
       s"WITH $simhashCte SELECT doc_id, simhash FROM sh ORDER BY doc_id",

@@ -37,17 +37,20 @@ object Tables {
                                        (session: K => SparkSession): Unit =
     m.keys.foreach { k => if (session(k).sparkContext.isStopped) m.remove(k) }
 
+  // keyed by session too: a memoized frame is bound to the session that
+  // planned it — returning it to another (or a stopped) session would
+  // execute on the wrong SparkContext. Large tables memoize their RAW plan
+  // (no persist — just skips re-probing partition count, which re-plans the
+  // df→RDD conversion on every call).
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     evictStopped(memo)(_._1)
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    val target = spark.sparkContext.defaultParallelism
-    if (raw.rdd.getNumPartitions >= target) raw
-    // keyed by session too: a memoized frame is bound to the session that
-    // planned it — returning it to another (or a stopped) session would
-    // execute on the wrong SparkContext
-    else memo.getOrElseUpdate((spark, dir, name),
-      raw.repartition(target)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    memo.getOrElseUpdate((spark, dir, name), {
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val target = spark.sparkContext.defaultParallelism
+      if (raw.rdd.getNumPartitions >= target) raw
+      else raw.repartition(target)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   /** Unpersist and forget every memoized small-scan table (all sessions). */

@@ -85,4 +85,20 @@ object CustomAgg {
     val exprs = spec.map { case (name, c, agg) => asColumn(agg, col(c)).as(s"${name}_$c") }
     df.agg(exprs.head, exprs.tail: _*)
   }
+
+  /** Grouped form of [[customGlobalAgg]]: the same arbitrary fold functions
+    * per group key — beyond the reference's global-only surface
+    * (`dataframe.py:207-212`), but the natural composition once groupBy
+    * exists. The `udaf` columns run DISTRIBUTED exactly like the global
+    * form: partial buffers map-side per (partition, group), one shuffle of
+    * buffers keyed by group. Null group keys form their own group (G1
+    * semantics, matching [[Agg.groupAgg]]).
+    */
+  def customGroupAgg(df: DataFrame, keys: Seq[String],
+                     spec: Seq[(String, String, Aggregator[java.lang.Double, _, Option[Double]])]): DataFrame = {
+    require(keys.nonEmpty, "customGroupAgg: empty keys (use customGlobalAgg)")
+    require(spec.nonEmpty, "customGroupAgg: empty spec")
+    val exprs = spec.map { case (name, c, agg) => asColumn(agg, col(c)).as(s"${name}_$c") }
+    df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
 }

@@ -40,6 +40,26 @@ class CustomAggSpec extends SparkTestBase {
     assert(one == many && one == 500.5)
   }
 
+  test("customGroupAgg: per-group folds, null keys form their own group") {
+    val t = Seq(("a", Some(2.0)), ("a", Some(8.0)), ("b", Some(3.0)),
+      (null, Some(10.0)), (null, None)).toDF("k", "v")
+    val out = CustomAgg.customGroupAgg(t, Seq("k"), Seq(
+      ("midrange", "v", CustomAgg.midrange),
+      ("spread", "v", CustomAgg.spread)))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(out == Set(("a", 5.0, 6.0), ("b", 3.0, 0.0), (null, 10.0, 0.0)))
+  }
+
+  test("customGroupAgg is partition-count invariant (per-group merge correctness)") {
+    val t = (1 to 1000).map(i => (i % 3, Option(i.toDouble))).toDF("k", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CustomAgg.customGroupAgg(d, Seq("k"), Seq(("midrange", "v", CustomAgg.midrange)))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(run(t.coalesce(1)) == run(t.repartition(13)))
+  }
+
   test("fromFold builds ad-hoc aggregates (the arbitrary-callable entry point)") {
     val countEven = CustomAgg.fromFold[Long](
       z = 0L,

@@ -29,4 +29,27 @@ class MetaSpec extends SparkTestBase {
       assert(es.exists(e => e.durationNs > 0 && e.physicalPlan.nonEmpty))
     } finally spark.listenerManager.unregister(log)
   }
+
+  test("execLogTable surfaces the log as a SQL-queryable relation (A16 UI parity)") {
+    val log = Meta.attachExecLog(spark)
+    try {
+      Tables.nation(spark, "/root/testdata/sf0.001").count()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (log.entries.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      Meta.execLogTable(spark, log)
+      val rows = spark.sql(
+        "SELECT action, duration_ms, plan_md5 FROM graft_exec_log WHERE duration_ms > 0")
+        .collect()
+      assert(rows.nonEmpty, "the view must round-trip through spark.sql")
+      assert(rows.forall(_.getString(2).length == 32), "plan digest is a 32-hex md5")
+      // refresh picks up later actions
+      val before = spark.sql("SELECT count(*) FROM graft_exec_log").collect()(0).getLong(0)
+      Tables.nation(spark, "/root/testdata/sf0.001").count()
+      val dl2 = System.nanoTime() + 10e9.toLong
+      while (log.entries.size <= before && System.nanoTime() < dl2) Thread.sleep(50)
+      Meta.execLogTable(spark, log)
+      val after = spark.sql("SELECT count(*) FROM graft_exec_log").collect()(0).getLong(0)
+      assert(after > before, "re-calling execLogTable refreshes the snapshot")
+    } finally spark.listenerManager.unregister(log)
+  }
 }
