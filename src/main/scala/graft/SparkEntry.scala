@@ -791,7 +791,48 @@ object SparkEntry {
     // E2: gap-based sessionization (batch form of the stream op)
     "e2_sessionize" -> ((s, d) =>
       StreamOps.sessionize(Tables.events(s, d), 1800000000L)
-        .orderBy("user_id", "session_id"))
+        .orderBy("user_id", "session_id")),
+
+    // E3 STREAMING, driver-gated via batch replay: the documents corpus
+    // replayed through a parquet FILE SOURCE into dropDuplicatesWithinWatermark
+    // (Trigger.AvailableNow), then compared to the batch dedup oracle.
+    // Output is the distinct-fingerprint set: WHICH row survives per
+    // fingerprint is arrival-order-dependent across partitions (true in any
+    // streaming engine), but the fingerprint set itself is exact. Synthetic
+    // event time = doc_id micros — the whole corpus sits inside the
+    // watermark horizon, so the replay dedups exactly.
+    "e3_stream_dedup" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      // the file source requires a directory path; the testdata table is a
+      // bare file, so select it with a glob (whose base IS the directory)
+      val src = s.readStream.schema(schema)
+        .parquet(s"$d/documents.*")
+        // offset past epoch 0: the initial watermark IS epoch 0, and a row
+        // sitting exactly on it is discarded as late (doc_id 0 was dropped)
+        .withColumn("ts_us", col("doc_id") + lit(1000000000000000L))
+      val deduped = StreamOps.dedupExactStreaming(src, "text", "ts_us", "1 hour")
+      StreamOps.runToMemoryTable(s, deduped, "e3_stream_dedup_sink")
+        .select("fingerprint").orderBy("fingerprint")
+    }),
+
+    // E1 STREAMING, driver-gated via batch replay: the events table through
+    // the watermarked windowed aggregate. Complete output mode so the final
+    // snapshot equals the batch result (append mode would hold back windows
+    // newer than the final watermark — correct streaming semantics, but not
+    // comparable to a batch oracle). window.start maps back to the batch
+    // form's epoch-hour bucket.
+    "e1b_stream_window" -> ((s, d) => {
+      Session.tune(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .parquet(s"$d/events.*")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val agg = StreamOps.tumblingCountsStreaming(src, "1 hour", "1 minute")
+      StreamOps.runToMemoryTable(s, agg, "e1b_stream_window_sink", mode = "complete")
+        .select(expr("unix_micros(window.start) div 3600000000").as("bucket"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("bucket", "event_type")
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1489,6 +1530,15 @@ object SparkEntry {
     "e1_events_window" ->
       ("SELECT epoch_us(ts) // 3600000000 AS bucket, event_type, count(*) AS n_events, " +
         "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"),
+
+    // streaming replay must equal the batch-form oracle exactly
+    "e1b_stream_window" ->
+      ("SELECT epoch_us(ts) // 3600000000 AS bucket, event_type, count(*) AS n_events, " +
+        "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"),
+
+    "e3_stream_dedup" ->
+      ("SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint " +
+        "FROM documents ORDER BY fingerprint"),
 
     "e2_sessionize" ->
       ("WITH marked AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +

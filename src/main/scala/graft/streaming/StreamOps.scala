@@ -72,6 +72,26 @@ object StreamOps {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Batch-replay harness: run an already-wired streaming frame to a memory
+    * sink under `Trigger.AvailableNow` and block until the (finite) source
+    * drains, returning the sink table. This is how the streaming operators
+    * get DRIVER-GATED: replay the stream over a file source and compare the
+    * result to the batch oracle — same logic, incremental execution, same
+    * answer. AvailableNow processes the backlog in bounded batches and
+    * stops, which is also the production shape for a catch-up run over an
+    * ingest directory. The memory sink collects RESULT rows on the driver —
+    * fine for aggregate/dedup outputs, which are reduced, not raw data.
+    */
+  def runToMemoryTable(spark: SparkSession, streamed: DataFrame, name: String,
+                       mode: String = "append"): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   case class SessionOut(user_id: Long, n_events: Long, session_start_us: Long,
                         session_end_us: Long, duration_us: Long)

@@ -74,6 +74,24 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("runToMemoryTable: parquet file-source replay equals the batch dedup (E3 replay)") {
+    val dir = java.nio.file.Files.createTempDirectory("e3replay").toString
+    val docs = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"),
+      (3L, "a different document"), (4L, "HELLO WORLD?!"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts_us", col("doc_id"))
+    val out = StreamOps.runToMemoryTable(spark,
+      StreamOps.dedupExactStreaming(src, "text", "ts_us", "1 hour"), "e3_replay_test")
+      .select("fingerprint").as[String].collect().toSet
+    val batch = operators.Dedup.exact(docs, "doc_id", "text")
+      .select("fingerprint").as[String].collect().toSet
+    assert(out == batch, "streaming replay fingerprint set must equal the batch dedup")
+  }
+
   test("sessionizeStreaming: a later event past the gap closes and emits the old session (E2 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Ev]
