@@ -72,6 +72,30 @@ object Dedup {
       .select("id_1", "id_2", "jaccard")
   }
 
+  /** Cache-hygiene loan pattern for the shingle-set persists: `build` runs
+    * against a persisted copy of `sets`; with `release = true` the result
+    * is eagerly materialized into ITS OWN persist (pairs above threshold —
+    * orders of magnitude smaller than the sets) and the sets cache is
+    * dropped before returning, so a long-lived session running many dedup
+    * calls doesn't accumulate set caches until LRU pressure. The caller
+    * owns the returned frame's persist (`unpersist()` when done). With
+    * `release = false` (the default) the result stays lazy and the sets
+    * cache lives until LRU eviction or `spark.catalog.clearCache()` — the
+    * right trade when the caller will re-derive more from the same sets.
+    */
+  private def withPersistedSets(sets: DataFrame, release: Boolean)
+                               (build: DataFrame => DataFrame): DataFrame = {
+    val cached = sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = build(cached)
+    if (!release) res
+    else {
+      val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // force: the result must never silently recompute the sets
+      cached.unpersist()
+      out
+    }
+  }
+
   /** The MinHash signature array over a prepared `shs` (sorted shingle-key)
     * column: element p = min over xxhash64(p, shingleKey). ONE nested-HOF
     * expression — the tree (and codegen size) is O(1) in `perms` — shared
@@ -117,33 +141,32 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
-                      bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+                      bands: Int = 32, rowsPerBand: Int = 2,
+                      releaseSets: Boolean = false): DataFrame =
     // sets feed the signature pipeline AND both verify sides — persist the
-    // reduced (8-byte-keys) form once. Like the sparse variant: evicted
-    // LRU under pressure, dropped by spark.catalog.clearCache(); repeated
-    // calls re-persist (bounded by the reduced-set size, ~1-2% of text).
-    val sets = shingleSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Signature as the shared array expression ([[sigArrayExpr]] — O(1)
-    // tree in perms, identical hashing to the public signature API). Band
-    // key = hash of the band's signature slice — any hash is candidate-
-    // correct (equal band tuples always collide; spurious collisions are
-    // removed by the exact verify stage).
-    val sig = sets.select(col(idCol), sigArrayExpr(bands * rowsPerBand).as("_sigs"))
-    val bandRows = sig.select(
-      col(idCol),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          hash(slice(col("_sigs"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
-      }: _*)).as("bd"))
-      .select(col(idCol), col("bd.band"), col("bd.bkey"))
-    val l = bandRows.select(col(idCol).as("id_1"), col("band"), col("bkey"))
-    val r = bandRows.select(col(idCol).as("id_2"), col("band"), col("bkey"))
-    val candidates = l.join(r, Seq("band", "bkey"))
-      .filter(col("id_1") < col("id_2"))
-      .select("id_1", "id_2").distinct()
-    verifyJaccard(candidates, sets, idCol, threshold)
-  }
+    // reduced (8-byte-keys) form once (see [[withPersistedSets]] for the
+    // releaseSets cache-hygiene contract).
+    withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
+      // Signature as the shared array expression ([[sigArrayExpr]] — O(1)
+      // tree in perms, identical hashing to the public signature API). Band
+      // key = hash of the band's signature slice — any hash is candidate-
+      // correct (equal band tuples always collide; spurious collisions are
+      // removed by the exact verify stage).
+      val sig = sets.select(col(idCol), sigArrayExpr(bands * rowsPerBand).as("_sigs"))
+      val bandRows = sig.select(
+        col(idCol),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            hash(slice(col("_sigs"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
+        }: _*)).as("bd"))
+        .select(col(idCol), col("bd.band"), col("bd.bkey"))
+      val l = bandRows.select(col(idCol).as("id_1"), col("band"), col("bkey"))
+      val r = bandRows.select(col(idCol).as("id_2"), col("band"), col("bkey"))
+      val candidates = l.join(r, Seq("band", "bkey"))
+        .filter(col("id_1") < col("id_2"))
+        .select("id_1", "id_2").distinct()
+      verifyJaccard(candidates, sets, idCol, threshold)
+    }
 
   /** Exact word-n-gram Jaccard for ALL pairs above `threshold`, on the
     * block-partitioned all-pairs plan: every pair is evaluated exactly once
@@ -159,21 +182,21 @@ object Dedup {
     * an inverted index before the same exact verification.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double, blocks: Int = 32): DataFrame = {
+                        n: Int, threshold: Double, blocks: Int = 32,
+                        releaseSets: Boolean = false): DataFrame =
     // blockedPairs replicates its input onto both join sides — persist the
     // reduced sets so the shingling runs once, not once per side
-    val sets = shingleSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Pairs.blockedPairs(sets, idCol, blocks)
-      .select(col("id_1"), col("id_2"),
-        ArrayOps.sortedIntersectSize(col("s_1.shs"), col("s_2.shs")).cast("double").as("inter"),
-        (col("s_1.n_sh") + col("s_2.n_sh")).cast("double").as("sz"))
-      .withColumn("jaccard",
-        round(when(col("sz") > col("inter"), col("inter") / (col("sz") - col("inter")))
-          .otherwise(0.0), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_1", "id_2", "jaccard")
-  }
+    withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
+      Pairs.blockedPairs(sets, idCol, blocks)
+        .select(col("id_1"), col("id_2"),
+          ArrayOps.sortedIntersectSize(col("s_1.shs"), col("s_2.shs")).cast("double").as("inter"),
+          (col("s_1.n_sh") + col("s_2.n_sh")).cast("double").as("sz"))
+        .withColumn("jaccard",
+          round(when(col("sz") > col("inter"), col("inter") / (col("sz") - col("inter")))
+            .otherwise(0.0), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    }
 
   /** Inverted-index variant for SPARSE shingle distributions: candidates =
     * pairs co-occurring under some shingle with document frequency ≤
@@ -186,25 +209,24 @@ object Dedup {
     * O(|candidates| × set size) verify.
     */
   def ngramJaccardPairsSparse(df: DataFrame, idCol: String, textCol: String,
-                              n: Int, threshold: Double, maxDf: Int): DataFrame = {
+                              n: Int, threshold: Double, maxDf: Int,
+                              releaseSets: Boolean = false): DataFrame =
     // The reduced sets feed FIVE plan positions (df-count, both sides of
     // the candidate self-join via inv, both verify sides); without a cache
     // boundary Spark re-evaluates the shingling subtree for each. The sets
     // table is the corpus reduced to 8-byte keys (~1-2% of text size) —
-    // persisting it is the standard inverted-index-build trade. Evicted
-    // LRU under pressure; callers can spark.catalog.clearCache() to drop.
-    val sets = shingleSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = sets.select(col(idCol).as("id"), explode(col("shs")).as("sk"))
-    val rare = inv.join(
-      inv.groupBy("sk").agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf).select("sk"),
-      "sk")
-    val candidates = rare.select(col("id").as("id_1"), col("sk"))
-      .join(rare.select(col("id").as("id_2"), col("sk")), "sk")
-      .filter(col("id_1") < col("id_2"))
-      .select("id_1", "id_2").distinct()
-    verifyJaccard(candidates, sets, idCol, threshold)
-  }
+    // persisting it is the standard inverted-index-build trade.
+    withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
+      val inv = sets.select(col(idCol).as("id"), explode(col("shs")).as("sk"))
+      val rare = inv.join(
+        inv.groupBy("sk").agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf).select("sk"),
+        "sk")
+      val candidates = rare.select(col("id").as("id_1"), col("sk"))
+        .join(rare.select(col("id").as("id_2"), col("sk")), "sk")
+        .filter(col("id_1") < col("id_2"))
+        .select("id_1", "id_2").distinct()
+      verifyJaccard(candidates, sets, idCol, threshold)
+    }
 
   /** Connected components over near-duplicate PAIRS — the final dedup
     * stage: pairs → clusters → one canonical representative per cluster.

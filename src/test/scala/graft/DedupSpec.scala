@@ -64,6 +64,25 @@ class DedupSpec extends SparkTestBase {
     assert(sparse == exact, "uncapped inverted index must reproduce the exact result")
   }
 
+  test("releaseSets drops the shingle-set cache once the pair frame is built") {
+    spark.sparkContext.getPersistentRDDs.size // force lazy init
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val baseline = cachedIds
+    val res = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.1, releaseSets = true)
+    val afterBuild = cachedIds -- baseline
+    // exactly the result's own persist remains, never the sets'
+    assert(afterBuild.size == 1,
+      s"one owned persist (the materialized pairs) expected, got ${afterBuild.size}")
+    // the eager materialization means the result survives the release
+    assert(res.count() == Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.1).count())
+    res.unpersist(blocking = true)
+    assert((cachedIds -- baseline).isEmpty, "no lingering cache after the caller unpersists")
+    // lazy default still leaves the sets cache in place (documented trade)
+    Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.1).count()
+    assert((cachedIds -- baseline).nonEmpty)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("minhashSignature: deterministic, one column per permutation (D2 API)") {
     val sig = Dedup.minhashSignature(corpus, "doc_id", "text", n = 2, perms = 16)
     assert(sig.columns.toSeq == "doc_id" +: (0 until 16).map(p => s"mh_$p"))
