@@ -585,6 +585,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SIM-IVF with a TRAINED quantizer: deterministic Lloyd k-means builds
+    // the cells (md5 seeding → assign → re-center → assign), then the same
+    // IVF probe path runs over the trained assignment — the ANN story
+    // end-to-end, quantizer included, and every step oracle-checkable.
+    "sim_ivf_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val withCell = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        dim = 64, k = 8, iters = 2)
+      Similarity.ivfTopK(withCell, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        "cell", dim = 64, k = 5, probes = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // SIM-LSH: bucketed approximate top-k with 1-bit multiprobe — the ANN
     // scale path. Ordinal sketch buckets (engine-portable, see d5b) make
     // the full candidate+rank pipeline hash-checkable in DuckDB; recall vs
@@ -890,6 +904,47 @@ object SparkEntry {
     Similarity.ordinalIndexPairs(dim, bits, seed).zipWithIndex.map { case ((a, b), h) =>
       s"(CASE WHEN $vecExpr[${a + 1}] > $vecExpr[${b + 1}] THEN ${1L << h} ELSE 0 END)"
     }.mkString("(", " + ", ")::BIGINT")
+
+  /** DuckDB rendition of [[graft.operators.Similarity.kmeansAssign]] (Lloyd
+    * iterations with md5 seeding) feeding the IVF probe path — the
+    * sim_ivf_trained oracle. Mirrors the Scala side step for step: seeds =
+    * k smallest md5("<seed>:<id>") rows; each pass assigns by argmax of
+    * round(cosine, 6) with ties to the lowest cell; re-centering is the
+    * 4dp-rounded, -0.0-normalized, float-quantized per-coordinate mean.
+    * The final IVF stage recomputes cell centroids from the trained
+    * assignment exactly as `ivfTopK` does via `labelCentroidVectors`.
+    */
+  private def kmeansIvfSql(dim: Int, k: Int, probes: Int, topK: Int,
+                           seed: String): String = {
+    val centCols = (1 to dim).map(i =>
+      s"CAST(CAST(round(avg(embedding[$i]), 4) + 0.0 AS FLOAT) AS DOUBLE)").mkString(", ")
+    def cos(a: String, b: String) = s"round(list_cosine_similarity($a, $b), 6)"
+    def assign(from: String, cents: String) =
+      s"SELECT vec_id, embedding, cell FROM (SELECT e.vec_id, e.embedding, c.cell, " +
+        s"row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        s"${cos("e.embedding::DOUBLE[]", "c.centroid")} DESC, c.cell ASC) AS rn " +
+        s"FROM $from e CROSS JOIN $cents c) WHERE rn = 1"
+    s"WITH c0 AS (SELECT cell, centroid FROM (SELECT embedding::DOUBLE[] AS centroid, " +
+      s"row_number() OVER (ORDER BY md5('$seed:' || CAST(vec_id AS VARCHAR)), " +
+      s"CAST(vec_id AS VARCHAR)) - 1 AS cell FROM embeddings) WHERE cell < $k), " +
+      s"a1 AS (${assign("embeddings", "c0")}), " +
+      s"c1 AS (SELECT cell, [$centCols] AS centroid FROM a1 GROUP BY cell), " +
+      s"a2 AS (${assign("embeddings", "c1")}), " +
+      s"cents AS (SELECT cell, [$centCols] AS centroid FROM a2 GROUP BY cell), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10), " +
+      "cellrank AS (SELECT q.query_id, q.qe, c.cell, row_number() OVER (" +
+      "PARTITION BY q.query_id ORDER BY " +
+      s"${cos("q.qe::DOUBLE[]", "c.centroid")} DESC, c.cell ASC) AS crn " +
+      "FROM q CROSS JOIN cents c), " +
+      s"probed AS (SELECT query_id, qe, cell FROM cellrank WHERE crn <= $probes), " +
+      "scored AS (SELECT p.query_id, e.vec_id AS neighbor_id, " +
+      s"${cos("p.qe::DOUBLE[]", "e.embedding::DOUBLE[]")} AS cosine " +
+      "FROM probed p JOIN a2 e ON e.cell = p.cell AND e.vec_id != p.query_id), " +
+      "ranked AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored) " +
+      s"SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $topK " +
+      "ORDER BY query_id, rank"
+  }
 
   /** Exact word-bigram Jaccard pairs over relation `src` (threshold `th`) —
     * shared by the d4_ngram_jaccard / d6_components / q_pipeline_chain
@@ -1355,6 +1410,9 @@ object SparkEntry {
         "SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5 " +
         "ORDER BY query_id, rank"
     },
+
+    "sim_ivf_trained" -> kmeansIvfSql(dim = 64, k = 8, probes = 3, topK = 5,
+      seed = "kmeans"),
 
     "sim_topk" ->
       ("SELECT query_id, neighbor_id, cosine, rank FROM (" +

@@ -211,6 +211,71 @@ object Similarity {
       (round(avg(element_at(col(vecCol), i + 1)), roundTo) + lit(0.0)).cast("float")): _*)
       .as("centroid"))
 
+  /** One k-means assignment pass as a PURE PROJECTION: each row's cell is
+    * the argmax of round(cosine, 6) against the k literal centroids, ties
+    * to the LOWEST cell index (struct array_max compares (score, -cell)
+    * lexicographically). The centroids ride inside the expression as
+    * literals — no join, no shuffle, no broadcast variable: at 100 TB an
+    * assignment pass is a narrow scan, embarrassingly parallel.
+    */
+  private def assignCellExpr(vecCol: String,
+                             cents: Seq[(Int, Array[Float])]): org.apache.spark.sql.Column = {
+    val scored = array(cents.map { case (c, v) =>
+      struct(round(Vectors.cosine(col(vecCol), lit(v)), 6).as("s"), lit(-c).as("nc"))
+    }: _*)
+    -array_max(scored).getField("nc")
+  }
+
+  /** Deterministic Lloyd k-means over an embedding column — the IVF coarse
+    * quantizer TRAINER ([[ivfTopK]] consumes the resulting cell column).
+    *
+    * Every step is engine-portable, so the trained cells (and any query on
+    * top of them) hash-check bit-identically against a SQL oracle:
+    *   - SEEDING: the k rows with the smallest md5("<seed>:<id>") hex —
+    *     deterministic, uniform, no JVM RNG (k-means++ would need one).
+    *   - ASSIGN: argmax of round(cosine, 6) vs the current centroids,
+    *     ties to the lowest cell — float comparisons of identically-
+    *     computed values only.
+    *   - RE-CENTER: the 4dp-rounded, -0.0-normalized, float-quantized
+    *     per-coordinate mean ([[labelCentroidVectors]]'s recipe).
+    *
+    * `iters` = assignment passes (Lloyd: assign, re-center, assign, ...);
+    * the returned frame is `df` + `cell` from the FINAL pass. Between
+    * passes only the k×dim centroid matrix visits the driver (the
+    * classical distributed-Lloyd shape — MLlib's KMeans does the same);
+    * each re-centering is one partial-aggregated pass over the corpus and
+    * each assignment a narrow projection. A cell that loses all members
+    * simply drops out for later passes (standard Lloyd behavior, identical
+    * in the oracle's GROUP BY).
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   k: Int, iters: Int = 2, seed: String = "kmeans",
+                   roundTo: Int = 4): DataFrame = {
+    require(k >= 1, "kmeansAssign: k must be >= 1")
+    require(iters >= 1, "kmeansAssign: iters must be >= 1")
+    val seedRows = df
+      .select(col(vecCol).as("_v"),
+        md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).as("_h"),
+        col(idCol).cast("string").as("_id"))
+      .orderBy(col("_h"), col("_id"))
+      .limit(k)
+      .collect()
+    var cents: Seq[(Int, Array[Float])] = seedRows.toIndexedSeq.zipWithIndex.map {
+      case (r, i) => (i, r.getSeq[Float](0).toArray)
+    }
+    for (_ <- 1 until iters) {
+      cents = df.withColumn("_cell", assignCellExpr(vecCol, cents))
+        .groupBy("_cell")
+        .agg(array((0 until dim).map(i =>
+          (round(avg(element_at(col(vecCol), i + 1)), roundTo) + lit(0.0)).cast("float")): _*)
+          .as("_centroid"))
+        .collect().toIndexedSeq
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+    }
+    df.withColumn("cell", assignCellExpr(vecCol, cents))
+  }
+
   /** IVF-flat approximate top-k: the corpus is partitioned into coarse
     * CELLS (`cellCol` — a cluster/label/shard assignment); each query
     * ranks the cell centroids by exact cosine and probes only the

@@ -99,6 +99,51 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, "IVF recall must clearly beat random-sampling at ~3/10 budget")
   }
 
+  test("kmeansAssign: deterministic cells in range; every member is nearest its own centroid") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Similarity.kmeansAssign(emb, "vec_id", "embedding", dim = 64, k = 4, iters = 2)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val b = Similarity.kmeansAssign(emb, "vec_id", "embedding", dim = 64, k = 4, iters = 2)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(a == b, "training is a pure function of (data, k, iters, seed)")
+    assert(a.values.forall(c => c >= 0 && c < 4))
+    assert(a.values.toSet.size > 1, "corpus must split across cells")
+    // Lloyd invariant: after the final assignment, each row's cell is the
+    // argmax-cosine centroid of the PREVIOUS re-centering — check via the
+    // centroids the final pass actually used (recompute from a 1-iter run)
+    val oneIter = Similarity.kmeansAssign(emb, "vec_id", "embedding", dim = 64, k = 4, iters = 1)
+    val cents = Similarity.labelCentroidVectors(
+      oneIter.withColumnRenamed("cell", "c1"), "c1", "embedding", 64)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val manual = emb.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding").toArray
+      def cosine(x: Array[Float], y: Array[Float]): Double = {
+        var d = 0.0; var nx = 0.0; var ny = 0.0
+        for (i <- x.indices) { d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i) }
+        d / (math.sqrt(nx) * math.sqrt(ny))
+      }
+      val best = cents.map { case (c, ce) =>
+        (BigDecimal(cosine(v, ce)).setScale(6, BigDecimal.RoundingMode.HALF_UP), c) }
+        .maxBy { case (s, c) => (s, -c) }._2
+      r.getAs[Long]("vec_id") -> best
+    }.toMap
+    assert(manual == a, "distributed assignment equals the driver-side argmax definition")
+  }
+
+  test("ivfTopK over trained k-means cells: recall beats random at equal probe budget") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val withCell = Similarity.kmeansAssign(emb, "vec_id", "embedding", dim = 64, k = 8, iters = 2)
+    val got = Similarity.ivfTopK(withCell, queries, "vec_id", "embedding", "cell",
+      dim = 64, k = 5, probes = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(f"trained-IVF recall@5 (3 of 8 cells probed): $recall%.3f")
+    assert(recall >= 0.3, "trained cells must beat the ~3/8 random-sampling baseline")
+  }
+
   test("lshCandidates emits unordered pairs, no self-pairs, subset of all pairs") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
     val cand = Similarity.lshCandidates(emb, "vec_id", "embedding", 64, bands = 8, bitsPerBand = 4)
