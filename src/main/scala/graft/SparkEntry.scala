@@ -717,6 +717,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // J3b: the skew-hardened two-pass as-of join — same semantics, heavy
+    // pass partitioned on (key, hour-bucket) so a hot key cannot serialize
+    // one task; must reproduce j3 exactly (same oracle SQL)
+    "j3b_asof_bucketed" -> ((s, d) => {
+      val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      Joins.asofJoinBucketed(purchases, clicks, ("user_id", "user_id"), ("ts_us", "ts_us"),
+        width = 3600000000L, tiebreak = Some("event_id"))
+        .select("event_id", "user_id", "ts_us", "r_event_id", "r_ts_us")
+        .orderBy("event_id")
+    }),
+
     // J4: range join — assign each error event to its containing session
     // (bucketized interval blocking; inner semantics)
     "j4_range_join" -> ((s, d) => {
@@ -945,6 +959,25 @@ object SparkEntry {
       s"SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $topK " +
       "ORDER BY query_id, rank"
   }
+
+  /** As-of-join oracle (union-merge in SQL) — shared by j3_asof_join and
+    * j3b_asof_bucketed: the bucketed two-pass variant must reproduce the
+    * same relation bit for bit.
+    */
+  private val asofOracleSql: String =
+    "WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+      "WHERE event_type = 'click'), " +
+      "purchases AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+      "WHERE event_type = 'purchase'), " +
+      "u AS (SELECT user_id AS k, ts_us AS t, 0 AS tag, event_id AS tb, " +
+      "NULL::BIGINT AS l_event, event_id AS b_event, ts_us AS b_ts FROM clicks " +
+      "UNION ALL SELECT user_id, ts_us, 1, NULL, event_id, NULL, NULL FROM purchases), " +
+      "f AS (SELECT *, last_value(b_event IGNORE NULLS) OVER w AS r_event_id, " +
+      "last_value(b_ts IGNORE NULLS) OVER w AS r_ts_us FROM u " +
+      "WINDOW w AS (PARTITION BY k ORDER BY t, tag, tb NULLS FIRST " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      "SELECT l_event AS event_id, k AS user_id, t AS ts_us, r_event_id, r_ts_us " +
+      "FROM f WHERE tag = 1 ORDER BY event_id"
 
   /** Exact word-bigram Jaccard pairs over relation `src` (threshold `th`) —
     * shared by the d4_ngram_jaccard / d6_components / q_pipeline_chain
@@ -1489,20 +1522,10 @@ object SparkEntry {
         "FROM embeddings CROSS JOIN range(0, 64) r " +
         "GROUP BY label, r.range ORDER BY label, dim_idx"),
 
-    "j3_asof_join" ->
-      ("WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
-        "WHERE event_type = 'click'), " +
-        "purchases AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
-        "WHERE event_type = 'purchase'), " +
-        "u AS (SELECT user_id AS k, ts_us AS t, 0 AS tag, event_id AS tb, " +
-        "NULL::BIGINT AS l_event, event_id AS b_event, ts_us AS b_ts FROM clicks " +
-        "UNION ALL SELECT user_id, ts_us, 1, NULL, event_id, NULL, NULL FROM purchases), " +
-        "f AS (SELECT *, last_value(b_event IGNORE NULLS) OVER w AS r_event_id, " +
-        "last_value(b_ts IGNORE NULLS) OVER w AS r_ts_us FROM u " +
-        "WINDOW w AS (PARTITION BY k ORDER BY t, tag, tb NULLS FIRST " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
-        "SELECT l_event AS event_id, k AS user_id, t AS ts_us, r_event_id, r_ts_us " +
-        "FROM f WHERE tag = 1 ORDER BY event_id"),
+    "j3_asof_join" -> asofOracleSql,
+
+    // the bucketed two-pass variant must reproduce the exact same relation
+    "j3b_asof_bucketed" -> asofOracleSql,
 
     "j4_range_join" ->
       ("WITH marked AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +

@@ -91,8 +91,14 @@ object Joins {
     * with a null right side. Ties among right rows at the same (key, time)
     * resolve to the greatest `tiebreak` value when given, else arbitrarily.
     */
-  def asofJoin(left: DataFrame, right: DataFrame, on: (String, String),
-               time: (String, String), tiebreak: Option[String] = None): DataFrame = {
+  /** Tagged union shared by the as-of join variants: probe rows (tag 1)
+    * and build rows (tag 0) normalized to (_k, _t, _tag, _lrow, _rrow, _tb).
+    * Build rows with null key or null time are excluded (a null never
+    * satisfies `t <= point`); probe rows pass through (they emit with a
+    * null right side downstream).
+    */
+  private def asofTagged(left: DataFrame, right: DataFrame, on: (String, String),
+                         time: (String, String), tiebreak: Option[String]): DataFrame = {
     val collisions = left.columns.toSet.intersect(right.columns.map("r_" + _).toSet)
     require(collisions.isEmpty,
       s"asofJoin would collide on renamed right columns: ${collisions.mkString(",")}")
@@ -110,15 +116,79 @@ object Joins {
       lit(null).cast(lStructT).as("_lrow"),
       struct(right.columns.toIndexedSeq.map(col): _*).as("_rrow"),
       tiebreak.map(col(_).cast(tbType)).getOrElse(lit(null).cast(tbType)).as("_tb"))
+    l.unionByName(r)
+  }
+
+  private def asofProject(left: DataFrame, right: DataFrame)(probes: DataFrame): DataFrame =
+    probes.select(left.columns.toIndexedSeq.map(c => col(s"_lrow.$c").as(c)) ++
+      right.columns.toIndexedSeq.map(c => col(s"_r.$c").as(s"r_$c")): _*)
+
+  def asofJoin(left: DataFrame, right: DataFrame, on: (String, String),
+               time: (String, String), tiebreak: Option[String] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_tag").asc, col("_tb").asc_nulls_first)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    l.unionByName(r)
-      .withColumn("_r", last(col("_rrow"), ignoreNulls = true).over(w))
-      .filter(col("_tag") === 1)
-      .select(left.columns.toIndexedSeq.map(c => col(s"_lrow.$c").as(c)) ++
-        right.columns.toIndexedSeq.map(c => col(s"_r.$c").as(s"r_$c")): _*)
+    asofProject(left, right)(
+      asofTagged(left, right, on, time, tiebreak)
+        .withColumn("_r", last(col("_rrow"), ignoreNulls = true).over(w))
+        .filter(col("_tag") === 1))
+  }
+
+  /** Skew-hardened as-of join: [[asofJoin]] puts each key's FULL history in
+    * one window task — correct, but a hot key (one device emitting half the
+    * stream) serializes onto a single core. This variant buckets time into
+    * `width`-sized blocks and runs two passes, mirroring [[rangeJoin]]'s
+    * blocking:
+    *   1. per (key, bucket): the running `last(build_row)` window — the hot
+    *      key's history now spreads over its time buckets, so the heavy
+    *      pass partitions on (key, bucket);
+    *   2. per key over BUCKET SUMMARIES (one row per key×bucket — bounded
+    *      by timespan/width, not by row count): the final build row of each
+    *      bucket, carried forward into every later bucket (window ends at
+    *      -1 PRECEDING: strictly-earlier buckets only).
+    * A probe row takes its within-bucket carry if one exists, else the
+    * carry-in from the latest earlier bucket. Same output as [[asofJoin]]
+    * (JoinsSpec pins parity); ties among build rows at one (key, time)
+    * resolve to the greatest tiebreak — pass `tiebreak` for full
+    * determinism under duplicate times, as with [[asofJoin]].
+    *
+    * Integral times bucket with exact `div`; fractional times with
+    * floor-division (documented: double floor past 2^53 can misbucket —
+    * epoch-micros longs stay exact).
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, on: (String, String),
+                       time: (String, String), width: Long,
+                       tiebreak: Option[String] = None): DataFrame = {
+    require(width > 0, "asofJoinBucketed: width must be positive")
+    val tagged = asofTagged(left, right, on, time, tiebreak)
+    val isIntegral = tagged.schema("_t").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val u = tagged.withColumn("_b",
+      if (isIntegral) expr(s"_t div $width") else floor(col("_t") / width).cast("long"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wLocal = W.partitionBy(col("_k"), col("_b"))
+      .orderBy(col("_t").asc, col("_tag").asc, col("_tb").asc_nulls_first)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val local = u.withColumn("_rloc", last(col("_rrow"), ignoreNulls = true).over(wLocal))
+    // Final build row per bucket: max over (t, tb, row) — struct comparison
+    // puts null tb first, matching the window's asc_nulls_first "last wins".
+    val bucketFin = u.filter(col("_tag") === 0)
+      .groupBy("_k", "_b")
+      .agg(max(struct(col("_t"), col("_tb"), col("_rrow"))).getField("_rrow").as("_bfin"))
+    val wCarry = W.partitionBy(col("_k")).orderBy(col("_b").asc_nulls_first)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val carry = u.select("_k", "_b").distinct()
+      .join(bucketFin, Seq("_k", "_b"), "left")
+      .withColumn("_carry", last(col("_bfin"), ignoreNulls = true).over(wCarry))
+      .select("_k", "_b", "_carry")
+    asofProject(left, right)(
+      local.filter(col("_tag") === 1)
+        .join(carry, Seq("_k", "_b"), "left")
+        .withColumn("_r", coalesce(col("_rloc"), col("_carry"))))
   }
 
   /** Range (interval) join: match each left POINT row to every right

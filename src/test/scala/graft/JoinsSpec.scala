@@ -84,6 +84,50 @@ class JoinsSpec extends SparkTestBase {
     assert(out(2L).isEmpty, "a probe row with no defined time matches nothing")
   }
 
+  test("asofJoinBucketed: cross-bucket carry, within-bucket match, and null handling match asofJoin") {
+    val probe = Seq((1L, "u1", 100L), (2L, "u1", 200L), (3L, "u2", 50L), (4L, "u3", 10L),
+      (5L, "u1", 9000L), (6L, "u2", 55L)).toDF("id", "k", "t")
+    val build = Seq((10L, "u1", 90L), (11L, "u1", 100L), (12L, "u1", 150L),
+      (13L, "u2", 60L)).toDF("id", "k", "t")
+    // width 7: buckets split every probe from its predecessor at least once;
+    // probe 5 carries across ~1200 empty buckets
+    for (width <- Seq(7L, 64L, 100000L)) {
+      val exact = Joins.asofJoin(probe, build, ("k", "k"), ("t", "t"), tiebreak = Some("id"))
+        .collect().map(_.toSeq).toSet
+      val bucketed = Joins.asofJoinBucketed(probe, build, ("k", "k"), ("t", "t"),
+        width, tiebreak = Some("id")).collect().map(_.toSeq).toSet
+      assert(bucketed == exact, s"width=$width must reproduce asofJoin exactly")
+    }
+  }
+
+  test("asofJoinBucketed: ties and null keys/times behave as in asofJoin") {
+    val probe = Seq((1L, Some("u"), Some(100L)), (2L, Some("u"), None), (3L, None, Some(5L)))
+      .toDF("id", "k", "t")
+    val build = Seq((7L, Some("u"), Some(100L)), (9L, Some("u"), Some(100L)),
+      (8L, Some("u"), Some(100L)), (10L, Some("u"), None), (11L, None: Option[String], Some(1L)))
+      .toDF("id", "k", "t")
+    val out = Joins.asofJoinBucketed(probe, build, ("k", "k"), ("t", "t"), 10L,
+      tiebreak = Some("id"))
+      .select("id", "r_id").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(9L), "greatest tiebreak wins on (key,time) ties")
+    assert(out(2L).isEmpty, "null-time probe rows null-pad")
+    assert(out(3L).isEmpty, "null-key probe rows null-pad (null keys never equi-match)")
+  }
+
+  test("asofJoinBucketed parity on the events corpus (randomized-scale differential)") {
+    import org.apache.spark.sql.functions.{col => c}
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = ev.filter(c("event_type") === "click").select("event_id", "user_id", "ts_us")
+    val purchases = ev.filter(c("event_type") === "purchase").select("event_id", "user_id", "ts_us")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    val exact = Joins.asofJoin(purchases, clicks, ("user_id", "user_id"),
+      ("ts_us", "ts_us"), tiebreak = Some("event_id"))
+    val bucketed = Joins.asofJoinBucketed(purchases, clicks, ("user_id", "user_id"),
+      ("ts_us", "ts_us"), width = 3600000000L, tiebreak = Some("event_id"))
+    assert(canon(bucketed) == canon(exact))
+  }
+
   test("saltedJoin tolerates unhashable (map) columns by excluding them from the salt") {
     val l = left.withColumn("props", map(lit("a"), lit("b")))
     val base = Joins.hashJoin(left, right, ("k", "k")).count()

@@ -51,6 +51,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-N heap plan in:\n$p")
   }
 
+  test("asofJoinBucketed's heavy window pass partitions on (key, bucket), never key alone (J3)") {
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts_us")
+    val purchases = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts_us")
+    val p = plan(Joins.asofJoinBucketed(purchases, clicks, ("user_id", "user_id"),
+      ("ts_us", "ts_us"), width = 3600000000L, tiebreak = Some("event_id")))
+    // the full-data window must hash-partition on [_k, _b]: a hot key's
+    // history spreads over its time buckets instead of one task
+    assert(p.contains("hashpartitioning(_k"), s"expected a window exchange in:\n$p")
+    assert("hashpartitioning\\(_k[^)]*_b".r.findFirstIn(p).isDefined,
+      s"the heavy window exchange must include the bucket column:\n$p")
+  }
+
   test("latestPerGroup aggregates with a map-side partial phase (A8)") {
     val p = plan(Analytics.latestPerGroup(Tables.orders(spark, sf),
       "o_custkey", "o_orderdate", Seq("o_orderkey")))
