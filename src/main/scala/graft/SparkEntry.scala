@@ -599,6 +599,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SIM-Q8: int8-quantized exact top-k — vectors packed to one signed
+    // byte per coordinate (4× less memory/bandwidth than float32), scored
+    // with the exact integer dot product (codegen'd ByteDotProduct): the
+    // wide pass of the standard quantize-then-rerank ANN recipe, and fully
+    // integer-exact so it hash-checks against the oracle with no rounding
+    "sim_q8_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // SIM-LSH: bucketed approximate top-k with 1-bit multiprobe — the ANN
     // scale path. Ordinal sketch buckets (engine-portable, see d5b) make
     // the full candidate+rank pipeline hash-checkable in DuckDB; recall vs
@@ -777,6 +789,12 @@ object SparkEntry {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(100)),
+
+    // T10: per-document distinctive terms — tf/df scoring (tf-idf with an
+    // engine-exact 1/df weight), the first cross-document text score
+    "t10_distinctive" -> ((s, d) =>
+      TermStats.distinctiveTerms(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")),
 
     // G7: grouped exact percentiles (linear-interpolating, matches
     // DuckDB quantile_cont) — the quantile surface beyond median
@@ -1572,6 +1590,31 @@ object SparkEntry {
       ("SELECT token, count(*) AS n FROM (SELECT unnest(" +
         "regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents) " +
         "GROUP BY token ORDER BY n DESC, token ASC LIMIT 100"),
+
+    "t10_distinctive" ->
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), " +
+        "dfq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term), " +
+        "scored AS (SELECT t.doc_id, t.term, t.tf, d.df, " +
+        "round(t.tf::DOUBLE / d.df::DOUBLE, 6) AS score FROM tf t JOIN dfq d USING (term)), " +
+        "ranked AS (SELECT doc_id, term, tf, df, score, row_number() OVER (" +
+        "PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM scored) " +
+        "SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 3 " +
+        "ORDER BY doc_id, rank"),
+
+    "sim_q8_topk" ->
+      ("WITH q8 AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(CASE WHEN ma > 0 THEN round(x::DOUBLE * 127.0 / ma, 0) ELSE 0 END AS BIGINT)) AS q " +
+        "FROM (SELECT vec_id, embedding, " +
+        "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS ma FROM embeddings)), " +
+        "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "CAST(list_dot_product(q.q::DOUBLE[], c.q::DOUBLE[]) AS BIGINT) AS dot_q8 " +
+        "FROM q8 q JOIN q8 c ON q.vec_id != c.vec_id WHERE q.vec_id < 10), " +
+        "ranked AS (SELECT query_id, neighbor_id, dot_q8, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY dot_q8 DESC, neighbor_id ASC) AS rank FROM scored) " +
+        "SELECT query_id, neighbor_id, dot_q8, rank FROM ranked WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"),
 
     "g7_percentiles" ->
       ("SELECT l_returnflag, " +

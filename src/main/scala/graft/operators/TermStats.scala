@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-relative term statistics — the tf-idf-style scoring a training-
+  * data pipeline uses to surface what a document is ABOUT (topic terms for
+  * domain filtering, dedup explanations, quality review). Extends the text
+  * family (T1-T9) with the first CROSS-document text score: T7's vocabulary
+  * is corpus-global, the quality/repetition scores are per-document; this
+  * one needs both sides.
+  */
+object TermStats {
+
+  /** Per-document top-k DISTINCTIVE terms: score = tf / df — term frequency
+    * in this document over the term's document frequency in the corpus
+    * (plain tf-idf with a 1/df weight instead of log(N/df): the ranking a
+    * log idf gives per-document is dominated by the same monotone-in-df
+    * ordering, and a single integer division is bit-identical across
+    * engines where log(N/df) is at the mercy of libm rounding).
+    * Ties break by term ascending; score rounded to 6.
+    *
+    * Scale shape: tf = one map-side-combined shuffle on (doc, term); df =
+    * distinct + count keyed by term (vocabulary-sized — AQE broadcasts it
+    * back onto tf); the rank window partitions per document over that
+    * document's own vocabulary, never the corpus. Whitespace tokenization
+    * matches T7's vocabulary build.
+    */
+  def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, "distinctiveTerms: k must be >= 1")
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score", round(col("tf").cast("double") / col("df").cast("double"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+}

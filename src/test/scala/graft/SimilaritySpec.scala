@@ -144,6 +144,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.3, "trained cells must beat the ~3/8 random-sampling baseline")
   }
 
+  test("quantizeInt8: packed codes are deterministic, in range, zero-vector safe") {
+    val vecs = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)),        // zero vector must not divide by zero
+      (2L, Array(-2.0f, 2.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("q8")).toMap
+    assert(q(0L).toSeq == Seq[Byte](127, -64, 32), "round(v*127/max|v|) per element")
+    assert(q(1L).toSeq == Seq[Byte](0, 0, 0))
+    assert(q(2L).toSeq == Seq[Byte](-127, 127, 64))
+  }
+
+  test("byteDot: exact integer dot product over packed codes (codegen path)") {
+    val df = Seq((Array(127, -1, 2), Array(127, 1, 3))).toDF("a", "b")
+      .select(graft.functions.Vectors.byteDot(
+        graft.functions.Vectors.packInt8(col("a")),
+        graft.functions.Vectors.packInt8(col("b"))).as("d"))
+    assert(df.as[Long].collect()(0) == 127L * 127 - 1 + 6)
+  }
+
+  test("quantizedTopK: int8 ranking closely tracks exact cosine top-k") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(f"int8-quantized recall@5 vs exact cosine: $recall%.3f")
+    // int8 dot is an unnormalized cosine proxy — norms vary, so this is the
+    // wide-pass recall, not a reranked one
+    assert(recall >= 0.4, "quantized wide pass must retain most exact neighbors")
+  }
+
   test("lshCandidates emits unordered pairs, no self-pairs, subset of all pairs") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
     val cand = Similarity.lshCandidates(emb, "vec_id", "embedding", 64, bands = 8, bitsPerBand = 4)

@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.TermStats
+
+/** T10 — per-document distinctive terms (tf/df). */
+class TermStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark spark engine"),
+    (2L, "engine tuning"),
+    (3L, "spark tuning tuning notes")
+  ).toDF("doc_id", "text")
+
+  test("score = tf/df; top-k per document with term-ascending tiebreak") {
+    val out = TermStats.distinctiveTerms(docs, "doc_id", "text", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._6)).toMap
+    // doc 1: spark tf=2 df=2 -> 1.0 ; engine tf=1 df=2 -> 0.5
+    assert(byDoc(1L).map(t => (t._2, t._5)).toSeq == Seq(("spark", 1.0), ("engine", 0.5)))
+    // doc 2: engine 1/2 = 0.5 and tuning 1/2 = 0.5 tie -> term asc: engine first
+    assert(byDoc(2L).map(_._2).toSeq == Seq("engine", "tuning"))
+    // doc 3: tuning tf=2 df=2 -> 1.0 beats notes 1/1 = 1.0? equal -> notes first (term asc)
+    assert(byDoc(3L).head._2 == "notes" && byDoc(3L).head._5 == 1.0)
+  }
+
+  test("k bounds output per document; every document with tokens appears") {
+    val out = TermStats.distinctiveTerms(docs, "doc_id", "text", 1)
+    assert(out.count() == 3)
+    assert(out.select("doc_id").distinct().count() == 3)
+  }
+}
