@@ -611,6 +611,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SIM-Q8-RERANK: the complete quantize-then-rerank recipe — int8 wide
+    // pass shortlists 25 candidates per query, exact float cosine rescores
+    // only those and cuts to 5
+    "sim_q8_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedRerankTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, shortlist = 25)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // SIM-LSH: bucketed approximate top-k with 1-bit multiprobe — the ANN
     // scale path. Ordinal sketch buckets (engine-portable, see d5b) make
     // the full candidate+rank pipeline hash-checkable in DuckDB; recall vs
@@ -795,6 +806,14 @@ object SparkEntry {
     "t10_distinctive" -> ((s, d) =>
       TermStats.distinctiveTerms(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy("doc_id", "rank")),
+
+    // A20: top-N rows per group — the argmax surface generalized to n,
+    // map-side-pruned via Spark's WindowGroupLimit (PlanSpec-pinned)
+    "a20_top_per_group" -> ((s, d) =>
+      Analytics.topNPerGroup(Tables.orders(s, d), Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+        .orderBy("o_orderpriority", "rank")),
 
     // G7: grouped exact percentiles (linear-interpolating, matches
     // DuckDB quantile_cont) — the quantile surface beyond median
@@ -1615,6 +1634,32 @@ object SparkEntry {
         "PARTITION BY query_id ORDER BY dot_q8 DESC, neighbor_id ASC) AS rank FROM scored) " +
         "SELECT query_id, neighbor_id, dot_q8, rank FROM ranked WHERE rank <= 5 " +
         "ORDER BY query_id, rank"),
+
+    "sim_q8_rerank" ->
+      ("WITH q8 AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(CASE WHEN ma > 0 THEN round(x::DOUBLE * 127.0 / ma, 0) ELSE 0 END AS BIGINT)) AS q " +
+        "FROM (SELECT vec_id, embedding, " +
+        "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS ma FROM embeddings)), " +
+        "wscored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "CAST(list_dot_product(q.q::DOUBLE[], c.q::DOUBLE[]) AS BIGINT) AS dot_q8 " +
+        "FROM q8 q JOIN q8 c ON q.vec_id != c.vec_id WHERE q.vec_id < 10), " +
+        "short AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY dot_q8 DESC, neighbor_id ASC) AS wr " +
+        "FROM wscored) WHERE wr <= 25), " +
+        "rescored AS (SELECT s.query_id, s.neighbor_id, " +
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine " +
+        "FROM short s JOIN embeddings a ON a.vec_id = s.query_id " +
+        "JOIN embeddings b ON b.vec_id = s.neighbor_id), " +
+        "ranked AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM rescored) " +
+        "SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"),
+
+    "a20_top_per_group" ->
+      ("SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (" +
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (" +
+        "PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank " +
+        "FROM orders) WHERE rank <= 3 ORDER BY o_orderpriority, rank"),
 
     "g7_percentiles" ->
       ("SELECT l_returnflag, " +

@@ -39,6 +39,23 @@ object Analytics {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Top-N rows per group (the A8 argmax generalized from 1 to n): rank by
+    * `order` within each key group, keep ranks <= n, emit the rank. The
+    * declarative window + rank-filter IS the scale-correct form on Spark 4:
+    * `InferWindowGroupLimit` plants a `WindowGroupLimit` below the
+    * exchange, so each map task forwards only its own top n per group —
+    * the shuffle carries O(groups × n) per partition, not every row
+    * (PlanSpec pins the WindowGroupLimit).
+    */
+  def topNPerGroup(df: DataFrame, keys: Seq[String],
+                   order: Seq[org.apache.spark.sql.Column], n: Int): DataFrame = {
+    require(keys.nonEmpty, "topNPerGroup: empty keys (use Ops.topN)")
+    require(n >= 1, "topNPerGroup: n must be >= 1")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
+
   /** A9 — pivot (date × series matrix, `/root/reference/app.py:1013-1024`).
     * `values` must be supplied: with explicit pivot values Spark skips the
     * extra distinct-collect job AND the output schema is deterministic —

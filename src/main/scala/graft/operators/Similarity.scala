@@ -260,6 +260,29 @@ object Similarity {
         col("cosine").cast("long").as("dot_q8"), col("rank"))
   }
 
+  /** The full quantize-then-rerank recipe: the int8 wide pass shortlists
+    * `shortlist` candidates per query over packed codes (quarter
+    * bandwidth), then ONLY the shortlist is rescored with exact float
+    * cosine and cut to `k`. The expensive float scan shrinks from N to
+    * `shortlist` rows per query; the shortlist frame is tiny, so the
+    * rerank joins broadcast it against the corpus — the corpus itself is
+    * scanned, never shuffled, in both passes.
+    */
+  def quantizedRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                          vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, "quantizedRerankTopK: shortlist must be >= k")
+    val wide = quantizedTopK(corpus, queries, idCol, vecCol, shortlist)
+      .select("query_id", "neighbor_id")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = c.join(broadcast(wide), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"),
+        struct(round(Vectors.cosine(col("q_vec"), col("c_vec")), 6).as("score"),
+          col("neighbor_id").as("id")).as("sn"))
+    rankTopK(scored, k)
+  }
+
   /** One k-means assignment pass as a PURE PROJECTION: each row's cell is
     * the argmax of round(cosine, 6) against the k literal centroids, ties
     * to the LOWEST cell index (struct array_max compares (score, -cell)

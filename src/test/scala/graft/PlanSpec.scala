@@ -64,6 +64,13 @@ class PlanSpec extends SparkTestBase {
       s"the heavy window exchange must include the bucket column:\n$p")
   }
 
+  test("topNPerGroup plans a WindowGroupLimit below the exchange (A20)") {
+    val p = plan(Analytics.topNPerGroup(Tables.orders(spark, sf), Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=n over a window must map-side prune via WindowGroupLimit:\n$p")
+  }
+
   test("latestPerGroup aggregates with a map-side partial phase (A8)") {
     val p = plan(Analytics.latestPerGroup(Tables.orders(spark, sf),
       "o_custkey", "o_orderdate", Seq("o_orderkey")))

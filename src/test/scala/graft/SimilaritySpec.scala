@@ -179,6 +179,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.4, "quantized wide pass must retain most exact neighbors")
   }
 
+  test("quantizedRerankTopK: rerank recovers exact-cosine ranks the wide pass misorders") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val wide = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val reranked = Similarity.quantizedRerankTopK(emb, queries, "vec_id", "embedding",
+      k = 5, shortlist = 25)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(s: Set[(Long, Long)]) = (exact intersect s).size.toDouble / exact.size
+    info(f"recall@5: wide=${recall(wide)}%.3f reranked=${recall(reranked)}%.3f")
+    assert(recall(reranked) >= recall(wide), "reranking must not lose recall")
+    assert(recall(reranked) >= 0.7, "a 5x shortlist reranked by exact cosine should be near-exact")
+  }
+
   test("lshCandidates emits unordered pairs, no self-pairs, subset of all pairs") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
     val cand = Similarity.lshCandidates(emb, "vec_id", "embedding", 64, bands = 8, bitsPerBand = 4)
