@@ -550,6 +550,18 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // D7: benchmark decontamination — for each held-out (test) document,
+    // the train documents containing >= 50% of its trigram shingles
+    // (containment, not Jaccard: a short benchmark question buried in a
+    // long train doc is exactly the leak this catches)
+    "d7_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminationPairs(
+        docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", 3, 0.5, maxDf = 50)
+        .orderBy("test_id", "train_id")
+    }),
+
     // D5: embedding-cosine near-dup pairs (exact all-pairs, codegen'd cosine)
     "d5_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
@@ -1443,6 +1455,27 @@ object SparkEntry {
         "ORDER BY id_1, id_2"),
 
     "d4_ngram_jaccard" -> (bigramJaccardSql + " ORDER BY id_1, id_2"),
+
+    "d7_decontaminate" -> {
+      def grams(src: String) =
+        "SELECT doc_id, list_distinct(list_transform(" +
+          "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1), " +
+          "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
+          "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' || " +
+          "regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM " + src
+      "WITH tsh AS (" + grams("documents WHERE doc_id % 4 != 0") + "), " +
+        "xsh AS (" + grams("documents WHERE doc_id % 4 = 0") + "), " +
+        "ti AS (SELECT doc_id AS train_id, unnest(grams) AS s FROM tsh), " +
+        "rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM ti GROUP BY s) WHERE df <= 50), " +
+        "xi AS (SELECT doc_id AS test_id, unnest(grams) AS s FROM xsh), " +
+        "cand AS (SELECT DISTINCT x.test_id, t.train_id FROM xi x JOIN rare r ON x.s = r.s " +
+        "JOIN ti t ON t.s = x.s), " +
+        "v AS (SELECT c.test_id, c.train_id, " +
+        "round(len(list_intersect(xs.grams, ts.grams))::DOUBLE / len(xs.grams), 6) AS containment " +
+        "FROM cand c JOIN xsh xs ON xs.doc_id = c.test_id JOIN tsh ts ON ts.doc_id = c.train_id) " +
+        "SELECT test_id, train_id, containment FROM v WHERE containment >= 0.5 " +
+        "ORDER BY test_id, train_id"
+    },
 
     // components over the same pairs via transitive closure (recursive CTE)
     "d6_components" ->

@@ -228,6 +228,48 @@ object Dedup {
       verifyJaccard(candidates, sets, idCol, threshold)
     }
 
+  /** Benchmark DECONTAMINATION — the cross-corpus containment check every
+    * training pipeline runs before shipping data: for each TEST (benchmark)
+    * document, find every TRAIN document whose shingle overlap covers at
+    * least `threshold` of the TEST document's shingles. Containment, not
+    * Jaccard: a 50-word benchmark question buried in a 5000-word train doc
+    * has tiny Jaccard but containment ≈ 1 — exactly the leak to catch.
+    *
+    * Same two-stage shape as [[ngramJaccardPairsSparse]]: candidates from
+    * an inverted index over the TRAIN side restricted to shingles with
+    * train-document-frequency ≤ `maxDf` (ubiquitous shingles generate
+    * candidate blowup but can't evidence contamination on their own);
+    * containment is then verified EXACTLY on the full hashed sets via the
+    * codegen'd merge-intersect, so scores carry no approximation. Both
+    * corpora travel as 8-byte shingle keys, never text.
+    *
+    * Output: (test_id, train_id, containment) for pairs ≥ threshold,
+    * containment = |test ∩ train| / |test| rounded to 6.
+    */
+  def decontaminationPairs(train: DataFrame, test: DataFrame, idCol: String,
+                           textCol: String, n: Int, threshold: Double,
+                           maxDf: Int): DataFrame = {
+    val tsets = shingleSets(train, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val xsets = shingleSets(test, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ti = tsets.select(col(idCol).as("train_id"), explode(col("shs")).as("sk"))
+    val rare = ti.groupBy("sk").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("sk")
+    val xi = xsets.select(col(idCol).as("test_id"), explode(col("shs")).as("sk"))
+    val candidates = xi.join(rare, "sk").join(ti, "sk")
+      .select("test_id", "train_id").distinct()
+    val t1 = tsets.select(col(idCol).as("train_id"), col("shs").as("shs_t"))
+    val x1 = xsets.select(col(idCol).as("test_id"), col("n_sh").as("n_test"),
+      col("shs").as("shs_x"))
+    candidates.join(x1, "test_id").join(t1, "train_id")
+      .withColumn("containment",
+        round(ArrayOps.sortedIntersectSize(col("shs_x"), col("shs_t")).cast("double") /
+          col("n_test").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select("test_id", "train_id", "containment")
+  }
+
   /** Connected components over near-duplicate PAIRS — the final dedup
     * stage: pairs → clusters → one canonical representative per cluster.
     * Output: (id, component) for every id appearing in a pair, where

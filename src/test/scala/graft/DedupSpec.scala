@@ -83,6 +83,29 @@ class DedupSpec extends SparkTestBase {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("decontaminationPairs: catches a benchmark question buried in a train doc (D7)") {
+    val train = Seq(
+      (100L, "preamble words here the quick brown fox jumps over the lazy dog and trailing text"),
+      (101L, "completely unrelated training material about query engines")
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contained in 100
+      (2L, "no overlap with anything at all whatsoever truly")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminationPairs(train, test, "doc_id", "text", 3, 0.5, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 100L)),
+      "only the contaminated (test, train) pair may surface")
+    assert(out.head._3 == 1.0, "every test trigram appears in the train doc")
+    // the same pair's Jaccard is low — containment is the right metric here
+    val jac = Dedup.ngramJaccardPairs(
+      train.select(col("doc_id"), col("text"))
+        .unionByName(test.filter(col("doc_id") === 1)), "doc_id", "text", 3, 0.0)
+      .filter(col("id_1") === 1 && col("id_2") === 100)
+      .select("jaccard").collect()(0).getDouble(0)
+    assert(jac < 0.6, s"jaccard ($jac) understates the containment (1.0)")
+  }
+
   test("minhashSignature: deterministic, one column per permutation (D2 API)") {
     val sig = Dedup.minhashSignature(corpus, "doc_id", "text", n = 2, perms = 16)
     assert(sig.columns.toSeq == "doc_id" +: (0 until 16).map(p => s"mh_$p"))
