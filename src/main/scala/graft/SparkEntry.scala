@@ -562,6 +562,16 @@ object SparkEntry {
         .orderBy("test_id", "train_id")
     }),
 
+    // D8: incremental ingest dedup — new batch (doc_id % 10 = 0) anti-joined
+    // against the existing corpus's fingerprint set
+    "d8_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.exactIncremental(
+        docs.filter(col("doc_id") % 10 === 0), docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text")
+        .select("doc_id", "fingerprint").orderBy("doc_id")
+    }),
+
     // D5: embedding-cosine near-dup pairs (exact all-pairs, codegen'd cosine)
     "d5_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
@@ -826,6 +836,23 @@ object SparkEntry {
         Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
         .orderBy("o_orderpriority", "rank")),
+
+    // T11: unigram-LM corpus-frequency score (CCNet-style head/middle/tail
+    // quality bucketing proxy) — integer-exact mean token frequency
+    "t11_unigram_lm" -> ((s, d) =>
+      TermStats.unigramLmScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // X3: fixed-width histogram — the range/skew profiling pass
+    "x3_histogram" -> ((s, d) =>
+      Analytics.histogram(Tables.orders(s, d), "o_totalprice", 0.0, 50000.0, 12)
+        .orderBy("bin")),
+
+    // X4: per-column null/distinct profile — first contact with a table
+    "x4_profile" -> ((s, d) =>
+      Analytics.profile(Tables.customer(s, d),
+        Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey"))
+        .orderBy("col_name")),
 
     // G7: grouped exact percentiles (linear-interpolating, matches
     // DuckDB quantile_cont) — the quantile surface beyond median
@@ -1642,6 +1669,31 @@ object SparkEntry {
       ("SELECT token, count(*) AS n FROM (SELECT unnest(" +
         "regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents) " +
         "GROUP BY token ORDER BY n DESC, token ASC LIMIT 100"),
+
+    "d8_incremental_dedup" ->
+      ("WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint " +
+        "FROM documents) " +
+        "SELECT doc_id, fingerprint FROM fp WHERE doc_id % 10 = 0 " +
+        "AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 10 != 0) " +
+        "ORDER BY doc_id"),
+
+    "t11_unigram_lm" ->
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "vocab AS (SELECT term, count(*) AS n FROM toks GROUP BY term) " +
+        "SELECT t.doc_id, round(avg(v.n), 4) AS lm_score FROM toks t JOIN vocab v USING (term) " +
+        "GROUP BY t.doc_id ORDER BY t.doc_id"),
+
+    "x3_histogram" ->
+      ("SELECT CAST(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT) AS bin, count(*) AS n " +
+        "FROM orders WHERE o_totalprice >= 0.0 AND o_totalprice < 600000.0 " +
+        "GROUP BY 1 ORDER BY bin"),
+
+    "x4_profile" -> (Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey")
+      .map(c => s"SELECT '$c' AS col_name, " +
+        s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+        s"count(DISTINCT $c) AS n_distinct FROM customer")
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")),
 
     "t10_distinctive" ->
       ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +

@@ -56,6 +56,39 @@ object Analytics {
       .filter(col("rank") <= n)
   }
 
+  /** Fixed-width histogram of a numeric column: bin = floor((x - lo) /
+    * width) over [lo, lo + width·nbins); out-of-range rows drop. ONE
+    * partial-aggregated pass (each task bins locally, the exchange carries
+    * ≤ nbins partials per task) — the data-profiling primitive for range/
+    * skew checks before choosing partition bounds at scale. Empty bins are
+    * absent from the output (join `sequence` if a dense axis is needed).
+    */
+  def histogram(df: DataFrame, colName: String, lo: Double, width: Double,
+                nbins: Int): DataFrame = {
+    require(width > 0 && nbins >= 1, "histogram: width > 0 and nbins >= 1 required")
+    df.filter(col(colName) >= lo && col(colName) < lo + width * nbins)
+      .withColumn("bin", floor((col(colName) - lo) / width).cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-column data-quality profile: (col_name, n_nulls, n_distinct) for
+    * each requested column, computed in ONE logical aggregate over the
+    * table (Catalyst expands multi-distinct aggregates internally; null
+    * counts ride along as plain sums). The first thing a pipeline runs on
+    * an unfamiliar 100 TB table. Exact distinct counts — swap in
+    * `approx_count_distinct` at extreme cardinality if ±2% is acceptable.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile: no columns requested")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+      count_distinct(col(c)).as(s"__nd_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c => struct(lit(c).as("col_name"),
+      col(s"__nn_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct")))
+    row.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+
   /** A9 — pivot (date × series matrix, `/root/reference/app.py:1013-1024`).
     * `values` must be supplied: with explicit pivot values Spark skips the
     * extra distinct-collect job AND the output schema is deterministic —

@@ -228,6 +228,21 @@ object Dedup {
       verifyJaccard(candidates, sets, idCol, threshold)
     }
 
+  /** Incremental ingest dedup — the daily-batch form of [[exact]]: keep
+    * only NEW documents whose normalized fingerprint does not already
+    * exist in the corpus. The anti join ships 16-byte fingerprints only;
+    * the corpus side reduces to its distinct fingerprints before the join
+    * (and at 100 TB that distinct-fingerprint set is the thing to keep
+    * materialized between ingest batches). Compose with [[exact]] on the
+    * survivors to also dedup within the new batch.
+    */
+  def exactIncremental(newDocs: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val nf = newDocs.withColumn("fingerprint", Text.fingerprint(col(textCol)))
+    val cf = corpus.select(Text.fingerprint(col(textCol)).as("fingerprint")).distinct()
+    nf.join(cf, Seq("fingerprint"), "left_anti")
+  }
+
   /** Benchmark DECONTAMINATION — the cross-corpus containment check every
     * training pipeline runs before shipping data: for each TEST (benchmark)
     * document, find every TRAIN document whose shingle overlap covers at

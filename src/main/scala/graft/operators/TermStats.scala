@@ -42,4 +42,24 @@ object TermStats {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
+
+  /** CCNet-style unigram language-model score: the mean corpus frequency
+    * of the document's token OCCURRENCES (repeats count). High = built
+    * from ubiquitous tokens (boilerplate/stereotype text); low = rare-token
+    * text — the standard cheap LM proxy for corpus quality bucketing
+    * (head/middle/tail) before an expensive model-based filter.
+    *
+    * Exact across engines: token counts are integers, their sum is exact,
+    * and the mean is one division. Scale: vocabulary build = one
+    * map-side-combined shuffle; the occurrence join is vocabulary-sized on
+    * the build side; per-doc mean partial-aggregates.
+    */
+  def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("_n"))
+    toks.join(vocab, "term")
+      .groupBy(col(idCol))
+      .agg(round(avg(col("_n")), 4).as("lm_score"))
+  }
 }

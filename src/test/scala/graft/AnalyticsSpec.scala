@@ -80,4 +80,21 @@ class AnalyticsSpec extends SparkTestBase {
     assert(t.agg(Analytics.safeCorr(t, "x", "y")).collect()(0).isNullAt(0),
       "only 2 complete pairs -> under guard -> null")
   }
+
+  test("histogram: floor binning, inclusive lo, exclusive hi, out-of-range drops (X3)") {
+    val df = Seq(-0.1, 0.0, 4.9, 5.0, 9.99, 10.0, 14.9, 15.0).toDF("v")
+    val out = Analytics.histogram(df, "v", 0.0, 5.0, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // [0,5): {0.0, 4.9}; [5,10): {5.0, 9.99}; [10,15): {10.0, 14.9}; -0.1 and 15.0 drop
+    assert(out == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
+
+  test("profile: per-column null and distinct counts in one pass (X4)") {
+    val df = Seq((Some(1), Some("a")), (Some(1), None), (None, Some("b")), (Some(2), Some("a")))
+      .toDF("x", "y")
+    val out = Analytics.profile(df, Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("x") == ((1L, 2L)), "one null x; distinct {1,2}")
+    assert(out("y") == ((1L, 2L)), "one null y; distinct {a,b} (nulls excluded from distinct)")
+  }
 }

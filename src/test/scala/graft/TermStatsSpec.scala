@@ -31,4 +31,13 @@ class TermStatsSpec extends SparkTestBase {
     assert(out.count() == 3)
     assert(out.select("doc_id").distinct().count() == 3)
   }
+
+  test("unigramLmScore: mean corpus frequency of token occurrences, repeats weighted") {
+    // corpus freqs over the 3 docs: spark=3, engine=2, tuning=3, notes=1
+    val out = TermStats.unigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == ((3 + 3 + 2) / 3.0 * 10000).round / 10000.0) // spark spark engine
+    assert(out(2L) == (2 + 3) / 2.0)                               // engine tuning
+    assert(out(3L) == ((3 + 3 + 3 + 1) / 4.0))                     // spark tuning tuning notes
+  }
 }
