@@ -80,8 +80,10 @@ object Analytics {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile: no columns requested")
+    // coalesce: sum over an EMPTY table is null, but a profile of an empty
+    // table should read "0 nulls, 0 distinct", not null
     val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_$c"),
       count_distinct(col(c)).as(s"__nd_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*)
     val stacked = cols.map(c => struct(lit(c).as("col_name"),

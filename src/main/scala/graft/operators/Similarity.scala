@@ -329,9 +329,13 @@ object Similarity {
       .select(col(vecCol).as("_v"),
         md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).as("_h"),
         col(idCol).cast("string").as("_id"))
+      .filter(col("_v").isNotNull)
       .orderBy(col("_h"), col("_id"))
       .limit(k)
       .collect()
+    // empty input: no seeds to argmax over — emit a typed null cell (the
+    // frame is empty anyway) instead of building a zero-branch expression
+    if (seedRows.isEmpty) return df.withColumn("cell", lit(null).cast("int"))
     var cents: Seq[(Int, Array[Float])] = seedRows.toIndexedSeq.zipWithIndex.map {
       case (r, i) => (i, r.getSeq[Float](0).toArray)
     }

@@ -13,6 +13,24 @@ class EmptyInputSpec extends SparkTestBase {
 
   private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
 
+  test("round-5 additions: empty inputs degrade to empty/zero, never throw") {
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val km = Similarity.kmeansAssign(emptyVecs, "vec_id", "embedding", dim = 4, k = 2, iters = 2)
+    assert(km.columns.contains("cell") && km.count() == 0)
+    assert(Similarity.quantizedTopK(emptyVecs, emptyVecs, "vec_id", "embedding", 5).count() == 0)
+    assert(TermStats.distinctiveTerms(emptyDocs, "doc_id", "text", 3).count() == 0)
+    assert(TermStats.unigramLmScore(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.decontaminationPairs(emptyDocs, emptyDocs, "doc_id", "text", 3, 0.5, 50).count() == 0)
+    assert(Dedup.exactIncremental(emptyDocs, emptyDocs, "doc_id", "text").count() == 0)
+    val emptyNums = Seq.empty[Double].toDF("v")
+    assert(Analytics.histogram(emptyNums, "v", 0.0, 1.0, 4).count() == 0)
+    val prof = Analytics.profile(emptyNums, Seq("v")).collect()
+    assert(prof.length == 1 && prof(0).getLong(1) == 0L && prof(0).getLong(2) == 0L,
+      "profile of an empty table reads (0 nulls, 0 distinct), not null")
+    assert(Analytics.topNPerGroup(emptyNums.withColumn("k", lit(1)), Seq("k"),
+      Seq(col("v").desc), 2).count() == 0)
+  }
+
   test("dedup family: empty corpus -> empty outputs, schemas intact") {
     assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
     val nd = Dedup.minhashNearDups(emptyDocs, "doc_id", "text", 0.5)
