@@ -97,8 +97,50 @@ object ArgmaxRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** `spark.sql.extensions` entry point injecting graft's optimizer rules. */
+/** `spark.sql.extensions` entry point injecting graft's optimizer rules and
+  * SQL functions: the codegen'd vector/set kernels become callable from
+  * plain `spark.sql(...)` (`graft_cosine`, `graft_dot`, `graft_pack_int8`,
+  * `graft_byte_dot`, `graft_sorted_intersect_size`) — SQL users get the
+  * same native Expressions the Scala API uses, not UDF wrappers.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ArgmaxRewrite)
+    GraftExtensions.functions.foreach(ext.injectFunction)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import graft.functions.{ByteDotProduct, CosineSimilarity, DotProduct, PackInt8, SortedIntersectSize}
+
+  private def binary(name: String, make: (Expression, Expression) => Expression,
+                     clazz: Class[_]) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+        make(args(0), args(1))
+      })
+
+  private[graft] val functions = Seq(
+    binary("graft_cosine", CosineSimilarity.apply, classOf[CosineSimilarity]),
+    binary("graft_dot", DotProduct.apply, classOf[DotProduct]),
+    binary("graft_byte_dot", ByteDotProduct.apply, classOf[ByteDotProduct]),
+    binary("graft_sorted_intersect_size", SortedIntersectSize.apply,
+      classOf[SortedIntersectSize]),
+    (FunctionIdentifier("graft_pack_int8"),
+      new ExpressionInfo(classOf[PackInt8].getName, "graft_pack_int8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_pack_int8 expects 1 argument, got ${args.length}")
+        PackInt8(args.head)
+      }))
+
+  /** Register the functions on an ALREADY-RUNNING session (the extensions
+    * path needs the conf set before session construction).
+    */
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

@@ -25,6 +25,29 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(viaSql == viaApi)
   }
 
+  test("registered graft_* SQL functions expose the native kernels to SQL users") {
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+        |       round(graft_cosine(a.embedding, b.embedding), 6) AS cosine,
+        |       graft_byte_dot(
+        |         graft_pack_int8(transform(a.embedding, x -> CAST(round(x * 10, 0) AS INT))),
+        |         graft_pack_int8(transform(b.embedding, x -> CAST(round(x * 10, 0) AS INT)))) AS q
+        |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
+      .collect()(0)
+    val emb = Tables.embeddings(spark, sf)
+    val viaApi = emb.filter(col("vec_id") === 0).crossJoin(
+        emb.filter(col("vec_id") === 1).select(col("embedding").as("e2")))
+      .select(round(graft.functions.Vectors.cosine(col("embedding"), col("e2")), 6))
+      .collect()(0).getDouble(0)
+    assert(viaSql.getDouble(2) == viaApi, "SQL function = native expression, same value")
+    assert(!viaSql.isNullAt(3), "packed int8 pipeline composes inside SQL")
+    // the registry rejects wrong arities with a clear message
+    val e = intercept[Exception](spark.sql("SELECT graft_cosine(array(1.0f))").collect())
+    assert(e.getMessage.contains("2 arguments"))
+  }
+
   test("SQL CTE + window functions run over the registered views") {
     Tables.registerAll(spark, sf)
     val top = spark.sql(
