@@ -82,4 +82,27 @@ class PropertySpec extends SparkTestBase {
         df.filter(col("v") > -10 && col("v") < 10).count()
     })
   }
+
+  test("int8 quantization is scale-invariant (symmetric quantizer property)") {
+    import graft.operators.Similarity
+    check("q8-scale-invariant", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(-8.0f, 8.0f)).suchThat(_.exists(_ != 0.0f)),
+      Gen.oneOf(0.5f, 2.0f, 16.0f)) { (v, c) =>
+      def codes(vec: Seq[Float]) =
+        Similarity.quantizeInt8(Seq((1L, vec.toArray)).toDF("id", "vec"), "id", "vec")
+          .collect()(0).getAs[Array[Byte]]("q8").toSeq
+      codes(v) == codes(v.map(_ * c))
+    }, samples = 4)
+  }
+
+  test("histogram bin counts sum to the in-range row count") {
+    import graft.operators.Analytics
+    check("histogram-total", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(-5.0, 25.0))) { xs =>
+      val df = xs.toDF("v")
+      val binned = Analytics.histogram(df, "v", 0.0, 5.0, 4)
+        .agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
+      binned == xs.count(x => x >= 0.0 && x < 20.0)
+    })
+  }
 }
