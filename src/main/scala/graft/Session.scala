@@ -27,9 +27,19 @@ object Session {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
+  /** Library entry point: the session comes with the whole engine wired —
+    * graft's optimizer rule (user-written window-argmax rewrites to the
+    * partial-aggregating max_by form) and the `graft_*` SQL functions.
+    * Sessions built elsewhere opt in via `spark.sql.extensions=
+    * graft.plans.GraftExtensions` or `GraftExtensions.registerFunctions`.
+    */
   def get(cores: Int = 32): SparkSession = {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    if (!s.experimental.extraOptimizations.contains(graft.plans.ArgmaxRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.ArgmaxRewrite
+    graft.plans.GraftExtensions.registerFunctions(s)
     s
   }
 
