@@ -837,6 +837,11 @@ object SparkEntry {
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
         .orderBy("o_orderpriority", "rank")),
 
+    // T12: corpus bigram counts — the classic n-gram LM statistics table,
+    // top-100 by frequency (occurrences, not distinct-per-doc)
+    "t12_bigram_counts" -> ((s, d) =>
+      TermStats.ngramCounts(Tables.documents(s, d), "text", 2, 100)),
+
     // T11: unigram-LM corpus-frequency score (CCNet-style head/middle/tail
     // quality bucketing proxy) — integer-exact mean token frequency
     "t11_unigram_lm" -> ((s, d) =>
@@ -1683,6 +1688,12 @@ object SparkEntry {
         "vocab AS (SELECT term, count(*) AS n FROM toks GROUP BY term) " +
         "SELECT t.doc_id, round(avg(v.n), 4) AS lm_score FROM toks t JOIN vocab v USING (term) " +
         "GROUP BY t.doc_id ORDER BY t.doc_id"),
+
+    "t12_bigram_counts" ->
+      ("SELECT gram, count(*) AS n FROM (" +
+        "SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents)) " +
+        "GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 100"),
 
     "x3_histogram" ->
       ("SELECT CAST(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT) AS bin, count(*) AS n " +

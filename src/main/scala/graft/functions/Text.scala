@@ -138,12 +138,15 @@ object Text {
     * CollapseProject keeps the boundary), the tokenization runs once per
     * row regardless of shingle count.
     */
-  def shinglesFromWords(words: Column, n: Int): Column = {
+  def shinglesFromWords(words: Column, n: Int, distinct: Boolean = true): Column = {
     val count = size(words) - (n - 1) // shingle count; <=0 when too few words
     val grams = transform(
       sequence(lit(0), count - 1),
       i => concat_ws(" ", (0 until n).map(j => element_at(words, (i + j + 1).cast(IntegerType))): _*))
     // guard: sequence(0, negative) would generate a DESCENDING sequence
-    when(count > 0, array_distinct(grams)).otherwise(array().cast("array<string>"))
+    // distinct=true: SET semantics (dedup/Jaccard); false: every occurrence
+    // survives (n-gram COUNTING)
+    when(count > 0, if (distinct) array_distinct(grams) else grams)
+      .otherwise(array().cast("array<string>"))
   }
 }

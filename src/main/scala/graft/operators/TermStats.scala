@@ -43,6 +43,24 @@ object TermStats {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** Corpus-wide word n-gram counts — the classic LM-statistics workload
+    * (bigram/trigram tables with frequency cutoffs). One narrow explode +
+    * one map-side-combined count shuffle; the top-N cut rides
+    * `TakeOrderedAndProject` (per-partition heaps, no global sort). The
+    * shingle expression is [[graft.functions.Text.shinglesFromWords]] over
+    * its own words projection (HOF-recompute pitfall; see Dedup.shingleSets)
+    * with DISTINCT OFF — counts weigh every occurrence.
+    */
+  def ngramCounts(docs: DataFrame, textCol: String, n: Int, topN: Int): DataFrame = {
+    require(n >= 1 && topN >= 1, "ngramCounts: n and topN must be >= 1")
+    docs.select(split(lower(trim(col(textCol))), "\\s+").as("_words"))
+      .select(explode(graft.functions.Text.shinglesFromWords(col("_words"), n,
+        distinct = false)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(topN)
+  }
+
   /** CCNet-style unigram language-model score: the mean corpus frequency
     * of the document's token OCCURRENCES (repeats count). High = built
     * from ubiquitous tokens (boilerplate/stereotype text); low = rare-token
