@@ -32,6 +32,14 @@ class TermStatsSpec extends SparkTestBase {
     assert(out.select("doc_id").distinct().count() == 3)
   }
 
+  test("ngramCounts weighs every occurrence, not per-document sets") {
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TermStats.ngramCounts(d, "text", 2, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // doc1 bigrams: "a b", "b a", "a b" (repeat counts); doc2: "a b", "b c"
+    assert(out == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+  }
+
   test("unigramLmScore: mean corpus frequency of token occurrences, repeats weighted") {
     // corpus freqs over the 3 docs: spark=3, engine=2, tuning=3, notes=1
     val out = TermStats.unigramLmScore(docs, "doc_id", "text")
