@@ -70,19 +70,28 @@ object Meta {
 
   /** Execution log via `QueryExecutionListener` — the engine-level analogue
     * of the reference's per-op wall-clock log. Thread-safe (listener
-    * callbacks arrive on the listener bus thread).
+    * callbacks arrive on the listener bus thread). BOUNDED: beyond
+    * `maxEntries` the oldest entries drop (each entry holds a full physical
+    * plan string — an unbounded log in a long-lived session is a slow
+    * leak, the same hygiene class as the table memos).
     */
-  final class ExecLog extends QueryExecutionListener {
+  final class ExecLog(maxEntries: Int = 10000) extends QueryExecutionListener {
     private val q = new ConcurrentLinkedQueue[ExecEntry]()
+    private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    private def add(e: ExecEntry): Unit = {
+      q.add(e)
+      if (n.incrementAndGet() > maxEntries && q.poll() != null) n.decrementAndGet()
+    }
 
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-      q.add(ExecEntry(funcName, durationNs, qe.executedPlan.toString))
+      add(ExecEntry(funcName, durationNs, qe.executedPlan.toString))
 
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-      q.add(ExecEntry(s"$funcName FAILED: ${exception.getClass.getSimpleName}", -1L, ""))
+      add(ExecEntry(s"$funcName FAILED: ${exception.getClass.getSimpleName}", -1L, ""))
 
     def entries: Seq[ExecEntry] = q.asScala.toSeq
-    def clear(): Unit = q.clear()
+    def clear(): Unit = { q.clear(); n.set(0) }
   }
 
   /** Attach a fresh ExecLog to the session. Entries appear after each
@@ -90,8 +99,8 @@ object Meta {
     * `spark.sparkContext.listenerBus.waitUntilEmpty()` equivalent via
     * retry/eventually before asserting).
     */
-  def attachExecLog(spark: SparkSession): ExecLog = {
-    val log = new ExecLog
+  def attachExecLog(spark: SparkSession, maxEntries: Int = 10000): ExecLog = {
+    val log = new ExecLog(maxEntries)
     spark.listenerManager.register(log)
     log
   }

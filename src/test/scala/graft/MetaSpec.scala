@@ -30,6 +30,19 @@ class MetaSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(log)
   }
 
+  test("ExecLog is bounded: oldest entries drop past maxEntries") {
+    val log = new Meta.ExecLog(maxEntries = 3)
+    val qe: org.apache.spark.sql.execution.QueryExecution =
+      spark.range(1).queryExecution
+    (1 to 5).foreach(i => log.onSuccess(s"action$i", qe, i.toLong))
+    val es = log.entries
+    assert(es.size == 3, s"cap must hold, got ${es.size}")
+    assert(es.map(_.action) == Seq("action3", "action4", "action5"), "oldest drop first")
+    log.clear()
+    log.onSuccess("after", qe, 1L)
+    assert(log.entries.size == 1, "clear resets the bound counter")
+  }
+
   test("execLogTable surfaces the log as a SQL-queryable relation (A16 UI parity)") {
     val log = Meta.attachExecLog(spark)
     try {
