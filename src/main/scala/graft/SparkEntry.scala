@@ -859,6 +859,13 @@ object SparkEntry {
         Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey"))
         .orderBy("col_name")),
 
+    // S5e: deterministic train/val/test split — hash-banded, so no row can
+    // migrate between bands across runs/engines/retries
+    "s5e_split" -> ((s, d) =>
+      Sampling.datasetSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")),
+
     // G7: grouped exact percentiles (linear-interpolating, matches
     // DuckDB quantile_cont) — the quantile surface beyond median
     "g7_percentiles" -> ((s, d) =>
@@ -1688,6 +1695,16 @@ object SparkEntry {
         "vocab AS (SELECT term, count(*) AS n FROM toks GROUP BY term) " +
         "SELECT t.doc_id, round(avg(v.n), 4) AS lm_score FROM toks t JOIN vocab v USING (term) " +
         "GROUP BY t.doc_id ORDER BY t.doc_id"),
+
+    "s5e_split" -> {
+      val ths = Sampling.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      "WITH h AS (SELECT doc_id, " +
+        "('0x' || substr(md5(doc_id::VARCHAR || '_sp0'), 1, 15))::BIGINT AS h FROM documents) " +
+        s"SELECT doc_id, CASE WHEN h < ${ths(0)} THEN 'train' " +
+        s"WHEN h < ${ths(1)} THEN 'val' WHEN h < ${ths(2)} THEN 'test' END AS split " +
+        "FROM h ORDER BY doc_id"
+    },
 
     "t12_bigram_counts" ->
       ("SELECT gram, count(*) AS n FROM (" +

@@ -46,6 +46,39 @@ object Sampling {
       .drop("_qrn")
   }
 
+  /** Deterministic dataset split (train/val/test): each row lands in
+    * exactly ONE named band of the 60-bit id-hash space, bands sized by
+    * cumulative fractions computed EXACTLY (BigDecimal — no float
+    * accumulation drift in the thresholds). The assignment is a pure
+    * function of (id, seed): stable across runs, engines, partitionings,
+    * and retries — the property a train/test split must have, since a row
+    * that migrates between train and test on a re-run silently contaminates
+    * evaluation. Fractions summing to < 1 leave a null-split remainder
+    * (dropped by the caller or kept as holdout). Narrow — one hash per row,
+    * no shuffle.
+    */
+  def datasetSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                   seed: Long = 0L): DataFrame = {
+    require(splits.nonEmpty, "datasetSplit: no bands")
+    require(splits.forall(_._2 >= 0.0), "datasetSplit: negative fraction")
+    val total = splits.map(s => BigDecimal(s._2)).sum
+    require(total <= BigDecimal(1), s"datasetSplit: fractions sum to $total > 1")
+    val h = Text.tokenHash60(concat(col(idCol).cast("string"), lit(s"_sp$seed")))
+    val thresholds = splitThresholds(splits)
+    val assigned = splits.map(_._1).zip(thresholds).foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (None, (name, th)) => Some(when(h < th, lit(name)))
+      case (Some(acc), (name, th)) => Some(acc.when(h < th, lit(name)))
+    }.get.otherwise(lit(null).cast("string"))
+    df.withColumn("split", assigned)
+  }
+
+  /** Cumulative 60-bit-space thresholds for [[datasetSplit]] — shared with
+    * the oracle-SQL generator so both sides use identical Long constants.
+    */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[Long] =
+    splits.scanLeft(BigDecimal(0)) { case (acc, (_, f)) => acc + BigDecimal(f) }
+      .tail.map(c => (c * BigDecimal(HashSpace)).toLong)
+
   /** Stratified variant: per-stratum keep fractions (e.g. per-language
     * corpus balancing). Strata absent from the map are dropped.
     */

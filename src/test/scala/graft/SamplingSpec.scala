@@ -51,4 +51,20 @@ class SamplingSpec extends SparkTestBase {
     assert(langs == Set("en"), "strata absent from the map must be dropped")
     assert(out.count() == docs.filter($"lang" === "en").count(), "fraction 1.0 keeps all of stratum")
   }
+
+  test("datasetSplit: total partition of ids, deterministic, near target proportions (S5e)") {
+    val ids = (1L to 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def run() = Sampling.datasetSplit(ids, "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val a = run()
+    assert(a == run(), "assignment is a pure function of (id, seed)")
+    assert(a.values.forall(_ != null), "fractions summing to 1 assign every row")
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 120 && math.abs(counts("val") - 200) < 60 &&
+      math.abs(counts("test") - 200) < 60, s"proportions near targets: $counts")
+    // sub-unit totals leave a null holdout band
+    val partial = Sampling.datasetSplit(ids, "id", Seq("train" -> 0.5))
+    assert(partial.filter($"split".isNull).count() > 0)
+  }
 }
