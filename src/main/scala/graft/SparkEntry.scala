@@ -866,6 +866,13 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // S5f: data mixing — resample to a 50/30/20 target blend of three
+    // sources (largest feasible output; other sources drop)
+    "s5f_mixture" -> ((s, d) =>
+      Sampling.mixtureSample(Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source").orderBy("doc_id")),
+
     // G7: grouped exact percentiles (linear-interpolating, matches
     // DuckDB quantile_cont) — the quantile surface beyond median
     "g7_percentiles" -> ((s, d) =>
@@ -1705,6 +1712,22 @@ object SparkEntry {
         s"WHEN h < ${ths(1)} THEN 'val' WHEN h < ${ths(2)} THEN 'test' END AS split " +
         "FROM h ORDER BY doc_id"
     },
+
+    // mirrors mixtureSample's fixed arithmetic shape: cap = n/share,
+    // T = min(cap), p = least(1, T*share/n), threshold = floor(p * 2^60)
+    "s5f_mixture" ->
+      ("WITH sh AS (SELECT * FROM (VALUES " +
+        "('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)), " +
+        "('src2', CAST(0.2 AS DOUBLE))) AS t(source, share)), " +
+        "cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source), " +
+        "j AS (SELECT c.source, c.n, s.share FROM cnt c JOIN sh s USING (source)), " +
+        "mt AS (SELECT min(n / share) AS T FROM j), " +
+        "p AS (SELECT j.source, " +
+        "CAST(floor(least(CAST(1.0 AS DOUBLE), mt.T * j.share / j.n) * 1152921504606846976) AS BIGINT) AS th " +
+        "FROM j CROSS JOIN mt) " +
+        "SELECT d.doc_id, d.source FROM documents d JOIN p USING (source) " +
+        "WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '_mx0'), 1, 15))::BIGINT < p.th " +
+        "ORDER BY d.doc_id"),
 
     "t12_bigram_counts" ->
       ("SELECT gram, count(*) AS n FROM (" +

@@ -79,6 +79,39 @@ object Sampling {
     splits.scanLeft(BigDecimal(0)) { case (acc, (_, f)) => acc + BigDecimal(f) }
       .tail.map(c => (c * BigDecimal(HashSpace)).toLong)
 
+  /** Resample a multi-source corpus to TARGET MIXTURE proportions — the
+    * data-mixing step of training-set construction ("the blend should be
+    * 50% web, 30% code, 20% books"). The largest feasible output is taken:
+    * the limiting source keeps everything (cap T = min over sources of
+    * n_s / share_s) and every other source downsamples to T·share_s rows
+    * in expectation. Membership is the same engine-portable id-hash
+    * Bernoulli as the other samplers; the per-source thresholds derive
+    * from the observed counts through a FIXED arithmetic shape
+    * (T·share/n, floored into the 60-bit space) so an oracle computing the
+    * same expression gets bit-identical thresholds. Sources absent from
+    * `shares` are dropped (weight zero). Counts are one small aggregate;
+    * the per-source threshold table broadcasts back onto a narrow filter.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+                    shares: Map[String, Double], seed: Long = 0L): DataFrame = {
+    require(shares.nonEmpty, "mixtureSample: empty shares")
+    require(shares.values.forall(_ > 0.0), "mixtureSample: shares must be > 0")
+    val shareCol = shares.foldLeft(lit(null).cast("double")) { case (acc, (s, f)) =>
+      when(col(sourceCol) === s, lit(f)).otherwise(acc)
+    }
+    val j = df.groupBy(sourceCol).agg(count(lit(1)).as("_n"))
+      .withColumn("_share", shareCol).filter(col("_share").isNotNull)
+    val t = j.agg(min(col("_n") / col("_share")).as("_T"))
+    val p = j.crossJoin(t)
+      .withColumn("_p", least(lit(1.0), col("_T") * col("_share") / col("_n")))
+      .withColumn("_th", floor(col("_p") * lit(HashSpace.toDouble)).cast("long"))
+      .select(col(sourceCol), col("_th"))
+    val h = Text.tokenHash60(concat(col(idCol).cast("string"), lit(s"_mx$seed")))
+    df.join(broadcast(p), sourceCol)
+      .filter(h < col("_th"))
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
+
   /** Stratified variant: per-stratum keep fractions (e.g. per-language
     * corpus balancing). Strata absent from the map are dropped.
     */

@@ -52,6 +52,23 @@ class SamplingSpec extends SparkTestBase {
     assert(out.count() == docs.filter($"lang" === "en").count(), "fraction 1.0 keeps all of stratum")
   }
 
+  test("mixtureSample: limiting source keeps everything; blend near target shares (S5f)") {
+    val df = (1 to 300).map(i =>
+      (i.toLong, if (i <= 100) "a" else if (i <= 200) "b" else "c")).toDF("id", "src")
+    val out = Sampling.mixtureSample(df, "id", "src", Map("a" -> 0.6, "b" -> 0.3, "c" -> 0.1))
+    val counts = out.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // caps: 100/0.6 < 100/0.3 < 100/0.1 -> source a limits and keeps ALL rows
+    assert(counts("a") == 100L, s"limiting source keeps everything: $counts")
+    // expectations: b ~ 50, c ~ 17 (Bernoulli thresholds)
+    assert(math.abs(counts.getOrElse("b", 0L) - 50L) < 25 &&
+      math.abs(counts.getOrElse("c", 0L) - 17L) < 15, s"blend near target: $counts")
+    val only = Sampling.mixtureSample(df, "id", "src", Map("a" -> 1.0))
+    assert(only.select("src").distinct().as[String].collect().toSeq == Seq("a"),
+      "sources absent from the share map are dropped")
+    assert(only.count() == 100L)
+  }
+
   test("datasetSplit: total partition of ids, deterministic, near target proportions (S5e)") {
     val ids = (1L to 2000L).toDF("id")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
