@@ -157,6 +157,42 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The round-5 CURATION funnel, end-to-end: exact dedup (min-id keep) →
+    * benchmark decontamination (drop any train doc containing ≥ half of a
+    * held-out doc's trigrams) → mixture resampling to a 40/30/20/10 source
+    * blend → deterministic train split → token packing. The stages every
+    * production corpus passes through before pretraining, composed to
+    * verify id flow and determinism ACROSS operators, not just within
+    * them. Scale shape: narrow hash/fingerprint stages run first; the
+    * decontamination (the only pairwise-risk stage) sees the deduped
+    * corpus; two persists at the reuse points (the deduped corpus feeds
+    * the containment index AND the anti-join; the clean corpus feeds the
+    * mixture counts AND the final join).
+    */
+  def curationChain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    val exactKeep = corpus.join(
+      Dedup.exact(corpus, "doc_id", "text").select("doc_id"), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contaminated = Dedup.decontaminationPairs(exactKeep, bench, "doc_id", "text",
+      3, 0.5, maxDf = 50)
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = exactKeep.join(contaminated, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mixed = Sampling.mixtureSample(clean, "doc_id", "source",
+      Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+    val train = Sampling.datasetSplit(mixed, "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+      .filter(col("split") === "train")
+    val toks = train.select(col("doc_id"),
+      Text.bpeTokens(col("text")).cast("long").as("n_tokens"))
+    Packing.packByTokenBudget(toks, "doc_id", "n_tokens", budget = 4096, shards = 8,
+      shardExpr = Some(pmod(col("doc_id"), lit(8))))
+      .select("doc_id", "n_tokens", "shard", "bin")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -413,6 +449,10 @@ object SparkEntry {
     // full pipeline: the LLM training-data funnel (gates → dedup → near-dup
     // keep → sample → packing), every stage composed end-to-end
     "q_pipeline_chain" -> ((s, d) => pipelineChain(s, d)),
+
+    // full pipeline: the round-5 curation funnel (dedup → decontaminate →
+    // mixture → split → pack) — cross-operator id flow and determinism
+    "q_curation_chain" -> ((s, d) => curationChain(s, d)),
 
     // G3 arbitrary-function aggregate surface: typed Aggregator (order-
     // independent example fns so the oracle compare is exact)
@@ -1074,6 +1114,32 @@ object SparkEntry {
       "SELECT l_event AS event_id, k AS user_id, t AS ts_us, r_event_id, r_ts_us " +
       "FROM f WHERE tag = 1 ORDER BY event_id"
 
+  /** Distinct word-trigram shingle sets over relation `src` (exposing
+    * doc_id, text) — the decontamination oracle's gram builder, mirroring
+    * `Dedup.shingleSets(n = 3)` semantics.
+    */
+  private def trigramGramsSqlOver(src: String): String =
+    "SELECT doc_id, list_distinct(list_transform(" +
+      "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1), " +
+      "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
+      "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' || " +
+      "regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM " + src
+
+  /** Containment CTE chain over pre-built `tsh` (train) / `xsh` (test) gram
+    * relations: yields `contam(test_id, train_id, containment)` — shared by
+    * the d7 oracle and the curation-chain oracle. Mirrors
+    * `Dedup.decontaminationPairs`' candidate cap + exact verify.
+    */
+  private def decontaminationCtes(maxDf: Int): String =
+    "ti AS (SELECT doc_id AS train_id, unnest(grams) AS s FROM tsh), " +
+      s"rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM ti GROUP BY s) WHERE df <= $maxDf), " +
+      "xi AS (SELECT doc_id AS test_id, unnest(grams) AS s FROM xsh), " +
+      "cand AS (SELECT DISTINCT x.test_id, t.train_id FROM xi x JOIN rare r ON x.s = r.s " +
+      "JOIN ti t ON t.s = x.s), " +
+      "contam AS (SELECT c.test_id, c.train_id, " +
+      "round(len(list_intersect(xs.grams, ts.grams))::DOUBLE / len(xs.grams), 6) AS containment " +
+      "FROM cand c JOIN xsh xs ON xs.doc_id = c.test_id JOIN tsh ts ON ts.doc_id = c.train_id)"
+
   /** Exact word-bigram Jaccard pairs over relation `src` (threshold `th`) —
     * shared by the d4_ngram_jaccard / d6_components / q_pipeline_chain
     * oracles. `src` must expose (doc_id, text).
@@ -1189,6 +1255,40 @@ object SparkEntry {
         "doc_id % 8 AS shard FROM kept " +
         "WHERE doc_id NOT IN (SELECT id FROM losers) " +
         s"AND ('0x' || substr(md5(doc_id::VARCHAR || '_0'), 1, 15))::BIGINT < $sampleTh) " +
+        "SELECT doc_id, n_tokens, shard, " +
+        "CAST(((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - n_tokens) AS BIGINT) // 4096 AS bin " +
+        "FROM final ORDER BY doc_id"
+    },
+
+    "q_curation_chain" -> {
+      val splitTh = Sampling.splitThresholds(Seq("train" -> 0.9, "val" -> 0.1))
+      "WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0), " +
+        "corpus AS (SELECT * FROM documents WHERE doc_id % 17 != 0), " +
+        "dmin AS (SELECT min(doc_id) AS doc_id FROM corpus " +
+        "GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))), " +
+        "kept AS (SELECT c.* FROM corpus c JOIN dmin USING (doc_id)), " +
+        s"tsh AS (${trigramGramsSqlOver("kept")}), " +
+        s"xsh AS (${trigramGramsSqlOver("bench")}), " +
+        decontaminationCtes(maxDf = 50) + ", " +
+        "dirty AS (SELECT DISTINCT train_id AS doc_id FROM contam WHERE containment >= 0.5), " +
+        "clean AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dirty)), " +
+        "shmap AS (SELECT * FROM (VALUES ('src0', CAST(0.4 AS DOUBLE)), " +
+        "('src1', CAST(0.3 AS DOUBLE)), ('src2', CAST(0.2 AS DOUBLE)), " +
+        "('src3', CAST(0.1 AS DOUBLE))) AS t(source, share)), " +
+        "cnt AS (SELECT source, count(*) AS n FROM clean GROUP BY source), " +
+        "mj AS (SELECT c.source, c.n, s.share FROM cnt c JOIN shmap s USING (source)), " +
+        "mt AS (SELECT min(n / share) AS T FROM mj), " +
+        "pm AS (SELECT mj.source, CAST(floor(least(CAST(1.0 AS DOUBLE), " +
+        "mt.T * mj.share / mj.n) * 1152921504606846976) AS BIGINT) AS th " +
+        "FROM mj CROSS JOIN mt), " +
+        "mixed AS (SELECT c.* FROM clean c JOIN pm USING (source) " +
+        "WHERE ('0x' || substr(md5(c.doc_id::VARCHAR || '_mx0'), 1, 15))::BIGINT < pm.th), " +
+        "train AS (SELECT * FROM mixed WHERE " +
+        s"('0x' || substr(md5(doc_id::VARCHAR || '_sp0'), 1, 15))::BIGINT < ${splitTh(0)}), " +
+        "final AS (SELECT doc_id, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens, " +
+        "doc_id % 8 AS shard FROM train) " +
         "SELECT doc_id, n_tokens, shard, " +
         "CAST(((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - n_tokens) AS BIGINT) // 4096 AS bin " +
@@ -1502,26 +1602,12 @@ object SparkEntry {
 
     "d4_ngram_jaccard" -> (bigramJaccardSql + " ORDER BY id_1, id_2"),
 
-    "d7_decontaminate" -> {
-      def grams(src: String) =
-        "SELECT doc_id, list_distinct(list_transform(" +
-          "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1), " +
-          "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
-          "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' || " +
-          "regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM " + src
-      "WITH tsh AS (" + grams("documents WHERE doc_id % 4 != 0") + "), " +
-        "xsh AS (" + grams("documents WHERE doc_id % 4 = 0") + "), " +
-        "ti AS (SELECT doc_id AS train_id, unnest(grams) AS s FROM tsh), " +
-        "rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM ti GROUP BY s) WHERE df <= 50), " +
-        "xi AS (SELECT doc_id AS test_id, unnest(grams) AS s FROM xsh), " +
-        "cand AS (SELECT DISTINCT x.test_id, t.train_id FROM xi x JOIN rare r ON x.s = r.s " +
-        "JOIN ti t ON t.s = x.s), " +
-        "v AS (SELECT c.test_id, c.train_id, " +
-        "round(len(list_intersect(xs.grams, ts.grams))::DOUBLE / len(xs.grams), 6) AS containment " +
-        "FROM cand c JOIN xsh xs ON xs.doc_id = c.test_id JOIN tsh ts ON ts.doc_id = c.train_id) " +
-        "SELECT test_id, train_id, containment FROM v WHERE containment >= 0.5 " +
-        "ORDER BY test_id, train_id"
-    },
+    "d7_decontaminate" ->
+      (s"WITH tsh AS (${trigramGramsSqlOver("documents WHERE doc_id % 4 != 0")}), " +
+        s"xsh AS (${trigramGramsSqlOver("documents WHERE doc_id % 4 = 0")}), " +
+        decontaminationCtes(maxDf = 50) + " " +
+        "SELECT c.test_id, c.train_id, c.containment FROM contam c " +
+        "WHERE c.containment >= 0.5 ORDER BY test_id, train_id"),
 
     // components over the same pairs via transitive closure (recursive CTE)
     "d6_components" ->
