@@ -899,6 +899,12 @@ object SparkEntry {
         Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey"))
         .orderBy("col_name")),
 
+    // X5: numeric describe — count/mean/std/min/max per column, one pass
+    "x5_describe" -> ((s, d) =>
+      Analytics.describe(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_name")),
+
     // S5e: deterministic train/val/test split — hash-banded, so no row can
     // migrate between bands across runs/engines/retries
     "s5e_split" -> ((s, d) =>
@@ -1830,6 +1836,12 @@ object SparkEntry {
       .map(c => s"SELECT '$c' AS col_name, " +
         s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
         s"count(DISTINCT $c) AS n_distinct FROM customer")
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")),
+
+    "x5_describe" -> (Seq("l_quantity", "l_extendedprice", "l_discount")
+      .map(c => s"SELECT '$c' AS col_name, count($c) AS n, " +
+        s"round(avg($c), 4) AS mean, round(stddev_samp($c), 4) AS std, " +
+        s"CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max FROM lineitem")
       .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")),
 
     "t10_distinctive" ->

@@ -91,6 +91,28 @@ object Analytics {
     row.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
 
+  /** Numeric describe — the [[profile]] complement for numeric columns:
+    * (col_name, n, mean, std, min, max) per requested column in ONE
+    * aggregate pass (all statistics partial-aggregate; the exchange
+    * carries one buffer per column). Mean/std round to 4 (the repo's
+    * continuous-value convention — q1/dashboard oracles pin the same
+    * recipe); min/max cast to double for a uniform long-format schema.
+    */
+  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "describe: no columns requested")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__c_$c"),
+      round(avg(col(c)), 4).as(s"__m_$c"),
+      round(stddev_samp(col(c)), 4).as(s"__s_$c"),
+      min(col(c)).cast("double").as(s"__lo_$c"),
+      max(col(c)).cast("double").as(s"__hi_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c => struct(lit(c).as("col_name"), col(s"__c_$c").as("n"),
+      col(s"__m_$c").as("mean"), col(s"__s_$c").as("std"),
+      col(s"__lo_$c").as("min"), col(s"__hi_$c").as("max")))
+    row.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+
   /** A9 — pivot (date × series matrix, `/root/reference/app.py:1013-1024`).
     * `values` must be supplied: with explicit pivot values Spark skips the
     * extra distinct-collect job AND the output schema is deterministic —
