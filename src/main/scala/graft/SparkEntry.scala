@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.Text
 import graft.operators._
-import graft.sources.CsvSource
+import graft.sources.{CsvSource, JsonlSource}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -202,6 +202,18 @@ object SparkEntry {
       val csvDir = s"/root/repo/target/tmp/csv_nation"
       nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
       CsvSource.read(s, csvDir).orderBy("n_nationkey")
+    }),
+
+    // S6: JSONL round-trip — documents → hash-sharded .jsonl → explicit-
+    // schema read-back; must hash-match the parquet original (JSON
+    // escaping preserves newlines/quotes/unicode exactly)
+    "s6_jsonl_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val jsonlDir = s"/root/repo/target/tmp/jsonl_documents"
+      JsonlSource.writeSharded(docs, jsonlDir, "doc_id", 4)
+      JsonlSource.readWithSchema(s, jsonlDir, docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     }),
 
     // F1: WHERE via predicate expression (pushed into the scan)
@@ -612,6 +624,18 @@ object SparkEntry {
         .select("doc_id", "fingerprint").orderBy("doc_id")
     }),
 
+    // D8b: same ingest dedup through the runtime-bloom path — the batch's
+    // fingerprint bloom prunes the corpus side before the distinct
+    // exchange; result is EXACT (bloom false positives die in the anti
+    // join), so it shares d8's oracle shape
+    "d8b_bloom_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.exactIncrementalBloom(
+        docs.filter(col("doc_id") % 7 === 0), docs.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text")
+        .select("doc_id", "fingerprint").orderBy("doc_id")
+    }),
+
     // D5: embedding-cosine near-dup pairs (exact all-pairs, codegen'd cosine)
     "d5_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
@@ -789,6 +813,16 @@ object SparkEntry {
       Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding", 64)
         .orderBy("label", "dim_idx")),
 
+    // V2: L2-normalize embeddings to unit vectors (dot ≡ cosine prep) —
+    // narrow per-row arithmetic; long format + round(6) + (-0.0 → +0.0)
+    // for the oracle hash, as in v1
+    "v2_l2norm" -> ((s, d) =>
+      Similarity.l2Normalize(Tables.embeddings(s, d), "embedding", "unit")
+        .select(col("vec_id"), posexplode(col("unit")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim_idx"),
+          (round(col("col"), 6) + lit(0.0)).as("unit_val"))
+        .orderBy("vec_id", "dim_idx")),
+
     // J3: as-of join — for each purchase, the latest preceding click by
     // that user (union-merge formulation, one shuffle)
     "j3_asof_join" -> ((s, d) => {
@@ -905,6 +939,19 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy("col_name")),
 
+    // X6: z-score standardization — one moments pass broadcast back onto
+    // a narrow projection; round-4 moments = the cross-engine bit-stable
+    // recipe (see standardize's roundMoments doc)
+    "x6_zscore" -> ((s, d) =>
+      Analytics.standardize(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice"),
+        Seq("l_quantity", "l_extendedprice"), roundMoments = Some(4))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (round(col("l_quantity_z"), 4) + lit(0.0)).as("qty_z"),
+          (round(col("l_extendedprice_z"), 4) + lit(0.0)).as("price_z"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // S5e: deterministic train/val/test split — hash-banded, so no row can
     // migrate between bands across runs/engines/retries
     "s5e_split" -> ((s, d) =>
@@ -918,6 +965,14 @@ object SparkEntry {
       Sampling.mixtureSample(Tables.documents(s, d), "doc_id", "source",
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source").orderBy("doc_id")),
+
+    // S5g: quality-weighted Bernoulli sample — keep probability
+    // min(1, rate·w), w = n_chars/500 (longer docs kept preferentially)
+    "s5g_weighted" -> ((s, d) =>
+      Sampling.weightedSample(
+        Tables.documents(s, d).withColumn("w", col("n_chars") / lit(500.0)),
+        "doc_id", "w", rate = 0.2)
+        .select("doc_id", "n_chars").orderBy("doc_id")),
 
     // G7: grouped exact percentiles (linear-interpolating, matches
     // DuckDB quantile_cont) — the quantile surface beyond median
@@ -1354,6 +1409,11 @@ object SparkEntry {
     "s1_csv_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
+    // round-trip fidelity: the JSONL write/read must reproduce the parquet
+    // original bit-for-bit, so the oracle is the original table itself
+    "s6_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
     "f1_filter" ->
       "SELECT * FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber",
 
@@ -1730,6 +1790,14 @@ object SparkEntry {
         "FROM embeddings CROSS JOIN range(0, 64) r " +
         "GROUP BY label, r.range ORDER BY label, dim_idx"),
 
+    // mirrors l2Normalize: double-cast elementwise squares summed in index
+    // order (list_sum folds sequentially, as Spark's aggregate() does)
+    "v2_l2norm" ->
+      ("SELECT vec_id, r.range AS dim_idx, " +
+        "round(embedding[r.range + 1]::DOUBLE / " +
+        "sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y))), 6) + 0.0 AS unit_val " +
+        "FROM embeddings CROSS JOIN range(0, 64) r ORDER BY vec_id, dim_idx"),
+
     "j3_asof_join" -> asofOracleSql,
 
     // the bucketed two-pass variant must reproduce the exact same relation
@@ -1788,6 +1856,15 @@ object SparkEntry {
         "AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 10 != 0) " +
         "ORDER BY doc_id"),
 
+    // the bloom is a pruning device only — the exact result is the same
+    // anti-join semantics as d8, on the %7 split
+    "d8b_bloom_incremental" ->
+      ("WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint " +
+        "FROM documents) " +
+        "SELECT doc_id, fingerprint FROM fp WHERE doc_id % 7 = 0 " +
+        "AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 7 != 0) " +
+        "ORDER BY doc_id"),
+
     "t11_unigram_lm" ->
       ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
         "FROM documents), " +
@@ -1821,6 +1898,15 @@ object SparkEntry {
         "WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '_mx0'), 1, 15))::BIGINT < p.th " +
         "ORDER BY d.doc_id"),
 
+    // mirrors weightedSample's fixed shape: p = least(1, rate·(n_chars/500)),
+    // threshold = floor(p · 2^60) — identical double ops in both engines
+    "s5g_weighted" ->
+      ("SELECT doc_id, n_chars FROM documents " +
+        "WHERE (n_chars / 500.0) >= 0.0 " +
+        "AND ('0x' || substr(md5(doc_id::VARCHAR || '_w0'), 1, 15))::BIGINT < " +
+        "CAST(floor(least(CAST(1.0 AS DOUBLE), 0.2 * (n_chars / 500.0)) * 1152921504606846976) AS BIGINT) " +
+        "ORDER BY doc_id"),
+
     "t12_bigram_counts" ->
       ("SELECT gram, count(*) AS n FROM (" +
         "SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram " +
@@ -1843,6 +1929,16 @@ object SparkEntry {
         s"round(avg($c), 4) AS mean, round(stddev_samp($c), 4) AS std, " +
         s"CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max FROM lineitem")
       .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")),
+
+    // round-4 moments BEFORE the division (standardize roundMoments) —
+    // rounded doubles are engine-identical, raw aggregates are not
+    "x6_zscore" ->
+      ("WITH st AS (SELECT round(avg(l_quantity), 4) AS mq, round(stddev_samp(l_quantity), 4) AS sq, " +
+        "round(avg(l_extendedprice), 4) AS mp, round(stddev_samp(l_extendedprice), 4) AS sp FROM lineitem) " +
+        "SELECT l_orderkey, l_linenumber, " +
+        "round((l_quantity - mq) / sq, 4) + 0.0 AS qty_z, " +
+        "round((l_extendedprice - mp) / sp, 4) + 0.0 AS price_z " +
+        "FROM lineitem CROSS JOIN st ORDER BY l_orderkey, l_linenumber"),
 
     "t10_distinctive" ->
       ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +

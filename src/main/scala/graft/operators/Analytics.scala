@@ -186,4 +186,37 @@ object Analytics {
       when(den === 0.0, 0.0).otherwise(covar_pop(x, y) / den))
   }
 
+  /** X6 — per-column z-score standardization, the feature-scaling step of
+    * a training pipeline: each requested column gains `{col}_z` =
+    * (x − mean)/std (sample std, matching SQL `stddev`). ONE global
+    * aggregate computes every column's moments (partials cross the
+    * exchange, one buffer per column); the 1-row stats frame is broadcast
+    * back onto a narrow projection — no second shuffle, no window over the
+    * corpus. Degenerate columns (std NULL on n<2, or 0 on constant input)
+    * yield NULL z-scores rather than an ANSI divide error; NULL inputs
+    * stay NULL.
+    *
+    * `roundMoments = Some(k)` rounds mean/std to k decimals BEFORE the
+    * division — the cross-engine-reproducibility switch: raw double
+    * aggregates differ between engines (and between partitionings) in
+    * their last ULPs because summation order differs, and that ULP rides
+    * into every z-score; rounded moments are identical doubles everywhere,
+    * making the standardized column bit-stable (the property the repo's
+    * oracle gate — and any re-run of a 100 TB pipeline — needs).
+    */
+  def standardize(df: DataFrame, cols: Seq[String],
+                  roundMoments: Option[Int] = None): DataFrame = {
+    require(cols.nonEmpty, "standardize: no columns requested")
+    def m(e: Column): Column = roundMoments.fold(e)(k => round(e, k))
+    val aggs = cols.flatMap(c => Seq(
+      m(avg(col(c))).as(s"__mu_$c"), m(stddev_samp(col(c))).as(s"__sd_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val zcols = cols.map { c =>
+      when(col(s"__sd_$c").isNotNull && col(s"__sd_$c") =!= 0.0,
+        (col(c) - col(s"__mu_$c")) / col(s"__sd_$c")).as(s"${c}_z")
+    }
+    df.crossJoin(broadcast(stats))
+      .select(df.columns.toIndexedSeq.map(col) ++ zcols: _*)
+  }
+
 }

@@ -243,6 +243,54 @@ object Dedup {
     nf.join(cf, Seq("fingerprint"), "left_anti")
   }
 
+  /** [[exactIncremental]] with a RUNTIME BLOOM FILTER pruning the corpus
+    * side — the shape that matters when the corpus is 100 TB and the daily
+    * batch is small. The plain anti join must still `distinct()` every
+    * corpus fingerprint (a full corpus-wide shuffle) even though only
+    * fingerprints colliding with the BATCH can affect the result. Here the
+    * small side's fingerprints are folded into a bloom filter (Catalyst's
+    * own `BloomFilterAggregate`/`BloomFilterMightContain` pair — the
+    * codegen'd expressions behind Spark's `InjectRuntimeFilter`), the
+    * filter is broadcast as a literal, and the corpus scan drops every
+    * fingerprint the filter rejects BEFORE the distinct exchange. Survivors
+    * ≈ true matches + fpp × corpus-distinct, so the corpus-side shuffle
+    * shrinks from |corpus| to roughly fpp×|corpus| while the result stays
+    * EXACT — false positives are eliminated by the anti join that follows.
+    *
+    * Driver/executor footprint is the bloom's bit array: sized from the
+    * observed batch count at `fpp` (~1.2 bytes/item at 1%), capped at
+    * `maxNumBits` (64 M bits = 8 MB, Spark's own runtime-filter default
+    * cap — past the cap fpp degrades gracefully and correctness is
+    * unaffected). For batches large enough to saturate the cap the plain
+    * [[exactIncremental]] is the right tool; this variant exists for the
+    * common small-batch-vs-huge-corpus ingest.
+    */
+  def exactIncrementalBloom(newDocs: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String,
+                            fpp: Double = 0.01,
+                            maxNumBits: Long = 1L << 26): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, "exactIncrementalBloom: fpp must be in (0,1)")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.{graftshim => shim}
+    val nf = newDocs.withColumn("fingerprint", Text.fingerprint(col(textCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchCount = math.max(1L, nf.count()) // also materializes the persist
+    // optimal bits for n items at fpp: -n ln p / (ln 2)^2, clamped to the cap
+    val optimalBits = math.ceil(-batchCount * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val numBits = math.min(math.max(optimalBits, 64L), maxNumBits)
+    val fpHash = shim.toExpression(xxhash64(col("fingerprint")))
+    val bloomAgg = new BloomFilterAggregate(fpHash, Literal(batchCount), Literal(numBits))
+    val bloomBytes = nf.select(shim.toColumn(bloomAgg.toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val mightMatchBatch = shim.toColumn(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType), fpHash))
+    val cf = corpus.select(Text.fingerprint(col(textCol)).as("fingerprint"))
+      .filter(mightMatchBatch)
+      .distinct()
+    nf.join(cf, Seq("fingerprint"), "left_anti")
+  }
+
   /** Benchmark DECONTAMINATION — the cross-corpus containment check every
     * training pipeline runs before shipping data: for each TEST (benchmark)
     * document, find every TRAIN document whose shingle overlap covers at

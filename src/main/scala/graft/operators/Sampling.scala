@@ -112,6 +112,26 @@ object Sampling {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** Weighted Bernoulli sample: row kept with probability
+    * `min(1, rate × weight)` — quality-weighted corpus selection ("keep
+    * high-quality documents preferentially, at an overall ~rate·E[w]
+    * yield"). Membership is the same engine-portable id-hash coin as the
+    * other samplers — a pure function of (id, seed, weight), deterministic
+    * under retry and identical in any engine with md5 — so upweighting a
+    * document never flips an unrelated row's fate (each row has its own
+    * fixed coin; raising its weight only raises its own threshold). NULL
+    * or negative weights drop the row. Narrow: one hash + one multiply per
+    * row, no shuffle.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     rate: Double, seed: Long = 0L): DataFrame = {
+    require(rate >= 0.0, "weightedSample: rate must be >= 0")
+    val p = least(lit(1.0), lit(rate) * col(weightCol))
+    val threshold = floor(p * lit(HashSpace.toDouble)).cast("long")
+    df.filter(col(weightCol) >= 0.0 &&
+      Text.tokenHash60(concat(col(idCol).cast("string"), lit(s"_w$seed"))) < threshold)
+  }
+
   /** Stratified variant: per-stratum keep fractions (e.g. per-language
     * corpus balancing). Strata absent from the map are dropped.
     */

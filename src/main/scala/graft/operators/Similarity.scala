@@ -211,6 +211,21 @@ object Similarity {
       (round(avg(element_at(col(vecCol), i + 1)), roundTo) + lit(0.0)).cast("float")): _*)
       .as("centroid"))
 
+  /** V2 — L2-normalize an embedding column to unit length (`outCol` =
+    * v/‖v‖₂ as `array<double>`), the preprocessing step that makes dot
+    * product ≡ cosine so downstream ANN can use the cheaper kernel.
+    * Zero-norm and NULL vectors yield NULL (no NaN rows poisoning top-k
+    * heaps downstream). Narrow, two projections per row, no shuffle; the
+    * norm lives in its own projection so the division lambda references an
+    * ATTRIBUTE — the HOF-recompute pitfall (see [[quantizeInt8]]).
+    */
+  def l2Normalize(df: DataFrame, vecCol: String, outCol: String = "unit"): DataFrame =
+    df.withColumn("_nrm",
+        sqrt(aggregate(col(vecCol), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .withColumn(outCol, when(col("_nrm") > 0.0,
+        transform(col(vecCol), x => x.cast("double") / col("_nrm"))))
+      .drop("_nrm")
+
   /** Symmetric per-vector int8 quantization to a PACKED BINARY column
     * (q[i] = round(v[i] · 127 / max|v|), one signed byte per element via
     * the codegen'd [[graft.functions.PackInt8]]): 4× smaller than

@@ -97,4 +97,26 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out("x") == ((1L, 2L)), "one null x; distinct {1,2}")
     assert(out("y") == ((1L, 2L)), "one null y; distinct {a,b} (nulls excluded from distinct)")
   }
+
+  test("standardize: z-columns have mean~0/std~1; constant and null-heavy columns degrade to null (X6)") {
+    val df = Seq((1.0, 5.0, Some(2.0)), (2.0, 5.0, None), (3.0, 5.0, Some(4.0)),
+      (4.0, 5.0, None)).toDF("x", "c", "n")
+    val out = Analytics.standardize(df, Seq("x", "c", "n"))
+    assert(out.columns.toSeq == Seq("x", "c", "n", "x_z", "c_z", "n_z"),
+      "originals preserved, one _z per requested column")
+    val xs = out.select("x_z").as[Double].collect()
+    val mean = xs.sum / xs.length
+    val std = math.sqrt(xs.map(v => (v - mean) * (v - mean)).sum / (xs.length - 1))
+    assert(approx(mean, 0.0, 1e-12) && approx(std, 1.0, 1e-12))
+    assert(out.filter($"c_z".isNotNull).count() == 0, "zero-variance column → null, not a divide error")
+    val nz = out.select("n", "n_z").collect()
+    assert(nz.count(_.isNullAt(1)) == 2, "null inputs stay null")
+  }
+
+  test("standardize(roundMoments): z from round-4 moments — the engine-portable recipe") {
+    val df = Seq(10.0, 20.0, 30.0).toDF("v")
+    val out = Analytics.standardize(df, Seq("v"), roundMoments = Some(4))
+      .select("v_z").as[Double].collect().sorted
+    assert(approx(out(0), -1.0, 1e-9) && approx(out(1), 0.0, 1e-9) && approx(out(2), 1.0, 1e-9))
+  }
 }

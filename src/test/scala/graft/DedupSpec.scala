@@ -226,4 +226,30 @@ class DedupSpec extends SparkTestBase {
     info(f"embeddingNearDupsLSH(ordinal) recall at 0.45 (32x4): $ordRecall%.3f")
     assert(ordRecall >= 0.9, f"ordinal S-curve matches sign-LSH; measured $ordRecall%.3f")
   }
+
+  test("exactIncrementalBloom: identical result to the plain anti join (bloom prunes, never changes semantics)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val plain = Dedup.exactIncremental(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.exactIncrementalBloom(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom == plain, "bloom path must be exactly the anti-join result")
+    // tight fpp changes bits, not semantics
+    val tight = Dedup.exactIncrementalBloom(batch, corpus, "doc_id", "text", fpp = 0.001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tight == plain)
+  }
+
+  test("exactIncrementalBloom: empty batch and empty corpus edges") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val none = docs.filter(col("doc_id") < 0)
+    assert(Dedup.exactIncrementalBloom(none, docs, "doc_id", "text").count() == 0,
+      "empty batch survives the bloom build (count clamped to 1 item)")
+    assert(Dedup.exactIncrementalBloom(docs.limit(7), none, "doc_id", "text").count() == 7,
+      "empty corpus keeps the whole batch")
+  }
 }

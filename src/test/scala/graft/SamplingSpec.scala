@@ -84,4 +84,24 @@ class SamplingSpec extends SparkTestBase {
     val partial = Sampling.datasetSplit(ids, "id", Seq("train" -> 0.5))
     assert(partial.filter($"split".isNull).count() > 0)
   }
+
+  test("weightedSample: per-row keep probability min(1, rate*w), deterministic, monotone in weight") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 1000).map(i => (i.toLong, (i % 10).toDouble / 5.0)).toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", 0.5).select("id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(df.repartition(7), "id", "w", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "membership is a pure function of (id, seed, weight)")
+    // weight 0 → p 0; rate*w >= 1 → p 1
+    assert(Sampling.weightedSample(df.filter($"w" === 0.0), "id", "w", 0.5).count() == 0)
+    val heavy = df.withColumn("w", lit(10.0))
+    assert(Sampling.weightedSample(heavy, "id", "w", 0.5).count() == 1000)
+    // each row's coin is its own: raising ONE row's weight never evicts others
+    val boosted = df.withColumn("w", when($"id" === 1L, 100.0).otherwise($"w"))
+    val c = Sampling.weightedSample(boosted, "id", "w", 0.5).select("id").as[Long].collect().toSet
+    assert((a - 1L).subsetOf(c) && c.contains(1L), "upweighting row 1 only adds row 1")
+    // null/negative weights drop
+    val nulls = df.withColumn("w", when($"id" <= 10, lit(null).cast("double")).otherwise(lit(-1.0)))
+    assert(Sampling.weightedSample(nulls, "id", "w", 0.5).count() == 0)
+  }
 }

@@ -220,4 +220,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, "ANN recall must clearly beat the 0.11 random-sampling baseline")
     assert(approxSet.forall { case (q, n) => q != n })
   }
+
+  test("l2Normalize: unit norm, direction preserved, zero/null vectors → null (V2)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f))
+    ).toDF("id", "v")
+    val out = Similarity.l2Normalize(df, "v", "unit")
+      .select("id", "unit").collect().map(r =>
+        r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(out(1).get.zip(Seq(0.6, 0.8)).forall { case (a, b) => approx(a, b) })
+    assert(out(2).isEmpty, "zero vector normalizes to null, not NaN")
+    assert(out(3).get.zip(Seq(-1.0, 0.0)).forall { case (a, b) => approx(a, b) })
+    val nullRow = Similarity.l2Normalize(
+      Seq((4L, null.asInstanceOf[Seq[Float]])).toDF("id", "v"), "v", "unit")
+    assert(nullRow.filter(col("unit").isNotNull).count() == 0)
+    // corpus-wide: every non-null output has ||unit|| = 1
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val norms = Similarity.l2Normalize(emb, "embedding", "unit")
+      .select(aggregate(col("unit"), lit(0.0), (acc, x) => acc + x * x).as("n2"))
+      .as[Double].collect()
+    assert(norms.forall(n2 => approx(n2, 1.0, 1e-9)), "all corpus vectors unit after normalize")
+  }
 }
