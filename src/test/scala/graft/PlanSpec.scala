@@ -131,4 +131,48 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
       s"frame sampling must not hash-shuffle:\n$p")
   }
+
+  test("bloom incremental dedup: corpus side filters on the bloom BEFORE the distinct exchange (D8b)") {
+    val docs = Tables.documents(spark, sf)
+    val out = Dedup.exactIncrementalBloom(
+      docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text")
+    val p = plan(out)
+    assert(p.contains("might_contain"), s"expected bloom probe in corpus-side plan:\n$p")
+    // the probe must sit below the aggregate: a Filter node carrying
+    // might_contain, with HashAggregate (distinct) above it
+    val probeIdx = p.indexOf("might_contain")
+    assert(p.lastIndexOf("HashAggregate", probeIdx) >= 0 || p.indexOf("HashAggregate") < probeIdx,
+      s"bloom probe must prune before the distinct aggregate:\n$p")
+  }
+
+  test("weightedSample and datasetSplit are narrow — zero exchanges (S5g/S5e)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = Sampling.weightedSample(
+      docs.withColumn("w", col("n_chars") / lit(500.0)), "doc_id", "w", 0.2)
+    assert(!plan(w).contains("Exchange"), "weighted sampling must not shuffle")
+    val sp = Sampling.datasetSplit(docs, "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+    assert(!plan(sp).contains("Exchange"), "dataset split must not shuffle")
+  }
+
+  test("standardize: one aggregate pass, stats broadcast back, no window over the corpus (X6)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val p = plan(Analytics.standardize(li, Seq("l_quantity", "l_extendedprice")))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row stats frame must broadcast:\n$p")
+    assert(!p.contains("Window"), s"no per-row window allowed:\n$p")
+    // moments partial-aggregate: partial+final HashAggregate pair
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final moment phases in:\n$p")
+  }
+
+  test("l2Normalize computes the norm once per row — a single projection chain, no exchange (V2)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.l2Normalize(emb, "embedding", "unit")
+    val p = plan(out)
+    assert(!p.contains("Exchange"), s"normalization must be narrow:\n$p")
+    // the norm must appear as its own projected attribute (computed once),
+    // not be inlined into the per-element division lambda
+    assert(p.contains("_nrm"), s"expected hoisted norm attribute in:\n$p")
+  }
 }
