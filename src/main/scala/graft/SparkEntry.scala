@@ -762,6 +762,17 @@ object SparkEntry {
           md5(Text.scrubPii(col("text"))).as("scrubbed_md5"))
         .orderBy("doc_id")),
 
+    // T13: Gopher quality rules — the published pre-training gate's seven
+    // signals plus the combined pass verdict, all integer-count + one-
+    // division arithmetic (engine-identical)
+    "t13_gopher" -> ((s, d) => {
+      val sig = Text.gopherSignals(col("text"))
+      Tables.documents(s, d).select(
+        (col("doc_id") +: sig.map { case (n, c) => c.as(n) }) :+
+          Text.gopherPass(col("text")).as("pass"): _*)
+        .orderBy("doc_id")
+    }),
+
     // M1: multimodal binary payload metadata (oracle-checkable scalars)
     "m1_multimodal_meta" -> ((s, d) =>
       Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text")
@@ -1754,6 +1765,33 @@ object SparkEntry {
         s"'$digits', '<NUMBER>', 'g')) AS scrubbed_md5 " +
         "FROM documents ORDER BY doc_id"
     },
+
+    // mirrors gopherSignals/gopherPass: integer counts, one round(4)
+    // division per ratio, zero denominators → NULL (which passes its rule)
+    "t13_gopher" ->
+      ("WITH w AS (SELECT doc_id, " +
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS words, " +
+        "string_split(text, chr(10)) AS lines, " +
+        "len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS sym FROM documents), " +
+        "sig AS (SELECT doc_id, len(words)::BIGINT AS n_words, " +
+        "CASE WHEN len(words) > 0 THEN round(list_sum(list_transform(words, x -> len(x)))::DOUBLE / len(words), 4) END AS mean_word_len, " +
+        "CASE WHEN len(words) > 0 THEN round(sym::DOUBLE / len(words), 4) END AS symbol_ratio, " +
+        "CASE WHEN len(words) > 0 THEN round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words), 4) END AS alpha_frac, " +
+        "CASE WHEN len(list_filter(lines, l -> len(trim(l)) > 0)) > 0 THEN " +
+        "round(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE / len(list_filter(lines, l -> len(trim(l)) > 0)), 4) END AS bullet_frac, " +
+        "CASE WHEN len(list_filter(lines, l -> len(trim(l)) > 0)) > 0 THEN " +
+        "round(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::DOUBLE / len(list_filter(lines, l -> len(trim(l)) > 0)), 4) END AS ellipsis_frac, " +
+        "len(list_filter(['the','be','to','of','and','that','have','with'], " +
+        "sw -> list_contains(list_transform(words, x -> lower(x)), sw)))::BIGINT AS stop_hits FROM w) " +
+        "SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, bullet_frac, ellipsis_frac, stop_hits, " +
+        "(n_words >= 50 AND n_words <= 100000 " +
+        "AND (mean_word_len IS NULL OR (mean_word_len >= 3.0 AND mean_word_len <= 10.0)) " +
+        "AND (symbol_ratio IS NULL OR symbol_ratio < 0.1) " +
+        "AND (bullet_frac IS NULL OR bullet_frac < 0.9) " +
+        "AND (ellipsis_frac IS NULL OR ellipsis_frac < 0.3) " +
+        "AND (alpha_frac IS NULL OR alpha_frac >= 0.8) " +
+        "AND stop_hits >= 2) AS pass " +
+        "FROM sig ORDER BY doc_id"),
 
     "m1_multimodal_meta" ->
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +

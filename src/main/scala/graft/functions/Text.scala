@@ -104,6 +104,67 @@ object Text {
     (size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
       size(regexp_extract_all(text, lit(LongDigitPattern), lit(0)))).cast("long")
 
+  /** Gopher-style quality-rule signals (Rae et al. 2021, §A1.1 — the
+    * standard pre-training corpus gate), each a narrow codegen'd array/
+    * regex expression with integer counts and end-of-pipeline divisions
+    * only, so every signal is bit-identical in any engine:
+    *
+    *   - `n_words`, `mean_word_len` — whitespace words (empty tokens
+    *     dropped), exact integer length sum before the one division;
+    *   - `symbol_ratio` — '#'/ellipsis hits per word;
+    *   - `alpha_frac` — fraction of words containing a letter;
+    *   - `bullet_frac` / `ellipsis_frac` — fraction of non-blank lines
+    *     starting with a bullet / ending with an ellipsis;
+    *   - `stop_hits` — how many of the 8 canonical stopwords appear.
+    *
+    * Divisions round(4); zero denominators yield null ratios (not NaN).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherSignals(text: Column): Seq[(String, Column)] = {
+    val words = filter(split(trim(text), "\\s+"), w => length(w) > 0)
+    val lowered = transform(words, w => lower(w))
+    val nWords = size(words).cast("long")
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val lines = split(text, "\n")
+    val nLines = size(filter(lines, l => length(trim(l)) > 0)).cast("long")
+    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val symbolHits = size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0))).cast("long")
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(filter(
+      array(GopherStopwords.map(lit): _*), sw => array_contains(lowered, sw))).cast("long")
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0L, round(num.cast("double") / den.cast("double"), 4))
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> ratio(sumLen, nWords),
+      "symbol_ratio" -> ratio(symbolHits, nWords),
+      "alpha_frac" -> ratio(alphaWords, nWords),
+      "bullet_frac" -> ratio(bulletLines, nLines),
+      "ellipsis_frac" -> ratio(ellipsisLines, nLines),
+      "stop_hits" -> stopHits)
+  }
+
+  /** The Gopher pass/fail gate over [[gopherSignals]], at the published
+    * thresholds (50 ≤ words ≤ 100k, mean word length in [3,10], symbol
+    * ratio < 0.1, bullet lines < 90%, ellipsis lines < 30%, ≥ 80% alpha
+    * words, ≥ 2 stopwords). Null ratios (zero denominator) pass their
+    * rule, matching the paper's "fraction of" reading.
+    */
+  def gopherPass(text: Column): Column = {
+    val s = gopherSignals(text).toMap
+    def ok(c: Column, p: Column => Column): Column = c.isNull || p(c)
+    (s("n_words") >= 50L && s("n_words") <= 100000L) &&
+      ok(s("mean_word_len"), c => c >= 3.0 && c <= 10.0) &&
+      ok(s("symbol_ratio"), _ < 0.1) &&
+      ok(s("bullet_frac"), _ < 0.9) &&
+      ok(s("ellipsis_frac"), _ < 0.3) &&
+      ok(s("alpha_frac"), _ >= 0.8) &&
+      s("stop_hits") >= 2L
+  }
+
   /** Document fingerprint: md5 of the casefolded, alphanumeric-only
     * normalization — equal fingerprints ⇔ texts equal modulo case,
     * punctuation, and whitespace. The exact-dedup key at scale (16-byte key

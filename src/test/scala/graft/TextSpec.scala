@@ -77,4 +77,35 @@ class TextSpec extends SparkTestBase {
       .agg(min("q"), max("q")).collect()(0)
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
+
+  test("gopherSignals: hand-computed counts and ratios (T13)") {
+    val doc = "- first bullet line\n- second bullet line\nplain line ends...\n\n"
+    val df = Seq((1L, doc)).toDF("doc_id", "text")
+    val sig = Text.gopherSignals(col("text"))
+    val row = df.select(sig.map { case (n, c) => c.as(n) }: _*).collect()(0)
+    val get = sig.map(_._1).zipWithIndex.toMap
+    assert(row.getLong(get("n_words")) == 11L, "words incl. the two '-' bullets")
+    // 3 non-blank lines: 2 bullet, 1 ellipsis-terminated
+    assert(row.getDouble(get("bullet_frac")) == 0.6667)
+    assert(row.getDouble(get("ellipsis_frac")) == 0.3333)
+    assert(row.getLong(get("stop_hits")) == 0L)
+    // '...' counts once as a symbol; 11 words
+    assert(row.getDouble(get("symbol_ratio")) == 0.0909)
+  }
+
+  test("gopherPass: passes normal prose, fails short/bulleted/stopword-free docs (T13)") {
+    val prose = ("the quick brown fox jumps over the lazy dog and then walks to " +
+      "the river of calm water that we have seen with joy ") * 5 // >50 words, stopwords
+    val bullets = (1 to 60).map(i => s"- item $i of the list that we have").mkString("\n")
+    val short = "too few words to pass the gate"
+    val symbols = (("### " * 20) + "the of and that have with be to ") * 10
+    val df = Seq((1L, prose), (2L, bullets), (3L, short), (4L, symbols))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), Text.gopherPass(col("text")).as("p"))
+      .orderBy("doc_id").as[(Long, Boolean)].collect().toMap
+    assert(out(1L), "normal prose passes every rule")
+    assert(!out(2L), "90%+ bullet lines fail the bullet rule")
+    assert(!out(3L), "under 50 words fails the length rule")
+    assert(!out(4L), "symbol ratio >= 0.1 fails the symbol rule")
+  }
 }
