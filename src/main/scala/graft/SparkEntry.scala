@@ -963,6 +963,23 @@ object SparkEntry {
           (round(col("l_extendedprice_z"), 4) + lit(0.0)).as("price_z"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // X6b: z-score WITHIN groups — grouped moments broadcast back on the
+    // key; same round-4 engine-portable recipe
+    "x6b_zscore_by" -> ((s, d) =>
+      Analytics.standardizeBy(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
+          "l_returnflag", "l_quantity"),
+        Seq("l_returnflag"), Seq("l_quantity"), roundMoments = Some(4))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          (round(col("l_quantity_z"), 4) + lit(0.0)).as("qty_z"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // X7: pairwise correlation matrix, all cells in one aggregate pass
+    "x7_corr_matrix" -> ((s, d) =>
+      Analytics.corrMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_1", "col_2")),
+
     // S5e: deterministic train/val/test split — hash-banded, so no row can
     // migrate between bands across runs/engines/retries
     "s5e_split" -> ((s, d) =>
@@ -1977,6 +1994,27 @@ object SparkEntry {
         "round((l_quantity - mq) / sq, 4) + 0.0 AS qty_z, " +
         "round((l_extendedprice - mp) / sp, 4) + 0.0 AS price_z " +
         "FROM lineitem CROSS JOIN st ORDER BY l_orderkey, l_linenumber"),
+
+    "x6b_zscore_by" ->
+      ("WITH st AS (SELECT l_returnflag, round(avg(l_quantity), 4) AS mq, " +
+        "round(stddev_samp(l_quantity), 4) AS sq FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, " +
+        "round((l.l_quantity - st.mq) / st.sq, 4) + 0.0 AS qty_z " +
+        "FROM lineitem l JOIN st USING (l_returnflag) " +
+        "ORDER BY l_orderkey, l_linenumber"),
+
+    // one SELECT per cell, same safeCorr guards as x1 (pairwise-complete
+    // count >= 3, zero variance -> 0), corr_samp ≡ corr_pop
+    "x7_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+        yield (cols(i), cols(j))
+      pairs.map { case (a, b) =>
+        s"SELECT '$a' AS col_1, '$b' AS col_2, " +
+          s"round(CASE WHEN count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) >= 3 " +
+          s"THEN coalesce(corr($a, $b), 0.0) END, 4) + 0.0 AS corr FROM lineitem"
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_1, col_2")
+    },
 
     "t10_distinctive" ->
       ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +

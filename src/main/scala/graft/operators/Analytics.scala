@@ -219,4 +219,50 @@ object Analytics {
       .select(df.columns.toIndexedSeq.map(col) ++ zcols: _*)
   }
 
+  /** X6b — [[standardize]] WITHIN groups (z-score per language, per
+    * source, …): one grouped moments aggregate (partial+final, one buffer
+    * per group × column), broadcast-joined back on the keys — the stats
+    * side is #groups rows, vanishingly small next to the corpus, so the
+    * join is a broadcast hash join with no corpus-side shuffle. Same
+    * degenerate-input and `roundMoments` semantics as the global form.
+    */
+  def standardizeBy(df: DataFrame, keys: Seq[String], cols: Seq[String],
+                    roundMoments: Option[Int] = None): DataFrame = {
+    require(keys.nonEmpty, "standardizeBy: no group keys (use standardize)")
+    require(cols.nonEmpty, "standardizeBy: no columns requested")
+    def m(e: Column): Column = roundMoments.fold(e)(k => round(e, k))
+    val aggs = cols.flatMap(c => Seq(
+      m(avg(col(c))).as(s"__mu_$c"), m(stddev_samp(col(c))).as(s"__sd_$c")))
+    val stats = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val zcols = cols.map { c =>
+      when(col(s"__sd_$c").isNotNull && col(s"__sd_$c") =!= 0.0,
+        (col(c) - col(s"__mu_$c")) / col(s"__sd_$c")).as(s"${c}_z")
+    }
+    df.join(broadcast(stats), keys, "left")
+      .select(df.columns.toIndexedSeq.map(col) ++ zcols: _*)
+  }
+
+  /** X7 — full pairwise Pearson correlation matrix over the requested
+    * columns in ONE aggregate pass: all n·(n−1)/2 [[safeCorr]] cells
+    * partial-aggregate together (one moments buffer each), then the
+    * single result row explodes to long format (col_1, col_2, corr) —
+    * the feature-redundancy screen run before training on tabular data.
+    * Rounded to 4 (continuous-value convention); each cell carries
+    * safeCorr's guards (pairwise-complete masking, n<minPairs → null,
+    * zero variance → 0).
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix: need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      (round(safeCorr(df, a, b), 4) + lit(0.0)).as(s"__r_${a}__$b") }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_1"), lit(b).as("col_2"),
+        col(s"__r_${a}__$b").as("corr")) }
+    row.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+
 }

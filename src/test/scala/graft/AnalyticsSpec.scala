@@ -119,4 +119,28 @@ class AnalyticsSpec extends SparkTestBase {
       .select("v_z").as[Double].collect().sorted
     assert(approx(out(0), -1.0, 1e-9) && approx(out(1), 0.0, 1e-9) && approx(out(2), 1.0, 1e-9))
   }
+
+  test("standardizeBy: moments are per group, not global (X6b)") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 30.0))
+      .toDF("g", "v")
+    val out = Analytics.standardizeBy(df, Seq("g"), Seq("v"))
+      .select("g", "v", "v_z").as[(String, Double, Double)].collect()
+    val a = out.filter(_._1 == "a").sortBy(_._2).map(_._3)
+    assert(approx(a(0), -1.0) && approx(a(1), 0.0) && approx(a(2), 1.0),
+      "group a standardized against ITS mean 2/std 1")
+    val b = out.filter(_._1 == "b").sortBy(_._2).map(_._3)
+    // group b: mean 20, sample std sqrt(200) → z = ±10/sqrt(200)
+    assert(approx(b(0), -10.0 / math.sqrt(200.0)) && approx(b(1), 10.0 / math.sqrt(200.0)),
+      s"group b uses its own moments: ${b.toSeq}")
+  }
+
+  test("corrMatrix: one row per unordered pair; known correlations (X7)") {
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, -4.0))
+      .toDF("x", "y", "z")
+    val out = Analytics.corrMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 3, "3 unordered pairs for 3 columns")
+    assert(approx(out(("x", "y")), 1.0) && approx(out(("x", "z")), -1.0) &&
+      approx(out(("y", "z")), -1.0))
+  }
 }
