@@ -636,6 +636,12 @@ object SparkEntry {
         .select("doc_id", "fingerprint").orderBy("doc_id")
     }),
 
+    // D9: typo-level duplicates — SimHash banding candidates verified by
+    // edit distance (token-set similarity can't see character edits)
+    "d9_fuzzy_pairs" -> ((s, d) =>
+      Dedup.fuzzyNearDups(Tables.documents(s, d), "doc_id", "text", maxDist = 40)
+        .orderBy("id_1", "id_2")),
+
     // D5: embedding-cosine near-dup pairs (exact all-pairs, codegen'd cosine)
     "d5_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
@@ -1040,6 +1046,12 @@ object SparkEntry {
       StreamOps.tumblingCounts(Tables.events(s, d), 3600000000L)
         .orderBy("bucket", "event_type")),
 
+    // E4: hopping (sliding) windows — 2 h windows starting every hour,
+    // each event replicated into width/slide windows BEFORE the partial agg
+    "e4_hopping_window" -> ((s, d) =>
+      StreamOps.hoppingCounts(Tables.events(s, d), 7200000000L, 3600000000L)
+        .orderBy("win_start", "event_type")),
+
     // E2: gap-based sessionization (batch form of the stream op)
     "e2_sessionize" -> ((s, d) =>
       StreamOps.sessionize(Tables.events(s, d), 1800000000L)
@@ -1403,6 +1415,17 @@ object SparkEntry {
         "bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY id_1, id_2"),
+
+    // d3b's candidate set re-verified by levenshtein on the raw texts
+    "d9_fuzzy_pairs" ->
+      (s"WITH $simhashCte, " +
+        "cand AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2 " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3) " +
+        "SELECT c.id_1, c.id_2, levenshtein(d1.text, d2.text)::BIGINT AS edit_dist " +
+        "FROM cand c JOIN documents d1 ON c.id_1 = d1.doc_id " +
+        "JOIN documents d2 ON c.id_2 = d2.doc_id " +
+        "WHERE levenshtein(d1.text, d2.text) <= 40 ORDER BY id_1, id_2"),
 
     "d4b_jaccard_sparse" ->
       ("WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
@@ -2105,6 +2128,15 @@ object SparkEntry {
     "e1_events_window" ->
       ("SELECT epoch_us(ts) // 3600000000 AS bucket, event_type, count(*) AS n_events, " +
         "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"),
+
+    // each event belongs to width/slide = 2 hour-aligned windows
+    "e4_hopping_window" ->
+      ("SELECT ws AS win_start, event_type, count(*) AS n_events, " +
+        "round(sum(value), 2) AS sum_value FROM (" +
+        "SELECT unnest(range((epoch_us(ts) // 3600000000 - 1) * 3600000000, " +
+        "epoch_us(ts) // 3600000000 * 3600000000 + 3600000000, 3600000000)) AS ws, " +
+        "event_type, value FROM events) " +
+        "GROUP BY 1, 2 ORDER BY win_start, event_type"),
 
     // streaming replay must equal the batch-form oracle exactly
     "e1b_stream_window" ->

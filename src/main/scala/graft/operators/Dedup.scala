@@ -590,6 +590,32 @@ object Dedup {
       .distinct()
   }
 
+  /** D9 — fuzzy near-dup pairs verified by EDIT DISTANCE: SimHash banding
+    * generates candidates ([[simhashNearDups]]'s pigeonhole chunks — full
+    * recall at Hamming ≤ 3), then each candidate pair is verified with
+    * `levenshtein` on the raw texts and kept at distance ≤ `maxDist`.
+    * This is the "typo-level duplicate" gate token-set similarity can't
+    * express: Jaccard/MinHash see bags of words (reorderings score high),
+    * edit distance sees the character sequence.
+    *
+    * Scale shape: the O(len²)-per-pair Levenshtein runs ONLY on banding
+    * survivors (near-identical sketches), never all pairs; texts join onto
+    * the candidate list by id — two hash joins — so full documents travel
+    * once per surviving candidate, not per chunk collision.
+    */
+  def fuzzyNearDups(df: DataFrame, idCol: String, textCol: String,
+                    maxDist: Int, maxHamming: Int = 3): DataFrame = {
+    require(maxDist >= 0, "fuzzyNearDups: maxDist must be >= 0")
+    val cand = simhashNearDups(df, idCol, textCol, maxHamming)
+      .select("id_1", "id_2")
+    val t1 = df.select(col(idCol).as("id_1"), col(textCol).as("_t1"))
+    val t2 = df.select(col(idCol).as("id_2"), col(textCol).as("_t2"))
+    cand.join(t1, "id_1").join(t2, "id_2")
+      .select(col("id_1"), col("id_2"),
+        levenshtein(col("_t1"), col("_t2")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** Embedding-cosine near-duplicate pairs, EXACT threshold join on the
     * block-partitioned all-pairs plan ([[Pairs.blockedPairs]]): an
     * equi-join on block-pair keys — NO broadcast of the corpus, no

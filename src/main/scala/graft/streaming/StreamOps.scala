@@ -36,6 +36,40 @@ object StreamOps {
       .groupBy(window(col("event_time"), width), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** E4 — HOPPING (sliding) window aggregate, batch form: windows of
+    * `widthUs` starting every `slideUs` (width must be a multiple of
+    * slide), so each event lands in width/slide windows. The replication
+    * is explicit — `sequence` + `explode` of the window-start list — and
+    * happens BEFORE the aggregation's partial phase, so the exchange
+    * carries (window, type) partials only, exactly like the tumbling
+    * form; at 100 TB the cost is the width/slide input blow-up every
+    * hopping-window engine pays, never a second shuffle.
+    */
+  def hoppingCounts(events: DataFrame, widthUs: Long, slideUs: Long): DataFrame = {
+    require(widthUs > 0 && slideUs > 0 && widthUs % slideUs == 0,
+      "hoppingCounts: width must be a positive multiple of slide")
+    val k = widthUs / slideUs
+    val hop = expr(s"ts_us div $slideUs")
+    events
+      .withColumn("win_start", explode(sequence(
+        (hop - lit(k - 1)) * lit(slideUs), hop * lit(slideUs), lit(slideUs))))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** E4 STREAMING form — Spark's `window(col, width, slide)` implements
+    * the same hop replication natively under a watermark (state evicted
+    * per closed window, as in [[tumblingCountsStreaming]]).
+    */
+  def hoppingCountsStreaming(events: DataFrame, width: String, slide: String,
+                             watermark: String): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+
   /** Gap-based sessionization, BATCH form: a session breaks when the gap
     * from the previous event of the same user exceeds `gapUs`. Classic
     * lag-diff + running-sum session ids; one shuffle to co-locate users.

@@ -243,6 +243,30 @@ class DedupSpec extends SparkTestBase {
     assert(tight == plain)
   }
 
+  test("fuzzyNearDups: catches character edits, rejects reorderings token sims accept (D9)") {
+    import org.apache.spark.sql.functions.col
+    // "the" appears twice: dropping ONE occurrence leaves the distinct
+    // token set (hence the simhash sketch) unchanged — a pure
+    // character-level edit, the case token similarity cannot see
+    val base = "the quick brown fox jumps over the lazy dog near a quiet river bank today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replaceFirst("over the lazy", "over lazy")),  // -4 chars, same token set
+      (3L, base.split(" ").reverse.mkString(" ")),            // same tokens, reordered
+      (4L, "an entirely different document about training data pipelines and dedup")
+    ).toDF("doc_id", "text")
+    val out = Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 5)
+      .select("id_1", "id_2", "edit_dist").as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"only the character-edit pair survives the edit gate: $out")
+    assert(out.head._3 == 4L, "one dropped 'the ' = distance 4")
+    // the reordering IS a simhash candidate (identical sketch) — the
+    // edit gate is what rejects it
+    val cand = Dedup.simhashNearDups(docs, "doc_id", "text", 3)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 3L)), "reordered doc collides in token space")
+  }
+
   test("exactIncrementalBloom: empty batch and empty corpus edges") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -34,19 +34,78 @@ class StreamOpsSpec extends SparkTestBase {
     assert(out == Seq((0L, "click", 1L, 4.0), (1L, "click", 2L, 3.0), (2L, "view", 1L, 3.0)))
   }
 
+  test("hoppingCounts: each event lands in width/slide windows; sums per window are correct (E4)") {
+    // width 100, slide 50: event at ts t belongs to windows starting at
+    // 50*(t div 50) and 50*(t div 50 - 1)
+    val out = StreamOps.hoppingCounts(events, widthUs = 100L, slideUs = 50L)
+      .orderBy("win_start", "event_type")
+      .select("win_start", "event_type", "n_events", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, "click", 1L, 4.0),            // ts 50
+      (50L, "click", 3L, 7.0),           // ts 50, 100, 105
+      (100L, "click", 2L, 3.0),          // ts 100, 105
+      (150L, "view", 1L, 3.0),           // ts 200
+      (200L, "view", 1L, 3.0)), s"got $out")
+    // width == slide degenerates to the tumbling form
+    val degen = StreamOps.hoppingCounts(events, 100L, 100L)
+      .orderBy("win_start", "event_type")
+      .select("win_start", "event_type", "n_events", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val tumbling = StreamOps.tumblingCounts(events, 100L)
+      .withColumn("win_start", col("bucket") * 100L).drop("bucket")
+      .orderBy("win_start", "event_type")
+      .select("win_start", "event_type", "n_events", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(degen == tumbling)
+  }
+
+  test("hoppingCountsStreaming: incremental hopping result matches the batch form (E4 streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val src = mem.toDF().toDF("user_id", "ts_us", "event_id", "event_type", "value")
+    val base = 1000000000L
+    def us(offsetSec: Long) = (base + offsetSec) * 1000000L
+    // data BEFORE start: AvailableNow snapshots available offsets at query
+    // start, so later addData may fall outside the run (a race, not a bug)
+    mem.addData((1L, us(30), 1L, "click", 1.0))
+    mem.addData((2L, us(90), 2L, "click", 2.0))
+    val q = StreamOps.hoppingCountsStreaming(src, "2 minutes", "1 minute", "10 seconds")
+      .writeStream.format("memory").queryName("hopping_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hopping_out")
+        .select((col("window.start").cast("long") * 1000000L).as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect()
+        .groupBy(t => (t._1, t._2)).map { case (k, vs) => k -> vs.maxBy(_._3) }
+        .values.map(v => (v._1, v._3, v._4)).toSet
+      val batch = StreamOps.hoppingCounts(
+        Seq((1L, us(30), 1L, "click", 1.0), (2L, us(90), 2L, "click", 2.0))
+          .toDF("user_id", "ts_us", "event_id", "event_type", "value"),
+        120000000L, 60000000L)
+        .select("win_start", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch, s"streaming $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("tumblingCountsStreaming: incremental result matches the batch form (E1 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
     val src = mem.toDF().toDF("user_id", "ts_us", "event_id", "event_type", "value")
+    val base = 1000000000L // epoch seconds
+    def us(offsetSec: Long) = (base + offsetSec) * 1000000L
+    // data BEFORE start: AvailableNow snapshots available offsets at query
+    // start, so later addData may fall outside the run (a race, not a bug)
+    mem.addData((1L, us(30), 1L, "click", 1.0))  // minute window A
+    mem.addData((1L, us(40), 2L, "click", 2.0))  // same window A
+    mem.addData((2L, us(130), 3L, "view", 3.0))  // window C, two minutes later
     val q = StreamOps.tumblingCountsStreaming(src, "1 minute", "10 seconds")
       .writeStream.format("memory").queryName("tumbling_out")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     try {
-      val base = 1000000000L // epoch seconds
-      def us(offsetSec: Long) = (base + offsetSec) * 1000000L
-      mem.addData((1L, us(30), 1L, "click", 1.0))  // minute window A
-      mem.addData((1L, us(40), 2L, "click", 2.0))  // same window A
-      mem.addData((2L, us(130), 3L, "view", 3.0))  // window C, two minutes later
       q.processAllAvailable()
       val out = spark.table("tumbling_out")
         .select(col("window.start").cast("long"), col("event_type"), col("n_events"), col("sum_value"))
