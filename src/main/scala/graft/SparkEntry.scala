@@ -956,6 +956,25 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy("col_name")),
 
+    // A21: per-customer running spend — cumulative sum in declared order
+    // (date, then orderkey tiebreak), rows framing so the double-summation
+    // order is fixed and engine-identical
+    "a21_running_total" -> ((s, d) =>
+      Analytics.runningTotal(
+        Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"), "o_totalprice")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("running_total"), 2).as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")),
+
+    // T15: document chunking — 120-char windows with 20-char overlap;
+    // md5 of each chunk keeps the row compact while pinning content exactly
+    "t15_chunking" -> ((s, d) =>
+      Chunking.chunkByChars(Tables.documents(s, d), "doc_id", "text", 120, 20)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+          col("chunk_chars"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
     // X6: z-score standardization — one moments pass broadcast back onto
     // a narrow projection; round-4 moments = the cross-engine bit-stable
     // recipe (see standardize's roundMoments doc)
@@ -2007,6 +2026,19 @@ object SparkEntry {
         s"round(avg($c), 4) AS mean, round(stddev_samp($c), 4) AS std, " +
         s"CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max FROM lineitem")
       .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")),
+
+    "a21_running_total" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "round(sum(o_totalprice) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) " +
+        "AS running_spend FROM orders ORDER BY o_custkey, o_orderkey"),
+
+    // mirrors chunkByChars: stride walk capped at len-overlap, 1-based substr
+    "t15_chunking" ->
+      ("SELECT doc_id, (s - 1) // 100 AS chunk_id, s::BIGINT AS chunk_start, " +
+        "len(substr(text, s, 120))::BIGINT AS chunk_chars, md5(substr(text, s, 120)) AS chunk_md5 " +
+        "FROM (SELECT doc_id, text, unnest(range(1, greatest(len(text) - 20, 1) + 1, 100)) AS s " +
+        "FROM documents WHERE len(text) > 0) ORDER BY doc_id, chunk_id"),
 
     // round-4 moments BEFORE the division (standardize roundMoments) —
     // rounded doubles are engine-identical, raw aggregates are not

@@ -242,6 +242,24 @@ object Analytics {
       .select(df.columns.toIndexedSeq.map(col) ++ zcols: _*)
   }
 
+  /** A21 — per-group running total (cumulative sum): the balance /
+    * running-spend / cumulative-token-count window. One shuffle to
+    * co-locate groups, one sorted pass; `orderCols` must totally order
+    * each group (include a unique tiebreak) or the prefix sums are
+    * ill-defined. Rows-between framing (not range) so ties still
+    * accumulate one row at a time in the declared order — which also
+    * makes the double summation ORDER fixed, hence reproducible across
+    * engines and partitionings.
+    */
+  def runningTotal(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                   valueCol: String, outCol: String = "running_total"): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty, "runningTotal: keys and order required")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, sum(col(valueCol)).over(w))
+  }
+
   /** X7 — full pairwise Pearson correlation matrix over the requested
     * columns in ONE aggregate pass: all n·(n−1)/2 [[safeCorr]] cells
     * partial-aggregate together (one moments buffer each), then the

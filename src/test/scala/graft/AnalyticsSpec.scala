@@ -134,6 +134,16 @@ class AnalyticsSpec extends SparkTestBase {
       s"group b uses its own moments: ${b.toSeq}")
   }
 
+  test("runningTotal: per-group prefix sums in declared order; groups independent (A21)") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 5.0), ("a", 3L, 2.5),
+      ("b", 1L, 100.0), ("b", 2L, 1.0)).toDF("g", "seq", "v")
+    val out = Analytics.runningTotal(df, Seq("g"), Seq("seq"), "v")
+      .select("g", "seq", "running_total").as[(String, Long, Double)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(("a", 1L, 10.0), ("a", 2L, 15.0), ("a", 3L, 17.5),
+      ("b", 1L, 100.0), ("b", 2L, 101.0)))
+  }
+
   test("corrMatrix: one row per unordered pair; known correlations (X7)") {
     val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, -4.0))
       .toDF("x", "y", "z")
