@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import graft.streaming.StreamOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
@@ -128,7 +129,8 @@ class PlanSpec extends SparkTestBase {
   test("uniform frame sampling is narrow — no exchange between decode and explode (M3)") {
     val p = plan(SparkEntry.queries("m3_frame_sample")(spark, sf))
     // the only exchange allowed is the final orderBy's range partitioning
-    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+    // (formatted mode prints the partitioning on an Arguments: line)
+    assert("Arguments: hashpartitioning".r.findAllIn(p).isEmpty,
       s"frame sampling must not hash-shuffle:\n$p")
   }
 
@@ -164,6 +166,43 @@ class PlanSpec extends SparkTestBase {
     // moments partial-aggregate: partial+final HashAggregate pair
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"expected partial+final moment phases in:\n$p")
+  }
+
+  test("chunking is narrow — the explode is the fan-out, no exchange (T15)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(Chunking.chunkByChars(docs, "doc_id", "text", 120, 20))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate") && p.contains("explode"),
+      s"expected the stride-walk explode in:\n$p")
+  }
+
+  test("runningTotal plans exactly one exchange (group co-location) (A21)") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val p = plan(Analytics.runningTotal(orders, Seq("o_custkey"),
+      Seq("o_orderdate", "o_orderkey"), "o_totalprice"))
+    assert("Arguments: hashpartitioning".r.findAllIn(p).length == 1,
+      s"one shuffle to co-locate groups, no more:\n$p")
+  }
+
+  test("corrMatrix: all cells in ONE aggregate — no join of per-pair subplans (X7)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val p = plan(Analytics.corrMatrix(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount")))
+    assert(!p.contains("Join"), s"cells must share one aggregate, not join:\n$p")
+    // one partial+final aggregate pair over the single corpus scan
+    // (each node prints twice in formatted mode: tree line + detail block)
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length == 2,
+      s"expected exactly partial+final agg phases in:\n$p")
+  }
+
+  test("hopping windows replicate BEFORE the partial aggregation (E4)") {
+    val ev = Tables.events(spark, sf)
+    val p = plan(StreamOps.hoppingCounts(ev, 7200000000L, 3600000000L))
+    // the hop explode must exist, with partial+final agg phases above it
+    assert(p.contains("Generate") && p.contains("explode"),
+      s"expected the hop explode in:\n$p")
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length >= 2,
+      s"partial+final phases after the replication:\n$p")
   }
 
   test("l2Normalize computes the norm once per row — a single projection chain, no exchange (V2)") {
