@@ -466,6 +466,20 @@ object SparkEntry {
     // mixture → split → pack) — cross-operator id flow and determinism
     "q_curation_chain" -> ((s, d) => curationChain(s, d)),
 
+    // CHAIN: chunk → fingerprint → per-source dedup stats — the RAG/
+    // context-window preparation funnel (how much of each source's chunked
+    // text is redundant?). Narrow chunking feeds a map-side-combined
+    // count/distinct keyed by source.
+    "q_chunk_chain" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val chunks = Chunking.chunkByChars(docs, "doc_id", "text", 300, 50)
+        .join(docs.select("doc_id", "source"), "doc_id")
+      chunks.select(col("source"), Text.fingerprint(col("chunk")).as("f"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"), countDistinct(col("f")).as("n_unique"))
+        .orderBy("source")
+    }),
+
     // G3 arbitrary-function aggregate surface: typed Aggregator (order-
     // independent example fns so the oracle compare is exact)
     "g4_custom_agg" -> ((s, d) =>
@@ -767,6 +781,12 @@ object SparkEntry {
           Text.piiCount(col("text")).as("n_pii"),
           md5(Text.scrubPii(col("text"))).as("scrubbed_md5"))
         .orderBy("doc_id")),
+
+    // T16: per-source term-distribution drift — χ² of each source's
+    // unigram counts vs the corpus distribution (full-vocabulary cells)
+    "t16_chisq_drift" -> ((s, d) =>
+      TermStats.chiSquareDrift(Tables.documents(s, d), "source", "text")
+        .orderBy("source")),
 
     // T13: Gopher quality rules — the published pre-training gate's seven
     // signals plus the combined pass verdict, all integer-count + one-
@@ -1381,6 +1401,15 @@ object SparkEntry {
         "FROM final ORDER BY doc_id"
     },
 
+    // t15's stride walk (300/50 → stride 250) + d1's fingerprint recipe
+    "q_chunk_chain" ->
+      ("WITH ch AS (SELECT doc_id, substr(text, s, 300) AS chunk " +
+        "FROM (SELECT doc_id, text, unnest(range(1, greatest(len(text) - 50, 1) + 1, 250)) AS s " +
+        "FROM documents WHERE len(text) > 0)) " +
+        "SELECT d.source, count(*) AS n_chunks, " +
+        "count(DISTINCT md5(regexp_replace(lower(ch.chunk), '[^a-z0-9]', '', 'g'))) AS n_unique " +
+        "FROM ch JOIN documents d USING (doc_id) GROUP BY d.source ORDER BY d.source"),
+
     "q_curation_chain" -> {
       val splitTh = Sampling.splitThresholds(Seq("train" -> 0.9, "val" -> 0.1))
       "WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0), " +
@@ -1824,6 +1853,24 @@ object SparkEntry {
         s"'$digits', '<NUMBER>', 'g')) AS scrubbed_md5 " +
         "FROM documents ORDER BY doc_id"
     },
+
+    // mirrors chiSquareDrift: e = n·c/N in the same operand order; cells
+    // over the full source × vocabulary frame (absent terms contribute e)
+    "t16_chisq_drift" ->
+      ("WITH tk AS (SELECT source, term FROM (SELECT source, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term FROM documents) " +
+        "WHERE len(term) > 0), " +
+        "o AS (SELECT source, term, count(*) AS o FROM tk GROUP BY 1, 2), " +
+        "ns AS (SELECT source, count(*) AS n FROM tk GROUP BY 1), " +
+        "ct AS (SELECT term, count(*) AS c FROM tk GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS N FROM tk), " +
+        "cells AS (SELECT ns.source, ns.n, coalesce(o.o, 0)::DOUBLE AS o0, " +
+        "ns.n::DOUBLE * ct.c::DOUBLE / tot.N::DOUBLE AS e " +
+        "FROM ns CROSS JOIN ct CROSS JOIN tot " +
+        "LEFT JOIN o ON o.source = ns.source AND o.term = ct.term) " +
+        "SELECT source, max(n)::BIGINT AS n_tokens, " +
+        "round(sum((o0 - e) * (o0 - e) / e), 4) AS chi2 " +
+        "FROM cells GROUP BY source ORDER BY source"),
 
     // mirrors gopherSignals/gopherPass: integer counts, one round(4)
     // division per ratio, zero denominators → NULL (which passes its rule)

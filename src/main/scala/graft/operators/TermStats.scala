@@ -72,6 +72,44 @@ object TermStats {
     * map-side-combined shuffle; the occurrence join is vocabulary-sized on
     * the build side; per-doc mean partial-aggregates.
     */
+  /** T16 — per-source term-distribution DRIFT: Pearson's χ² statistic of
+    * each source's unigram counts against the corpus-wide distribution,
+    * the "did this slice of the corpus change composition" monitor a
+    * continuously-ingesting pipeline alarms on (and the simplest honest
+    * answer to "is source X statistically like the rest"). For source s
+    * with n_s tokens, expected count of term t is e = n_s · c_t / N;
+    * χ²_s = Σ_t (o_st − e)² / e over the FULL vocabulary — absent terms
+    * contribute e (the textbook statistic; dropping them understates
+    * drift), via a source × vocabulary frame left-joined with observed
+    * counts. χ² over log-based divergences (KL): every term's cell is
+    * one subtraction, one multiply, one divide on identical operands —
+    * no libm, so cells are bit-identical across engines (the
+    * [[distinctiveTerms]] 1/df argument, applied to divergence).
+    *
+    * Scale shape: token counts are map-side-combined shuffles keyed by
+    * (source, term) / term; the cell frame is #sources × vocabulary —
+    * vocabulary-sized, NOT corpus-sized; one final per-source sum.
+    * Output: (source, n_tokens, chi2 round 4), one row per source.
+    */
+  def chiSquareDrift(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(sourceCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val o = toks.groupBy(sourceCol, "term").agg(count(lit(1)).as("o"))
+    val ns = toks.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+    val ct = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    // "_tot", not "N": Spark's default case-insensitive resolution would
+    // make a column named N ambiguous with the per-source n
+    val total = toks.agg(count(lit(1)).as("_tot"))
+    val cells = ns.crossJoin(ct).crossJoin(total)
+      .join(o, Seq(sourceCol, "term"), "left")
+      .withColumn("o0", coalesce(col("o"), lit(0L)).cast("double"))
+      .withColumn("e", col("n").cast("double") * col("c").cast("double") / col("_tot").cast("double"))
+    cells.groupBy(col(sourceCol))
+      .agg(max(col("n")).as("n_tokens"),
+        round(sum((col("o0") - col("e")) * (col("o0") - col("e")) / col("e")), 4).as("chi2"))
+  }
+
   def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))

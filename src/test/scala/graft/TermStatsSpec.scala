@@ -48,4 +48,22 @@ class TermStatsSpec extends SparkTestBase {
     assert(out(2L) == (2 + 3) / 2.0)                               // engine tuning
     assert(out(3L) == ((3 + 3 + 3 + 1) / 4.0))                     // spark tuning tuning notes
   }
+
+  test("chiSquareDrift: hand-computed cells; absent vocabulary terms contribute e (T16)") {
+    // corpus: x,y,z each 3 of N=9; every source has n=3, so e=1 per cell
+    val docs = Seq(("A", "x x y"), ("B", "x y y"), ("C", "z z z"))
+      .toDF("source", "text")
+    val out = TermStats.chiSquareDrift(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // A: (2-1)² + (1-1)² + (0-1)² = 2 — the z cell (o=0) contributes e=1
+    assert(out("A") == ((3L, 2.0)), s"got ${out("A")}")
+    assert(out("B") == ((3L, 2.0)))
+    // C is pure drift: (0-1)² + (0-1)² + (3-1)²/1 = 6
+    assert(out("C") == ((3L, 6.0)))
+    // identical distributions → zero drift
+    val same = Seq(("A", "x y"), ("B", "x y")).toDF("source", "text")
+    val zero = TermStats.chiSquareDrift(same, "source", "text")
+      .collect().map(_.getDouble(2))
+    assert(zero.forall(_ == 0.0))
+  }
 }
