@@ -1135,6 +1135,26 @@ object SparkEntry {
         .select(expr("unix_micros(window.start) div 3600000000").as("bucket"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("bucket", "event_type")
+    }),
+
+    // E5 STREAMING, driver-gated via batch replay: events stream from the
+    // parquet file source, each micro-batch enriched by a stream–static
+    // join against a user-cohort dim (stateless — no watermark needed),
+    // aggregated per cohort and compared to the batch oracle.
+    "e5_stream_enrich" -> ((s, d) => {
+      Session.tune(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .parquet(s"$d/events.*")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val dim = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id")).distinct()
+        .withColumn("cohort", col("user_id") % 10)
+      val enriched = StreamOps.enrichWithStatic(src, dim, "user_id")
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      StreamOps.runToMemoryTable(s, enriched, "e5_stream_enrich_sink", mode = "complete")
+        .orderBy("cohort")
     })
   )
 
@@ -2221,6 +2241,12 @@ object SparkEntry {
     "e1b_stream_window" ->
       ("SELECT epoch_us(ts) // 3600000000 AS bucket, event_type, count(*) AS n_events, " +
         "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"),
+
+    // streaming enrich replay must equal the batch join + aggregate
+    "e5_stream_enrich" ->
+      ("SELECT u.cohort, count(*) AS n_events, round(sum(e.value), 2) AS sum_value " +
+        "FROM events e JOIN (SELECT DISTINCT user_id, user_id % 10 AS cohort FROM events) u " +
+        "USING (user_id) GROUP BY u.cohort ORDER BY u.cohort"),
 
     "e3_stream_dedup" ->
       ("SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint " +

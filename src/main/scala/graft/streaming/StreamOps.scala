@@ -116,6 +116,20 @@ object StreamOps {
     * ingest directory. The memory sink collects RESULT rows on the driver —
     * fine for aggregate/dedup outputs, which are reduced, not raw data.
     */
+  /** E5 — STREAM–STATIC enrichment join: each micro-batch of the stream
+    * hash-joins against a static (batch) dimension frame — the standard
+    * "attach user/document metadata at ingest" shape. Spark keeps the
+    * static side as a regular batch relation (broadcast when small, as a
+    * dim should be), re-planned per micro-batch with NO streaming state:
+    * unlike stream-stream joins there is nothing to watermark — the
+    * enrichment is stateless, so 100 TB of stream history costs no
+    * executor memory. Inner by default; "left_outer" keeps unmatched
+    * stream rows with null dims.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame, key: String,
+                       joinType: String = "inner"): DataFrame =
+    stream.join(dim, Seq(key), joinType)
+
   def runToMemoryTable(spark: SparkSession, streamed: DataFrame, name: String,
                        mode: String = "append"): DataFrame = {
     spark.catalog.dropTempView(name)

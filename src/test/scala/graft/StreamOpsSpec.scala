@@ -91,6 +91,36 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrichWithStatic: per-micro-batch dim join equals the batch join; left_outer keeps misses (E5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Long, Double)]
+    val src = mem.toDF().toDF("user_id", "ts_us", "value")
+    mem.addData((1L, 100L, 1.0), (2L, 110L, 2.0), (3L, 120L, 4.0)) // user 3 not in dim
+    val q = StreamOps.enrichWithStatic(src, dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .select("user_id", "tier", "value").as[(Long, String, Double)].collect().toSet
+      assert(streamed == Set((1L, "gold", 1.0), (2L, "basic", 2.0)),
+        s"inner enrich drops dimension misses: $streamed")
+    } finally q.stop()
+    val mem2 = MemoryStream[(Long, Long, Double)]
+    val src2 = mem2.toDF().toDF("user_id", "ts_us", "value")
+    mem2.addData((3L, 120L, 4.0))
+    val q2 = StreamOps.enrichWithStatic(src2, dim, "user_id", "left_outer")
+      .writeStream.format("memory").queryName("enrich_outer_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table("enrich_outer_out").select("user_id", "tier").collect()
+      assert(rows.length == 1 && rows(0).getLong(0) == 3L && rows(0).isNullAt(1),
+        "left_outer keeps the miss with null dims")
+    } finally q2.stop()
+  }
+
   test("tumblingCountsStreaming: incremental result matches the batch form (E1 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
