@@ -105,4 +105,37 @@ class PropertySpec extends SparkTestBase {
       binned == xs.count(x => x >= 0.0 && x < 20.0)
     })
   }
+
+  test("chunking reconstructs every document exactly for any chunk/overlap sizes (T15)") {
+    import graft.operators.Chunking
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)),
+      Gen.choose(2, 12), Gen.choose(0, 1))
+    check("chunk-rebuild", Prop.forAll(gen) { case (texts, chunk, ovFlag) =>
+      val overlap = math.min(ovFlag * (chunk / 2), chunk - 1)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val chunks = Chunking.chunkByChars(df, "doc_id", "text", chunk, overlap)
+        .select("doc_id", "chunk_id", "chunk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val cs = chunks.getOrElse(i.toLong, Seq.empty)
+        val rebuilt =
+          if (cs.isEmpty) "" else cs.head + cs.tail.map(_.drop(overlap)).mkString
+        rebuilt == t
+      }
+    }, samples = 4)
+  }
+
+  test("weightedSample yield is monotone in rate and a subset at lower rates (S5g)") {
+    import graft.operators.Sampling
+    check("weighted-monotone", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 5000L), Gen.choose(0.0, 3.0)))) { xs =>
+      val df = xs.distinct.toDF("id", "w")
+      def kept(rate: Double) = Sampling.weightedSample(df, "id", "w", rate)
+        .select("id").as[Long].collect().toSet
+      val lo = kept(0.2); val hi = kept(0.8)
+      lo.subsetOf(hi) // each row's threshold grows with rate; its coin is fixed
+    }, samples = 4)
+  }
 }
