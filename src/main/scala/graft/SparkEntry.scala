@@ -995,6 +995,14 @@ object SparkEntry {
           col("chunk_chars"), md5(col("chunk")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")),
 
+    // T15b: token-budget chunking — 40-token windows, 8-token overlap
+    // (stride 32); the context-window form of t15
+    "t15b_chunk_tokens" -> ((s, d) =>
+      Chunking.chunkByTokens(Tables.documents(s, d), "doc_id", "text", 40, 8)
+        .select(col("doc_id"), col("chunk_id"), col("tok_start"), col("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
     // X6: z-score standardization — one moments pass broadcast back onto
     // a narrow projection; round-4 moments = the cross-engine bit-stable
     // recipe (see standardize's roundMoments doc)
@@ -2106,6 +2114,19 @@ object SparkEntry {
         "len(substr(text, s, 120))::BIGINT AS chunk_chars, md5(substr(text, s, 120)) AS chunk_md5 " +
         "FROM (SELECT doc_id, text, unnest(range(1, greatest(len(text) - 20, 1) + 1, 100)) AS s " +
         "FROM documents WHERE len(text) > 0) ORDER BY doc_id, chunk_id"),
+
+    // token stride walk; DuckDB bracket slices are 1-based stop-inclusive,
+    // mirroring Spark's slice(arr, start, length)
+    "t15b_chunk_tokens" ->
+      ("WITH w AS (SELECT doc_id, " +
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS words " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id, words, len(words) AS n, " +
+        "unnest(range(1, greatest(len(words) - 8, 1) + 1, 32)) AS s FROM w WHERE len(words) > 0) " +
+        "SELECT doc_id, (s - 1) // 32 AS chunk_id, s::BIGINT AS tok_start, " +
+        "least(n - s + 1, 40)::BIGINT AS n_tokens, " +
+        "md5(array_to_string(words[s : s + 39], ' ')) AS chunk_md5 " +
+        "FROM b ORDER BY doc_id, chunk_id"),
 
     // round-4 moments BEFORE the division (standardize roundMoments) —
     // rounded doubles are engine-identical, raw aggregates are not

@@ -41,4 +41,35 @@ object Chunking {
         col(textCol).substr(col("chunk_start"), lit(chunkChars)).as("chunk"))
       .withColumn("chunk_chars", length(col("chunk")).cast("long"))
   }
+
+  /** T15b — TOKEN-budget chunking: the same stride walk over the
+    * whitespace token sequence instead of characters — the form a
+    * training pipeline actually needs, since context windows are bounded
+    * in tokens. Tokens = nonempty whitespace splits (the repo's T3/T7
+    * convention); chunk text is the window's tokens re-joined with single
+    * spaces, so intra-document runs of whitespace normalize (documented —
+    * the chunk is a token window, not a substring). Same coverage
+    * guarantees as [[chunkByChars]]: every token appears, no chunk is
+    * contained in its predecessor, final chunk may be short. Same
+    * engine-portable arithmetic: integer strides + 1-based array slicing.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, "chunkByTokens: chunkTokens must be > 0")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "chunkByTokens: overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    df.select(col(idCol),
+        filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0).as("_w"))
+      .select(col(idCol), col("_w"), size(col("_w")).as("_n"))
+      .filter(col("_n") > 0)
+      .select(col(idCol), col("_w"), col("_n"),
+        explode(sequence(lit(1),
+          greatest(col("_n") - overlapTokens, lit(1)), lit(stride))).as("tok_start"))
+      .select(col(idCol),
+        expr(s"(tok_start - 1) div $stride").as("chunk_id"),
+        col("tok_start").cast("long").as("tok_start"),
+        least(col("_n") - col("tok_start") + 1, lit(chunkTokens)).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("_w"), col("tok_start"), lit(chunkTokens))).as("chunk"))
+  }
 }

@@ -36,6 +36,26 @@ class ChunkingSpec extends SparkTestBase {
       s"one whole-doc chunk for short/exact docs, nothing for empty/null: ${out.toSeq}")
   }
 
+  test("chunkByTokens: token windows with exact overlap; counts and tails correct (T15b)") {
+    val words = (1 to 10).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(df, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+      .select("chunk_id", "tok_start", "n_tokens", "chunk")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // stride 3: starts 1, 4, 7 (cap = n - overlap = 9)
+    assert(out.map(_._2) == Seq(1L, 4L, 7L))
+    assert(out.map(_._4) == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(out.map(_._3) == Seq(4L, 4L, 4L))
+    // dropping each chunk's overlap prefix rebuilds the token sequence
+    val rebuilt = out.head._4.split(" ") ++ out.tail.flatMap(_._4.split(" ").drop(1))
+    assert(rebuilt.toSeq == words)
+    // whitespace runs normalize: the chunk is a token window, not a substring
+    val messy = Seq((2L, "a  b\t c")).toDF("doc_id", "text")
+    val m = Chunking.chunkByTokens(messy, "doc_id", "text", 5, 0)
+      .select("chunk").as[String].collect()
+    assert(m.toSeq == Seq("a b c"))
+  }
+
   test("chunkByChars: zero overlap partitions the text exactly") {
     val df = Seq((1L, "0123456789ABCDEF")).toDF("doc_id", "text") // 16 chars
     val out = Chunking.chunkByChars(df, "doc_id", "text", 5, 0)
