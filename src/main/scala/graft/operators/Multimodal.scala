@@ -7,10 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed in partition-sized batches.
   *
   * The Spark-side contract is real and tested — schema, partitioning,
-  * batch-iterator shape, deterministic results. The media DECODERS are
-  * stubs (this container has no image/audio libraries): `stubDecode`
-  * derives deterministic fake dimensions/duration from a hash of the
-  * payload. Swapping in a real decoder changes only the marked function.
+  * batch-iterator shape, deterministic results. IMAGE payloads decode for
+  * REAL via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP — no external
+  * media library needed): [[decodeBatches]] sniffs the payload's magic
+  * bytes and reads true dimensions when it is a decodable image;
+  * [[decodeImageBatches]] additionally exposes pixel data (verified
+  * against a closed-form oracle in `m2b_image_decode`). Only AUDIO/VIDEO
+  * decode remains a stub (`stubDecode` — deterministic fake metadata from
+  * a payload hash; the container has no codec libraries), and a
+  * non-image payload tagged "image" falls back to the same stub.
   *
   * Scale notes: payloads never shuffle — decode/feature-extract are narrow
   * `mapPartitions` (one decoder init per partition, not per row, which is
@@ -35,12 +40,33 @@ object Multimodal {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("media_type"))
 
-  /** ==== STUB ==== deterministic fake decoder: real implementations would
-    * parse the container format here (e.g. JPEG headers / WAV chunks).
-    * Metadata is derived from hex digits of the payload's sha256 — purely
+  /** Cheap magic-byte sniff: does the payload start like a format
+    * `javax.imageio` ships a reader for (PNG / JPEG / GIF / BMP)? Runs
+    * before any reader lookup so the overwhelmingly-common non-image
+    * payload costs a few byte compares, not an ImageIO registry probe.
+    */
+  private[graft] def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 8 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** REAL image decode via the JDK: None when the payload is not a
+    * decodable image (wrong magic, truncated, unsupported format).
+    */
+  private[graft] def tryDecodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!looksLikeImage(payload)) None
+    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+
+  /** ==== STUB (audio/video only) ==== deterministic fake decoder for the
+    * formats the JDK cannot parse (no codec libraries in this container):
+    * metadata is derived from hex digits of the payload's sha256 — purely
     * a function of the bytes (reproducible) AND expressible in any SQL
     * engine with a sha256, which is what makes the decode oracle-checkable
-    * (DuckDB: `('0x' || substr(sha256(text), f, l))::BIGINT`).
+    * (DuckDB: `('0x' || substr(sha256(text), f, l))::BIGINT`). Image
+    * payloads only reach this when they are not actually decodable
+    * (see [[decodeBatches]]).
     */
   def stubDecode(shaHex: String, mediaType: String): MediaMeta = {
     def hx(from: Int, len: Int): Long =
@@ -55,6 +81,12 @@ object Multimodal {
   /** Batch decode via mapPartitions: the decoder is initialized once per
     * partition and fed rows as an iterator (the Scala analogue of a
     * `mapInPandas` batch UDF). Output is a typed Dataset with full schema.
+    *
+    * Image-typed payloads that really ARE images (magic-byte sniff +
+    * `ImageIO.read`) decode for real: true width/height, n_frames = 1,
+    * duration 0. Everything else — audio/video, and image-typed payloads
+    * that don't parse (the testdata's utf-8 fixtures) — takes the
+    * deterministic hash stub, so the operator is total either way.
     */
   def decodeBatches(spark: SparkSession, withPayload: DataFrame,
                     idCol: String): Dataset[MediaRow] = {
@@ -63,12 +95,87 @@ object Multimodal {
       .select(col(idCol).cast("long"), col("payload"), col("media_type"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
-        // per-partition decoder init would go here (codec contexts etc.)
+        // per-partition decoder init (ImageIO uses its static registry;
+        // codec contexts for audio/video would init here)
         val digest = java.security.MessageDigest.getInstance("SHA-256")
         rows.map { case (id, payload, mt) =>
           digest.reset()
           val sha = digest.digest(payload).map("%02x".format(_)).mkString
-          MediaRow(id, mt, payload.length.toLong, sha, stubDecode(sha, mt))
+          val meta = (if (mt == "image") tryDecodeImage(payload) else None) match {
+            case Some(img) => MediaMeta(img.getWidth, img.getHeight, 1, 0L)
+            case None => stubDecode(sha, mt)
+          }
+          MediaRow(id, mt, payload.length.toLong, sha, meta)
+        }
+      }
+  }
+
+  /** Deterministic PNG fixture generator — REAL `ImageIO.write` encode in
+    * the same mapPartitions batch shape as the decoders: for id the image
+    * is (1 + id % 31) × (1 + id % 17) gray pixels with value
+    * (x·7 + y·13 + id) mod 256. Every property a decoder can read —
+    * dimensions and pixel content — is closed-form in the id, which is
+    * what makes the round-trip oracle-checkable in plain SQL (see the
+    * m2b_image_decode oracle). PNG is lossless, so the decode must return
+    * the exact pixels the formula wrote.
+    */
+  def encodePngBatches(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (1 + id % 31).toInt
+          val h = (1 + id % 17).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = ((x * 7 + y * 13 + id) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF(idCol, "payload")
+      .withColumn("media_type", lit("image"))
+  }
+
+  case class ImagePixels(doc_id: Long, width: Int, height: Int, px_sum: Long)
+
+  /** REAL pixel-level image decode: dimensions plus the sum of the
+    * luminance (low-byte) channel over every pixel — the cheapest
+    * whole-raster statistic that still proves the decoder touched every
+    * pixel value, not just the header. Throws on an undecodable payload
+    * (this path is for known-image columns; use [[decodeBatches]] for the
+    * total/fallback form).
+    */
+  def decodeImageBatches(spark: SparkSession, withPayload: DataFrame,
+                         idCol: String): Dataset[ImagePixels] = {
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"decodeImageBatches: payload for id=$id is not a decodable image")
+          var s = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              s += (img.getRGB(x, y) & 0xFF).toLong
+              x += 1
+            }
+            y += 1
+          }
+          ImagePixels(id, img.getWidth, img.getHeight, s)
         }
       }
   }

@@ -334,10 +334,19 @@ object Similarity {
     * each assignment a narrow projection. A cell that loses all members
     * simply drops out for later passes (standard Lloyd behavior, identical
     * in the oracle's GROUP BY).
+    *
+    * `reseedEmpty` (OPT-IN) re-seeds each emptied cell from the corpus
+    * point FARTHEST from every surviving centroid (smallest best-cosine;
+    * ties by the md5 seeding hash then id — fully deterministic), the
+    * standard Lloyd repair that restores cell balance when a bad seed
+    * collapses. Off by default: the published oracle recipe (and the
+    * sim_ivf_trained differential gate) mirrors the drop-out behavior, so
+    * re-seeding is a caller choice, recall-tested in SimilaritySpec
+    * rather than oracle-replayed.
     */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                    k: Int, iters: Int = 2, seed: String = "kmeans",
-                   roundTo: Int = 4): DataFrame = {
+                   roundTo: Int = 4, reseedEmpty: Boolean = false): DataFrame = {
     require(k >= 1, "kmeansAssign: k must be >= 1")
     require(iters >= 1, "kmeansAssign: iters must be >= 1")
     val seedRows = df
@@ -363,6 +372,26 @@ object Similarity {
         .collect().toIndexedSeq
         .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
+      if (reseedEmpty && cents.size < k) {
+        // farthest-point repair: the emptied cell indices are re-seeded
+        // from the rows whose BEST cosine to any surviving centroid is
+        // smallest (deterministic ties: seeding hash, then id). One narrow
+        // scan + a missing-count limit — only k' vectors visit the driver.
+        val missing = (0 until k).filterNot(cents.map(_._1).toSet)
+        val best = array_max(array(cents.map { case (_, v) =>
+          round(Vectors.cosine(col(vecCol), lit(v)), 6)
+        }: _*))
+        val far = df.filter(col(vecCol).isNotNull)
+          .select(col(vecCol).as("_v"), best.as("_best"),
+            md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).as("_h"),
+            col(idCol).cast("string").as("_id"))
+          .orderBy(col("_best").asc, col("_h"), col("_id"))
+          .limit(missing.size)
+          .collect()
+        cents = (cents ++ missing.zip(far.toIndexedSeq).map { case (cell, r) =>
+          (cell, r.getSeq[Float](0).toArray)
+        }).sortBy(_._1)
+      }
     }
     df.withColumn("cell", assignCellExpr(vecCol, cents))
   }
@@ -404,10 +433,21 @@ object Similarity {
     * bucket collisions only; exact scores; the same k-bounded aggregate as
     * [[bruteForceTopK]] ranks them (multiprobe duplicates removed first so
     * one neighbor cannot occupy two top-k slots).
+    *
+    * The probe frame is the query set exploded bits+1 times (own bucket +
+    * every 1-bit flip), each row carrying the full query vector — it grows
+    * 13× at the default bits = 12. Broadcasting it is right for the usual
+    * small query batch, but a LARGE query set would ship a multi-GB
+    * broadcast to every executor; when the probe-row count exceeds
+    * `maxBroadcastProbes` the join falls back to a plain shuffle
+    * hash-join on the bucket key instead (both sides exchange — correct
+    * at any scale, just not broadcast-cheap). The guard costs one count()
+    * of the query frame, negligible next to the ANN scan it sizes.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, bits: Int = 12,
-              ordinal: Boolean = false): DataFrame = {
+              ordinal: Boolean = false,
+              maxBroadcastProbes: Long = 1L << 16): DataFrame = {
     val sketch =
       if (ordinal) ordinalSketch(col(vecCol), dim, bits)
       else signSketch(col(vecCol), dim, bits)
@@ -418,7 +458,9 @@ object Similarity {
       // probe own bucket + every bucket one bit-flip away
       .withColumn("bucket", explode(array(
         (col("qb") +: (0 until bits).map(b => col("qb").bitwiseXOR(lit(1L << b)))): _*)))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val probeRows = queries.count() * (bits + 1)
+    val qSide = if (probeRows <= maxBroadcastProbes) broadcast(q) else q
+    val scored = c.join(qSide, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(Vectors.cosine(col("q_vec"), col("c_vec")), 6).as("cosine"))

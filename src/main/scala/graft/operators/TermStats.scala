@@ -90,6 +90,15 @@ object TermStats {
     * (source, term) / term; the cell frame is #sources × vocabulary —
     * vocabulary-sized, NOT corpus-sized; one final per-source sum.
     * Output: (source, n_tokens, chi2 round 4), one row per source.
+    *
+    * Caveat on the final sum: CELLS are bit-identical, but the per-source
+    * χ² is `round(Σ cells, 4)` and the summation ORDER of that Σ is not
+    * fixed (Spark partial aggregation vs an oracle engine's scan order),
+    * so the pre-round double can differ by ULPs and, with a large enough
+    * vocabulary, occasionally land on a round-4 boundary. If a
+    * differential gate ever flakes here, fix the order (sort-by-term
+    * prefix aggregation) or compare at a coarser rounding — the statistic
+    * itself is as stable as IEEE addition allows.
     */
   def chiSquareDrift(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(sourceCol),

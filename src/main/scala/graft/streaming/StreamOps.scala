@@ -14,13 +14,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
-  /** Tumbling-window aggregate, BATCH form: bucket = floor(ts/width).
-    * Partial aggregation happens map-side; one shuffle of (bucket, type)
-    * partials regardless of event volume.
+  /** FLOOR division of `ts_us` by literal `n`, exact on longs: `div`
+    * truncates toward zero, which assigns a negative (pre-1970) timestamp
+    * to the bucket ABOVE its true window — floor semantics (what SQL `//`
+    * and every windowing engine use) round toward −∞. `ts - pmod(ts, n)`
+    * is the exact largest multiple of n ≤ ts (pmod is non-negative), so
+    * the `div` that follows is exact integer arithmetic, no doubles.
+    */
+  private def floorDivTs(tsCol: String, n: Long): org.apache.spark.sql.Column =
+    expr(s"($tsCol - pmod($tsCol, ${n}L)) div ${n}L")
+
+  /** Tumbling-window aggregate, BATCH form: bucket = floor(ts/width) —
+    * true floor, so negative (pre-1970) timestamps bucket identically to
+    * the oracle's `//`. Partial aggregation happens map-side; one shuffle
+    * of (bucket, type) partials regardless of event volume.
     */
   def tumblingCounts(events: DataFrame, widthUs: Long): DataFrame =
     events
-      .withColumn("bucket", expr(s"ts_us div $widthUs"))
+      .withColumn("bucket", floorDivTs("ts_us", widthUs))
       .groupBy(col("bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
@@ -43,13 +54,15 @@ object StreamOps {
     * happens BEFORE the aggregation's partial phase, so the exchange
     * carries (window, type) partials only, exactly like the tumbling
     * form; at 100 TB the cost is the width/slide input blow-up every
-    * hopping-window engine pays, never a second shuffle.
+    * hopping-window engine pays, never a second shuffle. The hop index is
+    * a true floor ([[floorDivTs]]), so pre-1970 events assign identically
+    * to the oracle's `//`.
     */
   def hoppingCounts(events: DataFrame, widthUs: Long, slideUs: Long): DataFrame = {
     require(widthUs > 0 && slideUs > 0 && widthUs % slideUs == 0,
       "hoppingCounts: width must be a positive multiple of slide")
     val k = widthUs / slideUs
-    val hop = expr(s"ts_us div $slideUs")
+    val hop = floorDivTs("ts_us", slideUs)
     events
       .withColumn("win_start", explode(sequence(
         (hop - lit(k - 1)) * lit(slideUs), hop * lit(slideUs), lit(slideUs))))

@@ -276,4 +276,61 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.exactIncrementalBloom(docs.limit(7), none, "doc_id", "text").count() == 7,
       "empty corpus keeps the whole batch")
   }
+
+  test("minhashIncremental keeps only batch docs with no corpus near-dup (D2b)") {
+    // batch: 1 (near-dup of corpus 2/3/6) and 4 (unrelated) — only 4 survives
+    val batch = corpus.filter(col("doc_id").isin(1L, 4L))
+    val corp = corpus.filter(!col("doc_id").isin(1L, 4L))
+    val kept = Dedup.minhashIncremental(batch, corp, "doc_id", "text",
+      threshold = 0.5, n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(4L), s"doc 1 matches the corpus near-dups, got $kept")
+    // empty corpus keeps the whole batch; empty batch yields nothing
+    assert(Dedup.minhashIncremental(batch, corpus.filter(col("doc_id") < 0),
+      "doc_id", "text", 0.5, n = 2).count() == 2)
+    assert(Dedup.minhashIncremental(corpus.filter(col("doc_id") < 0), corp,
+      "doc_id", "text", 0.5, n = 2).count() == 0)
+  }
+
+  test("decontaminationPairs releaseSets drops both shingle-set caches (D7 loan)") {
+    val train = Seq(
+      (100L, "preamble words here the quick brown fox jumps over the lazy dog and trailing text"),
+      (101L, "completely unrelated training material about query engines")
+    ).toDF("doc_id", "text")
+    val test_ = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "no overlap with anything at all whatsoever truly")
+    ).toDF("doc_id", "text")
+    spark.sparkContext.getPersistentRDDs.size // force lazy init
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val baseline = cachedIds
+    val res = Dedup.decontaminationPairs(train, test_, "doc_id", "text", 3, 0.5,
+      maxDf = 10, releaseSets = true)
+    val afterBuild = cachedIds -- baseline
+    assert(afterBuild.size == 1,
+      s"only the materialized pair result may stay cached, got ${afterBuild.size}")
+    assert(res.count() ==
+      Dedup.decontaminationPairs(train, test_, "doc_id", "text", 3, 0.5, maxDf = 10).count())
+    res.unpersist(blocking = true)
+    spark.sharedState.cacheManager.clearCache()
+    assert((cachedIds -- baseline).isEmpty, "no lingering cache after caller release")
+  }
+
+  test("exactIncrementalBloom release drops the batch cache (D8b loan)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions.col
+    spark.sparkContext.getPersistentRDDs.size
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val baseline = cachedIds
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val corp = docs.filter(col("doc_id") % 7 =!= 0)
+    val res = Dedup.exactIncrementalBloom(batch, corp, "doc_id", "text", release = true)
+    val afterBuild = cachedIds -- baseline
+    assert(afterBuild.size == 1,
+      s"only the materialized survivor result may stay cached, got ${afterBuild.size}")
+    assert(res.count() == Dedup.exactIncremental(batch, corp, "doc_id", "text").count(),
+      "released bloom path must still equal the plain incremental result")
+    res.unpersist(blocking = true)
+    assert((cachedIds -- baseline).isEmpty, "no lingering cache after caller release")
+  }
 }

@@ -58,6 +58,50 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(640.0 / 320.0 - 2000.0 / 1000.0) < 1e-9)
   }
 
+  test("real PNG round-trip: ImageIO decode returns the exact fixture dims and pixels (M2b)") {
+    import org.apache.spark.sql.functions.col
+    val ids = Seq(0L, 1L, 17L, 30L, 99L).toDF("doc_id")
+    val png = Multimodal.encodePngBatches(spark, ids, "doc_id")
+    val out = Multimodal.decodeImageBatches(spark, png, "doc_id")
+      .collect().map(r => r.doc_id -> r).toMap
+    ids.as[Long].collect().foreach { id =>
+      val w = (1 + id % 31).toInt
+      val h = (1 + id % 17).toInt
+      val want = (for (y <- 0 until h; x <- 0 until w) yield (x * 7 + y * 13 + id) % 256).sum
+      assert(out(id).width == w && out(id).height == h, s"dims for id=$id")
+      assert(out(id).px_sum == want, s"pixel sum for id=$id — decoder must read every pixel")
+    }
+    // decodeBatches takes the REAL path for true images: header dims, 1 frame
+    val metas = Multimodal.decodeBatches(spark, png, "doc_id").toDF()
+      .select(col("doc_id"), col("meta.width"), col("meta.height"), col("meta.n_frames"),
+        col("meta.duration_ms"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    ids.as[Long].collect().foreach { id =>
+      assert(metas(id) == (((1 + id % 31).toInt, (1 + id % 17).toInt, 1, 0L)),
+        s"decodeBatches real-image metadata for id=$id")
+    }
+  }
+
+  test("decodeBatches falls back to the hash stub for image-typed payloads that don't parse") {
+    val withPayload = Multimodal.attachPayload(docs, "doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("media_type") === "image")
+    val out = Multimodal.decodeBatches(spark, withPayload, "doc_id").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val want = Multimodal.stubDecode(r.sha256, "image")
+      assert(r.meta == want, s"utf-8 payload (not an image) must stub-decode: ${r.doc_id}")
+    }
+  }
+
+  test("looksLikeImage sniffs magic bytes without a decoder probe") {
+    assert(Multimodal.looksLikeImage(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)))
+    assert(Multimodal.looksLikeImage(Array(0xFF, 0xD8, 0xFF, 0xE0, 0, 0, 0, 0).map(_.toByte)))
+    assert(Multimodal.looksLikeImage("GIF89a##".getBytes("ISO-8859-1")))
+    assert(Multimodal.looksLikeImage("BM######".getBytes("ISO-8859-1")))
+    assert(!Multimodal.looksLikeImage("plain text payload".getBytes("UTF-8")))
+    assert(!Multimodal.looksLikeImage(Array[Byte](0x89.toByte))) // too short
+  }
+
   test("sampleFrameIndices: k deterministic indices within [0, n_frames) (M-frames)") {
     val decoded = Multimodal.decodeBatches(spark,
       Multimodal.attachPayload(docs, "doc_id", "text"), "doc_id").toDF()

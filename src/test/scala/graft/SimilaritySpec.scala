@@ -221,6 +221,71 @@ class SimilaritySpec extends SparkTestBase {
     assert(approxSet.forall { case (q, n) => q != n })
   }
 
+  test("lshTopK probe-broadcast guard: shuffle fallback beyond the cap, identical output") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    def run(cap: Long) = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      dim = 64, bits = 6, ordinal = true, maxBroadcastProbes = cap)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank")
+        .collect().map(_.mkString("|")).toSeq.sorted
+    import org.apache.spark.sql.execution.ExplainMode
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // disable auto-broadcast so the assertion sees OUR join strategy, not
+    // the planner's size-estimate choice (restored after)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hinted = run(Long.MaxValue)
+      val guarded = run(0L)
+      assert(plan(hinted).contains("BroadcastHashJoin"),
+        "under the cap the probe frame is broadcast")
+      val pg = plan(guarded)
+      assert(!pg.contains("BroadcastHashJoin") && !pg.contains("BroadcastExchange"),
+        s"beyond the cap the probe join must not plan a broadcast:\n$pg")
+      assert(canon(hinted) == canon(guarded), "join strategy must not change the result")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("kmeansAssign reseedEmpty: farthest-point repair restores emptied cells, deterministically") {
+    // 8 copies of A force >= 2 seeds onto identical vectors; assignment
+    // ties go to the lowest cell, so the duplicate-seed cell EMPTIES after
+    // the first re-center. Plain Lloyd drops it; reseedEmpty must re-seed
+    // it from the farthest point (C — the one direction no centroid covers)
+    // and end with all 3 cells populated.
+    val data = ((0L to 7L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f))) ++
+      Seq((8L, Array(0.0f, 1.0f, 0.0f, 0.0f)), (9L, Array(0.0f, 0.0f, 1.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    def cells(reseed: Boolean) =
+      Similarity.kmeansAssign(data, "vec_id", "embedding", dim = 4, k = 3, iters = 3,
+        reseedEmpty = reseed)
+        .select("cell").distinct().as[Int].collect().toSet
+    val plain = cells(reseed = false)
+    val repaired = cells(reseed = true)
+    info(s"plain cells: $plain, repaired cells: $repaired")
+    assert(repaired.size >= plain.size, "repair must never lose cells")
+    assert(repaired == Set(0, 1, 2), s"all 3 cells populated after repair, got $repaired")
+    assert(cells(reseed = true) == repaired, "repair is deterministic")
+    // real-corpus recall non-regression: the repaired quantizer must not
+    // rank worse than the drop-out quantizer against exact top-k
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(reseed: Boolean): Double = {
+      val cellsDf = Similarity.kmeansAssign(emb, "vec_id", "embedding", dim = 64,
+        k = 16, iters = 2, reseedEmpty = reseed)
+      val got = Similarity.ivfTopK(cellsDf, queries, "vec_id", "embedding", "cell",
+        dim = 64, k = 5, probes = 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val (r0, r1) = (recall(reseed = false), recall(reseed = true))
+    info(f"ivf recall@5: plain $r0%.3f, reseeded $r1%.3f")
+    assert(r1 >= r0 - 1e-9, "reseeding must not regress recall")
+  }
+
   test("l2Normalize: unit norm, direction preserved, zero/null vectors → null (V2)") {
     import org.apache.spark.sql.functions._
     val df = Seq(

@@ -200,4 +200,21 @@ class StreamOpsSpec extends SparkTestBase {
       assert(out == Seq((1L, 2L, 100L, 105L, 5L)))
     } finally q.stop()
   }
+
+  test("window indices FLOOR negative (pre-1970) timestamps, matching SQL // semantics") {
+    val w = 3600000000L // 1h in us
+    val ev = Seq(
+      (-1L, "a", 1.0),           // floor(-1/w)  = -1 (div would say 0)
+      (-w - 1L, "a", 1.0),       // floor        = -2 (div would say -1)
+      (1L, "a", 1.0),            //              = 0
+      (w, "a", 1.0)              //              = 1 (exact boundary)
+    ).toDF("ts_us", "event_type", "value")
+    val buckets = StreamOps.tumblingCounts(ev, w)
+      .select("bucket").as[Long].collect().toSet
+    assert(buckets == Set(-1L, -2L, 0L, 1L), s"got $buckets")
+    // hopping: the -1 event belongs to the 2h windows starting at -2w and -w
+    val hops = StreamOps.hoppingCounts(ev.filter(col("ts_us") === -1L), 2 * w, w)
+      .select("win_start").as[Long].collect().toSet
+    assert(hops == Set(-2L * w, -w), s"got $hops")
+  }
 }
