@@ -74,13 +74,20 @@ object Bench {
       }
       // a query that failed on ANY run is reported failed (a flaky query
       // must not bench as its fastest successful run)
-      (name, timings.map(_._1).min, timings.flatMap(_._2).headOption)
+      (name, timings.map(_._1).min, timings.map(_._1).max, timings.flatMap(_._2).headOption)
     }
-    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
+    // self-identifying interference: queries whose slowest run exceeded the
+    // reported min by >1.5× ran under external load / GC pressure — a
+    // reader comparing rounds can discount exactly those entries instead
+    // of guessing which numbers to trust
+    val noisy = results.collect { case (k, mn, mx, None) if mn > 0 && mx / mn > 1.5 =>
+      s"${jstr(k)}:[$mn,$mx]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":${results.count(_._3.isDefined)},"runs":$runs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":${results.count(_._4.isDefined)},"runs":$runs,"noisy":$noisy,"sf":"$sfDir"}"""
     println(json)
     // Also persist the line to a file: stdout capture truncates on long
     // runs (BENCH_r04 lost 9 of 78 per-query timings to the log tail), so

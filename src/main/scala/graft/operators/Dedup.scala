@@ -352,8 +352,12 @@ object Dedup {
   def minhashIncremental(newDocs: DataFrame, corpus: DataFrame, idCol: String,
                          textCol: String, threshold: Double, n: Int = 3,
                          bands: Int = 32, rowsPerBand: Int = 2,
-                         releaseSets: Boolean = false): DataFrame = {
-    val matched = withPersistedSets2(shingleSets(newDocs, idCol, textCol, n),
+                         releaseSets: Boolean = false): DataFrame =
+    // the loan wraps the WHOLE pipeline through the anti join: with
+    // releaseSets the materialized-and-persisted frame is the RESULT the
+    // caller receives (and owns), so no intermediate persist can outlive
+    // the call un-releasable
+    withPersistedSets2(shingleSets(newDocs, idCol, textCol, n),
       shingleSets(corpus, idCol, textCol, n), releaseSets) { (bsets, csets) =>
       def bandKeys(sets: DataFrame, as: String) =
         sets.select(col(idCol).as(as), sigArrayExpr(bands * rowsPerBand).as("_sigs"))
@@ -368,15 +372,14 @@ object Dedup {
       // verify against the TRUE sets: batch side = id_1, corpus side = id_2
       val s1 = bsets.select(col(idCol).as("id_1"), col("n_sh").as("n_1"), col("shs").as("shs_1"))
       val s2 = csets.select(col(idCol).as("id_2"), col("n_sh").as("n_2"), col("shs").as("shs_2"))
-      candidates.join(s1, "id_1").join(s2, "id_2")
+      val matched = candidates.join(s1, "id_1").join(s2, "id_2")
         .withColumn("inter", ArrayOps.sortedIntersectSize(col("shs_1"), col("shs_2")).cast("double"))
         .withColumn("uni", (col("n_1") + col("n_2") - col("inter")).cast("double"))
         .filter(col("uni") > 0 &&
           round(col("inter") / col("uni"), 6) >= threshold)
         .select(col("id_1")).distinct()
+      newDocs.join(matched, newDocs(idCol) === matched("id_1"), "left_anti")
     }
-    newDocs.join(matched, newDocs(idCol) === matched("id_1"), "left_anti")
-  }
 
   /** Benchmark DECONTAMINATION — the cross-corpus containment check every
     * training pipeline runs before shipping data: for each TEST (benchmark)

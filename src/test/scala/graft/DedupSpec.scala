@@ -292,6 +292,22 @@ class DedupSpec extends SparkTestBase {
       "doc_id", "text", 0.5, n = 2).count() == 0)
   }
 
+  test("minhashIncremental releaseSets: survivors materialized, set caches dropped (D2b loan)") {
+    val batch = corpus.filter(col("doc_id").isin(1L, 4L))
+    val corp = corpus.filter(!col("doc_id").isin(1L, 4L))
+    spark.sparkContext.getPersistentRDDs.size
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val baseline = cachedIds
+    val res = Dedup.minhashIncremental(batch, corp, "doc_id", "text",
+      threshold = 0.5, n = 2, releaseSets = true)
+    val afterBuild = cachedIds -- baseline
+    assert(afterBuild.size == 1,
+      s"only the materialized survivor result may stay cached, got ${afterBuild.size}")
+    assert(res.select("doc_id").as[Long].collect().toSet == Set(4L))
+    res.unpersist(blocking = true)
+    assert((cachedIds -- baseline).isEmpty, "no lingering cache after caller release")
+  }
+
   test("decontaminationPairs releaseSets drops both shingle-set caches (D7 loan)") {
     val train = Seq(
       (100L, "preamble words here the quick brown fox jumps over the lazy dog and trailing text"),

@@ -214,4 +214,32 @@ class PlanSpec extends SparkTestBase {
     // not be inlined into the per-element division lambda
     assert(p.contains("_nrm"), s"expected hoisted norm attribute in:\n$p")
   }
+
+  test("minhashIncremental: band-key equi-joins only — no cartesian, no nested-loop (D2b)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(Dedup.minhashIncremental(
+      docs.filter(col("doc_id") % 9 === 0), docs.filter(col("doc_id") % 9 =!= 0),
+      "doc_id", "text", threshold = 0.5))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the corpus index must be probed by equi-join, never all-pairs:\n$p")
+  }
+
+  test("PNG encode/decode round-trip is narrow — no exchange anywhere (M2b)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 100)
+    val p = plan(Multimodal.decodeImageBatches(spark,
+      Multimodal.encodePngBatches(spark, docs, "doc_id"), "doc_id").toDF())
+    assert(!p.contains("Exchange"),
+      s"encode and decode are per-row mapPartitions stages — payloads must not shuffle:\n$p")
+  }
+
+  test("q_sql_surface: the SQL text plans a broadcast dim join + partial aggregation") {
+    Tables.registerAll(spark, sf)
+    val p = plan(spark.sql(
+      "SELECT c.c_mktsegment AS segment, count(*) AS n_orders " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "GROUP BY c.c_mktsegment"))
+    assert(p.contains("BroadcastHashJoin"), s"customer dim should broadcast:\n$p")
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length >= 2,
+      s"partial+final aggregation phases expected:\n$p")
+  }
 }
