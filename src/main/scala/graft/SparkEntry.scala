@@ -797,6 +797,14 @@ object SparkEntry {
       TermStats.chiSquareDrift(Tables.documents(s, d), "source", "text")
         .orderBy("source")),
 
+    // T17: BM25 relevance of every document against a fixed query term set
+    // — the corpus-search primitive (topic slicing, retrieval grading).
+    // Integer tf/df/dl inputs + fixed-order term sum; ln is the one libm
+    // call (round-4 output, documented ulp caveat as in t16)
+    "t17_bm25" -> ((s, d) =>
+      TermStats.bm25(Tables.documents(s, d), "doc_id", "text", Bm25Terms)
+        .orderBy("doc_id")),
+
     // T13: Gopher quality rules — the published pre-training gate's seven
     // signals plus the combined pass verdict, all integer-count + one-
     // division arithmetic (engine-identical)
@@ -1220,6 +1228,13 @@ object SparkEntry {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // E2c: gap sessionization via Spark's BUILT-IN session_window aggregate
+    // — the declarative sibling of e2's lag-diff form; identical break
+    // semantics (strictly-exceeded gap), so it shares e2's session relation
+    "e2c_session_window" -> ((s, d) =>
+      StreamOps.sessionizeWindow(Tables.events(s, d), "30 minutes")
+        .orderBy("user_id", "session_start_us")),
+
     // Q-SQL: the TEXTUAL SQL front-end end-to-end — Tables.registerAll
     // views + a spark.sql string (join → grouped decimal-exact aggregate →
     // window rank), driver-verified against the DuckDB oracle rather than
@@ -1350,6 +1365,38 @@ object SparkEntry {
       "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored) " +
       s"SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $topK " +
       "ORDER BY query_id, rank"
+  }
+
+  /** The t17 query's fixed term set — shared by the Spark row and the
+    * oracle builder so they can never drift.
+    */
+  private val Bm25Terms = Seq("spark", "vector", "merge")
+
+  /** DuckDB rendition of [[graft.operators.TermStats.bm25]], constants
+    * interpolated from the SAME Scala doubles the Spark expression uses
+    * (shortest-repr `toString` round-trips exactly), per-term conditional
+    * sums added in the same fixed order.
+    */
+  private def bm25OracleSql(terms: Seq[String], k1: Double, b: Double): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val sums = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN term = '$t' THEN cell ELSE 0.0 END) AS s$i"
+    }.mkString(", ")
+    val total = terms.indices.map(i => s"s$i").mkString(" + ")
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term FROM documents), " +
+      "tk AS (SELECT doc_id, term FROM toks WHERE len(term) > 0), " +
+      "dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS dl FROM documents d " +
+      "LEFT JOIN tk t USING (doc_id) GROUP BY d.doc_id), " +
+      "st AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS tot FROM dl), " +
+      s"tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk WHERE term IN ($inList) GROUP BY doc_id, term), " +
+      "dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), " +
+      "cells AS (SELECT tf.doc_id, tf.term, " +
+      s"ln((st.n - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0) * (tf.tf::DOUBLE * ${(k1 + 1).toString}) / " +
+      s"(tf.tf::DOUBLE + ${k1.toString} * (${(1 - b).toString} + ${b.toString} * dl.dl::DOUBLE / (st.tot / st.n))) AS cell " +
+      "FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
+      s"ps AS (SELECT doc_id, $sums FROM cells GROUP BY doc_id) " +
+      s"SELECT dl.doc_id, dl.dl, round(coalesce($total, 0.0), 4) AS bm25 " +
+      "FROM dl LEFT JOIN ps USING (doc_id) ORDER BY doc_id"
   }
 
   /** As-of-join oracle (union-merge in SQL) — shared by j3_asof_join and
@@ -2385,6 +2432,23 @@ object SparkEntry {
     // minus the session_id numbering (a streaming engine does not assign
     // one); ordered by session start instead
     "e2b_stream_sessionize" ->
+      ("WITH marked AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_break " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)), " +
+        "sessions AS (SELECT user_id, ts_us, " +
+        "CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM marked) " +
+        "SELECT user_id, count(*) AS n_events, min(ts_us) AS session_start_us, " +
+        "max(ts_us) AS session_end_us, max(ts_us) - min(ts_us) AS duration_us " +
+        "FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_start_us"),
+
+    "t17_bm25" -> bm25OracleSql(Bm25Terms, k1 = 1.2, b = 0.75),
+
+    // the built-in session_window merges up to and INCLUDING session-end
+    // (last + gap), so the break condition is e2's strict >; output drops
+    // the session_id numbering
+    "e2c_session_window" ->
       ("WITH marked AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
         "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL " +
         "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_break " +

@@ -119,6 +119,61 @@ object TermStats {
         round(sum((col("o0") - col("e")) * (col("o0") - col("e")) / col("e")), 4).as("chi2"))
   }
 
+  /** T17 — BM25 relevance of every document against a fixed query term set
+    * (Robertson/Spärck Jones; the Okapi formulation with `+1` idf so scores
+    * stay non-negative). The corpus-search primitive a curation pipeline
+    * uses to pull topic-relevant slices ("find the docs about X") and to
+    * grade retrieval corpora.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Engine parity: every input is an exact integer (tf, df, dl, N, Σdl);
+    * the per-cell arithmetic is a fixed chain of IEEE ops on identical
+    * operands, and the per-document Σ_t is materialized as one conditional
+    * sum PER TERM (at most one non-zero cell per (doc, term), so the
+    * aggregate's order cannot matter) added in FIXED term order. The one
+    * libm call is `ln` on identical doubles — engines may differ in the
+    * last ulp there (same documented caveat as [[chiSquareDrift]]'s sum);
+    * round(4) output absorbs it in practice.
+    *
+    * Scale shape: tf is a map-side-combined (doc, term) shuffle restricted
+    * to the query terms (a tiny IN-set pushed into the scan); df/stats are
+    * term-count-sized; the (N, Σdl) aggregate broadcasts back; nothing
+    * corpus-sized crosses an exchange except the one tf shuffle.
+    * Output: (id, dl, bm25 round 4) for EVERY document (0.0 when no term
+    * matches).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: query terms must be non-empty")
+    require(terms.distinct == terms, "bm25: query terms must be distinct")
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = docs.select(col(idCol)).join(
+      toks.groupBy(idCol).agg(count(lit(1)).as("dl")), Seq(idCol), "left")
+      .withColumn("dl", coalesce(col("dl"), lit(0L)))
+    val stats = dl.agg(count(lit(1)).cast("double").as("_n"),
+      sum(col("dl")).cast("double").as("_tot"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("_df"))
+    val avgdl = col("_tot") / col("_n")
+    val idf = log(((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)) + 1.0)
+    val cell = idf * (col("tf").cast("double") * (k1 + 1)) /
+      (col("tf").cast("double") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val cells = tf.join(dfT, "term").join(dl, Seq(idCol)).crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"), cell.as("_cell"))
+    val termSums = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("_cell")).otherwise(0.0)).as(s"_s$i")
+    }
+    val perDoc = cells.groupBy(col(idCol)).agg(termSums.head, termSums.tail: _*)
+    val score = terms.indices.map(i => col(s"_s$i")).reduce(_ + _)
+    dl.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("dl"), round(coalesce(score, lit(0.0)), 4).as("bm25"))
+  }
+
   def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))

@@ -102,6 +102,28 @@ object StreamOps {
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
   }
 
+  /** Gap-based sessionization via Spark's BUILT-IN `session_window`
+    * aggregate — the declarative sibling of [[sessionize]] (and the common
+    * case [[sessionizeStreaming]]'s custom state machine generalizes).
+    * Works identically in batch and under a watermark in streaming; state
+    * merging/eviction is the engine's, not hand-rolled.
+    *
+    * Boundary semantics MATCH the lag-diff form exactly: the built-in
+    * merges an event into the open session when it lands at or before
+    * session-end (= last + gap), i.e. a break happens only when the gap is
+    * STRICTLY exceeded — verified against [[sessionize]] in StreamOpsSpec,
+    * exact-boundary case included. Output matches [[sessionize]]'s shape
+    * minus the session_id numbering.
+    */
+  def sessionizeWindow(events: DataFrame, gap: String): DataFrame =
+    events.withColumn("event_time", timestamp_micros(col("ts_us")))
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .select("user_id", "n_events", "session_start_us", "session_end_us", "duration_us")
+
   /** Streaming exact dedup (E3): keep the FIRST arrival of each normalized-
     * text fingerprint, drop later duplicates — ingest-time dedup for a
     * continuously-fed corpus (batch analogue: [[graft.operators.Dedup.exact]]).

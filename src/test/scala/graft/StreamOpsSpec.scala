@@ -201,6 +201,27 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizeWindow (built-in session_window) equals the lag-diff form, exact boundary included (E2c)") {
+    val ev = Seq(
+      (1L, 100L, 1L), (1L, 105L, 2L), (1L, 300L, 3L), // break at 300 (gap 195)
+      (2L, 50L, 4L)
+    ).toDF("user_id", "ts_us", "event_id")
+    val viaWindow = StreamOps.sessionizeWindow(ev, "10 microseconds")
+      .select("user_id", "n_events", "session_start_us", "session_end_us", "duration_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val viaLag = StreamOps.sessionize(ev, 10L)
+      .select("user_id", "n_events", "session_start_us", "session_end_us", "duration_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaWindow == viaLag, s"sessions must agree: $viaWindow vs $viaLag")
+    // exact-boundary gap: the built-in merges up to and INCLUDING
+    // session-end (last + gap), matching the lag-diff form's strict-> break
+    val boundary = Seq((1L, 100L, 1L), (1L, 110L, 2L), (1L, 121L, 3L))
+      .toDF("user_id", "ts_us", "event_id")
+    assert(StreamOps.sessionizeWindow(boundary, "10 microseconds").count() == 2,
+      "110 merges (diff == gap); 121 breaks (diff > gap)")
+    assert(StreamOps.sessionize(boundary, 10L).count() == 2)
+  }
+
   test("window indices FLOOR negative (pre-1970) timestamps, matching SQL // semantics") {
     val w = 3600000000L // 1h in us
     val ev = Seq(

@@ -66,4 +66,29 @@ class TermStatsSpec extends SparkTestBase {
       .collect().map(_.getDouble(2))
     assert(zero.forall(_ == 0.0))
   }
+
+  test("bm25: hand-computed Okapi scores; non-matching docs score 0 (T17)") {
+    // corpus: N=3; query terms: spark (df=2), tuning (df=2)
+    val out = TermStats.bm25(docs, "doc_id", "text", Seq("spark", "tuning"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val n = 3.0; val tot = 3.0 + 2.0 + 4.0; val avgdl = tot / n
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def cell(tf: Double, dl: Double, df: Double) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1 "spark spark engine": spark tf=2, dl=3; no tuning
+    assert(out(1L) == ((3L, r4(cell(2, 3, 2)))), s"got ${out(1L)}")
+    // doc 2 "engine tuning": tuning tf=1, dl=2
+    assert(out(2L) == ((2L, r4(cell(1, 2, 2)))))
+    // doc 3: spark tf=1 + tuning tf=2, dl=4 — fixed-order term sum
+    assert(out(3L) == ((4L, r4(cell(1, 4, 2) + cell(2, 4, 2)))))
+    // a doc matching no term scores 0.0, and empty text gets dl=0
+    val extra = docs.union(Seq((4L, "unrelated words only"), (5L, "")).toDF("doc_id", "text"))
+    val out2 = TermStats.bm25(extra, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out2(4L)._2 == 0.0 && out2(5L) == ((0L, 0.0)))
+    // higher tf at equal length ranks higher; every score non-negative
+    assert(out(1L)._2 > out(2L)._2)
+    assert(out.values.forall(_._2 >= 0.0))
+  }
 }
