@@ -31,6 +31,21 @@ class EmptyInputSpec extends SparkTestBase {
       Seq(col("v").desc), 2).count() == 0)
   }
 
+  test("round-6 additions: empty inputs degrade to empty/zero, never throw") {
+    // BM25 over an empty corpus: no rows, schema intact (N=0 never divides)
+    val bm = TermStats.bm25(emptyDocs, "doc_id", "text", Seq("spark"))
+    assert(bm.columns.toSeq == Seq("doc_id", "dl", "bm25") && bm.count() == 0)
+    // incremental minhash: empty batch and/or empty corpus
+    assert(Dedup.minhashIncremental(emptyDocs, emptyDocs, "doc_id", "text", 0.5).count() == 0)
+    // image codecs: empty frames stay empty, schemas intact
+    val png = Multimodal.encodePngBatches(spark, emptyDocs, "doc_id")
+    assert(png.columns.toSeq == Seq("doc_id", "payload", "media_type") && png.count() == 0)
+    assert(Multimodal.decodeImageBatches(spark, png, "doc_id").count() == 0)
+    // built-in session_window over no events
+    val noEvents = Seq.empty[(Long, Long)].toDF("user_id", "ts_us")
+    assert(graft.streaming.StreamOps.sessionizeWindow(noEvents, "30 minutes").count() == 0)
+  }
+
   test("dedup family: empty corpus -> empty outputs, schemas intact") {
     assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
     val nd = Dedup.minhashNearDups(emptyDocs, "doc_id", "text", 0.5)
