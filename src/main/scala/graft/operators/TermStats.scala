@@ -137,10 +137,13 @@ object TermStats {
     * last ulp there (same documented caveat as [[chiSquareDrift]]'s sum);
     * round(4) output absorbs it in practice.
     *
-    * Scale shape: tf is a map-side-combined (doc, term) shuffle restricted
-    * to the query terms (a tiny IN-set pushed into the scan); df/stats are
-    * term-count-sized; the (N, Σdl) aggregate broadcasts back; nothing
-    * corpus-sized crosses an exchange except the one tf shuffle.
+    * Scale shape: ONE corpus-sized exchange total — per-document dl and
+    * every per-term tf come out of a single map-side-combined groupBy over
+    * the token stream (tf as conditional counts, one column per query
+    * term); N / Σdl / every df reduce to a SINGLE stats row that broadcasts
+    * back; scoring is then a narrow projection. No joins beyond the 1-row
+    * broadcast cross (the standardize/x6 pattern) and the left join
+    * restoring zero-token documents.
     * Output: (id, dl, bm25 round 4) for EVERY document (0.0 when no term
     * matches).
     */
@@ -151,27 +154,34 @@ object TermStats {
     val toks = docs.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
-    val dl = docs.select(col(idCol)).join(
-      toks.groupBy(idCol).agg(count(lit(1)).as("dl")), Seq(idCol), "left")
-      .withColumn("dl", coalesce(col("dl"), lit(0L)))
-    val stats = dl.agg(count(lit(1)).cast("double").as("_n"),
-      sum(col("dl")).cast("double").as("_tot"))
-    val tf = toks.filter(col("term").isin(terms: _*))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("_df"))
-    val avgdl = col("_tot") / col("_n")
-    val idf = log(((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)) + 1.0)
-    val cell = idf * (col("tf").cast("double") * (k1 + 1)) /
-      (col("tf").cast("double") + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / avgdl))
-    val cells = tf.join(dfT, "term").join(dl, Seq(idCol)).crossJoin(broadcast(stats))
-      .select(col(idCol), col("term"), cell.as("_cell"))
-    val termSums = terms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === t, col("_cell")).otherwise(0.0)).as(s"_s$i")
+    // the one corpus-sized pass: dl + per-term tf per document
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"_tf$i")
     }
-    val perDoc = cells.groupBy(col(idCol)).agg(termSums.head, termSums.tail: _*)
-    val score = terms.indices.map(i => col(s"_s$i")).reduce(_ + _)
-    dl.join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), col("dl"), round(coalesce(score, lit(0.0)), 4).as("bm25"))
+    val grouped = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    // zero-token documents re-enter with dl = 0, tf = 0
+    val perDoc = docs.select(col(idCol)).join(grouped, Seq(idCol), "left")
+      .select(col(idCol) +: coalesce(col("dl"), lit(0L)).as("dl") +:
+        terms.indices.map(i => coalesce(col(s"_tf$i"), lit(0L)).as(s"_tf$i")): _*)
+    // N, Σdl, and every df in ONE stats row (broadcast back for scoring)
+    val statCols = count(lit(1)).cast("double").as("_n") +:
+      sum(col("dl")).cast("double").as("_tot") +:
+      terms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0L, 1L).otherwise(0L)).cast("double").as(s"_df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("_tot") / col("_n")
+    def cell(i: Int) = {
+      val tf = col(s"_tf$i").cast("double")
+      val idf = log(((col("_n") - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5)) + 1.0)
+      when(col(s"_tf$i") > 0L,
+        idf * (tf * (k1 + 1)) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / avgdl)))
+        .otherwise(0.0)
+    }
+    val score = terms.indices.map(cell).reduce(_ + _) // fixed term order
+    perDoc.crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl"), round(score, 4).as("bm25"))
   }
 
   def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
