@@ -1083,6 +1083,15 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // S5h: mixture resampling in a WEIGHTED unit — the 50/30/20 blend held
+    // in characters (the token-budget analogue), not document counts;
+    // per-source thresholds derive from char sums, membership stays the
+    // per-document hash coin
+    "s5h_mixture_weighted" -> ((s, d) =>
+      Sampling.mixtureSampleByWeight(Tables.documents(s, d), "doc_id", "source",
+        "n_chars", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")),
+
     // S5g: quality-weighted Bernoulli sample — keep probability
     // min(1, rate·w), w = n_chars/500 (longer docs kept preferentially)
     "s5g_weighted" -> ((s, d) =>
@@ -2210,6 +2219,22 @@ object SparkEntry {
         "CAST(floor(least(CAST(1.0 AS DOUBLE), mt.T * j.share / j.n) * 1152921504606846976) AS BIGINT) AS th " +
         "FROM j CROSS JOIN mt) " +
         "SELECT d.doc_id, d.source FROM documents d JOIN p USING (source) " +
+        "WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '_mx0'), 1, 15))::BIGINT < p.th " +
+        "ORDER BY d.doc_id"),
+
+    // s5f's arithmetic with char sums as the mixing unit; sums cast BIGINT
+    // so the HUGEINT default doesn't change the double conversion
+    "s5h_mixture_weighted" ->
+      ("WITH sh AS (SELECT * FROM (VALUES " +
+        "('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)), " +
+        "('src2', CAST(0.2 AS DOUBLE))) AS t(source, share)), " +
+        "cnt AS (SELECT source, sum(n_chars)::BIGINT AS n FROM documents GROUP BY source), " +
+        "j AS (SELECT c.source, c.n, s.share FROM cnt c JOIN sh s USING (source)), " +
+        "mt AS (SELECT min(n / share) AS T FROM j), " +
+        "p AS (SELECT j.source, " +
+        "CAST(floor(least(CAST(1.0 AS DOUBLE), mt.T * j.share / j.n) * 1152921504606846976) AS BIGINT) AS th " +
+        "FROM j CROSS JOIN mt) " +
+        "SELECT d.doc_id, d.source, d.n_chars FROM documents d JOIN p USING (source) " +
         "WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '_mx0'), 1, 15))::BIGINT < p.th " +
         "ORDER BY d.doc_id"),
 

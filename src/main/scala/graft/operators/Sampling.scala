@@ -93,13 +93,36 @@ object Sampling {
     * the per-source threshold table broadcasts back onto a narrow filter.
     */
   def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
-                    shares: Map[String, Double], seed: Long = 0L): DataFrame = {
+                    shares: Map[String, Double], seed: Long = 0L): DataFrame =
+    mixtureImpl(df, idCol, sourceCol, count(lit(1)).as("_n"), shares, seed)
+
+  /** [[mixtureSample]] generalized to a WEIGHTED mixing unit — blend by
+    * token/char BUDGET instead of document count, which is what a target
+    * like "50% of training TOKENS from web" actually means. With
+    * w_s = Σ weight over source s and doc-level Bernoulli keep probability
+    * p_s = min(1, T·share_s / w_s), the kept weight from source s is
+    * T·share_s in expectation — the blend holds in the weighted unit while
+    * membership stays the same engine-portable per-document id-hash coin
+    * (a document is kept or dropped whole; fractional-document mixing
+    * doesn't exist in corpus construction). T = min_s(w_s / share_s): the
+    * budget-limiting source keeps everything. Weights must be
+    * non-negative; the fixed arithmetic shape matches [[mixtureSample]]
+    * so the oracle replays bit-identically.
+    */
+  def mixtureSampleByWeight(df: DataFrame, idCol: String, sourceCol: String,
+                            weightCol: String, shares: Map[String, Double],
+                            seed: Long = 0L): DataFrame =
+    mixtureImpl(df, idCol, sourceCol, sum(col(weightCol)).as("_n"), shares, seed)
+
+  private def mixtureImpl(df: DataFrame, idCol: String, sourceCol: String,
+                          sizeAgg: org.apache.spark.sql.Column,
+                          shares: Map[String, Double], seed: Long): DataFrame = {
     require(shares.nonEmpty, "mixtureSample: empty shares")
     require(shares.values.forall(_ > 0.0), "mixtureSample: shares must be > 0")
     val shareCol = shares.foldLeft(lit(null).cast("double")) { case (acc, (s, f)) =>
       when(col(sourceCol) === s, lit(f)).otherwise(acc)
     }
-    val j = df.groupBy(sourceCol).agg(count(lit(1)).as("_n"))
+    val j = df.groupBy(sourceCol).agg(sizeAgg)
       .withColumn("_share", shareCol).filter(col("_share").isNotNull)
     val t = j.agg(min(col("_n") / col("_share")).as("_T"))
     val p = j.crossJoin(t)

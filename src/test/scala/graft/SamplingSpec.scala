@@ -104,4 +104,29 @@ class SamplingSpec extends SparkTestBase {
     val nulls = df.withColumn("w", when($"id" <= 10, lit(null).cast("double")).otherwise(lit(-1.0)))
     assert(Sampling.weightedSample(nulls, "id", "w", 0.5).count() == 0)
   }
+
+  test("mixtureSampleByWeight: blend holds in the WEIGHTED unit; limiting source keeps all (S5h)") {
+    import org.apache.spark.sql.functions._
+    // source a: 500 docs × weight 4 = 2000; b: 1000 docs × weight 1 = 1000
+    // target 50/50 by WEIGHT → b limits (T = 2000): a keeps p = 1000/2000,
+    // b keeps everything. A doc-count mixture at 50/50 would instead keep
+    // a:500/b:500 docs — the weighted form must differ from it.
+    val df = ((1 to 500).map(i => (i.toLong, "a", 4L)) ++
+      (1001 to 2000).map(i => (i.toLong, "b", 1L))).toDF("id", "src", "w")
+    val out = Sampling.mixtureSampleByWeight(df, "id", "src", "w",
+      Map("a" -> 0.5, "b" -> 0.5))
+    val kept = out.groupBy("src").agg(sum("w").as("kw"), count(lit(1)).as("kn"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(kept("b") == ((1000L, 1000L)), "limiting source keeps everything")
+    // a's kept WEIGHT ≈ 1000 in expectation (hash Bernoulli, p = 0.5)
+    assert(kept("a")._1 > 800L && kept("a")._1 < 1200L,
+      s"weighted blend ≈ 50/50, got a=${kept("a")._1} vs b=1000")
+    // deterministic + partitioning-invariant
+    val again = Sampling.mixtureSampleByWeight(df.repartition(7), "id", "src", "w",
+      Map("a" -> 0.5, "b" -> 0.5)).select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // sources absent from the share map drop
+    assert(Sampling.mixtureSampleByWeight(df, "id", "src", "w",
+      Map("a" -> 1.0)).select("src").distinct().as[String].collect().toSeq == Seq("a"))
+  }
 }
