@@ -138,4 +138,34 @@ class PropertySpec extends SparkTestBase {
       lo.subsetOf(hi) // each row's threshold grows with rate; its coin is fixed
     }, samples = 4)
   }
+
+  test("bm25 equals a driver-side reference implementation on random corpora (T17)") {
+    import graft.operators.TermStats
+    val wordGen = Gen.oneOf("spark", "scan", "join", "vector", "batch", "row")
+    check("bm25-reference", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.listOf(wordGen))) { docsWords =>
+      val docs = docsWords.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val terms = Seq("spark", "vector")
+      val got = TermStats.bm25(docs, "doc_id", "text", terms)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // reference: direct Okapi computation over the same token model
+      val toks = docsWords.map(_.filter(_.nonEmpty))
+      val n = toks.size.toDouble
+      val avgdl = toks.map(_.size.toLong).sum.toDouble / n
+      val dfs = terms.map(t => t -> toks.count(_.contains(t)).toDouble).toMap
+      def cell(tf: Double, dl: Double, dfv: Double) =
+        math.log((n - dfv + 0.5) / (dfv + 0.5) + 1.0) * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      toks.zipWithIndex.forall { case (ws, i) =>
+        val dl = ws.size.toLong
+        val want = terms.map { t =>
+          val tf = ws.count(_ == t).toDouble
+          if (tf > 0) cell(tf, dl.toDouble, dfs(t)) else 0.0
+        }.sum
+        val (gdl, gscore) = got(i.toLong)
+        gdl == dl && math.abs(gscore - want) < 1e-4 + 1e-9
+      }
+    }, samples = 4)
+  }
 }
