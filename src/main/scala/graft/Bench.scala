@@ -59,6 +59,15 @@ object Bench {
     // the true cost is the fastest observed run; everything above it is
     // interference. SPARK_GRAFT_RUNS overrides (1 restores single-shot).
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
+    // Storage-isolation baseline: the warmed table caches above are the
+    // SHARED working set; anything a query persists on top (chain
+    // persists, loan-pattern results) is released once its runs finish.
+    // Without this, storage pressure accumulates across the alphabetical
+    // run order and late queries pay LRU eviction + parquet re-reads for
+    // earlier queries' leftovers (measured: sim_ivf_trained 1.4s focused
+    // vs 3.1s late-suite). The cacheManager entries stay valid — a future
+    // reuse just re-materializes.
+    val baselineRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -71,6 +80,9 @@ object Bench {
                     Some(e.getClass.getSimpleName)
                   }
         ((System.nanoTime() - t0) / 1e9, err)
+      }
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baselineRdds.contains(id)) rdd.unpersist(blocking = false)
       }
       // a query that failed on ANY run is reported failed (a flaky query
       // must not bench as its fastest successful run)
