@@ -58,11 +58,19 @@ object Dedup {
   /** Exact-Jaccard verification of candidate pairs against the hashed
     * shingle sets: two hash joins to attach each side's sorted key array,
     * then the codegen'd merge-intersect. O(|candidates| × avg set size).
+    * The two-frame form serves the cross-corpus operators (id_1 resolved
+    * against `setsL`, id_2 against `setsR`); the single-frame overload is
+    * the self-join case.
     */
   private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
-                            idCol: String, threshold: Double): DataFrame = {
-    val s1 = sets.select(col(idCol).as("id_1"), col("n_sh").as("n_1"), col("shs").as("shs_1"))
-    val s2 = sets.select(col(idCol).as("id_2"), col("n_sh").as("n_2"), col("shs").as("shs_2"))
+                            idCol: String, threshold: Double): DataFrame =
+    verifyJaccard2(candidates, sets, sets, idCol, threshold)
+
+  private def verifyJaccard2(candidates: DataFrame, setsL: DataFrame,
+                             setsR: DataFrame, idCol: String,
+                             threshold: Double): DataFrame = {
+    val s1 = setsL.select(col(idCol).as("id_1"), col("n_sh").as("n_1"), col("shs").as("shs_1"))
+    val s2 = setsR.select(col(idCol).as("id_2"), col("n_sh").as("n_2"), col("shs").as("shs_2"))
     candidates.join(s1, "id_1").join(s2, "id_2")
       .withColumn("inter", ArrayOps.sortedIntersectSize(col("shs_1"), col("shs_2")).cast("double"))
       .withColumn("uni", (col("n_1") + col("n_2") - col("inter")).cast("double"))
@@ -71,6 +79,21 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_1", "id_2", "jaccard")
   }
+
+  /** Banded MinHash keys over a prepared shingle-set frame: one row per
+    * (id aliased to `as`, band, bkey). The ONE definition of the banding
+    * scheme — shared by the self-join ([[minhashNearDups]]) and the
+    * cross-corpus probe ([[minhashIncremental]]) so the two can never
+    * silently diverge on signature slicing or band hashing.
+    */
+  private def bandKeys(sets: DataFrame, idCol: String, as: String,
+                       bands: Int, rowsPerBand: Int): DataFrame =
+    sets.select(col(idCol).as(as), sigArrayExpr(bands * rowsPerBand).as("_sigs"))
+      .select(col(as), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("_sigs"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
+      }: _*)).as("bd"))
+      .select(col(as), col("bd.band"), col("bd.bkey"))
 
   /** Cache-hygiene loan pattern for the shingle-set persists: `build` runs
     * against a persisted copy of `sets`; with `release = true` the result
@@ -169,22 +192,12 @@ object Dedup {
     // reduced (8-byte-keys) form once (see [[withPersistedSets]] for the
     // releaseSets cache-hygiene contract).
     withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
-      // Signature as the shared array expression ([[sigArrayExpr]] — O(1)
-      // tree in perms, identical hashing to the public signature API). Band
-      // key = hash of the band's signature slice — any hash is candidate-
-      // correct (equal band tuples always collide; spurious collisions are
-      // removed by the exact verify stage).
-      val sig = sets.select(col(idCol), sigArrayExpr(bands * rowsPerBand).as("_sigs"))
-      val bandRows = sig.select(
-        col(idCol),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            hash(slice(col("_sigs"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
-        }: _*)).as("bd"))
-        .select(col(idCol), col("bd.band"), col("bd.bkey"))
-      val l = bandRows.select(col(idCol).as("id_1"), col("band"), col("bkey"))
-      val r = bandRows.select(col(idCol).as("id_2"), col("band"), col("bkey"))
-      val candidates = l.join(r, Seq("band", "bkey"))
+      // Band key = hash of the band's signature slice ([[bandKeys]] — the
+      // one banding definition; sigArrayExpr keeps the tree O(1) in
+      // perms). Any hash is candidate-correct: equal band tuples always
+      // collide, spurious collisions die in the exact verify stage.
+      val candidates = bandKeys(sets, idCol, "id_1", bands, rowsPerBand)
+        .join(bandKeys(sets, idCol, "id_2", bands, rowsPerBand), Seq("band", "bkey"))
         .filter(col("id_1") < col("id_2"))
         .select("id_1", "id_2").distinct()
       verifyJaccard(candidates, sets, idCol, threshold)
@@ -359,24 +372,11 @@ object Dedup {
     // the call un-releasable
     withPersistedSets2(shingleSets(newDocs, idCol, textCol, n),
       shingleSets(corpus, idCol, textCol, n), releaseSets) { (bsets, csets) =>
-      def bandKeys(sets: DataFrame, as: String) =
-        sets.select(col(idCol).as(as), sigArrayExpr(bands * rowsPerBand).as("_sigs"))
-          .select(col(as), explode(array((0 until bands).map { b =>
-            struct(lit(b).as("band"),
-              hash(slice(col("_sigs"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
-          }: _*)).as("bd"))
-          .select(col(as), col("bd.band"), col("bd.bkey"))
-      val candidates = bandKeys(bsets, "id_1")
-        .join(bandKeys(csets, "id_2"), Seq("band", "bkey"))
+      val candidates = bandKeys(bsets, idCol, "id_1", bands, rowsPerBand)
+        .join(bandKeys(csets, idCol, "id_2", bands, rowsPerBand), Seq("band", "bkey"))
         .select("id_1", "id_2").distinct()
       // verify against the TRUE sets: batch side = id_1, corpus side = id_2
-      val s1 = bsets.select(col(idCol).as("id_1"), col("n_sh").as("n_1"), col("shs").as("shs_1"))
-      val s2 = csets.select(col(idCol).as("id_2"), col("n_sh").as("n_2"), col("shs").as("shs_2"))
-      val matched = candidates.join(s1, "id_1").join(s2, "id_2")
-        .withColumn("inter", ArrayOps.sortedIntersectSize(col("shs_1"), col("shs_2")).cast("double"))
-        .withColumn("uni", (col("n_1") + col("n_2") - col("inter")).cast("double"))
-        .filter(col("uni") > 0 &&
-          round(col("inter") / col("uni"), 6) >= threshold)
+      val matched = verifyJaccard2(candidates, bsets, csets, idCol, threshold)
         .select(col("id_1")).distinct()
       newDocs.join(matched, newDocs(idCol) === matched("id_1"), "left_anti")
     }

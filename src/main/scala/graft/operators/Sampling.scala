@@ -122,8 +122,15 @@ object Sampling {
     val shareCol = shares.foldLeft(lit(null).cast("double")) { case (acc, (s, f)) =>
       when(col(sourceCol) === s, lit(f)).otherwise(acc)
     }
+    // sources whose size/weight sum is 0 (or all-NULL) are dropped like
+    // sources absent from the share map: a zero-weight source would
+    // otherwise poison the cap (T = 0 zeroes every other threshold) while
+    // its own keep probability divides 0/0 → NaN, which least(1.0, NaN)
+    // resolves to 1.0 — keeping exactly the degenerate source and nothing
+    // else. Never reachable for the count form (groups have >= 1 row).
     val j = df.groupBy(sourceCol).agg(sizeAgg)
-      .withColumn("_share", shareCol).filter(col("_share").isNotNull)
+      .withColumn("_share", shareCol)
+      .filter(col("_share").isNotNull && col("_n") > 0)
     val t = j.agg(min(col("_n") / col("_share")).as("_T"))
     val p = j.crossJoin(t)
       .withColumn("_p", least(lit(1.0), col("_T") * col("_share") / col("_n")))

@@ -137,13 +137,12 @@ object TermStats {
     * last ulp there (same documented caveat as [[chiSquareDrift]]'s sum);
     * round(4) output absorbs it in practice.
     *
-    * Scale shape: ONE corpus-sized exchange total — per-document dl and
-    * every per-term tf come out of a single map-side-combined groupBy over
-    * the token stream (tf as conditional counts, one column per query
-    * term); N / Σdl / every df reduce to a SINGLE stats row that broadcasts
-    * back; scoring is then a narrow projection. No joins beyond the 1-row
-    * broadcast cross (the standardize/x6 pattern) and the left join
-    * restoring zero-token documents.
+    * Scale shape: ZERO corpus-sized exchanges — dl and every per-term tf
+    * are PER-ROW functions of the token array (`size(filter(words, ...))`,
+    * codegen'd; the query term set is a fixed literal list), so the corpus
+    * is never exploded, grouped, or joined. The only aggregate is the
+    * 1-row stats reduction (N / Σdl / every df), broadcast back for the
+    * narrow scoring projection (the standardize/x6 pattern).
     * Output: (id, dl, bm25 round 4) for EVERY document (0.0 when no term
     * matches).
     */
@@ -151,19 +150,15 @@ object TermStats {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25: query terms must be non-empty")
     require(terms.distinct == terms, "bm25: query terms must be distinct")
-    val toks = docs.select(col(idCol),
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-      .filter(length(col("term")) > 0)
-    // the one corpus-sized pass: dl + per-term tf per document
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"_tf$i")
-    }
-    val grouped = toks.groupBy(col(idCol))
-      .agg(count(lit(1)).as("dl"), tfCols: _*)
-    // zero-token documents re-enter with dl = 0, tf = 0
-    val perDoc = docs.select(col(idCol)).join(grouped, Seq(idCol), "left")
-      .select(col(idCol) +: coalesce(col("dl"), lit(0L)).as("dl") +:
-        terms.indices.map(i => coalesce(col(s"_tf$i"), lit(0L)).as(s"_tf$i")): _*)
+    // the words array lives in its own projection: it is referenced
+    // |terms|+1 times, which CollapseProject refuses to inline — the regex
+    // split runs ONCE per row (the shingleSets lesson)
+    val words = filter(split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0)
+    val perDoc = docs.select(col(idCol), words.as("_w"))
+      .select(col(idCol) +: size(col("_w")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("_w"), w => w === t)).cast("long").as(s"_tf$i")
+        }: _*)
     // N, Σdl, and every df in ONE stats row (broadcast back for scoring)
     val statCols = count(lit(1)).cast("double").as("_n") +:
       sum(col("dl")).cast("double").as("_tot") +:

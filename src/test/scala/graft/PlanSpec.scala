@@ -232,13 +232,16 @@ class PlanSpec extends SparkTestBase {
       s"encode and decode are per-row mapPartitions stages — payloads must not shuffle:\n$p")
   }
 
-  test("bm25: single corpus shuffle — per-term tf folded into one groupBy, stats broadcast back (T17)") {
+  test("bm25: ZERO corpus exchanges — dl/tf are narrow array projections, stats broadcast back (T17)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(TermStats.bm25(docs, "doc_id", "text", Seq("spark", "vector")))
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"no shuffled joins — dl+tf come from one aggregate, stats/restore joins broadcast:\n$p")
-    // partial+final phases around the single token-groupBy exchange
-    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).nonEmpty, s"expected partial aggregation:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"the corpus must never hash-exchange — only the 1-row stats reduction:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"no keyed joins at all — the stats row rides a broadcast cross:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the 1-row stats broadcast cross in:\n$p")
   }
 
   test("q_sql_surface: the SQL text plans a broadcast dim join + partial aggregation") {

@@ -128,5 +128,12 @@ class SamplingSpec extends SparkTestBase {
     // sources absent from the share map drop
     assert(Sampling.mixtureSampleByWeight(df, "id", "src", "w",
       Map("a" -> 1.0)).select("src").distinct().as[String].collect().toSeq == Seq("a"))
+    // a zero-weight source is dropped like an absent one — it must not
+    // zero the cap (T=0) while keeping itself via 0/0 → NaN → least = 1
+    val degenerate = df.withColumn("w", when($"src" === "b", 0L).otherwise($"w"))
+    val kd = Sampling.mixtureSampleByWeight(degenerate, "id", "src", "w",
+      Map("a" -> 0.5, "b" -> 0.5))
+    assert(kd.filter($"src" === "b").count() == 0, "degenerate source drops")
+    assert(kd.filter($"src" === "a").count() == 500L, "remaining source keeps everything")
   }
 }
