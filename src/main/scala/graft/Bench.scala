@@ -89,10 +89,12 @@ object Bench {
     val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    // self-identifying interference: queries whose slowest run exceeded the
-    // reported min by >1.5× ran under external load / GC pressure — a
-    // reader comparing rounds can discount exactly those entries instead
-    // of guessing which numbers to trust
+    // self-identifying spread: queries whose slowest run exceeded the
+    // reported min by >1.5×. With the default runs=2 this captures BOTH
+    // external interference AND the ordinary cold-vs-warm cache gap (run 1
+    // builds persists that run 2 reuses) — either way the [min,max] range
+    // tells a reader comparing rounds exactly which entries' worst-case
+    // numbers not to trust, instead of leaving them to guess
     val noisy = results.collect { case (k, mn, mx, None) if mn > 0 && mx / mn > 1.5 =>
       s"${jstr(k)}:[$mn,$mx]"
     }.mkString("{", ",", "}")
