@@ -681,6 +681,20 @@ object SparkEntry {
         0.45, dim = 64, bands = 32, bitsPerBand = 4, ordinal = true)
         .orderBy("id_1", "id_2")),
 
+    // D5c: incremental EMBEDDING near-dup ingest — new vectors (vec_id %
+    // 11 = 0) kept only where no corpus vector reaches cosine >= 0.45;
+    // ordinal-banded corpus index probed by batch band keys only (the d5b
+    // recipe in the cross-corpus shape), exact-cosine verify before the
+    // anti join
+    "d5c_embed_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.embeddingIncremental(
+        emb.filter(col("vec_id") % 11 === 0), emb.filter(col("vec_id") % 11 =!= 0),
+        "vec_id", "embedding", 0.45, dim = 64, bands = 32, bitsPerBand = 4,
+        ordinal = true)
+        .select("vec_id", "label").orderBy("vec_id")
+    }),
+
     // SIM: brute-force cosine top-k (exact ANN baseline)
     "sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1254,6 +1268,23 @@ object SparkEntry {
       }
     }),
 
+    // E4 STREAMING, driver-gated via batch replay: hopping windows through
+    // Spark's native window(width, slide) under a watermark, complete mode
+    // (as e1b), window.start mapped back to the batch form's epoch-us
+    // win_start — must reproduce e4's batch relation exactly
+    "e4b_stream_hopping" -> ((s, d) => {
+      Session.tune(s)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .parquet(s"$d/events.*")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val agg = StreamOps.hoppingCountsStreaming(src, "2 hours", "1 hour", "1 minute")
+      StreamOps.runToMemoryTable(s, agg, "e4b_stream_hopping_sink", mode = "complete")
+        .select(expr("unix_micros(window.start)").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    }),
+
     // E2c: gap sessionization via Spark's BUILT-IN session_window aggregate
     // — the declarative sibling of e2's lag-diff form; identical break
     // semantics (strictly-exceeded gap), so it shares e2's session relation
@@ -1511,6 +1542,27 @@ object SparkEntry {
         "JOIN embeddings e2 ON c.id_2 = e2.vec_id " +
         "WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) >= 0.45 " +
         "ORDER BY id_1, id_2"
+    },
+
+    // d5b's banded-ordinal recipe in the cross-corpus probe shape, then
+    // the surviving batch rows (exact-cosine verified matches anti-join)
+    "d5c_embed_incremental" -> {
+      val bandSelects = (0 until 32).map { b =>
+        s"SELECT vec_id, $b AS band, " +
+          ordinalSketchSql("embedding", dim = 64, bits = 4, seed = 1000L + b) +
+          " AS bkey FROM embeddings"
+      }.mkString(" UNION ALL ")
+      s"WITH bands AS ($bandSelects), " +
+        "nb AS (SELECT * FROM bands WHERE vec_id % 11 = 0), " +
+        "cb AS (SELECT * FROM bands WHERE vec_id % 11 != 0), " +
+        "cand AS (SELECT DISTINCT n.vec_id AS id_1, c.vec_id AS id_2 " +
+        "FROM nb n JOIN cb c ON n.band = c.band AND n.bkey = c.bkey), " +
+        "m AS (SELECT DISTINCT c.id_1 FROM cand c " +
+        "JOIN embeddings e1 ON c.id_1 = e1.vec_id " +
+        "JOIN embeddings e2 ON c.id_2 = e2.vec_id " +
+        "WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) >= 0.45) " +
+        "SELECT vec_id, label FROM embeddings WHERE vec_id % 11 = 0 " +
+        "AND vec_id NOT IN (SELECT id_1 FROM m) ORDER BY vec_id"
     },
 
     "sim_lsh_topk" -> {
@@ -2436,6 +2488,15 @@ object SparkEntry {
 
     // each event belongs to width/slide = 2 hour-aligned windows
     "e4_hopping_window" ->
+      ("SELECT ws AS win_start, event_type, count(*) AS n_events, " +
+        "round(sum(value), 2) AS sum_value FROM (" +
+        "SELECT unnest(range((epoch_us(ts) // 3600000000 - 1) * 3600000000, " +
+        "epoch_us(ts) // 3600000000 * 3600000000 + 3600000000, 3600000000)) AS ws, " +
+        "event_type, value FROM events) " +
+        "GROUP BY 1, 2 ORDER BY win_start, event_type"),
+
+    // hopping streaming replay must equal e4's batch relation exactly
+    "e4b_stream_hopping" ->
       ("SELECT ws AS win_start, event_type, count(*) AS n_events, " +
         "round(sum(value), 2) AS sum_value FROM (" +
         "SELECT unnest(range((epoch_us(ts) // 3600000000 - 1) * 3600000000, " +

@@ -737,6 +737,31 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_1", "id_2", "cosine")
 
+  /** Incremental EMBEDDING near-dup ingest — completes the incremental
+    * family (exact: [[exactIncremental]], MinHash: [[minhashIncremental]])
+    * for vector similarity: keep only new-batch vectors with no corpus
+    * vector at cosine ≥ `threshold`. The corpus side is sketch-banded once
+    * ([[Similarity.lshCandidatesCross]] — at 100 TB that band index is the
+    * thing to keep materialized between ingest batches) and probed ONLY by
+    * the new batch's band keys; candidates verify with exact cosine before
+    * the anti join, so admitted false candidates cost compute, never
+    * correctness. Recall follows the band/bit S-curve exactly as in
+    * [[embeddingNearDupsLSH]] — pick parameters for the target threshold.
+    */
+  def embeddingIncremental(newVecs: DataFrame, corpus: DataFrame, idCol: String,
+                           vecCol: String, threshold: Double, dim: Int,
+                           bands: Int = 16, bitsPerBand: Int = 8,
+                           ordinal: Boolean = false): DataFrame = {
+    val candidates = Similarity.lshCandidatesCross(newVecs, corpus, idCol, vecCol,
+      dim, bands, bitsPerBand, ordinal)
+    val v1 = newVecs.select(col(idCol).as("id_1"), col(vecCol).as("v_1"))
+    val v2 = corpus.select(col(idCol).as("id_2"), col(vecCol).as("v_2"))
+    val matched = candidates.join(v1, "id_1").join(v2, "id_2")
+      .filter(round(Vectors.cosine(col("v_1"), col("v_2")), 6) >= threshold)
+      .select("id_1").distinct()
+    newVecs.join(matched, newVecs(idCol) === matched("id_1"), "left_anti")
+  }
+
   /** High-threshold variant: banded sign-sketch LSH candidates
     * ([[Similarity.lshCandidates]]) + exact cosine verification. Sub-
     * quadratic candidate generation; recall follows the sign-LSH S-curve

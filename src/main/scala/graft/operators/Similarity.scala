@@ -152,21 +152,44 @@ object Similarity {
     */
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                     bands: Int = 16, bitsPerBand: Int = 8,
-                    ordinal: Boolean = false): DataFrame = {
+                    ordinal: Boolean = false): DataFrame =
+    bandRows(df, idCol, "id_1", vecCol, dim, bands, bitsPerBand, ordinal)
+      .join(bandRows(df, idCol, "id_2", vecCol, dim, bands, bitsPerBand, ordinal),
+        Seq("band", "bkey"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2").distinct()
+
+  /** Cross-corpus variant: candidate (id_1 ∈ a, id_2 ∈ b) pairs whose
+    * sketches collide in some band — the probe shape of incremental
+    * embedding ingest ([[graft.operators.Dedup.embeddingIncremental]]):
+    * the corpus side's band index is built once and only the (small)
+    * batch's band keys join against it.
+    */
+  def lshCandidatesCross(a: DataFrame, b: DataFrame, idCol: String,
+                         vecCol: String, dim: Int, bands: Int = 16,
+                         bitsPerBand: Int = 8,
+                         ordinal: Boolean = false): DataFrame =
+    bandRows(a, idCol, "id_1", vecCol, dim, bands, bitsPerBand, ordinal)
+      .join(bandRows(b, idCol, "id_2", vecCol, dim, bands, bitsPerBand, ordinal),
+        Seq("band", "bkey"))
+      .select("id_1", "id_2").distinct()
+
+  /** The ONE definition of banded sketch rows (id aliased to `as`, band,
+    * bkey) shared by the self-join and cross-corpus candidate forms so the
+    * banding scheme can never drift between them.
+    */
+  private def bandRows(df: DataFrame, idCol: String, as: String, vecCol: String,
+                       dim: Int, bands: Int, bitsPerBand: Int,
+                       ordinal: Boolean): DataFrame = {
     def sketch(b: Int) =
       if (ordinal) ordinalSketch(col(vecCol), dim, bitsPerBand, seed = 1000L + b)
       else signSketch(col(vecCol), dim, bitsPerBand, seed = 1000L + b)
-    val bandRows = df.select(
-      col(idCol),
+    df.select(
+      col(idCol).as(as),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), sketch(b).as("bkey"))
       }: _*)).as("bd"))
-      .select(col(idCol), col("bd.band"), col("bd.bkey"))
-    val l = bandRows.select(col(idCol).as("id_1"), col("band"), col("bkey"))
-    val r = bandRows.select(col(idCol).as("id_2"), col("band"), col("bkey"))
-    l.join(r, Seq("band", "bkey"))
-      .filter(col("id_1") < col("id_2"))
-      .select("id_1", "id_2").distinct()
+      .select(col(as), col("bd.band"), col("bd.bkey"))
   }
 
   /** Per-label embedding centroids in long format: (label, n_vecs,

@@ -308,6 +308,28 @@ class DedupSpec extends SparkTestBase {
     assert((cachedIds -- baseline).isEmpty, "no lingering cache after caller release")
   }
 
+  test("embeddingIncremental keeps only batch vectors with no corpus near-dup (D5c)") {
+    // batch 1 ≈ corpus 10 (cosine ~1); batch 2 orthogonal to everything
+    val batch = Seq(
+      (1L, Array(1.0f, 0.0f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val corp = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.embeddingIncremental(batch, corp, "vec_id", "embedding",
+      threshold = 0.9, dim = 4, bands = 16, bitsPerBand = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"vector 1 matches corpus 10 at cosine ~1, got $kept")
+    // empty corpus keeps the batch; empty batch yields nothing
+    val none = corp.filter(col("vec_id") < 0)
+    assert(Dedup.embeddingIncremental(batch, none, "vec_id", "embedding",
+      0.9, dim = 4).count() == 2)
+    assert(Dedup.embeddingIncremental(none, corp, "vec_id", "embedding",
+      0.9, dim = 4).count() == 0)
+  }
+
   test("decontaminationPairs releaseSets drops both shingle-set caches (D7 loan)") {
     val train = Seq(
       (100L, "preamble words here the quick brown fox jumps over the lazy dog and trailing text"),
