@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.Text
 import graft.operators._
-import graft.sources.{CsvSource, JsonlSource}
+import graft.sources.{CsvSource, JsonlSource, ParquetSink}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -221,6 +221,21 @@ object SparkEntry {
       val jsonlDir = s"${scratchDir(d)}/jsonl_documents"
       JsonlSource.writeSharded(docs, jsonlDir, "doc_id", 4)
       JsonlSource.readWithSchema(s, jsonlDir, docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // S7: hive-partitioned parquet round-trip — documents written
+    // `lang=<v>/` partitioned, read back through a partition filter; the
+    // plan-time directory pruning is PlanSpec-pinned, content parity is
+    // this row (partition columns ride the directory name, so values and
+    // types must survive the detour)
+    "s7_partitioned_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val outDir = s"${scratchDir(d)}/part_documents"
+      ParquetSink.writePartitioned(docs, outDir, "lang")
+      s.read.parquet(outDir)
+        .filter(col("lang") === "en")
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
@@ -1754,6 +1769,11 @@ object SparkEntry {
     // original bit-for-bit, so the oracle is the original table itself
     "s6_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    // the partitioned detour must reproduce the en slice exactly
+    "s7_partitioned_roundtrip" ->
+      ("SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "WHERE lang = 'en' ORDER BY doc_id"),
 
     "f1_filter" ->
       "SELECT * FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber",

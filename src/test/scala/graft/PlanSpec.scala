@@ -244,6 +244,15 @@ class PlanSpec extends SparkTestBase {
       s"expected the 1-row stats broadcast cross in:\n$p")
   }
 
+  test("hive-partitioned read prunes partitions at plan time (S7)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = "target/tmp/planspec_part_documents"
+    graft.sources.ParquetSink.writePartitioned(docs, dir, "lang")
+    val p = plan(spark.read.parquet(dir).filter(col("lang") === "en"))
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected plan-time partition pruning in:\n$p")
+  }
+
   test("q_sql_surface: the SQL text plans a broadcast dim join + partial aggregation") {
     Tables.registerAll(spark, sf)
     val p = plan(spark.sql(
