@@ -294,6 +294,14 @@ object SparkEntry {
         ("c_custkey", "o_custkey"), "left")
         .orderBy(col("c_custkey"), col("r_o_orderkey").asc_nulls_first)),
 
+    // J5: skew-salted hash join — the hot-key escape hatch must produce
+    // exactly the plain inner-join relation (salting redistributes work,
+    // never rows); shares j1_join_inner's oracle text
+    "j5_salted_join" -> ((s, d) =>
+      Joins.saltedJoin(Tables.orders(s, d), Tables.customer(s, d),
+        ("o_custkey", "c_custkey"), buckets = 8)
+        .orderBy("o_orderkey")),
+
     // J2: left-semi join — customers WITH at least one order
     "j2_join_semi" -> ((s, d) =>
       Joins.semiJoin(Tables.customer(s, d), Tables.orders(s, d), ("c_custkey", "o_custkey"))
@@ -1799,6 +1807,14 @@ object SparkEntry {
         "round(stddev_samp(c_acctbal), 4) AS std_c_acctbal FROM customer"),
 
     "j1_join_inner" ->
+      ("SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, " +
+        "o.o_orderpriority, c.c_custkey AS r_c_custkey, c.c_name AS r_c_name, " +
+        "c.c_nationkey AS r_c_nationkey, c.c_acctbal AS r_c_acctbal, " +
+        "c.c_mktsegment AS r_c_mktsegment " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey"),
+
+    // the salted plan must reproduce the plain inner join bit for bit
+    "j5_salted_join" ->
       ("SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, " +
         "o.o_orderpriority, c.c_custkey AS r_c_custkey, c.c_name AS r_c_name, " +
         "c.c_nationkey AS r_c_nationkey, c.c_acctbal AS r_c_acctbal, " +
