@@ -202,6 +202,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The round-6 DAILY-INGEST funnel, end-to-end: tonight's batch
+    * (doc_id % 13 = 0) enters an existing corpus — self-dedup within the
+    * batch (D1, min-id keep) → exact ingest dedup against the corpus
+    * through the bloom path (D8b) → incremental near-dup filter probing
+    * the corpus band index (D2b) → quality gate (T2) → token-budget
+    * packing (T6). The incremental-family composition q_curation is for
+    * the batch family: every pairwise-risk stage sees only the BATCH
+    * probing a corpus-sized index, never corpus² — the shape that keeps
+    * nightly ingest O(batch), not O(corpus).
+    */
+  def ingestChain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 13 === 0)
+    val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+    val selfKept = batch.join(
+      Dedup.exact(batch, "doc_id", "text").select("doc_id"), Seq("doc_id"), "left_semi")
+    val exactKeep = Dedup.exactIncrementalBloom(selfKept, corpus, "doc_id", "text")
+      .select(docs.columns.toIndexedSeq.map(col): _*)
+    val nearKeep = Dedup.minhashIncremental(exactKeep, corpus, "doc_id", "text", 0.5)
+    val gated = nearKeep.filter(Text.qualityScore(col("text")) >= 0.3)
+    val toks = gated.select(col("doc_id"),
+      Text.bpeTokens(col("text")).cast("long").as("n_tokens"))
+    Packing.packByTokenBudget(toks, "doc_id", "n_tokens", budget = 2048, shards = 4,
+      shardExpr = Some(pmod(col("doc_id"), lit(4))))
+      .select("doc_id", "n_tokens", "shard", "bin")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -497,6 +525,10 @@ object SparkEntry {
     // full pipeline: the round-5 curation funnel (dedup → decontaminate →
     // mixture → split → pack) — cross-operator id flow and determinism
     "q_curation_chain" -> ((s, d) => curationChain(s, d)),
+
+    // full pipeline: the round-6 daily-ingest funnel (incremental family
+    // composed end-to-end; every pairwise stage is batch-probes-index)
+    "q_ingest_chain" -> ((s, d) => ingestChain(s, d)),
 
     // CHAIN: chunk → fingerprint → per-source dedup stats — the RAG/
     // context-window preparation funnel (how much of each source's chunked
@@ -1708,6 +1740,34 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - n_tokens) AS BIGINT) // 4096 AS bin " +
         "FROM final ORDER BY doc_id"
     },
+
+    // the incremental family composed: self-dedup → corpus-fingerprint
+    // anti (bloom path is exact, so the plain NOT IN is its oracle) →
+    // cross-corpus trigram-jaccard anti (the d2b form) → quality gate →
+    // shard-packed token budget
+    "q_ingest_chain" ->
+      ("WITH batch AS (SELECT * FROM documents WHERE doc_id % 13 = 0), " +
+        "corpus AS (SELECT * FROM documents WHERE doc_id % 13 != 0), " +
+        "dmin AS (SELECT min(doc_id) AS doc_id FROM batch " +
+        "GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))), " +
+        "selfkept AS (SELECT b.* FROM batch b JOIN dmin USING (doc_id)), " +
+        "cfp AS (SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM corpus), " +
+        "ex AS (SELECT * FROM selfkept " +
+        "WHERE md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) NOT IN (SELECT fp FROM cfp)), " +
+        s"sh AS (${trigramGramsSqlOver("documents")}), " +
+        "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh), " +
+        "m AS (SELECT a.doc_id AS id_1 FROM inv a JOIN inv b ON a.s = b.s " +
+        "AND a.doc_id % 13 = 0 AND b.doc_id % 13 != 0 GROUP BY a.doc_id, b.doc_id " +
+        "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5), " +
+        "near AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT id_1 FROM m)), " +
+        s"gated AS (SELECT * FROM near WHERE ${qualitySql("text")} >= 0.3), " +
+        "final AS (SELECT doc_id, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens, " +
+        "doc_id % 4 AS shard FROM gated) " +
+        "SELECT doc_id, n_tokens, shard, " +
+        "CAST(((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - n_tokens) AS BIGINT) // 2048 AS bin " +
+        "FROM final ORDER BY doc_id"),
 
     "g4_custom_agg" ->
       ("SELECT round((min(c_acctbal) + max(c_acctbal)) / 2.0, 4) AS midrange_c_acctbal, " +
