@@ -31,6 +31,24 @@ class ChainSpec extends SparkTestBase {
     assert(canon(2) == canon(7))
   }
 
+  test("ingest chain: only batch ids survive, none colliding with the corpus (round-6)") {
+    val out = SparkEntry.ingestChain(spark, sf).persist()
+    val ids = out.select("doc_id").as[Long].collect()
+    assert(ids.nonEmpty)
+    assert(ids.forall(_ % 13 == 0), "only new-batch docs may reach the output")
+    assert(ids.distinct.length == ids.length, "self-dedup held")
+    // no surviving batch doc shares a fingerprint with the corpus
+    val docs = Tables.documents(spark, sf)
+    val survivors = docs.join(out.select("doc_id"), "doc_id")
+    val corpusFps = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(graft.functions.Text.fingerprint(col("text")).as("fp")).distinct()
+    val collisions = survivors
+      .select(graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .join(corpusFps, "fp").count()
+    assert(collisions == 0, "exact ingest dedup held end-to-end")
+    out.unpersist()
+  }
+
   test("curation chain: per-shard bins are monotone in doc_id (packing contract)") {
     val rows = SparkEntry.curationChain(spark, sf)
       .select("shard", "doc_id", "bin").as[(Long, Long, Long)].collect()
