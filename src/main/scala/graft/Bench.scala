@@ -67,8 +67,12 @@ object Bench {
     // turns every later persist of the same plan (e.g. d4b reusing d2's
     // shingle sets) into an uncached recompute; Spark's LRU handles
     // genuine storage pressure.
+    // Default 3: run 1 fills query-internal caches (cold), runs 2-3 measure
+    // the warmed steady state twice — so a >1.5× min-max spread among the
+    // SUCCESSFUL runs' warm pair indicates genuine external interference,
+    // not the ordinary cold-vs-warm gap (which runs=2 conflated with it).
     val runs = math.max(1,
-      sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.trim.toIntOption).getOrElse(2))
+      sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.trim.toIntOption).getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -83,23 +87,35 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       // a query that failed on ANY run is reported failed (a flaky query
-      // must not bench as its fastest successful run)
-      (name, timings.map(_._1).min, timings.map(_._1).max, timings.flatMap(_._2).headOption)
+      // must not bench as its fastest successful run). Timings come from
+      // SUCCESSFUL runs when at least one succeeded — a fast-fail duration
+      // is not a measurement of the query and must not understate the
+      // total (only when every run failed does the failure time stand in).
+      val ok = timings.zipWithIndex.collect { case ((t, None), i) => (t, i) }
+      val base = if (ok.nonEmpty) ok.map(_._1) else timings.map(_._1)
+      // interference detector input: the WARM successful runs (run 1 fills
+      // query-internal caches by design, so its gap vs run 2 is expected,
+      // not noise). Falls back to all measured runs when fewer than two
+      // warm successes exist (runs=1, or run 1 was the only success).
+      val warm = ok.collect { case (t, i) if i > 0 => t }
+      val spread = if (warm.size >= 2) warm else base
+      (name, base.min, spread.min, spread.max, timings.flatMap(_._2).headOption)
     }
-    val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val qs = results.map { case (k, v, _, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    // self-identifying spread: queries whose slowest run exceeded the
-    // reported min by >1.5×. With the default runs=2 this captures BOTH
-    // external interference AND the ordinary cold-vs-warm cache gap (run 1
-    // builds persists that run 2 reuses) — either way the [min,max] range
-    // tells a reader comparing rounds exactly which entries' worst-case
-    // numbers not to trust, instead of leaving them to guess
-    val noisy = results.collect { case (k, mn, mx, None) if mn > 0 && mx / mn > 1.5 =>
+    // self-identifying spread: queries whose WARM runs disagree by >1.5×.
+    // With runs>=3 the cold run-1 cache fill is excluded from this ratio,
+    // so a flag here means genuine external interference (GC pause, page
+    // cache eviction, co-tenant load) during the steady-state runs — the
+    // [min,max] of those warm runs tells a reader comparing rounds exactly
+    // which entries' numbers not to trust, instead of leaving them to guess
+    val noisy = results.collect { case (k, _, mn, mx, None) if mn > 0 && mx / mn > 1.5 =>
       s"${jstr(k)}:[$mn,$mx]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":${results.count(_._4.isDefined)},"runs":$runs,"noisy":$noisy,"sf":"$sfDir"}"""
+    val nFailed = results.count(_._5.isDefined)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"noisy":$noisy,"sf":"$sfDir"}"""
     println(json)
     // Also persist the line to a file: stdout capture truncates on long
     // runs (BENCH_r04 lost 9 of 78 per-query timings to the log tail), so

@@ -223,9 +223,28 @@ object Joins {
     * sub-keys and explode the right side once per bucket, so one hot key
     * spreads over `buckets` reducers. AQE's skew-join handles most cases
     * automatically; this is for deliberate, known-hot keys.
+    *
+    * The right side is replicated IN FULL `buckets`× — correct and cheap
+    * for the intended dim-sized right table, a surprise 8× blow-up for a
+    * fact-sized one. The guard counts the right side (one scan of a frame
+    * that is small by contract — the lshTopK-guard trade) and refuses when
+    * rows × buckets exceeds `maxExplodedRows`; raise the limit (or pass 0
+    * to disable) only when the replication is a deliberate choice. For a
+    * large skewed-right case, salt the other way around or rely on AQE's
+    * skew-join split.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, on: (String, String),
-                 buckets: Int): DataFrame = {
+                 buckets: Int, maxExplodedRows: Long = 1L << 24): DataFrame = {
+    require(buckets >= 1, "saltedJoin: buckets must be >= 1")
+    if (maxExplodedRows > 0) {
+      val rc = right.count()
+      require(rc * buckets <= maxExplodedRows,
+        s"saltedJoin: right side has $rc rows × $buckets buckets = " +
+          s"${rc * buckets} exploded rows (limit $maxExplodedRows). saltedJoin " +
+          "replicates the ENTIRE right side per bucket — it is a skew escape " +
+          "hatch for dim-sized right tables. Raise maxExplodedRows (or pass 0) " +
+          "to override deliberately, or use AQE skew-join for large right sides.")
+    }
     // Salt derived from the row's own HASHABLE values (+ a fixed seed):
     // deterministic under task retry, unlike monotonically_increasing_id.
     // Map-typed columns are excluded — `hash` rejects MapType. Identical

@@ -53,11 +53,17 @@ object Multimodal {
       (b(0) == 'B' && b(1) == 'M'))
 
   /** REAL image decode via the JDK: None when the payload is not a
-    * decodable image (wrong magic, truncated, unsupported format).
+    * decodable image (wrong magic, truncated, unsupported format). TOTAL:
+    * a payload that passes the magic sniff but has a garbage body (e.g.
+    * corpus text starting with "BM" or "GIF8" — "BM25..." is realistic
+    * text) makes the JDK reader THROW rather than return null; that must
+    * fall through to the hash stub, not fail the whole decode job.
     */
   private[graft] def tryDecodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (!looksLikeImage(payload)) None
-    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
 
   /** ==== STUB (audio/video only) ==== deterministic fake decoder for the
     * formats the JDK cannot parse (no codec libraries in this container):

@@ -105,18 +105,26 @@ object Sampling {
     * membership stays the same engine-portable per-document id-hash coin
     * (a document is kept or dropped whole; fractional-document mixing
     * doesn't exist in corpus construction). T = min_s(w_s / share_s): the
-    * budget-limiting source keeps everything. Weights must be
-    * non-negative; the fixed arithmetic shape matches [[mixtureSample]]
-    * so the oracle replays bit-identically.
+    * budget-limiting source keeps everything. Weights must be non-negative
+    * and that IS ENFORCED for every source in `shares`: min(weight) rides
+    * the same per-source stats aggregate (no extra pass) and a negative
+    * weight in a blended source raises — a negative-sum source would
+    * otherwise be dropped by the `_n > 0` filter indistinguishably from an
+    * absent one, and per-row negatives silently skew the kept-weight
+    * expectation. (Sources NOT in the share map are dropped unchecked,
+    * like their zero-weight siblings.) The fixed arithmetic shape matches
+    * [[mixtureSample]] so the oracle replays bit-identically.
     */
   def mixtureSampleByWeight(df: DataFrame, idCol: String, sourceCol: String,
                             weightCol: String, shares: Map[String, Double],
                             seed: Long = 0L): DataFrame =
-    mixtureImpl(df, idCol, sourceCol, sum(col(weightCol)).as("_n"), shares, seed)
+    mixtureImpl(df, idCol, sourceCol, sum(col(weightCol)).as("_n"), shares, seed,
+      minAgg = Some(min(col(weightCol)).as("_minw")))
 
   private def mixtureImpl(df: DataFrame, idCol: String, sourceCol: String,
                           sizeAgg: org.apache.spark.sql.Column,
-                          shares: Map[String, Double], seed: Long): DataFrame = {
+                          shares: Map[String, Double], seed: Long,
+                          minAgg: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(shares.nonEmpty, "mixtureSample: empty shares")
     require(shares.values.forall(_ > 0.0), "mixtureSample: shares must be > 0")
     val shareCol = shares.foldLeft(lit(null).cast("double")) { case (acc, (s, f)) =>
@@ -128,7 +136,22 @@ object Sampling {
     // its own keep probability divides 0/0 → NaN, which least(1.0, NaN)
     // resolves to 1.0 — keeping exactly the degenerate source and nothing
     // else. Never reachable for the count form (groups have >= 1 row).
-    val j = df.groupBy(sourceCol).agg(sizeAgg)
+    //
+    // minAgg (the weighted form): min(weight) over EVERY source — checked
+    // declaratively via raise_error BEFORE the _n > 0 filter can hide a
+    // negative-sum source, and with zero extra passes (it rides the same
+    // stats aggregate; the error fires when the threshold table
+    // materializes).
+    val stats = df.groupBy(sourceCol).agg(sizeAgg, minAgg.toSeq: _*)
+    val checked = minAgg match {
+      case Some(_) => stats.withColumn("_n",
+        when(col("_minw") < 0,
+          raise_error(concat(lit("mixtureSampleByWeight: negative weight in source '"),
+            col(sourceCol).cast("string"), lit("' (weights must be non-negative)"))))
+          .otherwise(col("_n")))
+      case None => stats
+    }
+    val j = checked
       .withColumn("_share", shareCol)
       .filter(col("_share").isNotNull && col("_n") > 0)
     val t = j.agg(min(col("_n") / col("_share")).as("_T"))

@@ -21,26 +21,47 @@ object TermStats {
     * engines where log(N/df) is at the mercy of libm rounding).
     * Ties break by term ascending; score rounded to 6.
     *
-    * Scale shape: tf = one map-side-combined shuffle on (doc, term); df =
-    * distinct + count keyed by term (vocabulary-sized — AQE broadcasts it
-    * back onto tf); the rank window partitions per document over that
-    * document's own vocabulary, never the corpus. Whitespace tokenization
-    * matches T7's vocabulary build.
+    * Scale shape: the corpus is tokenized and exchanged ONCE. tf = one
+    * map-side-combined shuffle on (doc, term), PERSISTED (A15: the frame
+    * feeds two plan positions — the score join and the df derivation; an
+    * exchange-reuse formulation is not available because the optimizer
+    * rewrites the df branch's copy of the tf aggregate into a plain
+    * distinct, un-sharing the shuffle). df derives FROM tf (`tf` already
+    * holds exactly one row per (doc, term), so df = count per term over
+    * tf) — the old distinct-over-raw-tokens df paid a SECOND full corpus
+    * tokenize + (doc, term) exchange for information tf already had. The
+    * df aggregate itself exchanges vocabulary-sized partials, and the rank
+    * window partitions per document over that document's own vocabulary,
+    * never the corpus. Whitespace tokenization matches T7's vocabulary
+    * build.
+    *
+    * `release` follows the loan contract (see Dedup.withPersistedSets):
+    * default false leaves the tf cache to LRU (right when the session will
+    * re-derive more from it); true eagerly materializes the (k-per-doc)
+    * result into its own persist — owned by the caller — and drops the tf
+    * cache before returning.
     */
   def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
-                       k: Int): DataFrame = {
+                       k: Int, release: Boolean = false): DataFrame = {
     require(k >= 1, "distinctiveTerms: k must be >= 1")
     val toks = docs.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select(col(idCol), col("term")).distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
-    tf.join(dfreq, "term")
+    val res = tf.join(dfreq, "term")
       .withColumn("score", round(col("tf").cast("double") / col("df").cast("double"), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+    if (!release) res
+    else {
+      val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      tf.unpersist()
+      out
+    }
   }
 
   /** Corpus-wide word n-gram counts — the classic LM-statistics workload

@@ -128,6 +128,17 @@ class JoinsSpec extends SparkTestBase {
     assert(canon(bucketed) == canon(exact))
   }
 
+  test("saltedJoin refuses a fact-sized right side unless the blow-up is deliberate (VERDICT r6)") {
+    val bigRight = spark.range(100).toDF("k")
+      .withColumn("rv", lit("x"))
+    val ex = intercept[IllegalArgumentException](
+      Joins.saltedJoin(left, bigRight, ("k", "k"), buckets = 4, maxExplodedRows = 200))
+    assert(ex.getMessage.contains("exploded rows"), s"got: ${ex.getMessage}")
+    // raising the limit (or passing 0) overrides deliberately
+    assert(Joins.saltedJoin(left, bigRight, ("k", "k"), 4, maxExplodedRows = 0)
+      .count() == left.filter("k IS NOT NULL").count())
+  }
+
   test("saltedJoin tolerates unhashable (map) columns by excluding them from the salt") {
     val l = left.withColumn("props", map(lit("a"), lit("b")))
     val base = Joins.hashJoin(left, right, ("k", "k")).count()

@@ -93,6 +93,33 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("sniff-passing garbage bodies fall back to the stub instead of throwing (ADVICE r6)") {
+    // realistic corpus text that PASSES the magic sniff: 'BM25...' sniffs
+    // as BMP, 'GIF89a...' prose sniffs as GIF — the JDK readers THROW on
+    // the garbage body (they don't return null), and the decode must stay
+    // total: fall through to the hash stub, never fail the job.
+    val corrupt = Seq(
+      (0L, "BM25 is a ranking function used by search engines"),
+      (1L, "GIF89a was superseded but this is just prose about it"),
+      (2L, Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A, 7, 7)
+        .map(_.toByte).map(_.toChar).mkString) // PNG magic, truncated body
+    ).toDF("doc_id", "text")
+    val withPayload = Multimodal.attachPayload(corrupt, "doc_id", "text")
+      .withColumn("media_type", lit("image"))
+    corrupt.collect().foreach { r =>
+      val bytes = r.getString(1).map(_.toByte).toArray
+      if (Multimodal.looksLikeImage(bytes))
+        assert(Multimodal.tryDecodeImage(bytes).isEmpty,
+          s"garbage sniff-passer must decode to None, not throw: ${r.getLong(0)}")
+    }
+    val out = Multimodal.decodeBatches(spark, withPayload, "doc_id").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val want = Multimodal.stubDecode(r.sha256, "image")
+      assert(r.meta == want, s"sniff-passing garbage must stub-decode: ${r.doc_id}")
+    }
+  }
+
   test("looksLikeImage sniffs magic bytes without a decoder probe") {
     assert(Multimodal.looksLikeImage(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)))
     assert(Multimodal.looksLikeImage(Array(0xFF, 0xD8, 0xFF, 0xE0, 0, 0, 0, 0).map(_.toByte)))

@@ -244,6 +244,21 @@ class PlanSpec extends SparkTestBase {
       s"expected the 1-row stats broadcast cross in:\n$p")
   }
 
+  test("distinctiveTerms: the corpus is tokenized and exchanged ONCE — df reads the tf cache (T10)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(TermStats.distinctiveTerms(docs, "doc_id", "text", 3))
+    // both the score join and the df aggregate must read the persisted
+    // tf frame — never re-tokenize the corpus (the pre-r7 distinct-based
+    // df paid a second full scan + (doc, term) exchange)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"both plan positions must read the tf cache:\n$p")
+    // the detail section prints each physical node ONCE by id: the two
+    // InMemoryRelations must share one cached subtree, so the (doc, term)
+    // corpus exchange (and with it the tokenize + scan) appears exactly once
+    assert("Arguments: hashpartitioning\\(doc_id[^)]*term".r.findAllIn(p).length == 1,
+      s"exactly one (doc, term) corpus exchange — shared via the tf cache:\n$p")
+  }
+
   test("hive-partitioned read prunes partitions at plan time (S7)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = "target/tmp/planspec_part_documents"

@@ -136,4 +136,21 @@ class SamplingSpec extends SparkTestBase {
     assert(kd.filter($"src" === "b").count() == 0, "degenerate source drops")
     assert(kd.filter($"src" === "a").count() == 500L, "remaining source keeps everything")
   }
+
+  test("mixtureSampleByWeight raises on a negative weight in a blended source (ADVICE r6)") {
+    import org.apache.spark.sql.functions._
+    val df = ((1 to 100).map(i => (i.toLong, "a", 2L)) ++
+      (101 to 200).map(i => (i.toLong, "b", 1L))).toDF("id", "src", "w")
+    // per-row negative with POSITIVE source sum: previously silently skewed
+    // the kept-weight expectation — must now fail loudly
+    val rowNeg = df.withColumn("w", when($"id" === 5L, -3L).otherwise($"w"))
+    val e1 = intercept[Exception](Sampling.mixtureSampleByWeight(
+      rowNeg, "id", "src", "w", Map("a" -> 0.5, "b" -> 0.5)).count())
+    assert(e1.getMessage.contains("negative weight"), s"got: ${e1.getMessage}")
+    // negative SUM: previously indistinguishable from an absent source
+    val sumNeg = df.withColumn("w", when($"src" === "b", -1L).otherwise($"w"))
+    val e2 = intercept[Exception](Sampling.mixtureSampleByWeight(
+      sumNeg, "id", "src", "w", Map("a" -> 0.5, "b" -> 0.5)).count())
+    assert(e2.getMessage.contains("negative weight"), s"got: ${e2.getMessage}")
+  }
 }
