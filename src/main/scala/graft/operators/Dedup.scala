@@ -762,6 +762,142 @@ object Dedup {
     newVecs.join(matched, newVecs(idCol) === matched("id_1"), "left_anti")
   }
 
+  // ------------------------------------------------------------------ //
+  // Materialized incremental-ingest indexes.                            //
+  //                                                                     //
+  // Every incremental operator above reduces the corpus to a probe      //
+  // structure — the distinct-fingerprint set (exact), the band index +  //
+  // shingle sets (MinHash), the sketch-band index + vectors             //
+  // (embedding) — and at 100 TB that structure is the thing a daily     //
+  // pipeline KEEPS between batches instead of re-deriving it from raw   //
+  // corpus text/vectors each morning. The builders below return exactly //
+  // the frames the in-one-shot operators compute internally; the        //
+  // write/read pairs shard them to parquet (ParquetSink layout); the    //
+  // *FromIndex probes run the SAME candidate/verify/anti-join pipeline  //
+  // against the LOADED frames — bit-identical results to the one-shot   //
+  // forms (driver-gated: d2c_index_replay replays d2b from the saved    //
+  // index), with the corpus never re-shingled / re-sketched / even      //
+  // scanned. Batch parameters (n, banding) must match the build; they   //
+  // shape the BATCH side of the probe, the corpus side is frozen in     //
+  // the index.                                                          //
+  // ------------------------------------------------------------------ //
+
+  /** The exact-ingest probe structure: the corpus' distinct normalized
+    * fingerprints ([[exactIncremental]]'s corpus side, exposed). 16 bytes
+    * per distinct document — the frame to [[ParquetSink.writeSharded]]
+    * once and probe every batch.
+    */
+  def fingerprintIndex(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(Text.fingerprint(col(textCol)).as("fingerprint")).distinct()
+
+  /** [[exactIncremental]] against a prebuilt (typically parquet-loaded)
+    * [[fingerprintIndex]]: the corpus is not scanned at all — the anti
+    * join probes the index frame directly.
+    */
+  def exactIncrementalFromIndex(newDocs: DataFrame, index: DataFrame,
+                                idCol: String, textCol: String): DataFrame =
+    newDocs.withColumn("fingerprint", Text.fingerprint(col(textCol)))
+      .join(index.select("fingerprint"), Seq("fingerprint"), "left_anti")
+
+  /** The MinHash-ingest probe structure: `sets` = one row per corpus doc
+    * (id, n_sh, shs — the sorted 8-byte shingle keys the exact-Jaccard
+    * verify needs), `bands` = the banded signature index (id, band, bkey —
+    * what batch band keys equi-join against). Both at 8-byte-key scale,
+    * never text.
+    */
+  case class MinhashIndex(sets: DataFrame, bands: DataFrame)
+
+  def buildMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, bands: Int = 32,
+                        rowsPerBand: Int = 2): MinhashIndex = {
+    val sets = shingleSets(corpus, idCol, textCol, n)
+    MinhashIndex(sets, bandKeys(sets, idCol, idCol, bands, rowsPerBand))
+  }
+
+  /** Persist / load a [[MinhashIndex]] as two sharded parquet tables under
+    * `path` (`sets/`, `bands/`). Shard count sizes the files — see
+    * [[graft.sources.ParquetSink.writeSharded]].
+    */
+  def writeMinhashIndex(index: MinhashIndex, path: String, idCol: String,
+                        shards: Int): Unit = {
+    graft.sources.ParquetSink.writeSharded(index.sets, s"$path/sets", idCol, shards)
+    graft.sources.ParquetSink.writeSharded(index.bands, s"$path/bands", idCol, shards)
+  }
+
+  def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): MinhashIndex =
+    MinhashIndex(spark.read.parquet(s"$path/sets"), spark.read.parquet(s"$path/bands"))
+
+  /** [[minhashIncremental]] probing a prebuilt [[MinhashIndex]]: only the
+    * BATCH is shingled; the corpus side of candidates comes from
+    * `index.bands` and of verification from `index.sets` — the corpus
+    * text is never touched. `n`/`bands`/`rowsPerBand` describe the batch
+    * side and MUST match the index build. Result is bit-identical to the
+    * one-shot form on the same corpus (driver-gated, d2c_index_replay).
+    * `releaseSets` loans the BATCH shingle-set persist
+    * ([[withPersistedSets]] contract; the index frames are plain parquet
+    * scans, nothing to release).
+    */
+  def minhashIncrementalFromIndex(newDocs: DataFrame, index: MinhashIndex,
+                                  idCol: String, textCol: String,
+                                  threshold: Double, n: Int = 3,
+                                  bands: Int = 32, rowsPerBand: Int = 2,
+                                  releaseSets: Boolean = false): DataFrame =
+    withPersistedSets(shingleSets(newDocs, idCol, textCol, n), releaseSets) { bsets =>
+      val candidates = bandKeys(bsets, idCol, "id_1", bands, rowsPerBand)
+        .join(index.bands.select(col(idCol).as("id_2"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .select("id_1", "id_2").distinct()
+      val matched = verifyJaccard2(candidates, bsets, index.sets, idCol, threshold)
+        .select(col("id_1")).distinct()
+      newDocs.join(matched, newDocs(idCol) === matched("id_1"), "left_anti")
+    }
+
+  /** The embedding-ingest probe structure: `vecs` = (id, vector) for exact
+    * cosine verification, `bands` = the sketch-band index (id, band, bkey).
+    */
+  case class EmbeddingIndex(vecs: DataFrame, bands: DataFrame)
+
+  def buildEmbeddingIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, bands: Int = 16, bitsPerBand: Int = 8,
+                          ordinal: Boolean = false): EmbeddingIndex =
+    EmbeddingIndex(corpus.select(col(idCol), col(vecCol)),
+      Similarity.bandIndexRows(corpus, idCol, vecCol, dim, bands, bitsPerBand, ordinal))
+
+  def writeEmbeddingIndex(index: EmbeddingIndex, path: String, idCol: String,
+                          shards: Int): Unit = {
+    graft.sources.ParquetSink.writeSharded(index.vecs, s"$path/vecs", idCol, shards)
+    graft.sources.ParquetSink.writeSharded(index.bands, s"$path/bands", idCol, shards)
+  }
+
+  def readEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): EmbeddingIndex =
+    EmbeddingIndex(spark.read.parquet(s"$path/vecs"), spark.read.parquet(s"$path/bands"))
+
+  /** [[embeddingIncremental]] probing a prebuilt [[EmbeddingIndex]]: only
+    * the BATCH is sketched; corpus candidates come from `index.bands`,
+    * verification vectors from `index.vecs`. Banding parameters describe
+    * the batch side and MUST match the index build.
+    */
+  def embeddingIncrementalFromIndex(newVecs: DataFrame, index: EmbeddingIndex,
+                                    idCol: String, vecCol: String,
+                                    threshold: Double, dim: Int,
+                                    bands: Int = 16, bitsPerBand: Int = 8,
+                                    ordinal: Boolean = false): DataFrame = {
+    val candidates = Similarity
+      .bandIndexRows(newVecs, idCol, vecCol, dim, bands, bitsPerBand, ordinal)
+      .select(col(idCol).as("id_1"), col("band"), col("bkey"))
+      .join(index.bands.select(col(idCol).as("id_2"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select("id_1", "id_2").distinct()
+    val v1 = newVecs.select(col(idCol).as("id_1"), col(vecCol).as("v_1"))
+    val v2 = index.vecs.select(col(idCol).as("id_2"), col(vecCol).as("v_2"))
+    val matched = candidates.join(v1, "id_1").join(v2, "id_2")
+      .filter(round(Vectors.cosine(col("v_1"), col("v_2")), 6) >= threshold)
+      .select("id_1").distinct()
+    newVecs.join(matched, newVecs(idCol) === matched("id_1"), "left_anti")
+  }
+
   /** High-threshold variant: banded sign-sketch LSH candidates
     * ([[Similarity.lshCandidates]]) + exact cosine verification. Sub-
     * quadratic candidate generation; recall follows the sign-LSH S-curve

@@ -174,6 +174,16 @@ object Similarity {
         Seq("band", "bkey"))
       .select("id_1", "id_2").distinct()
 
+  /** Banded sketch rows under the ORIGINAL id column name — the
+    * materialized-index form ([[graft.operators.Dedup.buildEmbeddingIndex]]
+    * shards this frame to parquet between ingest batches). Same single
+    * banding definition as the candidate joins ([[bandRows]]), so a saved
+    * index and a live probe can never drift on the sketch scheme.
+    */
+  def bandIndexRows(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    bands: Int, bitsPerBand: Int, ordinal: Boolean): DataFrame =
+    bandRows(df, idCol, idCol, vecCol, dim, bands, bitsPerBand, ordinal)
+
   /** The ONE definition of banded sketch rows (id aliased to `as`, band,
     * bkey) shared by the self-join and cross-corpus candidate forms so the
     * banding scheme can never drift between them.

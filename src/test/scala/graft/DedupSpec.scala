@@ -330,6 +330,50 @@ class DedupSpec extends SparkTestBase {
       0.9, dim = 4).count() == 0)
   }
 
+  test("materialized-index replay bit-matches the one-shot incremental forms (D2c/D8c/D5d)") {
+    val dir = "target/tmp/dedupspec_idx"
+    val batch = corpus.filter(col("doc_id").isin(1L, 4L))
+    val corp = corpus.filter(!col("doc_id").isin(1L, 4L))
+    // MinHash: build → shard to parquet → reload → probe == one-shot
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corp, "doc_id", "text", n = 2),
+      s"$dir/mh", "doc_id", shards = 2)
+    val mh = Dedup.minhashIncrementalFromIndex(batch,
+      Dedup.readMinhashIndex(spark, s"$dir/mh"), "doc_id", "text", 0.5, n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    val mhDirect = Dedup.minhashIncremental(batch, corp, "doc_id", "text", 0.5, n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(mh == mhDirect && mh == Set(4L), s"minhash replay diverged: $mh vs $mhDirect")
+    // exact: fingerprint index round-trip == one-shot
+    graft.sources.ParquetSink.writeSharded(Dedup.fingerprintIndex(corp, "text"),
+      s"$dir/fp", "fingerprint", shards = 2)
+    val ex = Dedup.exactIncrementalFromIndex(batch, spark.read.parquet(s"$dir/fp"),
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    val exDirect = Dedup.exactIncremental(batch, corp, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ex == exDirect, s"exact replay diverged: $ex vs $exDirect")
+    // embedding: vectors + sketch bands round-trip == one-shot
+    val vbatch = Seq(
+      (1L, Array(1.0f, 0.0f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val vcorp = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    Dedup.writeEmbeddingIndex(
+      Dedup.buildEmbeddingIndex(vcorp, "vec_id", "embedding", dim = 4,
+        bands = 16, bitsPerBand = 2),
+      s"$dir/emb", "vec_id", shards = 2)
+    val emb = Dedup.embeddingIncrementalFromIndex(vbatch,
+      Dedup.readEmbeddingIndex(spark, s"$dir/emb"), "vec_id", "embedding",
+      0.9, dim = 4, bands = 16, bitsPerBand = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val embDirect = Dedup.embeddingIncremental(vbatch, vcorp, "vec_id", "embedding",
+      0.9, dim = 4, bands = 16, bitsPerBand = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(emb == embDirect && emb == Set(2L), s"embedding replay diverged: $emb vs $embDirect")
+  }
+
   test("decontaminationPairs releaseSets drops both shingle-set caches (D7 loan)") {
     val train = Seq(
       (100L, "preamble words here the quick brown fox jumps over the lazy dog and trailing text"),

@@ -224,6 +224,29 @@ class PlanSpec extends SparkTestBase {
       s"the corpus index must be probed by equi-join, never all-pairs:\n$p")
   }
 
+  test("index replay probes ONLY the saved index — the corpus source is never scanned (D2c)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpusPath = "target/tmp/planspec_d2c_corpus"
+    val batchPath = "target/tmp/planspec_d2c_batch"
+    val idxPath = "target/tmp/planspec_d2c_idx"
+    docs.filter(col("doc_id") % 9 =!= 0).write.mode("overwrite").parquet(corpusPath)
+    docs.filter(col("doc_id") % 9 === 0).write.mode("overwrite").parquet(batchPath)
+    Dedup.writeMinhashIndex(
+      Dedup.buildMinhashIndex(spark.read.parquet(corpusPath), "doc_id", "text"),
+      idxPath, "doc_id", shards = 2)
+    val p = plan(Dedup.minhashIncrementalFromIndex(spark.read.parquet(batchPath),
+      Dedup.readMinhashIndex(spark, idxPath), "doc_id", "text", threshold = 0.5))
+    // the whole point of the materialized index: corpus text is neither
+    // re-shingled nor even READ in the replay — every corpus-side input
+    // (band keys, shingle sets) comes from the saved index files
+    assert(!p.contains("planspec_d2c_corpus"),
+      s"replay must not touch the corpus source:\n$p")
+    assert(p.contains("planspec_d2c_idx"),
+      s"replay must scan the saved index:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"index probe must stay an equi-join:\n$p")
+  }
+
   test("PNG encode/decode round-trip is narrow — no exchange anywhere (M2b)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 100)
     val p = plan(Multimodal.decodeImageBatches(spark,
