@@ -949,6 +949,46 @@ object SparkEntry {
       dims.join(px, "doc_id").orderBy("doc_id")
     }),
 
+    // M4b: REAL pixel resize — PNG fixtures pushed through the
+    // nearest-neighbor resampler into a deliberately SMALL box (8x6; the
+    // fixtures are up to 31x17, so most rows genuinely rescale, and the
+    // extreme strips exercise the >=1 clamp). The oracle recomputes the
+    // resampled px_sum from the closed-form source raster and the integer
+    // index mapping — the m2b recipe applied to the resized grid; no
+    // digest stub anywhere in this row.
+    "m4b_resize_pixels" -> ((s, d) => {
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val png = Multimodal.encodePngBatches(s, ids, "doc_id")
+      Multimodal.resizePixelsToBox(s, png, "doc_id", 8, 6).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("new_width").cast("long").as("new_width"),
+          col("new_height").cast("long").as("new_height"),
+          col("px_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // M2c: REAL audio decode via JDK javax.sound.sampled — deterministic
+    // WAV fixtures (AudioSystem-encoded 16-bit PCM; rate/channels/frames
+    // and every sample closed-form in doc_id) pushed through BOTH real
+    // decode paths: decodeBatches reads the header (channels/sample_rate
+    // ride the MediaMeta width/height slots — documented contract),
+    // decodeAudioBatches sums the PCM body. The oracle recomputes all
+    // fields from the closed form — a genuine sample-level decode check,
+    // no hash stub anywhere in this row (the m2b recipe applied to audio).
+    "m2c_audio_decode" -> ((s, d) => {
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val wav = Multimodal.encodeWavBatches(s, ids, "doc_id")
+      val meta = Multimodal.decodeBatches(s, wav, "doc_id").toDF()
+        .select(col("doc_id"), col("meta.width").cast("long").as("channels"),
+          col("meta.height").cast("long").as("sample_rate"),
+          col("meta.n_frames").cast("long").as("n_frames"),
+          col("meta.duration_ms").as("duration_ms"))
+      val pcm = Multimodal.decodeAudioBatches(s, wav, "doc_id").toDF()
+        .select(col("doc_id"), col("amp_sum"))
+      meta.join(pcm, "doc_id").orderBy("doc_id")
+    }),
+
     // V1: per-label embedding centroids (class prototypes) — map-side
     // partial aggregation of per-coordinate means, long-format output
     "v1_label_centroids" -> ((s, d) =>
@@ -2301,9 +2341,11 @@ object SparkEntry {
         "FROM documents WHERE doc_id % 3 != 1) " +
         "SELECT doc_id, media_type, width, height, " +
         "CASE WHEN width <= 640 AND height <= 480 THEN width " +
-        "WHEN width * 480 >= height * 640 THEN 640 ELSE (width * 480) // height END AS new_width, " +
+        "WHEN width * 480 >= height * 640 THEN 640 " +
+        "ELSE greatest(1, (width * 480) // height) END AS new_width, " +
         "CASE WHEN width <= 640 AND height <= 480 THEN height " +
-        "WHEN width * 480 >= height * 640 THEN (height * 640) // width ELSE 480 END AS new_height, " +
+        "WHEN width * 480 >= height * 640 THEN greatest(1, (height * 640) // width) " +
+        "ELSE 480 END AS new_height, " +
         "CASE WHEN width <= 640 AND height <= 480 THEN sha " +
         "ELSE sha256(sha || '->640x480') END AS resized_sha " +
         "FROM m ORDER BY doc_id"),
@@ -2719,6 +2761,44 @@ object SparkEntry {
         "SELECT doc_id, (1 + doc_id % 31)::BIGINT AS width, " +
         "(1 + doc_id % 17)::BIGINT AS height, 1::BIGINT AS n_frames, " +
         "px_sum::BIGINT AS px_sum FROM px ORDER BY doc_id"),
+
+    // closed-form resized-raster oracle: target dims from the integer
+    // fit-to-box formula (>=1 clamp), source pixel for (x, y) =
+    // (x*w // nw, y*h // nh), gray = (7*sx + 13*sy + id) mod 256 — the
+    // m2b fixture formula sampled on the resized grid
+    "m4b_resize_pixels" ->
+      ("WITH f AS (SELECT doc_id, 1 + doc_id % 31 AS w, 1 + doc_id % 17 AS h " +
+        "FROM documents WHERE doc_id < 100), " +
+        "dims AS (SELECT doc_id, w, h, " +
+        "CASE WHEN w <= 8 AND h <= 6 THEN w WHEN w * 6 >= h * 8 THEN 8 " +
+        "ELSE greatest(1, (w * 6) // h) END AS nw, " +
+        "CASE WHEN w <= 8 AND h <= 6 THEN h WHEN w * 6 >= h * 8 " +
+        "THEN greatest(1, (h * 8) // w) ELSE 6 END AS nh FROM f), " +
+        "px AS (SELECT dm.doc_id, " +
+        "sum((((x.range * dm.w) // dm.nw) * 7 + ((y.range * dm.h) // dm.nh) * 13 + dm.doc_id) % 256) AS s " +
+        "FROM dims dm CROSS JOIN range(0, 8) x CROSS JOIN range(0, 6) y " +
+        "WHERE x.range < dm.nw AND y.range < dm.nh GROUP BY dm.doc_id) " +
+        "SELECT dm.doc_id, dm.w::BIGINT AS width, dm.h::BIGINT AS height, " +
+        "dm.nw::BIGINT AS new_width, dm.nh::BIGINT AS new_height, " +
+        "p.s::BIGINT AS px_sum FROM dims dm JOIN px p USING (doc_id) " +
+        "ORDER BY doc_id"),
+
+    // closed-form WAV round-trip: rate/channels/frames/duration and the
+    // PCM amplitude sum recomputed from the fixture formula
+    // (rate = 8000 + (id%8)*1000, channels = 1 + id%2,
+    // frames = 500 + id%251, sample_i = ((31i + id) mod 512) - 256,
+    // every channel of a frame carries the same value)
+    "m2c_audio_decode" ->
+      ("WITH amp AS (SELECT d.doc_id, " +
+        "sum(((r.range * 31 + d.doc_id) % 512) - 256) AS s " +
+        "FROM documents d CROSS JOIN range(0, 751) r " +
+        "WHERE d.doc_id < 100 AND r.range < 500 + d.doc_id % 251 " +
+        "GROUP BY d.doc_id) " +
+        "SELECT doc_id, (1 + doc_id % 2)::BIGINT AS channels, " +
+        "(8000 + (doc_id % 8) * 1000)::BIGINT AS sample_rate, " +
+        "(500 + doc_id % 251)::BIGINT AS n_frames, " +
+        "(((500 + doc_id % 251) * 1000) // (8000 + (doc_id % 8) * 1000))::BIGINT AS duration_ms, " +
+        "(s * (1 + doc_id % 2))::BIGINT AS amp_sum FROM amp ORDER BY doc_id"),
 
     // the same SQL text shape the Spark side runs via spark.sql
     "q_sql_surface" ->

@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
   * media library needed): [[decodeBatches]] sniffs the payload's magic
   * bytes and reads true dimensions when it is a decodable image;
   * [[decodeImageBatches]] additionally exposes pixel data (verified
-  * against a closed-form oracle in `m2b_image_decode`). Only AUDIO/VIDEO
-  * decode remains a stub (`stubDecode` — deterministic fake metadata from
-  * a payload hash; the container has no codec libraries), and a
-  * non-image payload tagged "image" falls back to the same stub.
+  * against a closed-form oracle in `m2b_image_decode`). AUDIO payloads
+  * decode for REAL via the JDK's `javax.sound.sampled` (WAV/AIFF headers
+  * + PCM bodies): [[decodeBatches]] reads channels / sample rate / frame
+  * count / true duration; [[decodeAudioBatches]] additionally sums every
+  * PCM sample (oracle row `m2c_audio_decode`). Only VIDEO decode remains
+  * a stub (`stubDecode` — deterministic fake metadata from a payload
+  * hash; the container has no video codec libraries), and a non-media
+  * payload tagged image/audio falls back to the same stub.
   *
   * Scale notes: payloads never shuffle — decode/feature-extract are narrow
   * `mapPartitions` (one decoder init per partition, not per row, which is
@@ -65,14 +69,59 @@ object Multimodal {
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
       catch { case scala.util.control.NonFatal(_) => None }
 
-  /** ==== STUB (audio/video only) ==== deterministic fake decoder for the
-    * formats the JDK cannot parse (no codec libraries in this container):
-    * metadata is derived from hex digits of the payload's sha256 — purely
-    * a function of the bytes (reproducible) AND expressible in any SQL
-    * engine with a sha256, which is what makes the decode oracle-checkable
-    * (DuckDB: `('0x' || substr(sha256(text), f, l))::BIGINT`). Image
-    * payloads only reach this when they are not actually decodable
-    * (see [[decodeBatches]]).
+  /** Cheap RIFF/WAVE magic sniff — the audio analogue of
+    * [[looksLikeImage]]: does the payload start like a container
+    * `javax.sound.sampled` ships a reader for? (WAV: "RIFF" at 0,
+    * "WAVE" at 8. The JDK also reads AIFF/AU; WAV is the fixture and
+    * ingest-realistic format here.)
+    */
+  private[graft] def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** REAL audio header decode via the JDK (`javax.sound.sampled` — zero
+    * external codec libraries, the ImageIO move applied to audio): sample
+    * rate, channel count, and frame length from the WAV header, true
+    * duration_ms = frames·1000 / rate (floor, exact long arithmetic —
+    * fixture rates are integral). None when the payload is not decodable
+    * audio (wrong magic, garbage body, unknown frame count) — total, like
+    * [[tryDecodeImage]].
+    *
+    * Field mapping into the fixed [[MediaMeta]] shape: audio has no
+    * spatial dimensions, so `width` carries CHANNELS and `height` carries
+    * SAMPLE_RATE (documented contract, asserted by the m2c oracle);
+    * `n_frames` = PCM sample frames.
+    */
+  private[graft] def tryDecodeWav(payload: Array[Byte]): Option[MediaMeta] =
+    if (!looksLikeWav(payload)) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          if (frames < 0 || fmt.getSampleRate <= 0 || fmt.getChannels < 1) None
+          else {
+            val rate = math.max(1L, math.round(fmt.getSampleRate.toDouble))
+            Some(MediaMeta(
+              width = fmt.getChannels,
+              height = math.min(rate, Int.MaxValue).toInt,
+              n_frames = math.min(frames, Int.MaxValue).toInt,
+              duration_ms = frames * 1000L / rate))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** ==== STUB (video + non-decodable audio only) ==== deterministic fake
+    * decoder for the formats the JDK cannot parse (no codec libraries in
+    * this container): metadata is derived from hex digits of the payload's
+    * sha256 — purely a function of the bytes (reproducible) AND expressible
+    * in any SQL engine with a sha256, which is what makes the decode
+    * oracle-checkable (DuckDB: `('0x' || substr(sha256(text), f, l))::
+    * BIGINT`). Image/audio payloads only reach this when they are not
+    * actually decodable (see [[decodeBatches]]).
     */
   def stubDecode(shaHex: String, mediaType: String): MediaMeta = {
     def hx(from: Int, len: Int): Long =
@@ -90,9 +139,12 @@ object Multimodal {
     *
     * Image-typed payloads that really ARE images (magic-byte sniff +
     * `ImageIO.read`) decode for real: true width/height, n_frames = 1,
-    * duration 0. Everything else — audio/video, and image-typed payloads
-    * that don't parse (the testdata's utf-8 fixtures) — takes the
-    * deterministic hash stub, so the operator is total either way.
+    * duration 0. Audio-typed payloads that really are WAV (RIFF sniff +
+    * `javax.sound.sampled`) decode for real: channels/sample_rate (in the
+    * width/height slots — see [[tryDecodeWav]]), true frame count and
+    * duration_ms. Everything else — video, and image/audio payloads that
+    * don't parse (the testdata's utf-8 fixtures) — takes the deterministic
+    * hash stub, so the operator is total either way.
     */
   def decodeBatches(spark: SparkSession, withPayload: DataFrame,
                     idCol: String): Dataset[MediaRow] = {
@@ -101,17 +153,19 @@ object Multimodal {
       .select(col(idCol).cast("long"), col("payload"), col("media_type"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
-        // per-partition decoder init (ImageIO uses its static registry;
-        // codec contexts for audio/video would init here)
+        // per-partition decoder init (ImageIO / AudioSystem use their
+        // static registries; codec contexts for video would init here)
         val digest = java.security.MessageDigest.getInstance("SHA-256")
         rows.map { case (id, payload, mt) =>
           digest.reset()
           val sha = digest.digest(payload).map("%02x".format(_)).mkString
-          val meta = (if (mt == "image") tryDecodeImage(payload) else None) match {
-            case Some(img) => MediaMeta(img.getWidth, img.getHeight, 1, 0L)
-            case None => stubDecode(sha, mt)
+          val real = mt match {
+            case "image" => tryDecodeImage(payload).map(img =>
+              MediaMeta(img.getWidth, img.getHeight, 1, 0L))
+            case "audio" => tryDecodeWav(payload)
+            case _ => None
           }
-          MediaRow(id, mt, payload.length.toLong, sha, meta)
+          MediaRow(id, mt, payload.length.toLong, sha, real.getOrElse(stubDecode(sha, mt)))
         }
       }
   }
@@ -151,6 +205,96 @@ object Multimodal {
       }
       .toDF(idCol, "payload")
       .withColumn("media_type", lit("image"))
+  }
+
+  /** Deterministic WAV fixture generator — REAL `AudioSystem.write` encode
+    * (16-bit signed little-endian PCM) in the same mapPartitions batch
+    * shape as [[encodePngBatches]]: for id the clip is
+    * (500 + id % 251) frames at (8000 + (id % 8)·1000) Hz with
+    * (1 + id % 2) channels, every channel of frame i carrying sample
+    * value ((i·31 + id) mod 512) − 256. Every property a decoder can
+    * read — rate, channels, frame count, duration, and the amplitude sum
+    * over all samples — is closed-form in the id, which makes the
+    * round-trip oracle-checkable in plain SQL (the m2c_audio_decode
+    * oracle). PCM is lossless, so the decode must return the exact
+    * samples the formula wrote.
+    */
+  def encodeWavBatches(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val rate = (8000 + (id % 8) * 1000).toInt
+          val channels = (1 + id % 2).toInt
+          val frames = (500 + id % 251).toInt
+          val data = new Array[Byte](frames * channels * 2)
+          var i = 0
+          while (i < frames) {
+            val v = (((i * 31 + id) % 512) - 256).toInt
+            var c = 0
+            while (c < channels) {
+              val off = (i * channels + c) * 2
+              data(off) = (v & 0xFF).toByte
+              data(off + 1) = ((v >> 8) & 0xFF).toByte
+              c += 1
+            }
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels,
+            true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF(idCol, "payload")
+      .withColumn("media_type", lit("audio"))
+  }
+
+  case class AudioPcm(doc_id: Long, sample_rate: Int, channels: Int,
+                      n_frames: Long, duration_ms: Long, amp_sum: Long)
+
+  /** REAL sample-level audio decode — the [[decodeImageBatches]] analogue:
+    * header fields plus the sum of every 16-bit PCM sample across all
+    * frames and channels, the cheapest whole-signal statistic that still
+    * proves the decoder read the body, not just the header. Requires
+    * 16-bit signed little-endian PCM (the fixture format and the
+    * overwhelmingly-common WAV layout); throws on anything else — this
+    * path is for known-audio columns, [[decodeBatches]] is the
+    * total/fallback form.
+    */
+  def decodeAudioBatches(spark: SparkSession, withPayload: DataFrame,
+                         idCol: String): Dataset[AudioPcm] = {
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = in.getFormat
+            require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+              s"decodeAudioBatches: id=$id is not 16-bit LE signed PCM")
+            val frames = in.getFrameLength
+            require(frames >= 0, s"decodeAudioBatches: id=$id has unknown frame count")
+            val bytes = in.readAllBytes()
+            var s = 0L
+            var off = 0
+            while (off + 1 < bytes.length) {
+              s += ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort.toLong
+              off += 2
+            }
+            val rate = math.max(1L, math.round(fmt.getSampleRate.toDouble))
+            AudioPcm(id, rate.toInt, fmt.getChannels, frames,
+              frames * 1000L / rate, s)
+          } finally in.close()
+        }
+      }
   }
 
   case class ImagePixels(doc_id: Long, width: Int, height: Int, px_sum: Long)
@@ -194,15 +338,16 @@ object Multimodal {
       transform(sequence(lit(0), lit(k - 1)),
         i => pmod(xxhash64(col("payload"), i), greatest(col("meta.n_frames").cast("long"), lit(1L)))))
 
-  /** ==== STUB ==== aspect-preserving fit-to-box resize plan over decoded
-    * media: computes target dimensions with PURE INTEGER arithmetic (no
-    * float scale factor — `w*boxH >= h*boxW` picks the binding axis, then
-    * one integer multiply/divide) and derives the "resized" payload's
-    * digest deterministically from the source digest and the box. A real
-    * implementation would decode + rescale pixels inside the decode
-    * `mapPartitions` stage; the dimension planning, schema, and lineage
-    * digest here are the engine-side contract either way. Narrow, no
-    * shuffle. Rows already inside the box pass through unscaled.
+  /** Aspect-preserving fit-to-box resize PLAN over decoded media: computes
+    * target dimensions with PURE INTEGER arithmetic (no float scale
+    * factor — `w*boxH >= h*boxW` picks the binding axis, then one integer
+    * multiply/divide, clamped to ≥ 1 so an extreme aspect ratio can never
+    * plan a zero-pixel axis) and derives the "resized" payload's digest
+    * deterministically from the source digest and the box (==== STUB ====
+    * for the payload bytes only — [[resizePixelsToBox]] is the REAL pixel
+    * resampler for decodable images, sharing this exact dimension
+    * formula). Narrow, no shuffle. Rows already inside the box pass
+    * through unscaled.
     */
   def resizeToBox(decoded: DataFrame, boxW: Int, boxH: Int): DataFrame = {
     require(boxW >= 1 && boxH >= 1, "resizeToBox: box must be positive")
@@ -213,12 +358,67 @@ object Multimodal {
     decoded.select(
       col("doc_id"), col("media_type"), w.as("width"), h.as("height"),
       when(fits, w).when(wide, lit(boxW.toLong))
-        .otherwise(expr(s"(meta.width * ${boxH}L) div meta.height")).as("new_width"),
-      when(fits, h).when(wide, expr(s"(meta.height * ${boxW}L) div meta.width"))
+        .otherwise(greatest(lit(1L), expr(s"(meta.width * ${boxH}L) div meta.height")))
+        .as("new_width"),
+      when(fits, h).when(wide,
+          greatest(lit(1L), expr(s"(meta.height * ${boxW}L) div meta.width")))
         .otherwise(lit(boxH.toLong)).as("new_height"),
       when(fits, col("sha256"))
         .otherwise(sha2(concat(col("sha256"), lit(s"->${boxW}x$boxH")), 256))
         .as("resized_sha"))
+  }
+
+  case class ResizedPixels(doc_id: Long, width: Int, height: Int,
+                           new_width: Int, new_height: Int, px_sum: Long)
+
+  /** REAL pixel resize — nearest-neighbor resampling inside the decode
+    * `mapPartitions` stage, replacing [[resizeToBox]]'s digest stub for
+    * decodable images: target dimensions from the SAME integer fit-to-box
+    * formula (binding axis, multiply/divide, ≥ 1 clamp; a row already
+    * inside the box passes through, where the source-index arithmetic
+    * degenerates to the identity), source pixel for target (x, y) =
+    * (x·w div nw, y·h div nh) — pure integer index math, no float kernel,
+    * so every output pixel is closed-form in the source raster and the
+    * resample is oracle-checkable (`m4b_resize_pixels` recomputes the
+    * resampled px_sum from the PNG fixture formula in SQL). Returns the
+    * low-byte (luminance) sum over the RESIZED raster — the decode-proof
+    * statistic of [[decodeImageBatches]], applied to the resampled grid.
+    * Throws on an undecodable payload (known-image columns; use
+    * [[decodeBatches]] + [[resizeToBox]] for the total/planning form).
+    */
+  def resizePixelsToBox(spark: SparkSession, withPayload: DataFrame,
+                        idCol: String, boxW: Int, boxH: Int): Dataset[ResizedPixels] = {
+    require(boxW >= 1 && boxH >= 1, "resizePixelsToBox: box must be positive")
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"resizePixelsToBox: payload for id=$id is not a decodable image")
+          val w = img.getWidth
+          val h = img.getHeight
+          val fits = w <= boxW && h <= boxH
+          val wide = w.toLong * boxH >= h.toLong * boxW
+          val nw = if (fits) w else if (wide) boxW
+                   else math.max(1L, w.toLong * boxH / h).toInt
+          val nh = if (fits) h else if (wide) math.max(1L, h.toLong * boxW / w).toInt
+                   else boxH
+          var s = 0L
+          var y = 0
+          while (y < nh) {
+            val sy = (y.toLong * h / nh).toInt
+            var x = 0
+            while (x < nw) {
+              val sx = (x.toLong * w / nw).toInt
+              s += (img.getRGB(sx, sy) & 0xFF).toLong
+              x += 1
+            }
+            y += 1
+          }
+          ResizedPixels(id, w, h, nw, nh, s)
+        }
+      }
   }
 
   /** Uniform temporal frame sampling — the standard video-pipeline recipe:

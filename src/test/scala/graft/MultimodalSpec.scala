@@ -93,6 +93,57 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("resizePixelsToBox: real NN resample matches the closed-form grid; identity when inside (M4b)") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val png = Multimodal.encodePngBatches(spark, ids, "doc_id")
+    val out = Multimodal.resizePixelsToBox(spark, png, "doc_id", 8, 6)
+      .collect().map(r => r.doc_id -> r).toMap
+    (0L until 40L).foreach { id =>
+      val w = (1 + id % 31).toInt
+      val h = (1 + id % 17).toInt
+      val fits = w <= 8 && h <= 6
+      val wide = w * 6 >= h * 8
+      val nw = if (fits) w else if (wide) 8 else math.max(1, w * 6 / h)
+      val nh = if (fits) h else if (wide) math.max(1, h * 8 / w) else 6
+      val exp = (for { y <- 0 until nh; x <- 0 until nw } yield
+        ((x * w / nw) * 7 + (y * h / nh) * 13 + id) % 256).sum
+      val r = out(id)
+      assert((r.width, r.height, r.new_width, r.new_height, r.px_sum) ==
+        ((w, h, nw, nh, exp)), s"NN resample for id=$id (${w}x$h -> ${nw}x$nh)")
+      if (fits) assert(r.px_sum == (for { y <- 0 until h; x <- 0 until w } yield
+        (x * 7 + y * 13 + id) % 256).sum, s"pass-through must keep every pixel: id=$id")
+    }
+  }
+
+  test("real WAV round-trip: javax.sound decode returns the exact fixture header + samples (M2c)") {
+    val ids = (0L until 20L).toDF("doc_id")
+    val wav = Multimodal.encodeWavBatches(spark, ids, "doc_id")
+    // header path (decodeBatches: channels/rate in the width/height slots)
+    val metas = Multimodal.decodeBatches(spark, wav.withColumn("media_type", lit("audio")),
+      "doc_id").collect().map(r => r.doc_id -> r.meta).toMap
+    // sample path (decodeAudioBatches: body read, amplitude summed)
+    val pcms = Multimodal.decodeAudioBatches(spark, wav, "doc_id")
+      .collect().map(p => p.doc_id -> p).toMap
+    (0L until 20L).foreach { id =>
+      val rate = (8000 + (id % 8) * 1000).toInt
+      val channels = (1 + id % 2).toInt
+      val frames = (500 + id % 251).toInt
+      val expSum = channels.toLong * (0 until frames).map(i => ((i * 31 + id) % 512) - 256).sum
+      val m = metas(id)
+      assert((m.width, m.height, m.n_frames, m.duration_ms) ==
+        ((channels, rate, frames, frames * 1000L / rate)),
+        s"decodeBatches WAV header for id=$id")
+      val p = pcms(id)
+      assert((p.sample_rate, p.channels, p.n_frames, p.amp_sum) ==
+        ((rate, channels, frames.toLong, expSum)),
+        s"decodeAudioBatches PCM body for id=$id")
+    }
+    // a sniff-passing garbage RIFF body stubs instead of throwing (total)
+    val fakeRiff = ("RIFF1234WAVEgarbage that is not a valid wave body at all")
+    assert(Multimodal.looksLikeWav(fakeRiff.getBytes("ISO-8859-1")))
+    assert(Multimodal.tryDecodeWav(fakeRiff.getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("sniff-passing garbage bodies fall back to the stub instead of throwing (ADVICE r6)") {
     // realistic corpus text that PASSES the magic sniff: 'BM25...' sniffs
     // as BMP, 'GIF89a...' prose sniffs as GIF — the JDK readers THROW on
