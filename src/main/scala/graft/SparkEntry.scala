@@ -1387,6 +1387,44 @@ object SparkEntry {
       StreamOps.sessionizeWindow(Tables.events(s, d), "30 minutes")
         .orderBy("user_id", "session_start_us")),
 
+    // E6 STREAMING, driver-gated via batch replay: the purchase and click
+    // slices of the events table replayed as TWO live streams through the
+    // watermarked interval join + latest-click aggregate (two chained
+    // stateful operators — the one streaming family member r6 flagged as
+    // missing). Horizon 1 h bounds click state (the streamable form of the
+    // as-of; the oracle applies the same horizon). Append-mode groups
+    // flush via one far-future sentinel per stream (non-joining negative
+    // user ids; the sentinel purchase matches no click, so nothing fake
+    // emits) — the e2b staging recipe, keyed on the source (mtime, size).
+    "e6_stream_stream_asof" -> ((s, d) => {
+      Session.tune(s)
+      import s.implicits._
+      val horizonUs = 3600000000L
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts_us", "event_type")
+      val maxTsRow = ev.agg(max("ts_us")).head
+      if (maxTsRow.isNullAt(0))
+        Seq.empty[(Long, Long, Long, Long, Long)]
+          .toDF("event_id", "user_id", "ts_us", "r_event_id", "r_ts_us")
+      else {
+        val srcFile = new java.io.File(s"$d/events.parquet")
+        val stageDir =
+          s"${scratchDir(d)}/e6_events_${srcFile.lastModified}_${srcFile.length}"
+        if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
+          val sentTs = maxTsRow.getLong(0) + horizonUs + 600000000L
+          val sentinels = Seq((-1L, -1L, sentTs, "purchase"), (-2L, -2L, sentTs, "click"))
+            .toDF("event_id", "user_id", "ts_us", "event_type")
+          ev.union(sentinels).coalesce(4).write.mode("overwrite").parquet(stageDir)
+        }
+        val schema = s.read.parquet(stageDir).schema
+        def slice(t: String) =
+          s.readStream.schema(schema).parquet(stageDir).filter(col("event_type") === t)
+        val joined = StreamOps.asofJoinStreaming(
+          slice("purchase"), slice("click"), horizonUs, "1 minute")
+        StreamOps.runToMemoryTable(s, joined, "e6_stream_stream_asof_sink")
+          .orderBy("event_id")
+      }
+    }),
+
     // Q-SQL: the TEXTUAL SQL front-end end-to-end — Tables.registerAll
     // views + a spark.sql string (join → grouped decimal-exact aggregate →
     // window rank), driver-verified against the DuckDB oracle rather than
@@ -2734,6 +2772,23 @@ object SparkEntry {
         "FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_start_us"),
 
     "t17_bm25" -> bm25OracleSql(Bm25Terms, k1 = 1.2, b = 0.75),
+
+    // the stream-stream replay must equal the horizon-bounded batch as-of:
+    // latest click per purchase within [p_ts - 1h, p_ts], ties to the
+    // greatest click event_id (asofJoin's tiebreak), inner semantics
+    "e6_stream_stream_asof" ->
+      ("WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'click'), " +
+        "j AS (SELECT p.event_id, p.user_id, p.ts_us, " +
+        "c.event_id AS ce, c.ts_us AS cts, " +
+        "row_number() OVER (PARTITION BY p.event_id " +
+        "ORDER BY c.ts_us DESC, c.event_id DESC) AS rn " +
+        "FROM p JOIN c ON p.user_id = c.user_id " +
+        "AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000) " +
+        "SELECT event_id, user_id, ts_us, ce AS r_event_id, cts AS r_ts_us " +
+        "FROM j WHERE rn = 1 ORDER BY event_id"),
 
     // the built-in session_window merges up to and INCLUDING session-end
     // (last + gap), so the break condition is e2's strict >; output drops

@@ -165,6 +165,54 @@ object StreamOps {
                        joinType: String = "inner"): DataFrame =
     stream.join(dim, Seq(key), joinType)
 
+  /** E6 — STREAM-STREAM AS-OF JOIN: for each left-stream (purchase) event,
+    * the LATEST right-stream (click) event of the same user at or before
+    * it, looking back at most `horizonUs` — the j3 as-of shape as two
+    * live streams (events-to-events attribution at ingest time).
+    *
+    * The unbounded batch as-of ("latest preceding, ever") is not
+    * streamable: it would need infinite right-side state. The horizon is
+    * what makes state finite — Spark derives the right side's state
+    * retention from the time-interval join condition and evicts clicks
+    * older than watermark − horizon; that bound is the semantic price of
+    * streaming, and the oracle applies the same horizon. Two stateful
+    * operators chain: the interval JOIN pairs each purchase with every
+    * in-horizon click; the watermarked AGGREGATE (grouped on the
+    * purchase's event-time column + id) reduces them to the latest one,
+    * ties to the greatest click event_id — exactly
+    * [[graft.operators.Joins.asofJoin]]'s tiebreak. Inner semantics: a
+    * purchase with no in-horizon click drops (stream-stream outer would
+    * hold it until the watermark anyway — emit-on-timeout, not
+    * emit-never).
+    *
+    * Append-mode note (the e2b lesson's aggregate form): a group emits
+    * only once the watermark passes its purchase time, so a finite replay
+    * must push the watermark past the last real event — stage one
+    * far-future sentinel per stream (non-joining user ids); the engine's
+    * watermark-advancing no-data batch then flushes every real group.
+    */
+  def asofJoinStreaming(purchases: DataFrame, clicks: DataFrame,
+                        horizonUs: Long, watermark: String): DataFrame = {
+    require(horizonUs > 0, "asofJoinStreaming: horizon must be positive")
+    val p = purchases.select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts_us").as("p_ts_us"), timestamp_micros(col("ts_us")).as("p_time"))
+      .withWatermark("p_time", watermark)
+    val c = clicks.select(col("event_id").as("c_event_id"),
+        col("user_id").as("c_user_id"), col("ts_us").as("c_ts_us"),
+        timestamp_micros(col("ts_us")).as("c_time"))
+      .withWatermark("c_time", watermark)
+    p.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("c_time") <= col("p_time") &&
+          col("c_time") >= col("p_time") - expr(s"INTERVAL $horizonUs MICROSECOND"),
+        "inner")
+      .groupBy(col("p_time"), col("p_event_id"), col("user_id"), col("p_ts_us"))
+      .agg(max(struct(col("c_ts_us"), col("c_event_id"))).as("_best"))
+      .select(col("p_event_id").as("event_id"), col("user_id"),
+        col("p_ts_us").as("ts_us"), col("_best.c_event_id").as("r_event_id"),
+        col("_best.c_ts_us").as("r_ts_us"))
+  }
+
   def runToMemoryTable(spark: SparkSession, streamed: DataFrame, name: String,
                        mode: String = "append"): DataFrame = {
     spark.catalog.dropTempView(name)

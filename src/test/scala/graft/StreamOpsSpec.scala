@@ -222,6 +222,37 @@ class StreamOpsSpec extends SparkTestBase {
     assert(StreamOps.sessionize(boundary, 10L).count() == 2)
   }
 
+  test("asofJoinStreaming: latest in-horizon click per purchase, greatest-id tiebreak, inner drop (E6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Long, Long)]
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val base = 1000000000000000L // comfortably past epoch 0 + watermark
+    // user 1: clicks at +10, +20 (tie pair 21/22 at +20), purchase at +25
+    //   -> latest click is ts +20, tiebreak picks event_id 22
+    // user 1: second purchase at +500 with horizon 100 -> clicks too old, drops
+    // user 2: purchase at +5 with no click at all -> drops (inner)
+    clicks.addData((101L, 1L, base + 10), (21L, 1L, base + 20), (22L, 1L, base + 20))
+    purchases.addData((1L, 1L, base + 25), (2L, 1L, base + 500), (3L, 2L, base + 5))
+    // sentinels push both watermarks past every real event so append-mode
+    // groups flush within the AvailableNow run (non-joining users)
+    purchases.addData((-1L, -100L, base + 100000000L))
+    clicks.addData((-2L, -200L, base + 100000000L))
+    val out = StreamOps.asofJoinStreaming(
+      purchases.toDF().toDF("event_id", "user_id", "ts_us"),
+      clicks.toDF().toDF("event_id", "user_id", "ts_us"),
+      horizonUs = 100L, watermark = "1 second")
+    val q = out.writeStream.format("memory").queryName("e6_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("e6_out")
+        .select("event_id", "user_id", "ts_us", "r_event_id", "r_ts_us")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L, base + 25, 22L, base + 20)),
+        s"expected one attributed purchase with tiebreak id 22, got $got")
+    } finally q.stop()
+  }
+
   test("window indices FLOOR negative (pre-1970) timestamps, matching SQL // semantics") {
     val w = 3600000000L // 1h in us
     val ev = Seq(
