@@ -1209,6 +1209,19 @@ object SparkEntry {
         "doc_id", "w", rate = 0.2)
         .select("doc_id", "n_chars").orderBy("doc_id")),
 
+    // G9: exact median via the custom counts-map TypedImperativeAggregate
+    // (SURVEY 7.3's documented escape hatch, now closed) — must agree with
+    // DuckDB's median on both a low-cardinality column (quantity: dozens
+    // of distinct values, the buffer's sweet spot) and a high-cardinality
+    // one (extendedprice: ~rows/4 distinct — the stress case)
+    "g9_exact_median" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(graft.functions.ExactMedian.exactMedian(col("l_quantity")), 4)
+            .as("med_qty"),
+          round(graft.functions.ExactMedian.exactMedian(col("l_extendedprice")), 4)
+            .as("med_price"))
+        .orderBy("l_returnflag")),
+
     // G7: grouped exact percentiles (linear-interpolating, matches
     // DuckDB quantile_cont) — the quantile surface beyond median
     "g7_percentiles" -> ((s, d) =>
@@ -2671,6 +2684,14 @@ object SparkEntry {
         "SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (" +
         "PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank " +
         "FROM orders) WHERE rank <= 3 ORDER BY o_orderpriority, rank"),
+
+    // quantile_cont(0.5) = the interpolated median, exactly the custom
+    // aggregate's even-count mean-of-middles
+    "g9_exact_median" ->
+      ("SELECT l_returnflag, " +
+        "round(quantile_cont(l_quantity::DOUBLE, 0.5), 4) AS med_qty, " +
+        "round(quantile_cont(l_extendedprice::DOUBLE, 0.5), 4) AS med_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "g7_percentiles" ->
       ("SELECT l_returnflag, " +

@@ -113,4 +113,32 @@ class AggSpec extends SparkTestBase {
       .collect()(0).getDouble(1)
     assert(exact == 501.0 && math.abs(appr - exact) <= 5.0)
   }
+
+  test("exactMedian (TypedImperativeAggregate) matches built-in median everywhere (SURVEY 7.3)") {
+    import graft.functions.ExactMedian.exactMedian
+    import org.apache.spark.sql.functions.{col, median}
+    // hand cases: odd group, even group (interpolated), nulls skipped,
+    // all-null group -> null
+    val hand = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", Some(2.0)),
+      ("b", Some(1.0)), ("b", Some(2.0)), ("b", Some(3.0)), ("b", Some(10.0)),
+      ("c", None), ("c", Some(7.0)),
+      ("d", None)
+    ).toDF("k", "v")
+    val got = hand.groupBy("k").agg(exactMedian(col("v")).as("em"))
+      .orderBy("k").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map("a" -> Some(2.0), "b" -> Some(2.5), "c" -> Some(7.0), "d" -> None))
+    // differential vs built-in median over duplicate-heavy random groups
+    // (exercises counts>1 per key, partial/merge across partitions, and
+    // the serialize/deserialize path through the shuffle)
+    val rnd = new scala.util.Random(7)
+    val big = (1 to 5000).map(_ => (rnd.nextInt(7), math.floor(rnd.nextDouble() * 50) / 2.0))
+      .toDF("k", "v").repartition(8)
+    big.groupBy("k").agg(exactMedian(col("v")).as("em"), median(col("v")).as("m"))
+      .collect().foreach { r =>
+        assert(r.getDouble(1) == r.getDouble(2),
+          s"group ${r.get(0)}: exactMedian ${r.getDouble(1)} != median ${r.getDouble(2)}")
+      }
+  }
 }
