@@ -692,6 +692,26 @@ object SparkEntry {
         .orderBy("test_id", "train_id")
     }),
 
+    // D7b: decontamination replayed from the MATERIALIZED containment
+    // index — train shingle sets + df-capped inverted index sharded to
+    // parquet once, every benchmark screen probes the loaded frames (the
+    // train corpus is never re-shingled). Same oracle as d7.
+    "d7b_decon_replay" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val idxDir =
+        s"${scratchDir(d)}/d7b_contain_index_${srcFile.lastModified}_${srcFile.length}"
+      if (!new java.io.File(s"$idxDir/inv/_SUCCESS").exists()) {
+        Dedup.writeContainmentIndex(
+          Dedup.buildContainmentIndex(docs.filter(col("doc_id") % 4 =!= 0),
+            "doc_id", "text", n = 3, maxDf = 50),
+          idxDir, "doc_id", shards = 4)
+      }
+      Dedup.decontaminationFromIndex(Dedup.readContainmentIndex(s, idxDir),
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("test_id", "train_id")
+    }),
+
     // D8: incremental ingest dedup — new batch (doc_id % 10 = 0) anti-joined
     // against the existing corpus's fingerprint set
     "d8_incremental_dedup" -> ((s, d) => {
@@ -2246,12 +2266,12 @@ object SparkEntry {
 
     "d4_ngram_jaccard" -> (bigramJaccardSql + " ORDER BY id_1, id_2"),
 
-    "d7_decontaminate" ->
-      (s"WITH tsh AS (${trigramGramsSqlOver("documents WHERE doc_id % 4 != 0")}), " +
-        s"xsh AS (${trigramGramsSqlOver("documents WHERE doc_id % 4 = 0")}), " +
-        decontaminationCtes(maxDf = 50) + " " +
-        "SELECT c.test_id, c.train_id, c.containment FROM contam c " +
-        "WHERE c.containment >= 0.5 ORDER BY test_id, train_id"),
+    "d7_decontaminate" -> d7OracleSql,
+
+    // the index replay must reproduce d7 exactly — sets + df-capped
+    // inverted index are the same relations whether derived inline or
+    // loaded from the sharded parquet index
+    "d7b_decon_replay" -> d7OracleSql,
 
     // components over the same pairs via transitive closure (recursive CTE)
     "d6_components" ->
@@ -2897,6 +2917,17 @@ object SparkEntry {
     // the sharded parquet index
     "d2c_index_replay" -> d2bOracleSql
   )
+
+  /** d7's decontamination oracle — shared verbatim by the index replay
+    * (d7b): the train shingle sets and df-capped inverted index are the
+    * same relations whether derived inline or loaded from parquet.
+    */
+  private val d7OracleSql: String =
+    s"WITH tsh AS (${trigramGramsSqlOver("documents WHERE doc_id % 4 != 0")}), " +
+      s"xsh AS (${trigramGramsSqlOver("documents WHERE doc_id % 4 = 0")}), " +
+      decontaminationCtes(maxDf = 50) + " " +
+      "SELECT c.test_id, c.train_id, c.containment FROM contam c " +
+      "WHERE c.containment >= 0.5 ORDER BY test_id, train_id"
 
   /** d8's exact-ingest oracle — shared verbatim by the index replay (d8c):
     * the distinct-fingerprint relation is identical whether computed

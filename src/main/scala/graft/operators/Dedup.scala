@@ -853,6 +853,63 @@ object Dedup {
       newDocs.join(matched, newDocs(idCol) === matched("id_1"), "left_anti")
     }
 
+  /** The decontamination probe structure: `sets` = the TRAIN corpus'
+    * shingle sets (id, n_sh, shs — what exact containment verifies
+    * against), `rareInv` = the df-capped inverted index (train_id, sk)
+    * restricted to shingles with train-document-frequency ≤ the build's
+    * maxDf. The df ceiling is BAKED INTO the saved index — exactly what a
+    * real pipeline freezes next to the training corpus so every benchmark
+    * release can be screened without re-shingling 100 TB of train text.
+    */
+  case class ContainmentIndex(sets: DataFrame, rareInv: DataFrame)
+
+  def buildContainmentIndex(train: DataFrame, idCol: String, textCol: String,
+                            n: Int, maxDf: Int): ContainmentIndex = {
+    val tsets = shingleSets(train, idCol, textCol, n)
+    val ti = tsets.select(col(idCol).as("train_id"), explode(col("shs")).as("sk"))
+    val rare = ti.groupBy("sk").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("sk")
+    ContainmentIndex(tsets, ti.join(rare, "sk"))
+  }
+
+  def writeContainmentIndex(index: ContainmentIndex, path: String, idCol: String,
+                            shards: Int): Unit = {
+    graft.sources.ParquetSink.writeSharded(index.sets, s"$path/sets", idCol, shards)
+    graft.sources.ParquetSink.writeSharded(index.rareInv, s"$path/inv", "train_id", shards)
+  }
+
+  def readContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String): ContainmentIndex =
+    ContainmentIndex(spark.read.parquet(s"$path/sets"), spark.read.parquet(s"$path/inv"))
+
+  /** [[decontaminationPairs]] probing a prebuilt [[ContainmentIndex]]: only
+    * the TEST (benchmark) side is shingled; train candidates come from the
+    * loaded inverted index, exact containment verifies against the loaded
+    * sets — the train corpus is never re-shingled or scanned. `n` shapes
+    * the test side and MUST match the index build (maxDf is frozen in the
+    * index). Result is identical to the one-shot form built with the same
+    * parameters (driver-gated, d7b_decon_replay). `releaseSets` loans the
+    * TEST shingle-set persist.
+    */
+  def decontaminationFromIndex(index: ContainmentIndex, test: DataFrame,
+                               idCol: String, textCol: String, n: Int,
+                               threshold: Double,
+                               releaseSets: Boolean = false): DataFrame =
+    withPersistedSets(shingleSets(test, idCol, textCol, n), releaseSets) { xsets =>
+      val xi = xsets.select(col(idCol).as("test_id"), explode(col("shs")).as("sk"))
+      val candidates = xi.join(index.rareInv.select("train_id", "sk"), "sk")
+        .select("test_id", "train_id").distinct()
+      val t1 = index.sets.select(col(idCol).as("train_id"), col("shs").as("shs_t"))
+      val x1 = xsets.select(col(idCol).as("test_id"), col("n_sh").as("n_test"),
+        col("shs").as("shs_x"))
+      candidates.join(x1, "test_id").join(t1, "train_id")
+        .withColumn("containment",
+          round(ArrayOps.sortedIntersectSize(col("shs_x"), col("shs_t")).cast("double") /
+            col("n_test").cast("double"), 6))
+        .filter(col("containment") >= threshold)
+        .select("test_id", "train_id", "containment")
+    }
+
   /** The embedding-ingest probe structure: `vecs` = (id, vector) for exact
     * cosine verification, `bands` = the sketch-band index (id, band, bkey).
     */

@@ -351,6 +351,21 @@ class DedupSpec extends SparkTestBase {
     val exDirect = Dedup.exactIncremental(batch, corp, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
     assert(ex == exDirect, s"exact replay diverged: $ex vs $exDirect")
+    // decontamination: train sets + df-capped inverted index round-trip ==
+    // one-shot (train = corp, test = batch — the d7 screening shape)
+    Dedup.writeContainmentIndex(
+      Dedup.buildContainmentIndex(corp, "doc_id", "text", n = 2, maxDf = 10),
+      s"$dir/ci", "doc_id", shards = 2)
+    val dc = Dedup.decontaminationFromIndex(
+      Dedup.readContainmentIndex(spark, s"$dir/ci"), batch, "doc_id", "text",
+      n = 2, threshold = 0.5)
+      .select("test_id", "train_id", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    val dcDirect = Dedup.decontaminationPairs(corp, batch, "doc_id", "text",
+      n = 2, threshold = 0.5, maxDf = 10)
+      .select("test_id", "train_id", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(dc == dcDirect && dc.nonEmpty, s"decontamination replay diverged: $dc vs $dcDirect")
     // embedding: vectors + sketch bands round-trip == one-shot
     val vbatch = Seq(
       (1L, Array(1.0f, 0.0f, 0.01f, 0.0f)),
