@@ -1118,6 +1118,15 @@ object SparkEntry {
     "t12_bigram_counts" -> ((s, d) =>
       TermStats.ngramCounts(Tables.documents(s, d), "text", 2, 100)),
 
+    // T18: cross-document repeated-span coverage — the duplicate-n-gram
+    // fraction gate (boilerplate/templated spam that doc-level dedup and
+    // within-doc repetition both miss): tokens covered by 5-token windows
+    // appearing verbatim in >= 2 distinct documents, exact merged-interval
+    // coverage, all integer arithmetic
+    "t18_dup_spans" -> ((s, d) =>
+      TermStats.duplicateSpanCoverage(Tables.documents(s, d), "doc_id", "text", w = 5)
+        .orderBy("doc_id")),
+
     // T11: unigram-LM corpus-frequency score (CCNet-style head/middle/tail
     // quality bucketing proxy) — integer-exact mean token frequency
     "t11_unigram_lm" -> ((s, d) =>
@@ -2813,6 +2822,29 @@ object SparkEntry {
         "FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_start_us"),
 
     "t17_bm25" -> bm25OracleSql(Bm25Terms, k1 = 1.2, b = 0.75),
+
+    // duplicated window = exact 5-token sequence in >= 2 distinct docs
+    // (the oracle groups the window STRINGS; Spark groups their xxhash64 —
+    // the d2/d4 hash-equivalence precedent); coverage = the sorted-starts
+    // merged-interval formula (w for the first start, min(gap, w) after)
+    "t18_dup_spans" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS w " +
+        "FROM documents), " +
+        "n AS (SELECT doc_id, w, len(w)::BIGINT AS n_tokens FROM t), " +
+        "wins AS (SELECT doc_id, n_tokens, unnest(range(0, n_tokens - 4)) AS start, w " +
+        "FROM n WHERE n_tokens >= 5), " +
+        "ws AS (SELECT doc_id, start, " +
+        "array_to_string(w[start + 1 : start + 5], ' ') AS win FROM wins), " +
+        "dup AS (SELECT win FROM ws GROUP BY win HAVING count(DISTINCT doc_id) >= 2), " +
+        "ds AS (SELECT doc_id, start, " +
+        "lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev " +
+        "FROM ws JOIN dup USING (win)), " +
+        "cov AS (SELECT doc_id, sum(CASE WHEN prev IS NULL THEN 5 " +
+        "ELSE least(start - prev, 5) END)::BIGINT AS dup_tokens FROM ds GROUP BY doc_id) " +
+        "SELECT n.doc_id, n.n_tokens, coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens, " +
+        "round(coalesce(c.dup_tokens, 0)::DOUBLE / greatest(n.n_tokens, 1), 6) AS dup_frac " +
+        "FROM n LEFT JOIN cov c USING (doc_id) ORDER BY doc_id"),
 
     // the stream-stream replay must equal the horizon-bounded batch as-of:
     // latest click per purchase within [p_ts - 1h, p_ts], ties to the

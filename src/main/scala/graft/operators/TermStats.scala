@@ -200,6 +200,65 @@ object TermStats {
       .select(col(idCol), col("dl"), round(score, 4).as("bm25"))
   }
 
+  /** T18 — cross-document REPEATED-SPAN coverage: for each document, how
+    * many of its tokens sit inside at least one `w`-token window that
+    * appears VERBATIM in two or more distinct documents, plus the covered
+    * fraction. The "duplicate n-gram fraction" signal large-corpus
+    * curation pipelines gate on — it catches boilerplate and templated
+    * spam that document-level dedup (D1/D2) misses because the documents
+    * differ outside the repeated span, and that within-document repetition
+    * (T8) cannot see at all.
+    *
+    * Semantics: a window is DUPLICATED iff its exact token sequence occurs
+    * in ≥ 2 distinct documents (within-doc repeats alone don't qualify —
+    * that is T8's signal). Token t of a doc is covered iff some duplicated
+    * window starting in (t−w, t] exists; covered-token count = the merged
+    * length of the [start, start+w) intervals, computed exactly with the
+    * classic sorted-starts gap formula: w for the first duplicated start,
+    * plus min(gap, w) per subsequent start. All integer arithmetic; the
+    * fraction is one rounded division — engine-portable.
+    *
+    * Scale shape: the w× window explode is the honest cost every
+    * dup-ngram-fraction implementation pays; windows travel as 8-byte
+    * xxhash64 keys (never token text — the shingleSets argument), through
+    * ONE map-side-combined (hash, doc) exchange for the distinct-doc
+    * count. The duplicated-hash set is typically a tiny fraction of all
+    * windows, so the coverage join + per-doc window run at matched-rows
+    * scale, not corpus×w. Hash equivalence stands in for string equality
+    * (64-bit collisions negligible — the d2/d4 precedent; the oracle
+    * groups on the window strings themselves).
+    */
+  def duplicateSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                            w: Int): DataFrame = {
+    require(w >= 1, "duplicateSpanCoverage: w must be >= 1")
+    val base = docs
+      .select(col(idCol),
+        filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("_w"))
+      .select(col(idCol), col("_w"), size(col("_w")).cast("long").as("n_tokens"))
+    val wins = base.filter(col("n_tokens") >= w)
+      .select(col(idCol), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_tokens") - w)).as("start"),
+        col("_w"))
+      .select(col(idCol), col("n_tokens"), col("start"),
+        xxhash64(concat_ws(" ",
+          slice(col("_w"), (col("start") + 1).cast("int"), lit(w)))).as("whash"))
+    val dupHashes = wins.groupBy("whash")
+      .agg(count_distinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= 2).select("whash")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    val cov = wins.join(dupHashes, "whash")
+      .select(col(idCol), col("start"))
+      .withColumn("_prev", lag(col("start"), 1).over(byDoc))
+      .withColumn("_c", when(col("_prev").isNull, lit(w.toLong))
+        .otherwise(least(col("start") - col("_prev"), lit(w.toLong))))
+      .groupBy(col(idCol)).agg(sum(col("_c")).as("dup_tokens"))
+    base.join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 6).as("dup_frac"))
+  }
+
   def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))

@@ -67,6 +67,36 @@ class TermStatsSpec extends SparkTestBase {
     assert(zero.forall(_ == 0.0))
   }
 
+  test("duplicateSpanCoverage: merged-interval coverage of cross-doc repeated windows (T18)") {
+    import graft.operators.TermStats
+    import org.apache.spark.sql.functions.col
+    // docs 1 and 2 share the exact 3-token span "a b c" (doc 2 twice,
+    // overlapping contexts); doc 3 repeats "x y z" WITHIN itself only —
+    // within-doc repetition must NOT count as duplicated; doc 4 is short
+    val docs = Seq(
+      (1L, "a b c d e"),           // windows: [a b c][b c d][c d e] — only "a b c" dup
+      (2L, "q a b c r a b c"),     // "a b c" at starts 1 and 5
+      (3L, "x y z x y z"),         // "x y z" twice, but one doc only
+      (4L, "tiny")                 // n < w -> no windows
+    ).toDF("doc_id", "text")
+    val out = TermStats.duplicateSpanCoverage(docs, "doc_id", "text", w = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "dup_tokens", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1: dup start {0} -> 3 covered of 5; doc 2: starts {1, 5} ->
+    // 3 + min(4, 3) = 6 of 8; doc 3: zero; doc 4: zero
+    assert(out == Seq(
+      (1L, 5L, 3L, 0.6), (2L, 8L, 6L, 0.75), (3L, 6L, 0L, 0.0), (4L, 1L, 0L, 0.0)),
+      s"got $out")
+    // overlapping dup starts merge, not double-count: doc 5 shares both
+    // windows of "p p p p" with doc 6 -> starts {0, 1}, covered 3 + 1 = 4
+    val ov = Seq((5L, "p p p p"), (6L, "p p p p")).toDF("doc_id", "text")
+    val o5 = TermStats.duplicateSpanCoverage(ov, "doc_id", "text", w = 3)
+      .filter(col("doc_id") === 5L)
+      .select("dup_tokens").as[Long].collect().head
+    assert(o5 == 4L, s"overlapping windows must merge to full coverage, got $o5")
+  }
+
   test("bm25: hand-computed Okapi scores; non-matching docs score 0 (T17)") {
     // corpus: N=3; query terms: spark (df=2), tuning (df=2)
     val out = TermStats.bm25(docs, "doc_id", "text", Seq("spark", "tuning"))
