@@ -46,6 +46,38 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.streaming.StreamOps.sessionizeWindow(noEvents, "30 minutes").count() == 0)
   }
 
+  test("round-7 additions: empty inputs degrade to empty/zero, never throw") {
+    // duplicate-span coverage: empty corpus -> no rows, schema intact
+    val ds = TermStats.duplicateSpanCoverage(emptyDocs, "doc_id", "text", 5)
+    assert(ds.columns.toSeq == Seq("doc_id", "n_tokens", "dup_tokens", "dup_frac") &&
+      ds.count() == 0)
+    // materialized indexes built over an empty corpus: empty frames with
+    // the right schemas, and probes against them keep the whole batch
+    val batch = Seq((1L, "some new document text here")).toDF("doc_id", "text")
+    val mh = Dedup.buildMinhashIndex(emptyDocs, "doc_id", "text")
+    assert(mh.sets.count() == 0 && mh.bands.count() == 0)
+    assert(Dedup.minhashIncrementalFromIndex(batch, mh, "doc_id", "text", 0.5).count() == 1)
+    assert(Dedup.exactIncrementalFromIndex(batch,
+      Dedup.fingerprintIndex(emptyDocs, "text"), "doc_id", "text").count() == 1)
+    val ci = Dedup.buildContainmentIndex(emptyDocs, "doc_id", "text", 3, 50)
+    assert(Dedup.decontaminationFromIndex(ci, batch, "doc_id", "text", 3, 0.5).count() == 0)
+    val noVecs7 = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val vb = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val ei = Dedup.buildEmbeddingIndex(noVecs7, "vec_id", "embedding", dim = 4)
+    assert(Dedup.embeddingIncrementalFromIndex(vb, ei, "vec_id", "embedding",
+      0.9, dim = 4).count() == 1)
+    // audio codecs: empty frames stay empty, schemas intact
+    val wav = Multimodal.encodeWavBatches(spark, emptyDocs, "doc_id")
+    assert(wav.columns.toSeq == Seq("doc_id", "payload", "media_type") && wav.count() == 0)
+    assert(Multimodal.decodeAudioBatches(spark, wav, "doc_id").count() == 0)
+    assert(Multimodal.resizePixelsToBox(spark,
+      Multimodal.encodePngBatches(spark, emptyDocs, "doc_id"), "doc_id", 8, 6).count() == 0)
+    // exact median over an empty / all-null input yields a null (SQL agg)
+    val med = Seq.empty[Double].toDF("v")
+      .agg(graft.functions.ExactMedian.exactMedian(col("v"))).head
+    assert(med.isNullAt(0))
+  }
+
   test("dedup family: empty corpus -> empty outputs, schemas intact") {
     assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
     val nd = Dedup.minhashNearDups(emptyDocs, "doc_id", "text", 0.5)
