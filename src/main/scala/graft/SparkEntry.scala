@@ -1127,6 +1127,14 @@ object SparkEntry {
       TermStats.duplicateSpanCoverage(Tables.documents(s, d), "doc_id", "text", w = 5)
         .orderBy("doc_id")),
 
+    // T19: span scrubbing — the transform t18 measures: remove every token
+    // covered by a cross-doc duplicated 5-token window, md5-pin the
+    // scrubbed text (survivors in original order); fully-duplicated docs
+    // keep 0 tokens but keep their row
+    "t19_span_scrub" -> ((s, d) =>
+      TermStats.scrubDuplicateSpans(Tables.documents(s, d), "doc_id", "text", w = 5)
+        .orderBy("doc_id")),
+
     // T11: unigram-LM corpus-frequency score (CCNet-style head/middle/tail
     // quality bucketing proxy) — integer-exact mean token frequency
     "t11_unigram_lm" -> ((s, d) =>
@@ -2845,6 +2853,35 @@ object SparkEntry {
         "SELECT n.doc_id, n.n_tokens, coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens, " +
         "round(coalesce(c.dup_tokens, 0)::DOUBLE / greatest(n.n_tokens, 1), 6) AS dup_frac " +
         "FROM n LEFT JOIN cov c USING (doc_id) ORDER BY doc_id"),
+
+    // t18's duplicated windows, then the SCRUB: anti-join covered
+    // positions (dup starts exploded w wide) against token positions,
+    // re-join survivors in order, md5 the scrubbed text. Parallel unnest
+    // zips (token, position); string_agg ORDER BY pins the join order.
+    "t19_span_scrub" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS w " +
+        "FROM documents), " +
+        "n AS (SELECT doc_id, w, len(w)::BIGINT AS n_tokens FROM t), " +
+        "wins AS (SELECT doc_id, n_tokens, unnest(range(0, n_tokens - 4)) AS start, w " +
+        "FROM n WHERE n_tokens >= 5), " +
+        "ws AS (SELECT doc_id, start, " +
+        "array_to_string(w[start + 1 : start + 5], ' ') AS win FROM wins), " +
+        "dup AS (SELECT win FROM ws GROUP BY win HAVING count(DISTINCT doc_id) >= 2), " +
+        "ds AS (SELECT DISTINCT doc_id, start FROM ws JOIN dup USING (win)), " +
+        "covered AS (SELECT DISTINCT doc_id, start + r.range AS pos " +
+        "FROM ds CROSS JOIN range(0, 5) r), " +
+        "toks AS (SELECT doc_id, unnest(w) AS tok, " +
+        "unnest(range(0, len(w))) AS pos FROM n), " +
+        "kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM toks tk " +
+        "LEFT JOIN covered c ON tk.doc_id = c.doc_id AND tk.pos = c.pos " +
+        "WHERE c.pos IS NULL), " +
+        "agg AS (SELECT doc_id, count(*)::BIGINT AS kept_tokens, " +
+        "md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5 " +
+        "FROM kept GROUP BY doc_id) " +
+        "SELECT n.doc_id, n.n_tokens, coalesce(a.kept_tokens, 0)::BIGINT AS kept_tokens, " +
+        "coalesce(a.cleaned_md5, md5('')) AS cleaned_md5 " +
+        "FROM n LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"),
 
     // the stream-stream replay must equal the horizon-bounded batch as-of:
     // latest click per purchase within [p_ts - 1h, p_ts], ties to the

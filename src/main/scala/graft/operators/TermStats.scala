@@ -228,26 +228,36 @@ object TermStats {
     * (64-bit collisions negligible — the d2/d4 precedent; the oracle
     * groups on the window strings themselves).
     */
-  def duplicateSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
-                            w: Int): DataFrame = {
-    require(w >= 1, "duplicateSpanCoverage: w must be >= 1")
-    val base = docs
-      .select(col(idCol),
+  /** Shared T18/T19 machinery: the tokenized base frame (id, _w, n_tokens)
+    * and, per document, the sorted start positions of its w-token windows
+    * that occur verbatim in ≥ 2 distinct documents.
+    */
+  private def tokenizedBase(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    docs.select(col(idCol),
         filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("_w"))
       .select(col(idCol), col("_w"), size(col("_w")).cast("long").as("n_tokens"))
+
+  private def dupWindowStarts(base: DataFrame, idCol: String, w: Int): DataFrame = {
     val wins = base.filter(col("n_tokens") >= w)
-      .select(col(idCol), col("n_tokens"),
+      .select(col(idCol),
         explode(sequence(lit(0L), col("n_tokens") - w)).as("start"),
         col("_w"))
-      .select(col(idCol), col("n_tokens"), col("start"),
+      .select(col(idCol), col("start"),
         xxhash64(concat_ws(" ",
           slice(col("_w"), (col("start") + 1).cast("int"), lit(w)))).as("whash"))
     val dupHashes = wins.groupBy("whash")
       .agg(count_distinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= 2).select("whash")
+    wins.join(dupHashes, "whash").select(col(idCol), col("start"))
+  }
+
+  def duplicateSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                            w: Int): DataFrame = {
+    require(w >= 1, "duplicateSpanCoverage: w must be >= 1")
+    val base = tokenizedBase(docs, idCol, textCol)
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("start"))
-    val cov = wins.join(dupHashes, "whash")
-      .select(col(idCol), col("start"))
+    val cov = dupWindowStarts(base, idCol, w)
       .withColumn("_prev", lag(col("start"), 1).over(byDoc))
       .withColumn("_c", when(col("_prev").isNull, lit(w.toLong))
         .otherwise(least(col("start") - col("_prev"), lit(w.toLong))))
@@ -257,6 +267,49 @@ object TermStats {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           greatest(col("n_tokens"), lit(1L)).cast("double"), 6).as("dup_frac"))
+  }
+
+  /** T19 — SPAN SCRUBBING: the transform [[duplicateSpanCoverage]] is the
+    * measurement for — REMOVE every token covered by a cross-document
+    * duplicated w-token window and re-join the survivors ("exact substring
+    * dedup", the curation step that strips boilerplate spans while keeping
+    * the unique remainder of each document). Output per document:
+    * n_tokens, kept_tokens, and the md5 of the scrubbed text (survivor
+    * tokens in original order, single-space joined — md5 keeps the row
+    * compact while pinning content exactly, the t9/t15 convention). Note
+    * the scrubbed text is over NORMALIZED tokens (lowercased,
+    * whitespace-collapsed) — the same normalization every window in the
+    * family hashes. A fully-duplicated document keeps 0 tokens (md5 of
+    * the empty string), it is NOT dropped — dropping is [[graft.operators.
+    * Dedup]]'s job; scrubbing preserves the row.
+    *
+    * Scale shape: t18's window pass (w× explode, 8-byte hash exchange)
+    * plus one posexplode of survivors; covered positions come from the
+    * (tiny) duplicated-start set exploded w×, anti-joined against token
+    * positions — matched-rows scale. The per-doc re-join sorts each
+    * document's own survivor list (array_sort over collect_list — bounded
+    * by document length, the t15 argument), never the corpus.
+    */
+  def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                          w: Int): DataFrame = {
+    require(w >= 1, "scrubDuplicateSpans: w must be >= 1")
+    val base = tokenizedBase(docs, idCol, textCol)
+    val covered = dupWindowStarts(base, idCol, w)
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
+      .distinct()
+    val toks = base.select(col(idCol), posexplode(col("_w")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    val agg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("kept_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")))).as("cleaned_md5"))
+    base.join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
   }
 
   def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -97,6 +97,28 @@ class TermStatsSpec extends SparkTestBase {
     assert(o5 == 4L, s"overlapping windows must merge to full coverage, got $o5")
   }
 
+  test("scrubDuplicateSpans removes exactly the covered tokens, keeps order; full-dup docs keep 0 (T19)") {
+    import graft.operators.TermStats
+    val docs = Seq(
+      (1L, "a b c d e"),       // dup window "a b c" -> scrub to "d e"
+      (2L, "q a b c r"),       // "a b c" at start 1 -> scrub to "q r"
+      (3L, "a b c"),           // the whole doc is the dup window -> empty
+      (4L, "unique text here entirely novel")
+    ).toDF("doc_id", "text")
+    val out = TermStats.scrubDuplicateSpans(docs, "doc_id", "text", w = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "kept_tokens", "cleaned_md5")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == Seq(
+      (1L, 5L, 2L, h("d e")),
+      (2L, 5L, 2L, h("q r")),
+      (3L, 3L, 0L, h("")),
+      (4L, 5L, 5L, h("unique text here entirely novel"))),
+      s"got $out")
+  }
+
   test("bm25: hand-computed Okapi scores; non-matching docs score 0 (T17)") {
     // corpus: N=3; query terms: spark (df=2), tuning (df=2)
     val out = TermStats.bm25(docs, "doc_id", "text", Seq("spark", "tuning"))
