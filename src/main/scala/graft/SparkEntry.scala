@@ -2380,12 +2380,15 @@ object SparkEntry {
         "ns AS (SELECT source, count(*) AS n FROM tk GROUP BY 1), " +
         "ct AS (SELECT term, count(*) AS c FROM tk GROUP BY 1), " +
         "tot AS (SELECT count(*) AS N FROM tk), " +
-        "cells AS (SELECT ns.source, ns.n, coalesce(o.o, 0)::DOUBLE AS o0, " +
+        "cells AS (SELECT ns.source, ns.n, ct.term, coalesce(o.o, 0)::DOUBLE AS o0, " +
         "ns.n::DOUBLE * ct.c::DOUBLE / tot.N::DOUBLE AS e " +
         "FROM ns CROSS JOIN ct CROSS JOIN tot " +
         "LEFT JOIN o ON o.source = ns.source AND o.term = ct.term) " +
+        // fixed-order fold (term-ascending), mirroring the Spark side's
+        // sorted-array aggregate — bit-identical chi2, no ulp caveat
         "SELECT source, max(n)::BIGINT AS n_tokens, " +
-        "round(sum((o0 - e) * (o0 - e) / e), 4) AS chi2 " +
+        "round(list_reduce(list((o0 - e) * (o0 - e) / e ORDER BY term) || [0.0], " +
+        "(a, b) -> a + b), 4) AS chi2 " +
         "FROM cells GROUP BY source ORDER BY source"),
 
     // mirrors gopherSignals/gopherPass: integer counts, one round(4)

@@ -112,14 +112,14 @@ object TermStats {
     * vocabulary-sized, NOT corpus-sized; one final per-source sum.
     * Output: (source, n_tokens, chi2 round 4), one row per source.
     *
-    * Caveat on the final sum: CELLS are bit-identical, but the per-source
-    * χ² is `round(Σ cells, 4)` and the summation ORDER of that Σ is not
-    * fixed (Spark partial aggregation vs an oracle engine's scan order),
-    * so the pre-round double can differ by ULPs and, with a large enough
-    * vocabulary, occasionally land on a round-4 boundary. If a
-    * differential gate ever flakes here, fix the order (sort-by-term
-    * prefix aggregation) or compare at a coarser rounding — the statistic
-    * itself is as stable as IEEE addition allows.
+    * The final sum is ORDER-FIXED (r7, closing the r4-r6 documented ulp
+    * caveat): each source's cells are collected, sorted by term, and
+    * folded sequentially (`aggregate` over the sorted struct array), and
+    * the oracle folds the identically-ordered list (`list_reduce` over
+    * `list(cell ORDER BY term)`) — same operands, same order, zero libm,
+    * so the pre-round χ² double is BIT-IDENTICAL across engines at any
+    * vocabulary size, not just ulp-close. The per-source collect is
+    * vocabulary-sized (the cell frame's own scale), never corpus-sized.
     */
   def chiSquareDrift(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(sourceCol),
@@ -137,7 +137,10 @@ object TermStats {
       .withColumn("e", col("n").cast("double") * col("c").cast("double") / col("_tot").cast("double"))
     cells.groupBy(col(sourceCol))
       .agg(max(col("n")).as("n_tokens"),
-        round(sum((col("o0") - col("e")) * (col("o0") - col("e")) / col("e")), 4).as("chi2"))
+        round(aggregate(
+          array_sort(collect_list(struct(col("term"),
+            ((col("o0") - col("e")) * (col("o0") - col("e")) / col("e")).as("cell")))),
+          lit(0.0), (acc, s) => acc + s.getField("cell")), 4).as("chi2"))
   }
 
   /** T17 — BM25 relevance of every document against a fixed query term set
@@ -155,7 +158,8 @@ object TermStats {
     * sum PER TERM (at most one non-zero cell per (doc, term), so the
     * aggregate's order cannot matter) added in FIXED term order. The one
     * libm call is `ln` on identical doubles — engines may differ in the
-    * last ulp there (same documented caveat as [[chiSquareDrift]]'s sum);
+    * last ulp there (the single remaining cross-engine tolerance in this
+    * family; [[chiSquareDrift]]'s sum-order caveat was closed in r7);
     * round(4) output absorbs it in practice.
     *
     * Scale shape: ZERO corpus-sized exchanges — dl and every per-term tf
