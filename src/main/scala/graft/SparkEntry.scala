@@ -1475,6 +1475,43 @@ object SparkEntry {
       }
     }),
 
+    // E6b: the LEFT-OUTER form — batch j3's left semantics under
+    // streaming: an unattributed purchase emits with a null click side
+    // once the watermark proves no in-horizon click can still arrive
+    // (emit-on-timeout). Same staged replay as e6; the sentinel purchase
+    // (user -1, which matches nothing) is filtered by event_id >= 0 —
+    // in left mode it WOULD emit.
+    "e6b_stream_asof_left" -> ((s, d) => {
+      Session.tune(s)
+      import s.implicits._
+      val horizonUs = 3600000000L
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts_us", "event_type")
+      val maxTsRow = ev.agg(max("ts_us")).head
+      if (maxTsRow.isNullAt(0))
+        Seq.empty[(Long, Long, Long, Long, Long)]
+          .toDF("event_id", "user_id", "ts_us", "r_event_id", "r_ts_us")
+      else {
+        val srcFile = new java.io.File(s"$d/events.parquet")
+        val stageDir =
+          s"${scratchDir(d)}/e6_events_${srcFile.lastModified}_${srcFile.length}"
+        if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
+          val sentTs = maxTsRow.getLong(0) + horizonUs + 600000000L
+          val sentinels = Seq((-1L, -1L, sentTs, "purchase"), (-2L, -2L, sentTs, "click"))
+            .toDF("event_id", "user_id", "ts_us", "event_type")
+          ev.union(sentinels).coalesce(4).write.mode("overwrite").parquet(stageDir)
+        }
+        val schema = s.read.parquet(stageDir).schema
+        def slice(t: String) =
+          s.readStream.schema(schema).parquet(stageDir).filter(col("event_type") === t)
+        val joined = StreamOps.asofJoinStreaming(
+          slice("purchase"), slice("click"), horizonUs, "1 minute",
+          joinType = "left_outer")
+        StreamOps.runToMemoryTable(s, joined, "e6b_stream_asof_left_sink")
+          .filter(col("event_id") >= 0)
+          .orderBy("event_id")
+      }
+    }),
+
     // Q-SQL: the TEXTUAL SQL front-end end-to-end — Tables.registerAll
     // views + a spark.sql string (join → grouped decimal-exact aggregate →
     // window rank), driver-verified against the DuckDB oracle rather than
@@ -2899,6 +2936,22 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY p.event_id " +
         "ORDER BY c.ts_us DESC, c.event_id DESC) AS rn " +
         "FROM p JOIN c ON p.user_id = c.user_id " +
+        "AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000) " +
+        "SELECT event_id, user_id, ts_us, ce AS r_event_id, cts AS r_ts_us " +
+        "FROM j WHERE rn = 1 ORDER BY event_id"),
+
+    // the left-outer replay keeps unattributed purchases with a null
+    // click side — batch j3's left semantics, horizon-bounded
+    "e6b_stream_asof_left" ->
+      ("WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'click'), " +
+        "j AS (SELECT p.event_id, p.user_id, p.ts_us, " +
+        "c.event_id AS ce, c.ts_us AS cts, " +
+        "row_number() OVER (PARTITION BY p.event_id " +
+        "ORDER BY c.ts_us DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn " +
+        "FROM p LEFT JOIN c ON p.user_id = c.user_id " +
         "AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000) " +
         "SELECT event_id, user_id, ts_us, ce AS r_event_id, cts AS r_ts_us " +
         "FROM j WHERE rn = 1 ORDER BY event_id"),

@@ -190,10 +190,20 @@ object StreamOps {
     * must push the watermark past the last real event — stage one
     * far-future sentinel per stream (non-joining user ids); the engine's
     * watermark-advancing no-data batch then flushes every real group.
+    *
+    * `joinType` "left_outer" restores the batch [[graft.operators.Joins
+    * .asofJoin]]'s LEFT semantics: an unattributed purchase emits with a
+    * null click side once the watermark proves no in-horizon click can
+    * still arrive (emit-on-timeout — the join holds the row, the
+    * downstream aggregate sees its single null-click row and max() of the
+    * one all-null struct passes the nulls through).
     */
   def asofJoinStreaming(purchases: DataFrame, clicks: DataFrame,
-                        horizonUs: Long, watermark: String): DataFrame = {
+                        horizonUs: Long, watermark: String,
+                        joinType: String = "inner"): DataFrame = {
     require(horizonUs > 0, "asofJoinStreaming: horizon must be positive")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"asofJoinStreaming: unsupported join type '$joinType'")
     val p = purchases.select(col("event_id").as("p_event_id"), col("user_id"),
         col("ts_us").as("p_ts_us"), timestamp_micros(col("ts_us")).as("p_time"))
       .withWatermark("p_time", watermark)
@@ -205,7 +215,7 @@ object StreamOps {
         col("user_id") === col("c_user_id") &&
           col("c_time") <= col("p_time") &&
           col("c_time") >= col("p_time") - expr(s"INTERVAL $horizonUs MICROSECOND"),
-        "inner")
+        joinType)
       .groupBy(col("p_time"), col("p_event_id"), col("user_id"), col("p_ts_us"))
       .agg(max(struct(col("c_ts_us"), col("c_event_id"))).as("_best"))
       .select(col("p_event_id").as("event_id"), col("user_id"),

@@ -253,6 +253,37 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("asofJoinStreaming left_outer: unattributed purchases emit with null click side on timeout (E6b)") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Long, Long)]
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val base = 1000000000000000L
+    clicks.addData((21L, 1L, base + 20))
+    // purchase 1 attributed; purchase 2 beyond horizon; purchase 3 no user match
+    purchases.addData((1L, 1L, base + 25), (2L, 1L, base + 500), (3L, 2L, base + 5))
+    purchases.addData((-1L, -100L, base + 100000000L))
+    clicks.addData((-2L, -200L, base + 100000000L))
+    val out = StreamOps.asofJoinStreaming(
+      purchases.toDF().toDF("event_id", "user_id", "ts_us"),
+      clicks.toDF().toDF("event_id", "user_id", "ts_us"),
+      horizonUs = 100L, watermark = "1 second", joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("e6b_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("e6b_out").filter(col("event_id") >= 0)
+        .select("event_id", "user_id", "ts_us", "r_event_id", "r_ts_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -999L else r.getLong(3),
+          if (r.isNullAt(4)) -999L else r.getLong(4))).toSet
+      assert(got == Set(
+        (1L, 1L, base + 25, 21L, base + 20),
+        (2L, 1L, base + 500, -999L, -999L),
+        (3L, 2L, base + 5, -999L, -999L)),
+        s"left form must keep unattributed purchases with nulls, got $got")
+    } finally q.stop()
+  }
+
   test("window indices FLOOR negative (pre-1970) timestamps, matching SQL // semantics") {
     val w = 3600000000L // 1h in us
     val ev = Seq(
