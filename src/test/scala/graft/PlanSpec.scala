@@ -282,6 +282,20 @@ class PlanSpec extends SparkTestBase {
       s"exactly one (doc, term) corpus exchange — shared via the tf cache:\n$p")
   }
 
+  test("duplicate-span family: hash-keyed equi-plans only, distinct-doc count partial-aggregates (T18/T19)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Seq(plan(TermStats.duplicateSpanCoverage(docs, "doc_id", "text", 5)),
+        plan(TermStats.scrubDuplicateSpans(docs, "doc_id", "text", 5)))
+      .foreach { p =>
+        // windows join back by 8-byte hash / (id, pos) — never all-pairs
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"span family must stay equi-joined:\n$p")
+        // the (whash, doc) distinct-doc count must partial-aggregate
+        assert("HashAggregate".r.findAllIn(p).length >= 2,
+          s"expected partial+final count phases in:\n$p")
+      }
+  }
+
   test("hive-partitioned read prunes partitions at plan time (S7)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = "target/tmp/planspec_part_documents"
