@@ -32,6 +32,16 @@ object SparkEntry {
   private def scratchDir(d: String): String =
     "/root/repo/target/tmp/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Directory key for a staged/materialized artifact: the source file's
+    * identity (mtime, size) PLUS a literal fingerprint of every build
+    * parameter the artifact depends on. Editing a query's parameters must
+    * invalidate the staged copy — a (mtime, size)-only key silently reuses
+    * an index built with the OLD parameters, and the resulting oracle
+    * mismatch masquerades as an operator bug.
+    */
+  private def stageKey(srcFile: java.io.File, params: String): String =
+    s"${srcFile.lastModified}_${srcFile.length}_$params"
+
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
   private val D382 = DecimalType(38, 2)
   private val D384 = DecimalType(38, 4)
@@ -285,10 +295,13 @@ object SparkEntry {
       Ops.sortValues(Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice"), "o_orderkey")),
 
-    // G1+G2: hash groupBy + the 7 reference agg fns, {fn}_{col} naming
+    // G1+G2: hash groupBy + the 7 reference agg fns, {fn}_{col} naming.
+    // Runs under `exactMedian = true` so the oracle gate exercises the
+    // counts-map TypedImperativeAggregate on the reference's own flagship
+    // aggregate (the built-in-median form is pinned equal in AggSpec).
     "g2_group_agg" -> ((s, d) => {
       val g = Agg.groupAgg(Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"),
-        Seq("l_quantity" -> Agg.SupportedFns))
+        Seq("l_quantity" -> Agg.SupportedFns), exactMedian = true)
       g.select(col("l_returnflag"), col("l_linestatus"),
         col("count_l_quantity"), col("sum_l_quantity"),
         round(col("avg_l_quantity"), 4).as("avg_l_quantity"),
@@ -700,7 +713,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val srcFile = new java.io.File(s"$d/documents.parquet")
       val idxDir =
-        s"${scratchDir(d)}/d7b_contain_index_${srcFile.lastModified}_${srcFile.length}"
+        s"${scratchDir(d)}/d7b_contain_index_${stageKey(srcFile, "n3df50")}"
       if (!new java.io.File(s"$idxDir/inv/_SUCCESS").exists()) {
         Dedup.writeContainmentIndex(
           Dedup.buildContainmentIndex(docs.filter(col("doc_id") % 4 =!= 0),
@@ -1397,7 +1410,7 @@ object SparkEntry {
         // rounds serially.)
         val srcFile = new java.io.File(s"$d/events.parquet")
         val stageDir =
-          s"${scratchDir(d)}/e2b_events_${srcFile.lastModified}_${srcFile.length}"
+          s"${scratchDir(d)}/e2b_events_${stageKey(srcFile, s"gap$gapUs")}"
         if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
           val maxTs = maxTsRow.getLong(0)
           val sentinels = ev.select("user_id").distinct()
@@ -1458,7 +1471,7 @@ object SparkEntry {
       else {
         val srcFile = new java.io.File(s"$d/events.parquet")
         val stageDir =
-          s"${scratchDir(d)}/e6_events_${srcFile.lastModified}_${srcFile.length}"
+          s"${scratchDir(d)}/e6_events_${stageKey(srcFile, s"hz$horizonUs")}"
         if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
           val sentTs = maxTsRow.getLong(0) + horizonUs + 600000000L
           val sentinels = Seq((-1L, -1L, sentTs, "purchase"), (-2L, -2L, sentTs, "click"))
@@ -1493,7 +1506,7 @@ object SparkEntry {
       else {
         val srcFile = new java.io.File(s"$d/events.parquet")
         val stageDir =
-          s"${scratchDir(d)}/e6_events_${srcFile.lastModified}_${srcFile.length}"
+          s"${scratchDir(d)}/e6_events_${stageKey(srcFile, s"hz$horizonUs")}"
         if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
           val sentTs = maxTsRow.getLong(0) + horizonUs + 600000000L
           val sentinels = Seq((-1L, -1L, sentTs, "purchase"), (-2L, -2L, sentTs, "click"))
@@ -1559,7 +1572,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val srcFile = new java.io.File(s"$d/documents.parquet")
       val idxDir =
-        s"${scratchDir(d)}/d2c_minhash_index_${srcFile.lastModified}_${srcFile.length}"
+        s"${scratchDir(d)}/d2c_minhash_index_${stageKey(srcFile, "n3b32r2")}"
       if (!new java.io.File(s"$idxDir/bands/_SUCCESS").exists()) {
         Dedup.writeMinhashIndex(
           Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 9 =!= 0), "doc_id", "text"),
@@ -1577,7 +1590,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val srcFile = new java.io.File(s"$d/documents.parquet")
       val idxDir =
-        s"${scratchDir(d)}/d8c_fp_index_${srcFile.lastModified}_${srcFile.length}"
+        s"${scratchDir(d)}/d8c_fp_index_${stageKey(srcFile, "mod10")}"
       if (!new java.io.File(s"$idxDir/_SUCCESS").exists()) {
         ParquetSink.writeSharded(
           Dedup.fingerprintIndex(docs.filter(col("doc_id") % 10 =!= 0), "text"),
@@ -1595,7 +1608,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val srcFile = new java.io.File(s"$d/embeddings.parquet")
       val idxDir =
-        s"${scratchDir(d)}/d5d_emb_index_${srcFile.lastModified}_${srcFile.length}"
+        s"${scratchDir(d)}/d5d_emb_index_${stageKey(srcFile, "d64b32p4ord")}"
       if (!new java.io.File(s"$idxDir/bands/_SUCCESS").exists()) {
         Dedup.writeEmbeddingIndex(
           Dedup.buildEmbeddingIndex(emb.filter(col("vec_id") % 11 =!= 0), "vec_id",

@@ -25,9 +25,11 @@ import org.apache.spark.sql.{graftshim => shim}
   * exactness — use the approx sketch instead.
   *
   * Semantics match built-in `median`/DuckDB `median` exactly: nulls
-  * skipped, empty → null, odd n → the middle value, even n → the IEEE mean
-  * of the two middle values (one add + one divide on identical operands —
-  * engine-portable).
+  * skipped, empty → null, odd n → the middle value, even n →
+  * `lo + (hi - lo) / 2.0` — the same interpolation form Spark's
+  * `Percentile` and DuckDB `quantile_cont` evaluate, so the even case is
+  * bit-identical to both engines (and immune to the `(lo + hi)` overflow
+  * corner when both middles exceed MaxDouble/2).
   */
 case class ExactMedianAgg(child: Expression,
                           override val mutableAggBufferOffset: Int = 0,
@@ -87,7 +89,10 @@ case class ExactMedianAgg(child: Expression,
         cum += c
         j += 1
       }
-      (lo + hi) / 2.0
+      // lo + (hi-lo)/2 is the interpolation both reference engines compute
+      // for the even case ((lo+hi)/2 can differ in the last ulp and
+      // overflows to +inf when both middles exceed MaxDouble/2)
+      lo + (hi - lo) / 2.0
     }
   }
 

@@ -21,12 +21,17 @@ import org.apache.spark.sql.types.StringType
   *
   * Scale notes: all of count/sum/avg/min/max/std aggregate with partial
   * (map-side) combine before the shuffle — one exchange of tiny partial
-  * buffers regardless of input size. Exact `median` is the exception: it
-  * buffers each group's values (`percentile` keeps a per-group array), so
-  * at 100 TB prefer `approxMedian = true` → `approx_percentile` (a fixed-
-  * size QuantileSummaries sketch that merges map-side like any other
-  * partial agg). Exact is the default because the correctness oracle needs
-  * it; the flag is the documented scale path (SURVEY §7.3).
+  * buffers regardless of input size. `median` has THREE paths (SURVEY
+  * §7.3), selected per call:
+  *   - default: built-in `median` — exact, but buffers each group's VALUES
+  *     (`percentile` keeps a per-group array), fine at test scale;
+  *   - `exactMedian = true`: [[graft.functions.ExactMedianAgg]] — still
+  *     exact, buffer is a (value → count) map, O(DISTINCT values/group)
+  *     instead of O(rows/group); the 100 TB path when the domain is
+  *     quantized (prices, quantities, scores) and exactness is demanded;
+  *   - `approxMedian = true`: `approx_percentile` — a fixed-size
+  *     QuantileSummaries sketch that merges map-side like any other
+  *     partial agg; the 100 TB path for unbounded-cardinality doubles.
   */
 object Agg {
 
@@ -34,7 +39,10 @@ object Agg {
 
   /** One aggregate expression with reference naming + semantics. */
   def aggExpr(df: DataFrame, fn: String, c: String,
-              approxMedian: Boolean = false): Column = {
+              approxMedian: Boolean = false,
+              exactMedian: Boolean = false): Column = {
+    require(!(approxMedian && exactMedian),
+      "aggExpr: approxMedian and exactMedian are mutually exclusive")
     // §7.4.1 bridge: per-cell typed reference columns may arrive as
     // StringType; aggregate over try_cast-to-double so non-numerics skip.
     val isString = df.schema.find(_.name == c).exists(_.dataType == StringType)
@@ -46,6 +54,7 @@ object Agg {
       case "min"    => min(v)
       case "max"    => max(v)
       case "median" => if (approxMedian) approx_percentile(v, lit(0.5), lit(10000))
+                       else if (exactMedian) graft.functions.ExactMedian.exactMedian(v)
                        else median(v)
       case "std"    => stddev_samp(v)
       case other    => throw new IllegalArgumentException(s"unknown agg fn: $other")
@@ -59,8 +68,10 @@ object Agg {
     * Spec preserves insertion order of `spec` for output column order.
     */
   def groupAgg(df: DataFrame, keys: Seq[String], spec: Seq[(String, Seq[String])],
-               approxMedian: Boolean = false): DataFrame = {
-    val exprs = for ((c, fns) <- spec; fn <- fns) yield aggExpr(df, fn, c, approxMedian)
+               approxMedian: Boolean = false,
+               exactMedian: Boolean = false): DataFrame = {
+    val exprs =
+      for ((c, fns) <- spec; fn <- fns) yield aggExpr(df, fn, c, approxMedian, exactMedian)
     require(exprs.nonEmpty, "groupAgg: empty aggregation spec")
     df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
@@ -70,8 +81,10 @@ object Agg {
     * directly, no dummy key, no shuffle of raw rows (partial aggs only).
     */
   def globalAgg(df: DataFrame, spec: Seq[(String, Seq[String])],
-                approxMedian: Boolean = false): DataFrame = {
-    val exprs = for ((c, fns) <- spec; fn <- fns) yield aggExpr(df, fn, c, approxMedian)
+                approxMedian: Boolean = false,
+                exactMedian: Boolean = false): DataFrame = {
+    val exprs =
+      for ((c, fns) <- spec; fn <- fns) yield aggExpr(df, fn, c, approxMedian, exactMedian)
     df.agg(exprs.head, exprs.tail: _*)
   }
 

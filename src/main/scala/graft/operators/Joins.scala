@@ -226,18 +226,30 @@ object Joins {
     *
     * The right side is replicated IN FULL `buckets`× — correct and cheap
     * for the intended dim-sized right table, a surprise 8× blow-up for a
-    * fact-sized one. The guard counts the right side (one scan of a frame
-    * that is small by contract — the lshTopK-guard trade) and refuses when
+    * fact-sized one. The guard counts the right side and refuses when
     * rows × buckets exceeds `maxExplodedRows`; raise the limit (or pass 0
     * to disable) only when the replication is a deliberate choice. For a
     * large skewed-right case, salt the other way around or rely on AQE's
     * skew-join split.
+    *
+    * NOTE the guard is an EAGER Spark job at call time (a behavior
+    * departure from fully-lazy construction — the lshTopK-guard trade): the
+    * right side is persisted around the count so a derived/uncached right
+    * pipeline computes its lineage once, and the same persisted frame feeds
+    * the join (released immediately when the guard trips; on the happy
+    * path it stays live so the join reuses it — `persist` registers the
+    * caller's own `right` frame, so the caller releases it with
+    * `right.unpersist()` once the join has run, or Spark's LRU reclaims it
+    * under pressure). Pass `maxExplodedRows = 0` to keep construction fully
+    * lazy when the right side's size is known by contract.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, on: (String, String),
                  buckets: Int, maxExplodedRows: Long = 1L << 24): DataFrame = {
     require(buckets >= 1, "saltedJoin: buckets must be >= 1")
     if (maxExplodedRows > 0) {
-      val rc = right.count()
+      val cached = right.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rc = cached.count()
+      if (rc * buckets > maxExplodedRows) cached.unpersist(false)
       require(rc * buckets <= maxExplodedRows,
         s"saltedJoin: right side has $rc rows × $buckets buckets = " +
           s"${rc * buckets} exploded rows (limit $maxExplodedRows). saltedJoin " +

@@ -111,8 +111,10 @@ object Sampling {
     * weight in a blended source raises — a negative-sum source would
     * otherwise be dropped by the `_n > 0` filter indistinguishably from an
     * absent one, and per-row negatives silently skew the kept-weight
-    * expectation. (Sources NOT in the share map are dropped unchecked,
-    * like their zero-weight siblings.) The fixed arithmetic shape matches
+    * expectation. Sources NOT in the share map are dropped unchecked,
+    * like their zero-weight siblings — guaranteed by construction, not by
+    * predicate ordering: the raise condition itself requires the source to
+    * be in the share map. The fixed arithmetic shape matches
     * [[mixtureSample]] so the oracle replays bit-identically.
     */
   def mixtureSampleByWeight(df: DataFrame, idCol: String, sourceCol: String,
@@ -137,22 +139,26 @@ object Sampling {
     // resolves to 1.0 — keeping exactly the degenerate source and nothing
     // else. Never reachable for the count form (groups have >= 1 row).
     //
-    // minAgg (the weighted form): min(weight) over EVERY source — checked
-    // declaratively via raise_error BEFORE the _n > 0 filter can hide a
-    // negative-sum source, and with zero extra passes (it rides the same
-    // stats aggregate; the error fires when the threshold table
-    // materializes).
+    // minAgg (the weighted form): min(weight), checked declaratively via
+    // raise_error with zero extra passes (it rides the same stats
+    // aggregate; the error fires when the threshold table materializes).
+    // The raise is scoped to BLENDED sources inside the branch CONDITION
+    // itself (`_share IS NOT NULL AND _minw < 0`): the raise_error sits in
+    // the branch VALUE, so an unmapped source can never trip it no matter
+    // how the optimizer orders the surrounding filter predicates, and a
+    // blended negative-sum source raises whenever `_n` is evaluated —
+    // including by the `_n > 0` predicate that would otherwise hide it.
     val stats = df.groupBy(sourceCol).agg(sizeAgg, minAgg.toSeq: _*)
+      .withColumn("_share", shareCol)
     val checked = minAgg match {
       case Some(_) => stats.withColumn("_n",
-        when(col("_minw") < 0,
+        when(col("_share").isNotNull && col("_minw") < 0,
           raise_error(concat(lit("mixtureSampleByWeight: negative weight in source '"),
             col(sourceCol).cast("string"), lit("' (weights must be non-negative)"))))
           .otherwise(col("_n")))
       case None => stats
     }
     val j = checked
-      .withColumn("_share", shareCol)
       .filter(col("_share").isNotNull && col("_n") > 0)
     val t = j.agg(min(col("_n") / col("_share")).as("_T"))
     val p = j.crossJoin(t)

@@ -140,5 +140,34 @@ class AggSpec extends SparkTestBase {
         assert(r.getDouble(1) == r.getDouble(2),
           s"group ${r.get(0)}: exactMedian ${r.getDouble(1)} != median ${r.getDouble(2)}")
       }
+    // arbitrary (non-half-integer) doubles: pins the even-count formula
+    // lo + (hi-lo)/2 — the same interpolation Percentile evaluates — so the
+    // parity claim is bit-level, not just exact-at-half-integers
+    val ragged = (1 to 2000).map(_ => (rnd.nextInt(5), rnd.nextDouble() * 1e9))
+      .toDF("k", "v").repartition(8)
+    ragged.groupBy("k").agg(exactMedian(col("v")).as("em"), median(col("v")).as("m"))
+      .collect().foreach { r =>
+        assert(r.getDouble(1) == r.getDouble(2),
+          s"group ${r.get(0)}: exactMedian ${r.getDouble(1)} != median ${r.getDouble(2)}")
+      }
+  }
+
+  test("groupAgg(exactMedian = true) routes median through the counts-map aggregate (SURVEY 7.3)") {
+    val rnd = new scala.util.Random(11)
+    val t = (1 to 3000).map(_ => (rnd.nextInt(4).toString, rnd.nextDouble() * 100))
+      .toDF("k", "v").repartition(6)
+    val viaFlag = Agg.groupAgg(t, Seq("k"), Seq("v" -> Seq("count", "median", "std")),
+      exactMedian = true)
+    val builtin = Agg.groupAgg(t, Seq("k"), Seq("v" -> Seq("count", "median", "std")))
+    assert(viaFlag.columns.toSeq == builtin.columns.toSeq)
+    val a = viaFlag.orderBy("k").collect().map(_.toSeq)
+    val b = builtin.orderBy("k").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // the flag actually switches the aggregate (plan carries exact_median)
+    assert(viaFlag.queryExecution.optimizedPlan.toString.contains("exact_median"))
+    intercept[IllegalArgumentException] {
+      Agg.groupAgg(t, Seq("k"), Seq("v" -> Seq("median")),
+        approxMedian = true, exactMedian = true)
+    }
   }
 }
