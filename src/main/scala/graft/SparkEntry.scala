@@ -816,6 +816,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SIM-IVF INDEX REPLAY: sim_ivf_trained from a MATERIALIZED IvfIndex —
+    // Lloyd training runs once at build and the (cells, centroids) pair is
+    // sharded to parquet; the replay probes the loaded frames (one
+    // broadcast centroid ranking + one cell equi-join, no k-means
+    // anywhere in the plan — PlanSpec pin). Same oracle as sim_ivf_trained:
+    // the centroid relation round-trips parquet bit-exactly.
+    "sim_ivf_index_replay" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val idxDir = s"${scratchDir(d)}/sim_ivf_index_${stageKey(srcFile, "d64k8i2")}"
+      if (!new java.io.File(s"$idxDir/cents/_SUCCESS").exists()) {
+        Similarity.writeIvfIndex(
+          Similarity.buildIvfIndex(emb, "vec_id", "embedding", dim = 64, k = 8,
+            iters = 2),
+          idxDir, "vec_id", shards = 4)
+      }
+      Similarity.ivfTopKFromIndex(Similarity.readIvfIndex(s, idxDir),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, probes = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // SIM-Q8: int8-quantized exact top-k — vectors packed to one signed
     // byte per coordinate (4× less memory/bandwidth than float32), scored
     // with the exact integer dot product (codegen'd ByteDotProduct): the
@@ -1584,6 +1606,42 @@ object SparkEntry {
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
+    // D2d: the FULL index lifecycle — day-1 build, day-2 probe + UPDATE
+    // (survivors folded back in as delta shards), day-3 probe against the
+    // UPDATED index. The result must bit-match a from-scratch rebuild over
+    // (day-1 corpus ∪ day-2 survivors) — which is exactly what the oracle
+    // computes brute-force — proving the delta-append maintains the same
+    // relation the builder derives. Day-3 never re-shingles the corpus:
+    // its probe plan scans only the index parquet (PlanSpec pin). The
+    // whole build+update chain is staged once behind an _UPDATED marker
+    // (writeSharded's overwrite makes a crashed half-chain self-healing);
+    // repeat runs measure the day-3 probe.
+    "d2d_index_update" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val idxDir =
+        s"${scratchDir(d)}/d2d_minhash_index_${stageKey(srcFile, "n3b32r2m7")}"
+      if (!new java.io.File(s"$idxDir/_UPDATED").exists()) {
+        Dedup.writeMinhashIndex(
+          Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 7 >= 2), "doc_id", "text"),
+          idxDir, "doc_id", shards = 4)
+        // materialize day-2 survivors BEFORE the append so the update job
+        // reads the cached rows, not the index dir it is writing into
+        val surv = Dedup.minhashIncrementalFromIndex(
+          docs.filter(col("doc_id") % 7 === 0), Dedup.readMinhashIndex(s, idxDir),
+          "doc_id", "text", threshold = 0.5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        surv.count()
+        Dedup.updateMinhashIndex(surv, idxDir, "doc_id", "text", shards = 4)
+        surv.unpersist()
+        new java.io.File(s"$idxDir/_UPDATED").createNewFile()
+      }
+      Dedup.minhashIncrementalFromIndex(
+        docs.filter(col("doc_id") % 7 === 1), Dedup.readMinhashIndex(s, idxDir),
+        "doc_id", "text", threshold = 0.5)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
     // D8c: d8 replayed from the materialized fingerprint index — the
     // exact-ingest analogue of d2c (same oracle as d8)
     "d8c_index_replay" -> ((s, d) => {
@@ -1598,6 +1656,31 @@ object SparkEntry {
       }
       Dedup.exactIncrementalFromIndex(
         docs.filter(col("doc_id") % 10 === 0), s.read.parquet(idxDir), "doc_id", "text")
+        .select("doc_id", "fingerprint").orderBy("doc_id")
+    }),
+
+    // D8d: the exact-family index lifecycle (d2d's recipe on the
+    // fingerprint index): day-1 build, day-2 probe + delta-append of the
+    // survivors' distinct fingerprints, day-3 probe of the updated index —
+    // oracle = the from-scratch day-3 relation (base ∪ day-2 survivors)
+    "d8d_index_update" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val idxDir = s"${scratchDir(d)}/d8d_fp_index_${stageKey(srcFile, "mod8")}"
+      if (!new java.io.File(s"$idxDir/_UPDATED").exists()) {
+        ParquetSink.writeSharded(
+          Dedup.fingerprintIndex(docs.filter(col("doc_id") % 8 >= 2), "text"),
+          idxDir, "fingerprint", shards = 4)
+        val surv = Dedup.exactIncrementalFromIndex(
+          docs.filter(col("doc_id") % 8 === 0), s.read.parquet(idxDir), "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        surv.count()
+        Dedup.updateFingerprintIndex(surv, idxDir, "text", shards = 4)
+        surv.unpersist()
+        new java.io.File(s"$idxDir/_UPDATED").createNewFile()
+      }
+      Dedup.exactIncrementalFromIndex(
+        docs.filter(col("doc_id") % 8 === 1), s.read.parquet(idxDir), "doc_id", "text")
         .select("doc_id", "fingerprint").orderBy("doc_id")
     }),
 
@@ -2380,6 +2463,12 @@ object SparkEntry {
     "sim_ivf_trained" -> kmeansIvfSql(dim = 64, k = 8, probes = 3, topK = 5,
       seed = "kmeans"),
 
+    // the materialized-index replay must reproduce the inline trained form
+    // exactly — cells and centroids are the same relations whether derived
+    // by the builder or loaded from the sharded parquet index
+    "sim_ivf_index_replay" -> kmeansIvfSql(dim = 64, k = 8, probes = 3, topK = 5,
+      seed = "kmeans"),
+
     "sim_topk" ->
       ("SELECT query_id, neighbor_id, cosine, rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
@@ -3053,7 +3142,21 @@ object SparkEntry {
     // the index replay must reproduce d2b exactly — band keys + shingle
     // sets are the same relations whether derived inline or loaded from
     // the sharded parquet index
-    "d2c_index_replay" -> d2bOracleSql
+    "d2c_index_replay" -> d2bOracleSql,
+
+    // the lifecycle gate: day-3 probe of the build→probe→update index must
+    // equal the brute-force from-scratch relation over day-1 ∪ survivors
+    "d2d_index_update" -> d2dOracleSql,
+
+    "d8d_index_update" ->
+      ("WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint " +
+        "FROM documents), " +
+        "s2 AS (SELECT fingerprint FROM fp WHERE doc_id % 8 = 0 " +
+        "AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 8 >= 2)) " +
+        "SELECT doc_id, fingerprint FROM fp WHERE doc_id % 8 = 1 " +
+        "AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 8 >= 2) " +
+        "AND fingerprint NOT IN (SELECT fingerprint FROM s2) " +
+        "ORDER BY doc_id")
   )
 
   /** d7's decontamination oracle — shared verbatim by the index replay
@@ -3105,17 +3208,42 @@ object SparkEntry {
     * matches ≥ 0.5, then the surviving batch rows) — shared verbatim by
     * the index replay (d2c).
     */
-  private val d2bOracleSql: String =
-    "WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
+  private val trigramInvCtes: String =
+    "sh AS (SELECT doc_id, list_distinct(list_transform(" +
       "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1), " +
       "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
       "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' || " +
       "regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM documents), " +
-      "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh), " +
+      "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh)"
+
+  private val d2bOracleSql: String =
+    s"WITH $trigramInvCtes, " +
       "m AS (SELECT a.doc_id AS id_1 " +
       "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id % 9 = 0 AND b.doc_id % 9 != 0 " +
       "GROUP BY a.doc_id, b.doc_id " +
       "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5) " +
       "SELECT doc_id, n_chars FROM documents WHERE doc_id % 9 = 0 " +
       "AND doc_id NOT IN (SELECT id_1 FROM m) ORDER BY doc_id"
+
+  /** d2d's lifecycle oracle: day-2 survivors are computed brute-force
+    * against the day-1 corpus (doc_id % 7 >= 2), then day-3 (doc_id % 7 =
+    * 1) screens against day-1 ∪ those survivors — the from-scratch rebuild
+    * of the updated index's corpus. The Spark side must bit-match via
+    * build → probe+update → probe on the materialized index.
+    */
+  private val d2dOracleSql: String =
+    s"WITH $trigramInvCtes, " +
+      "m2 AS (SELECT a.doc_id AS id_1 " +
+      "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id % 7 = 0 AND b.doc_id % 7 >= 2 " +
+      "GROUP BY a.doc_id, b.doc_id " +
+      "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5), " +
+      "s2 AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0 " +
+      "AND doc_id NOT IN (SELECT id_1 FROM m2)), " +
+      "m3 AS (SELECT a.doc_id AS id_1 " +
+      "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id % 7 = 1 " +
+      "AND (b.doc_id % 7 >= 2 OR b.doc_id IN (SELECT doc_id FROM s2)) " +
+      "GROUP BY a.doc_id, b.doc_id " +
+      "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5) " +
+      "SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 = 1 " +
+      "AND doc_id NOT IN (SELECT id_1 FROM m3) ORDER BY doc_id"
 }

@@ -799,6 +799,20 @@ object Dedup {
     newDocs.withColumn("fingerprint", Text.fingerprint(col(textCol)))
       .join(index.select("fingerprint"), Seq("fingerprint"), "left_anti")
 
+  /** Fold a probe-surviving batch into the saved [[fingerprintIndex]] —
+    * appends the survivors' DISTINCT fingerprints as delta shards (the
+    * [[updateMinhashIndex]] lifecycle for the exact family). The distinct
+    * is within-batch only: by the probe contract the survivors' prints are
+    * not in the base, so base ∪ delta keeps the index's distinct invariant
+    * and equals what [[fingerprintIndex]] would compute over
+    * (corpus ∪ survivors) — probes against the updated index bit-match a
+    * from-scratch rebuild (driver-gated, d8d_index_update).
+    */
+  def updateFingerprintIndex(survivors: DataFrame, path: String,
+                             textCol: String, shards: Int): Unit =
+    graft.sources.ParquetSink.appendSharded(
+      fingerprintIndex(survivors, textCol), path, "fingerprint", shards)
+
   /** The MinHash-ingest probe structure: `sets` = one row per corpus doc
     * (id, n_sh, shs — the sorted 8-byte shingle keys the exact-Jaccard
     * verify needs), `bands` = the banded signature index (id, band, bkey —
@@ -827,6 +841,30 @@ object Dedup {
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String): MinhashIndex =
     MinhashIndex(spark.read.parquet(s"$path/sets"), spark.read.parquet(s"$path/bands"))
+
+  /** Fold a probe-surviving batch INTO the saved [[MinhashIndex]] — the
+    * missing half of the ingest lifecycle (write-once-probe-many becomes
+    * build → probe → UPDATE → probe …): shingle the survivors once, append
+    * their set rows and band keys as delta shards
+    * ([[graft.sources.ParquetSink.appendSharded]]). The base shards are
+    * never rewritten — a daily batch costs O(|batch|) write, not O(|index|)
+    * — and the next [[minhashIncrementalFromIndex]] load sees
+    * base ∪ delta, which is EXACTLY the relation [[buildMinhashIndex]]
+    * would derive from (corpus ∪ survivors): day-3 probes bit-match a
+    * from-scratch rebuild (driver-gated, d2d_index_update).
+    *
+    * Contract: `survivors` are the rows [[minhashIncrementalFromIndex]]
+    * kept against THIS index (the ingest invariant) — so their ids are new
+    * and no dedup-against-base is needed here. Build parameters must match
+    * the index build, like every probe.
+    */
+  def updateMinhashIndex(survivors: DataFrame, path: String, idCol: String,
+                         textCol: String, shards: Int, n: Int = 3,
+                         bands: Int = 32, rowsPerBand: Int = 2): Unit = {
+    val delta = buildMinhashIndex(survivors, idCol, textCol, n, bands, rowsPerBand)
+    graft.sources.ParquetSink.appendSharded(delta.sets, s"$path/sets", idCol, shards)
+    graft.sources.ParquetSink.appendSharded(delta.bands, s"$path/bands", idCol, shards)
+  }
 
   /** [[minhashIncremental]] probing a prebuilt [[MinhashIndex]]: only the
     * BATCH is shingled; the corpus side of candidates comes from
@@ -930,6 +968,22 @@ object Dedup {
   def readEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String): EmbeddingIndex =
     EmbeddingIndex(spark.read.parquet(s"$path/vecs"), spark.read.parquet(s"$path/bands"))
+
+  /** Fold a probe-surviving batch into the saved [[EmbeddingIndex]]:
+    * sketch the survivors once, append their vectors and band keys as
+    * delta shards — the [[updateMinhashIndex]] lifecycle for the embedding
+    * family (same contract: survivors came from a probe of THIS index,
+    * banding parameters match the build; DedupSpec pins the update chain
+    * bit-equal to a from-scratch rebuild).
+    */
+  def updateEmbeddingIndex(survivors: DataFrame, path: String, idCol: String,
+                           vecCol: String, dim: Int, shards: Int,
+                           bands: Int = 16, bitsPerBand: Int = 8,
+                           ordinal: Boolean = false): Unit = {
+    val delta = buildEmbeddingIndex(survivors, idCol, vecCol, dim, bands, bitsPerBand, ordinal)
+    graft.sources.ParquetSink.appendSharded(delta.vecs, s"$path/vecs", idCol, shards)
+    graft.sources.ParquetSink.appendSharded(delta.bands, s"$path/bands", idCol, shards)
+  }
 
   /** [[embeddingIncremental]] probing a prebuilt [[EmbeddingIndex]]: only
     * the BATCH is sketched; corpus candidates come from `index.bands`,

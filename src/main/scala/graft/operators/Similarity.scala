@@ -442,9 +442,20 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, cellCol: String, dim: Int, k: Int,
-              probes: Int = 2): DataFrame = {
+              probes: Int = 2): DataFrame =
+    ivfProbe(corpus, labelCentroidVectors(corpus, cellCol, vecCol, dim),
+      queries, idCol, vecCol, cellCol, k, probes)
+
+  /** The shared IVF probe: rank the (tiny, broadcast) centroid table per
+    * query, keep the `probes` nearest cells, equi-join the corpus on cell
+    * membership, exact-score only those members. Used by both the inline
+    * [[ivfTopK]] (centroids derived from the assignment) and the
+    * materialized [[ivfTopKFromIndex]] (centroids loaded from parquet).
+    */
+  private def ivfProbe(cells: DataFrame, cents: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, cellCol: String,
+                       k: Int, probes: Int): DataFrame = {
     require(probes >= 1, "ivfTopK: probes must be >= 1")
-    val cents = labelCentroidVectors(corpus, cellCol, vecCol, dim)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("_ccos").desc, col(cellCol).asc)
@@ -453,7 +464,7 @@ object Similarity {
       .withColumn("_crn", row_number().over(w))
       .filter(col("_crn") <= probes)
       .select(col("query_id"), col("q_vec"), col(cellCol))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col(cellCol))
+    val c = cells.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col(cellCol))
     val scored = c.join(broadcast(probed), Seq(cellCol))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"),
@@ -461,6 +472,46 @@ object Similarity {
           col("neighbor_id").as("id")).as("sn"))
     rankTopK(scored, k)
   }
+
+  /** The materialized IVF/ANN index — the [[graft.operators.Dedup]]
+    * ingest-index recipe applied to the similarity family: `cells` =
+    * (id, vector, cell), the trained coarse-quantizer assignment; `cents` =
+    * (cell, centroid), the per-cell centroid vectors the probe ranks.
+    * Training (Lloyd iterations — driver round-trips, full corpus passes)
+    * happens ONCE at build; every query batch afterwards probes the loaded
+    * frames, which is one broadcast-ranked centroid table + one equi-join
+    * — no k-means in the replay plan (PlanSpec-pinned; driver-gated
+    * sim_ivf_index_replay bit-matches sim_ivf_trained).
+    */
+  case class IvfIndex(cells: DataFrame, cents: DataFrame)
+
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, k: Int, iters: Int = 2, seed: String = "kmeans",
+                    roundTo: Int = 4): IvfIndex = {
+    val assigned = kmeansAssign(corpus, idCol, vecCol, dim, k, iters, seed, roundTo)
+    IvfIndex(assigned.select(col(idCol), col(vecCol), col("cell")),
+      labelCentroidVectors(assigned, "cell", vecCol, dim))
+  }
+
+  /** Persist / load an [[IvfIndex]] under `path` (`cells/` sharded by id;
+    * `cents/` is k rows — one shard).
+    */
+  def writeIvfIndex(index: IvfIndex, path: String, idCol: String,
+                    shards: Int): Unit = {
+    graft.sources.ParquetSink.writeSharded(index.cells, s"$path/cells", idCol, shards)
+    graft.sources.ParquetSink.writeSharded(index.cents, s"$path/cents", "cell", 1)
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/cells"), spark.read.parquet(s"$path/cents"))
+
+  /** [[ivfTopK]] against a prebuilt [[IvfIndex]]: identical probe path and
+    * output (the centroid relation round-trips parquet bit-exactly), zero
+    * training work per query batch.
+    */
+  def ivfTopKFromIndex(index: IvfIndex, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, probes: Int = 2): DataFrame =
+    ivfProbe(index.cells, index.cents, queries, idCol, vecCol, "cell", k, probes)
 
   /** LSH-bucketed approximate top-k with 1-bit multiprobe. Candidates from
     * bucket collisions only; exact scores; the same k-bounded aggregate as

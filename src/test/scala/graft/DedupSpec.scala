@@ -389,6 +389,96 @@ class DedupSpec extends SparkTestBase {
     assert(emb == embDirect && emb == Set(2L), s"embedding replay diverged: $emb vs $embDirect")
   }
 
+  test("index UPDATE lifecycle: build → probe+update → probe bit-matches a from-scratch rebuild (D2d/D8d/D5 family)") {
+    val dir = "target/tmp/dedupspec_idx_update"
+    // day-1 corpus; day-2 batch = one near-dup of day 1 + one survivor;
+    // day-3 batch = one near-dup OF THE DAY-2 SURVIVOR (caught only if the
+    // update landed), one near-dup of day 1, one clean doc
+    val day1 = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta"),
+      (102L, "one two three four five six")).toDF("doc_id", "text")
+    val day2 = Seq(
+      (201L, "alpha beta gamma delta epsilon eta"),
+      (202L, "red orange yellow green blue violet")).toDF("doc_id", "text")
+    val day3 = Seq(
+      (301L, "red orange yellow green blue indigo"),
+      (302L, "one two three four five seven"),
+      (303L, "totally fresh content words here now")).toDF("doc_id", "text")
+
+    // ---- MinHash family
+    val mh = s"$dir/mh"
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(day1, "doc_id", "text", n = 2),
+      mh, "doc_id", shards = 2)
+    val surv2 = Dedup.minhashIncrementalFromIndex(day2,
+      Dedup.readMinhashIndex(spark, mh), "doc_id", "text", 0.5, n = 2)
+    assert(surv2.select("doc_id").as[Long].collect().toSet == Set(202L))
+    // stale (day-1-only) index misses the day-2 survivor's near-dup
+    val stale = Dedup.minhashIncrementalFromIndex(day3,
+      Dedup.readMinhashIndex(spark, mh), "doc_id", "text", 0.5, n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(stale == Set(301L, 303L), s"stale index should keep 301: $stale")
+    Dedup.updateMinhashIndex(surv2, mh, "doc_id", "text", shards = 2, n = 2)
+    val day3Updated = Dedup.minhashIncrementalFromIndex(day3,
+      Dedup.readMinhashIndex(spark, mh), "doc_id", "text", 0.5, n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // from-scratch rebuild of the day-3 corpus: day-1 ∪ day-2 survivors
+    val rebuilt = Dedup.minhashIncremental(day3,
+      day1.union(day2.filter(col("doc_id") === 202L)), "doc_id", "text", 0.5, n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(day3Updated == rebuilt && day3Updated == Set(303L),
+      s"updated-index probe $day3Updated != rebuild $rebuilt")
+
+    // ---- exact (fingerprint) family: day-3 carries an exact copy (mod
+    // case) of the day-2 survivor
+    val fp = s"$dir/fp"
+    val e3 = Seq(
+      (301L, "red orange yellow green blue indigo"),  // ≠ fingerprint (word differs)
+      (302L, "Red Orange Yellow Green Blue Violet!"), // = day-2 survivor's print
+      (303L, "something else entirely again")).toDF("doc_id", "text")
+    graft.sources.ParquetSink.writeSharded(Dedup.fingerprintIndex(day1, "text"),
+      fp, "fingerprint", shards = 2)
+    val fsurv = Dedup.exactIncrementalFromIndex(day2, spark.read.parquet(fp),
+      "doc_id", "text")
+    assert(fsurv.select("doc_id").as[Long].collect().toSet == Set(201L, 202L))
+    Dedup.updateFingerprintIndex(fsurv, fp, "text", shards = 2)
+    val fUpdated = Dedup.exactIncrementalFromIndex(e3, spark.read.parquet(fp),
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    val fRebuilt = Dedup.exactIncremental(e3, day1.union(day2), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(fUpdated == fRebuilt && fUpdated == Set(301L, 303L),
+      s"fingerprint updated-index probe $fUpdated != rebuild $fRebuilt")
+
+    // ---- embedding family
+    val em = s"$dir/emb"
+    val v1 = Seq((101L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val v2 = Seq(
+      (201L, Array(0.99f, 0.1f, 0.0f, 0.0f)),  // near-dup of 101 → dropped
+      (202L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val v3 = Seq(
+      (301L, Array(0.0f, 0.1f, 0.99f, 0.0f)),  // near-dup of the day-2 survivor
+      (302L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    Dedup.writeEmbeddingIndex(
+      Dedup.buildEmbeddingIndex(v1, "vec_id", "embedding", dim = 4, bands = 16,
+        bitsPerBand = 2),
+      em, "vec_id", shards = 2)
+    val vsurv = Dedup.embeddingIncrementalFromIndex(v2,
+      Dedup.readEmbeddingIndex(spark, em), "vec_id", "embedding", 0.9, dim = 4,
+      bands = 16, bitsPerBand = 2)
+    assert(vsurv.select("vec_id").as[Long].collect().toSet == Set(202L))
+    Dedup.updateEmbeddingIndex(vsurv, em, "vec_id", "embedding", dim = 4,
+      shards = 2, bands = 16, bitsPerBand = 2)
+    val vUpdated = Dedup.embeddingIncrementalFromIndex(v3,
+      Dedup.readEmbeddingIndex(spark, em), "vec_id", "embedding", 0.9, dim = 4,
+      bands = 16, bitsPerBand = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val vRebuilt = Dedup.embeddingIncremental(v3,
+      v1.union(v2.filter(col("vec_id") === 202L)), "vec_id", "embedding", 0.9,
+      dim = 4, bands = 16, bitsPerBand = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(vUpdated == vRebuilt && vUpdated == Set(302L),
+      s"embedding updated-index probe $vUpdated != rebuild $vRebuilt")
+  }
+
   test("decontaminationPairs releaseSets drops both shingle-set caches (D7 loan)") {
     val train = Seq(
       (100L, "preamble words here the quick brown fox jumps over the lazy dog and trailing text"),

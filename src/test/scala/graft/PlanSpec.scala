@@ -247,6 +247,64 @@ class PlanSpec extends SparkTestBase {
       s"index probe must stay an equi-join:\n$p")
   }
 
+  test("updated-index probe scans base+delta index files ONLY — no corpus, no day-2 raw text (D2d)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpusPath = "target/tmp/planspec_d2d_corpus"
+    val day2Path = "target/tmp/planspec_d2d_day2"
+    val idxPath = "target/tmp/planspec_d2d_idx"
+    docs.filter(col("doc_id") % 7 >= 2).write.mode("overwrite").parquet(corpusPath)
+    docs.filter(col("doc_id") % 7 === 0).write.mode("overwrite").parquet(day2Path)
+    Dedup.writeMinhashIndex(
+      Dedup.buildMinhashIndex(spark.read.parquet(corpusPath), "doc_id", "text"),
+      idxPath, "doc_id", shards = 2)
+    val surv = Dedup.minhashIncrementalFromIndex(spark.read.parquet(day2Path),
+      Dedup.readMinhashIndex(spark, idxPath), "doc_id", "text", threshold = 0.5)
+      .persist()
+    surv.count()
+    Dedup.updateMinhashIndex(surv, idxPath, "doc_id", "text", shards = 2)
+    surv.unpersist()
+    val p = plan(Dedup.minhashIncrementalFromIndex(
+      docs.filter(col("doc_id") % 7 === 1),
+      Dedup.readMinhashIndex(spark, idxPath), "doc_id", "text", threshold = 0.5))
+    // the day-3 probe must see day-2's contribution exclusively through
+    // the index's delta shards: neither the original corpus nor day-2's
+    // raw text source may appear in the plan
+    assert(!p.contains("planspec_d2d_corpus"),
+      s"day-3 probe must not rescan the day-1 corpus source:\n$p")
+    assert(!p.contains("planspec_d2d_day2"),
+      s"day-3 probe must not rescan day-2 raw text:\n$p")
+    assert(p.contains("planspec_d2d_idx"),
+      s"day-3 probe must scan the updated index:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"updated-index probe must stay an equi-join:\n$p")
+  }
+
+  test("IVF replay probes ONLY the saved index — no corpus scan, no training in the plan (SIM)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpusPath = "target/tmp/planspec_ivf_corpus"
+    val idxPath = "target/tmp/planspec_ivf_idx"
+    emb.write.mode("overwrite").parquet(corpusPath)
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(spark.read.parquet(corpusPath), "vec_id", "embedding",
+        dim = 64, k = 4, iters = 2),
+      idxPath, "vec_id", shards = 2)
+    // queries ride an in-memory frame so ANY file scan in the plan is
+    // index or corpus — training already happened at build time, and the
+    // replay must not reach back to the corpus source for vectors, cells,
+    // or centroids
+    import spark.implicits._
+    val queries = emb.limit(5).collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq.toDF("vec_id", "embedding")
+    val p = plan(Similarity.ivfTopKFromIndex(Similarity.readIvfIndex(spark, idxPath),
+      queries, "vec_id", "embedding", k = 3, probes = 2))
+    assert(!p.contains("planspec_ivf_corpus"),
+      s"replay must not rescan the corpus source:\n$p")
+    assert(p.contains("planspec_ivf_idx"),
+      s"replay must scan the saved index:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cell membership must equi-join:\n$p")
+  }
+
   test("PNG encode/decode round-trip is narrow — no exchange anywhere (M2b)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 100)
     val p = plan(Multimodal.decodeImageBatches(spark,

@@ -144,6 +144,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.3, "trained cells must beat the ~3/8 random-sampling baseline")
   }
 
+  test("IVF index round-trip: ivfTopKFromIndex bit-matches the inline trained form") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = "target/tmp/simspec_ivf_idx"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", dim = 64, k = 8, iters = 2),
+      dir, "vec_id", shards = 2)
+    val queries = emb.filter(col("vec_id") < 10)
+    val replay = Similarity.ivfTopKFromIndex(Similarity.readIvfIndex(spark, dir),
+      queries, "vec_id", "embedding", k = 5, probes = 3)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .collect().map(_.mkString("|")).toSet
+    val inline = Similarity.ivfTopK(
+      Similarity.kmeansAssign(emb, "vec_id", "embedding", dim = 64, k = 8, iters = 2),
+      queries, "vec_id", "embedding", "cell", dim = 64, k = 5, probes = 3)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .collect().map(_.mkString("|")).toSet
+    assert(replay == inline && replay.nonEmpty,
+      s"replay ${replay.size} rows diverged from inline ${inline.size}")
+  }
+
   test("quantizeInt8: packed codes are deterministic, in range, zero-vector safe") {
     val vecs = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f)),
