@@ -1088,6 +1088,23 @@ object SparkEntry {
       meta.join(pcm, "doc_id").orderBy("doc_id")
     }),
 
+    // M2d: the m2c recipe over AIFF fixtures — same closed-form signal,
+    // BIG-endian PCM container (AudioSystem sniffs the FORM/AIFF header,
+    // the sample summer flips byte order): the sniff→decode dispatch
+    // generalizes past one format. Oracle = m2c's, verbatim.
+    "m2d_aiff_decode" -> ((s, d) => {
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val aiff = Multimodal.encodeAiffBatches(s, ids, "doc_id")
+      val meta = Multimodal.decodeBatches(s, aiff, "doc_id").toDF()
+        .select(col("doc_id"), col("meta.width").cast("long").as("channels"),
+          col("meta.height").cast("long").as("sample_rate"),
+          col("meta.n_frames").cast("long").as("n_frames"),
+          col("meta.duration_ms").as("duration_ms"))
+      val pcm = Multimodal.decodeAudioBatches(s, aiff, "doc_id").toDF()
+        .select(col("doc_id"), col("amp_sum"))
+      meta.join(pcm, "doc_id").orderBy("doc_id")
+    }),
+
     // V1: per-label embedding centroids (class prototypes) — map-side
     // partial aggregation of per-coordinate means, long-format output
     "v1_label_centroids" -> ((s, d) =>
@@ -1557,6 +1574,17 @@ object SparkEntry {
         case Some(shared) =>
           shared.filter(col("event_id") >= 0).orderBy("event_id")
       }
+    }),
+
+    // Q-COVID-SQL: the reference's flagship entry-point-3 chain (filter →
+    // dim join → latest-per-group → 7-fn aggregate → meta join) as ONE SQL
+    // string on the textual front-end — and the string IS the DuckDB
+    // oracle, verbatim (see qCovidOracleSql). Catalyst plans the same
+    // shape as the DataFrame chain: broadcast dim joins, windowed dedup,
+    // partial+final aggregate.
+    "q_covid_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(qCovidOracleSql)
     }),
 
     // Q-SQL: the TEXTUAL SQL front-end end-to-end — Tables.registerAll
@@ -2341,26 +2369,11 @@ object SparkEntry {
     "a14_count" ->
       "SELECT count(*) AS n_rows FROM lineitem",
 
-    "q_covid_chain" ->
-      ("WITH enriched AS (" +
-        "SELECT o.*, c.c_custkey AS r_c_custkey, c.c_name AS r_c_name, " +
-        "c.c_nationkey AS r_c_nationkey, c.c_acctbal AS r_c_acctbal, " +
-        "c.c_mktsegment AS r_c_mktsegment " +
-        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
-        "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' " +
-        "AND c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')), " +
-        "latest AS (SELECT * FROM (SELECT e.*, row_number() OVER (PARTITION BY o_custkey " +
-        "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM enriched e) WHERE rn = 1), " +
-        "g AS (SELECT r_c_nationkey, count(*) AS count_o_totalprice, " +
-        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_o_totalprice, " +
-        "round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / count(*), 4) AS avg_o_totalprice, " +
-        "max(o_totalprice) AS max_o_totalprice, " +
-        "round(median(o_totalprice), 4) AS median_o_totalprice, " +
-        "round(stddev_samp(o_totalprice), 4) AS std_o_totalprice " +
-        "FROM latest GROUP BY r_c_nationkey) " +
-        "SELECT g.*, n.n_nationkey AS r_n_nationkey, n.n_name AS r_n_name, " +
-        "n.n_regionkey AS r_n_regionkey " +
-        "FROM g JOIN nation n ON g.r_c_nationkey = n.n_nationkey ORDER BY r_c_nationkey"),
+    "q_covid_chain" -> qCovidOracleSql,
+
+    // the textual-SQL rendition runs the SAME relation, so it shares the
+    // chain's oracle verbatim
+    "q_covid_sql" -> qCovidOracleSql,
 
     "q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
@@ -3118,22 +3131,10 @@ object SparkEntry {
         "p.s::BIGINT AS px_sum FROM dims dm JOIN px p USING (doc_id) " +
         "ORDER BY doc_id"),
 
-    // closed-form WAV round-trip: rate/channels/frames/duration and the
-    // PCM amplitude sum recomputed from the fixture formula
-    // (rate = 8000 + (id%8)*1000, channels = 1 + id%2,
-    // frames = 500 + id%251, sample_i = ((31i + id) mod 512) - 256,
-    // every channel of a frame carries the same value)
-    "m2c_audio_decode" ->
-      ("WITH amp AS (SELECT d.doc_id, " +
-        "sum(((r.range * 31 + d.doc_id) % 512) - 256) AS s " +
-        "FROM documents d CROSS JOIN range(0, 751) r " +
-        "WHERE d.doc_id < 100 AND r.range < 500 + d.doc_id % 251 " +
-        "GROUP BY d.doc_id) " +
-        "SELECT doc_id, (1 + doc_id % 2)::BIGINT AS channels, " +
-        "(8000 + (doc_id % 8) * 1000)::BIGINT AS sample_rate, " +
-        "(500 + doc_id % 251)::BIGINT AS n_frames, " +
-        "(((500 + doc_id % 251) * 1000) // (8000 + (doc_id % 8) * 1000))::BIGINT AS duration_ms, " +
-        "(s * (1 + doc_id % 2))::BIGINT AS amp_sum FROM amp ORDER BY doc_id"),
+    "m2c_audio_decode" -> audioFixtureOracleSql,
+
+    // identical closed-form fixture, AIFF container — same oracle
+    "m2d_aiff_decode" -> audioFixtureOracleSql,
 
     // the same SQL text shape the Spark side runs via spark.sql
     "q_sql_surface" ->
@@ -3220,6 +3221,55 @@ object SparkEntry {
     * matches ≥ 0.5, then the surviving batch rows) — shared verbatim by
     * the index replay (d2c).
     */
+  /** q_covid_chain's oracle — shared verbatim by q_covid_sql, which also
+    * RUNS this very string through `spark.sql`: the text stays inside the
+    * ANSI intersection both engines parse (decimal-cast sums, one IEEE
+    * division for avg, `median`/`stddev_samp`, window dedup), so one
+    * string is simultaneously the Spark query and the DuckDB oracle — the
+    * strongest possible "the reference's query, as SQL text, on this
+    * engine" loop-closure.
+    */
+  private val qCovidOracleSql: String =
+    "WITH enriched AS (" +
+      "SELECT o.*, c.c_custkey AS r_c_custkey, c.c_name AS r_c_name, " +
+      "c.c_nationkey AS r_c_nationkey, c.c_acctbal AS r_c_acctbal, " +
+      "c.c_mktsegment AS r_c_mktsegment " +
+      "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')), " +
+      "latest AS (SELECT * FROM (SELECT e.*, row_number() OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM enriched e) WHERE rn = 1), " +
+      "g AS (SELECT r_c_nationkey, count(*) AS count_o_totalprice, " +
+      "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_o_totalprice, " +
+      "round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / count(*), 4) AS avg_o_totalprice, " +
+      "max(o_totalprice) AS max_o_totalprice, " +
+      "round(median(o_totalprice), 4) AS median_o_totalprice, " +
+      "round(stddev_samp(o_totalprice), 4) AS std_o_totalprice " +
+      "FROM latest GROUP BY r_c_nationkey) " +
+      "SELECT g.*, n.n_nationkey AS r_n_nationkey, n.n_name AS r_n_name, " +
+      "n.n_regionkey AS r_n_regionkey " +
+      "FROM g JOIN nation n ON g.r_c_nationkey = n.n_nationkey ORDER BY r_c_nationkey"
+
+  /** Closed-form audio round-trip oracle (m2c WAV / m2d AIFF — the
+    * containers carry the SAME formula-derived signal, so one oracle
+    * serves both): rate/channels/frames/duration and the PCM amplitude
+    * sum recomputed from the fixture formula (rate = 8000 + (id%8)*1000,
+    * channels = 1 + id%2, frames = 500 + id%251,
+    * sample_i = ((31i + id) mod 512) − 256, every channel of a frame
+    * carries the same value).
+    */
+  private val audioFixtureOracleSql: String =
+    "WITH amp AS (SELECT d.doc_id, " +
+      "sum(((r.range * 31 + d.doc_id) % 512) - 256) AS s " +
+      "FROM documents d CROSS JOIN range(0, 751) r " +
+      "WHERE d.doc_id < 100 AND r.range < 500 + d.doc_id % 251 " +
+      "GROUP BY d.doc_id) " +
+      "SELECT doc_id, (1 + doc_id % 2)::BIGINT AS channels, " +
+      "(8000 + (doc_id % 8) * 1000)::BIGINT AS sample_rate, " +
+      "(500 + doc_id % 251)::BIGINT AS n_frames, " +
+      "(((500 + doc_id % 251) * 1000) // (8000 + (doc_id % 8) * 1000))::BIGINT AS duration_ms, " +
+      "(s * (1 + doc_id % 2))::BIGINT AS amp_sum FROM amp ORDER BY doc_id"
+
   private val trigramInvCtes: String =
     "sh AS (SELECT doc_id, list_distinct(list_transform(" +
       "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1), " +

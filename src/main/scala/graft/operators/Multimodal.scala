@@ -80,10 +80,26 @@ object Multimodal {
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
+  /** AIFF sniff ("FORM" at 0, "AIFF"/"AIFC" at 8) — the second container
+    * `javax.sound.sampled` ships a reader for, proving the sniff→decode
+    * dispatch generalizes past one format (the JDK also reads AU; AIFF is
+    * the fixture here because its PCM body is big-endian — the opposite
+    * byte order of WAV, so a passing round-trip exercises both layouts).
+    */
+  private[graft] def looksLikeAiff(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+      b(8) == 'A' && b(9) == 'I' && b(10) == 'F' &&
+      (b(11) == 'F' || b(11) == 'C')
+
+  private[graft] def looksLikeAudio(b: Array[Byte]): Boolean =
+    looksLikeWav(b) || looksLikeAiff(b)
+
   /** REAL audio header decode via the JDK (`javax.sound.sampled` — zero
     * external codec libraries, the ImageIO move applied to audio): sample
-    * rate, channel count, and frame length from the WAV header, true
-    * duration_ms = frames·1000 / rate (floor, exact long arithmetic —
+    * rate, channel count, and frame length from the WAV or AIFF header
+    * (sniffed by [[looksLikeAudio]]; `AudioSystem` dispatches by content),
+    * true duration_ms = frames·1000 / rate (floor, exact long arithmetic —
     * fixture rates are integral). None when the payload is not decodable
     * audio (wrong magic, garbage body, unknown frame count) — total, like
     * [[tryDecodeImage]].
@@ -94,7 +110,7 @@ object Multimodal {
     * `n_frames` = PCM sample frames.
     */
   private[graft] def tryDecodeWav(payload: Array[Byte]): Option[MediaMeta] =
-    if (!looksLikeWav(payload)) None
+    if (!looksLikeAudio(payload)) None
     else
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -254,6 +270,49 @@ object Multimodal {
       .withColumn("media_type", lit("audio"))
   }
 
+  /** AIFF sibling of [[encodeWavBatches]] — the SAME closed-form fixture
+    * (rate, channels, frames, samples all functions of the id) written
+    * through `AudioFileFormat.Type.AIFF` with a BIG-endian 16-bit PCM
+    * body (AIFF's required byte order — the mirror image of WAV's
+    * little-endian, so decoding both proves the sample reader handles
+    * either layout). Because the formula is identical, the m2d oracle is
+    * the m2c oracle verbatim.
+    */
+  def encodeAiffBatches(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val rate = (8000 + (id % 8) * 1000).toInt
+          val channels = (1 + id % 2).toInt
+          val frames = (500 + id % 251).toInt
+          val data = new Array[Byte](frames * channels * 2)
+          var i = 0
+          while (i < frames) {
+            val v = (((i * 31 + id) % 512) - 256).toInt
+            var c = 0
+            while (c < channels) {
+              val off = (i * channels + c) * 2
+              data(off) = ((v >> 8) & 0xFF).toByte   // big-endian: high byte first
+              data(off + 1) = (v & 0xFF).toByte
+              c += 1
+            }
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels,
+            true, true)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF(idCol, "payload")
+      .withColumn("media_type", lit("audio"))
+  }
+
   case class AudioPcm(doc_id: Long, sample_rate: Int, channels: Int,
                       n_frames: Long, duration_ms: Long, amp_sum: Long)
 
@@ -261,10 +320,9 @@ object Multimodal {
     * header fields plus the sum of every 16-bit PCM sample across all
     * frames and channels, the cheapest whole-signal statistic that still
     * proves the decoder read the body, not just the header. Requires
-    * 16-bit signed little-endian PCM (the fixture format and the
-    * overwhelmingly-common WAV layout); throws on anything else — this
-    * path is for known-audio columns, [[decodeBatches]] is the
-    * total/fallback form.
+    * 16-bit signed PCM in either byte order (WAV's little-endian, AIFF's
+    * big-endian); throws on anything else — this path is for known-audio
+    * columns, [[decodeBatches]] is the total/fallback form.
     */
   def decodeAudioBatches(spark: SparkSession, withPayload: DataFrame,
                          idCol: String): Dataset[AudioPcm] = {
@@ -278,15 +336,17 @@ object Multimodal {
           try {
             val fmt = in.getFormat
             require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-              fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
-              s"decodeAudioBatches: id=$id is not 16-bit LE signed PCM")
+              fmt.getSampleSizeInBits == 16,
+              s"decodeAudioBatches: id=$id is not 16-bit signed PCM")
             val frames = in.getFrameLength
             require(frames >= 0, s"decodeAudioBatches: id=$id has unknown frame count")
             val bytes = in.readAllBytes()
+            val be = fmt.isBigEndian // WAV is LE, AIFF is BE — sum either
             var s = 0L
             var off = 0
             while (off + 1 < bytes.length) {
-              s += ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort.toLong
+              s += (if (be) ((bytes(off) << 8) | (bytes(off + 1) & 0xFF)).toShort.toLong
+                    else ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort.toLong)
               off += 2
             }
             val rate = math.max(1L, math.round(fmt.getSampleRate.toDouble))

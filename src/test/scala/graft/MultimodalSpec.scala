@@ -144,6 +144,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.tryDecodeWav(fakeRiff.getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("real AIFF round-trip: big-endian PCM decodes to the same fixture header + samples (M2d)") {
+    val ids = (0L until 20L).toDF("doc_id")
+    val aiff = Multimodal.encodeAiffBatches(spark, ids, "doc_id")
+    val metas = Multimodal.decodeBatches(spark, aiff.withColumn("media_type", lit("audio")),
+      "doc_id").collect().map(r => r.doc_id -> r.meta).toMap
+    val pcms = Multimodal.decodeAudioBatches(spark, aiff, "doc_id")
+      .collect().map(p => p.doc_id -> p).toMap
+    (0L until 20L).foreach { id =>
+      val rate = (8000 + (id % 8) * 1000).toInt
+      val channels = (1 + id % 2).toInt
+      val frames = (500 + id % 251).toInt
+      val expSum = channels.toLong * (0 until frames).map(i => ((i * 31 + id) % 512) - 256).sum
+      val m = metas(id)
+      assert((m.width, m.height, m.n_frames, m.duration_ms) ==
+        ((channels, rate, frames, frames * 1000L / rate)),
+        s"decodeBatches AIFF header for id=$id")
+      val p = pcms(id)
+      assert((p.sample_rate, p.channels, p.n_frames, p.amp_sum) ==
+        ((rate, channels, frames.toLong, expSum)),
+        s"decodeAudioBatches AIFF PCM body for id=$id")
+    }
+    // the AIFF sniff accepts FORM/AIFF and FORM/AIFC, rejects other FORMs,
+    // and a sniff-passing garbage body decodes to None (total), as for WAV
+    assert(Multimodal.looksLikeAiff("FORM1234AIFFrest".getBytes("ISO-8859-1")))
+    assert(Multimodal.looksLikeAiff("FORM1234AIFCrest".getBytes("ISO-8859-1")))
+    assert(!Multimodal.looksLikeAiff("FORM1234WAVErest".getBytes("ISO-8859-1")))
+    assert(Multimodal.tryDecodeWav("FORM1234AIFFgarbage body".getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("sniff-passing garbage bodies fall back to the stub instead of throwing (ADVICE r6)") {
     // realistic corpus text that PASSES the magic sniff: 'BM25...' sniffs
     // as BMP, 'GIF89a...' prose sniffs as GIF — the JDK readers THROW on
