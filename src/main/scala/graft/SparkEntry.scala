@@ -1105,6 +1105,24 @@ object SparkEntry {
       meta.join(pcm, "doc_id").orderBy("doc_id")
     }),
 
+    // M2e: REAL video decode over hand-built UNCOMPRESSED AVI fixtures —
+    // the last multimodal stub closed for the codec-free case: the RIFF
+    // walker reads avih width/height/frames/duration and sums every
+    // '00db' frame chunk's bytes; the oracle recomputes all fields from
+    // the closed-form pixel formula (the m2b/m2c recipe applied to video)
+    "m2e_video_decode" -> ((s, d) => {
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val avi = Multimodal.encodeAviBatches(s, ids, "doc_id")
+      val meta = Multimodal.decodeBatches(s, avi, "doc_id").toDF()
+        .select(col("doc_id"), col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.n_frames").cast("long").as("n_frames"),
+          col("meta.duration_ms").as("duration_ms"))
+      val px = Multimodal.decodeVideoBatches(s, avi, "doc_id").toDF()
+        .select(col("doc_id"), col("px_sum"))
+      meta.join(px, "doc_id").orderBy("doc_id")
+    }),
+
     // V1: per-label embedding centroids (class prototypes) — map-side
     // partial aggregation of per-coordinate means, long-format output
     "v1_label_centroids" -> ((s, d) =>
@@ -3135,6 +3153,24 @@ object SparkEntry {
 
     // identical closed-form fixture, AIFF container — same oracle
     "m2d_aiff_decode" -> audioFixtureOracleSql,
+
+    // closed-form uncompressed-AVI round-trip: header fields and the
+    // triple-range pixel-channel sum (3 identical BGR bytes per pixel,
+    // v = (7x + 13y + 31f + id) mod 256; stride padding is zero so the
+    // chunk-byte sum IS the pixel sum)
+    "m2e_video_decode" ->
+      ("WITH px AS (SELECT d.doc_id, " +
+        "sum(3 * ((x.range * 7 + y.range * 13 + f.range * 31 + d.doc_id) % 256)) AS s " +
+        "FROM documents d CROSS JOIN range(0, 8) x CROSS JOIN range(0, 6) y " +
+        "CROSS JOIN range(0, 7) f " +
+        "WHERE d.doc_id < 100 AND x.range < 1 + d.doc_id % 8 " +
+        "AND y.range < 1 + d.doc_id % 6 AND f.range < 2 + d.doc_id % 5 " +
+        "GROUP BY d.doc_id) " +
+        "SELECT doc_id, (1 + doc_id % 8)::BIGINT AS width, " +
+        "(1 + doc_id % 6)::BIGINT AS height, " +
+        "(2 + doc_id % 5)::BIGINT AS n_frames, " +
+        "(((2 + doc_id % 5) * 20000 * (1 + doc_id % 3)) // 1000)::BIGINT AS duration_ms, " +
+        "s::BIGINT AS px_sum FROM px ORDER BY doc_id"),
 
     // the same SQL text shape the Spark side runs via spark.sql
     "q_sql_surface" ->

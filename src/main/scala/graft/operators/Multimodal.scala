@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   * decode for REAL via the JDK's `javax.sound.sampled` (WAV/AIFF headers
   * + PCM bodies): [[decodeBatches]] reads channels / sample rate / frame
   * count / true duration; [[decodeAudioBatches]] additionally sums every
-  * PCM sample (oracle row `m2c_audio_decode`). Only VIDEO decode remains
-  * a stub (`stubDecode` — deterministic fake metadata from a payload
-  * hash; the container has no video codec libraries), and a non-media
-  * payload tagged image/audio falls back to the same stub.
+  * PCM sample (oracle rows `m2c_audio_decode` WAV / `m2d_aiff_decode`
+  * AIFF). VIDEO decodes for REAL when the payload is an UNCOMPRESSED AVI
+  * — the container is plain RIFF bookkeeping, parsed by a hand-written
+  * walker with zero codec libraries ([[tryDecodeAvi]] headers,
+  * [[decodeVideoBatches]] frame bytes; oracle row `m2e_video_decode`).
+  * Only CODEC-compressed video remains out of reach (`stubDecode` —
+  * deterministic fake metadata from a payload hash; no codec libraries in
+  * this container), and a non-media payload tagged image/audio/video
+  * falls back to the same stub.
   *
   * Scale notes: payloads never shuffle — decode/feature-extract are narrow
   * `mapPartitions` (one decoder init per partition, not per row, which is
@@ -130,9 +135,10 @@ object Multimodal {
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** ==== STUB (video + non-decodable audio only) ==== deterministic fake
-    * decoder for the formats the JDK cannot parse (no codec libraries in
-    * this container): metadata is derived from hex digits of the payload's
+  /** ==== STUB (codec-compressed video + non-decodable payloads only) ====
+    * deterministic fake decoder for the formats the JDK cannot parse (no
+    * codec libraries in this container — uncompressed AVI decodes for real
+    * via [[tryDecodeAvi]]): metadata is derived from hex digits of the payload's
     * sha256 — purely a function of the bytes (reproducible) AND expressible
     * in any SQL engine with a sha256, which is what makes the decode
     * oracle-checkable (DuckDB: `('0x' || substr(sha256(text), f, l))::
@@ -179,6 +185,7 @@ object Multimodal {
             case "image" => tryDecodeImage(payload).map(img =>
               MediaMeta(img.getWidth, img.getHeight, 1, 0L))
             case "audio" => tryDecodeWav(payload)
+            case "video" => tryDecodeAvi(payload)
             case _ => None
           }
           MediaRow(id, mt, payload.length.toLong, sha, real.getOrElse(stubDecode(sha, mt)))
@@ -313,6 +320,74 @@ object Multimodal {
       .withColumn("media_type", lit("audio"))
   }
 
+  /** RIFF/AVI sniff — "RIFF" at 0, "AVI " at 8 (the video sibling of
+    * [[looksLikeWav]]; the two RIFF form types are disjoint).
+    */
+  private[graft] def looksLikeAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Minimal RIFF chunk walker: visits every NON-LIST chunk as
+    * (fourcc, bodyOffset, bodySize), descending into LIST bodies (their
+    * 4-byte list type is skipped), honoring the spec's word alignment.
+    * Malformed sizes stop the walk instead of over-reading — the parser
+    * stays total on sniff-passing garbage.
+    */
+  private def walkRiff(b: Array[Byte], from: Int, to: Int)
+                      (visit: (String, Int, Int) => Unit): Unit = {
+    def le32(o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    var pos = from
+    var ok = true
+    while (ok && pos + 8 <= to) {
+      val cc = new String(b, pos, 4, "ISO-8859-1")
+      val size = le32(pos + 4)
+      val body = pos + 8
+      if (size < 0 || size > Int.MaxValue || body + size > to) ok = false
+      else {
+        if (cc == "LIST" && size >= 4) walkRiff(b, body + 4, body + size.toInt)(visit)
+        else visit(cc, body, size.toInt)
+        pos = body + size.toInt + (size.toInt & 1)
+      }
+    }
+  }
+
+  /** REAL video container decode — a hand-written parser for UNCOMPRESSED
+    * AVI (RIFF form 'AVI ', 'avih' main header, '00db' DIB frame chunks):
+    * width/height/frame count from the avih fields, true duration_ms =
+    * frames × microSecPerFrame / 1000. The JDK ships no video codec, but
+    * an uncompressed AVI needs none — the container is plain RIFF
+    * bookkeeping, so the header fields (and in [[decodeVideoBatches]] the
+    * frame bytes themselves) are readable with zero codec libraries.
+    * None when the payload is not a well-formed AVI — total, like its
+    * image/audio siblings. Compressed streams would still need a codec;
+    * that narrower boundary is documented at [[stubDecode]].
+    */
+  private[graft] def tryDecodeAvi(payload: Array[Byte]): Option[MediaMeta] =
+    if (!looksLikeAvi(payload)) None
+    else {
+      def le32(o: Int): Long =
+        (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
+          ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
+      var meta: Option[MediaMeta] = None
+      try {
+        walkRiff(payload, 12, payload.length) { (cc, off, size) =>
+          if (cc == "avih" && size >= 56 && meta.isEmpty) {
+            val usPerFrame = le32(off)
+            val frames = le32(off + 16)
+            val w = le32(off + 32)
+            val h = le32(off + 36)
+            if (w > 0 && h > 0 && frames > 0 && usPerFrame > 0)
+              meta = Some(MediaMeta(w.toInt, h.toInt, frames.toInt,
+                frames * usPerFrame / 1000L))
+          }
+        }
+        meta
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   case class AudioPcm(doc_id: Long, sample_rate: Int, channels: Int,
                       n_frames: Long, duration_ms: Long, amp_sum: Long)
 
@@ -353,6 +428,122 @@ object Multimodal {
             AudioPcm(id, rate.toInt, fmt.getChannels, frames,
               frames * 1000L / rate, s)
           } finally in.close()
+        }
+      }
+  }
+
+  /** Deterministic uncompressed-AVI fixture generator — the video sibling
+    * of [[encodePngBatches]]/[[encodeWavBatches]], built BY HAND to the
+    * RIFF/AVI spec (no codec exists in the JDK to do it for us): for id
+    * the clip is (2 + id % 5) frames of (1 + id % 8) × (1 + id % 6)
+    * 24-bit BGR pixels at microSecPerFrame = 20000·(1 + id % 3), every
+    * channel of pixel (x, y) in frame f carrying
+    * (x·7 + y·13 + f·31 + id) mod 256. Rows are zero-padded to the
+    * spec's 4-byte stride — padding contributes nothing to the byte sum,
+    * which keeps the px_sum oracle a pure triple range product. Layout:
+    * RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh 'vids'/'DIB ',
+    * strf BITMAPINFOHEADER}} → LIST(movi){'00db' × frames}.
+    */
+  def encodeAviBatches(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (1 + id % 8).toInt
+          val h = (1 + id % 6).toInt
+          val frames = (2 + id % 5).toInt
+          val usPerFrame = (20000 * (1 + id % 3)).toInt
+          val stride = ((3 * w + 3) / 4) * 4
+          val frameBytes = stride * h
+          val bos = new java.io.ByteArrayOutputStream()
+          def cc(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+          def le32(v: Int): Unit = {
+            bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+            bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF)
+          }
+          def le16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+          // sizes, inner-out: strf body 40, strh body 56, avih body 56
+          val strlSize = 4 + (8 + 56) + (8 + 40)
+          val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+          val moviSize = 4 + frames * (8 + frameBytes)
+          val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+          cc("RIFF"); le32(riffSize); cc("AVI ")
+          cc("LIST"); le32(hdrlSize); cc("hdrl")
+          cc("avih"); le32(56)
+          le32(usPerFrame); le32(0); le32(0); le32(0)  // usPerFrame, maxBps, padding, flags
+          le32(frames); le32(0); le32(1); le32(0)      // totalFrames, initial, streams, bufSize
+          le32(w); le32(h); le32(0); le32(0); le32(0); le32(0) // width, height, reserved[4]
+          cc("LIST"); le32(strlSize); cc("strl")
+          cc("strh"); le32(56)
+          cc("vids"); cc("DIB ")
+          le32(0); le16(0); le16(0); le32(0)           // flags, priority, language, initial
+          le32(usPerFrame); le32(1000000)              // scale/rate = frame period
+          le32(0); le32(frames); le32(0); le32(-1); le32(0) // start, length, bufSize, quality, sampleSize
+          le16(0); le16(0); le16(w); le16(h)           // rcFrame
+          cc("strf"); le32(40)
+          le32(40); le32(w); le32(h); le16(1); le16(24) // BITMAPINFOHEADER
+          le32(0); le32(frameBytes); le32(0); le32(0); le32(0); le32(0)
+          cc("LIST"); le32(moviSize); cc("movi")
+          var f = 0
+          while (f < frames) {
+            cc("00db"); le32(frameBytes)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = ((x * 7 + y * 13 + f * 31 + id) % 256).toInt
+                bos.write(v); bos.write(v); bos.write(v) // B, G, R — same value
+                x += 1
+              }
+              var pad = stride - 3 * w
+              while (pad > 0) { bos.write(0); pad -= 1 }
+              y += 1
+            }
+            f += 1
+          }
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF(idCol, "payload")
+      .withColumn("media_type", lit("video"))
+  }
+
+  case class VideoFrames(doc_id: Long, width: Int, height: Int, n_frames: Long,
+                         duration_ms: Long, px_sum: Long)
+
+  /** REAL frame-level video decode — the [[decodeAudioBatches]] analogue
+    * for uncompressed AVI: avih header fields plus the byte sum over every
+    * '00db'/'00dc' frame chunk in the movi list (row padding is zero by
+    * spec-writer contract, so the sum equals the pixel-channel sum) — the
+    * cheapest whole-clip statistic that proves the decoder walked every
+    * frame chunk, not just the header. Throws on a payload that is not a
+    * parseable AVI — this path is for known-video columns,
+    * [[decodeBatches]] is the total/fallback form.
+    */
+  def decodeVideoBatches(spark: SparkSession, withPayload: DataFrame,
+                         idCol: String): Dataset[VideoFrames] = {
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val meta = tryDecodeAvi(payload).getOrElse(
+            throw new IllegalArgumentException(
+              s"decodeVideoBatches: id=$id is not a parseable AVI"))
+          var pxSum = 0L
+          var nChunks = 0L
+          walkRiff(payload, 12, payload.length) { (cc, off, size) =>
+            if (cc == "00db" || cc == "00dc") {
+              nChunks += 1
+              var i = off
+              val end = off + size
+              while (i < end) { pxSum += (payload(i) & 0xFF); i += 1 }
+            }
+          }
+          require(nChunks == meta.n_frames,
+            s"decodeVideoBatches: id=$id movi has $nChunks frame chunks, avih says ${meta.n_frames}")
+          VideoFrames(id, meta.width, meta.height, meta.n_frames,
+            meta.duration_ms, pxSum)
         }
       }
   }

@@ -173,6 +173,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.tryDecodeWav("FORM1234AIFFgarbage body".getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("real uncompressed-AVI round-trip: hand parser returns the exact fixture header + frame bytes (M2e)") {
+    val ids = (0L until 20L).toDF("doc_id")
+    val avi = Multimodal.encodeAviBatches(spark, ids, "doc_id")
+    val metas = Multimodal.decodeBatches(spark, avi, "doc_id")
+      .collect().map(r => r.doc_id -> r.meta).toMap
+    val pxs = Multimodal.decodeVideoBatches(spark, avi, "doc_id")
+      .collect().map(v => v.doc_id -> v).toMap
+    (0L until 20L).foreach { id =>
+      val w = (1 + id % 8).toInt
+      val h = (1 + id % 6).toInt
+      val frames = (2 + id % 5).toInt
+      val usPerFrame = (20000 * (1 + id % 3)).toInt
+      val expSum = (for {
+        f <- 0 until frames; y <- 0 until h; x <- 0 until w
+      } yield 3L * ((x * 7 + y * 13 + f * 31 + id) % 256)).sum
+      val m = metas(id)
+      assert((m.width, m.height, m.n_frames, m.duration_ms) ==
+        ((w, h, frames, frames.toLong * usPerFrame / 1000)),
+        s"decodeBatches AVI header for id=$id")
+      val p = pxs(id)
+      assert((p.width, p.height, p.n_frames, p.px_sum) ==
+        ((w, h, frames.toLong, expSum)),
+        s"decodeVideoBatches frame bytes for id=$id")
+    }
+    // sniff accepts RIFF/AVI only; garbage bodies decode to None (total)
+    assert(Multimodal.looksLikeAvi("RIFF1234AVI rest".getBytes("ISO-8859-1")))
+    assert(!Multimodal.looksLikeAvi("RIFF1234WAVErest".getBytes("ISO-8859-1")))
+    assert(Multimodal.tryDecodeAvi("RIFF1234AVI garbage body here".getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("sniff-passing garbage bodies fall back to the stub instead of throwing (ADVICE r6)") {
     // realistic corpus text that PASSES the magic sniff: 'BM25...' sniffs
     // as BMP, 'GIF89a...' prose sniffs as GIF — the JDK readers THROW on
