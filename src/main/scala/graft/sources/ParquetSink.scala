@@ -34,9 +34,9 @@ object ParquetSink {
     * the materialized ingest indexes ([[graft.operators.Dedup]]'s
     * `update*Index`): each daily batch appends its delta instead of
     * rewriting a 100 TB base. File count grows by `shards` per append —
-    * compact periodically by reading `path` and [[writeSharded]]-ing to a
-    * fresh directory (the reader-visible rows are identical before and
-    * after, so compaction can happen any time between batches).
+    * compact periodically with [[compactSharded]] (the reader-visible rows
+    * are identical before and after, so compaction can happen any time
+    * between batches).
     */
   def appendSharded(df: DataFrame, path: String, idCol: String, shards: Int): Unit = {
     require(shards >= 1, "appendSharded: shards must be >= 1")
@@ -46,4 +46,32 @@ object ParquetSink {
 
   def writePartitioned(df: DataFrame, path: String, byCol: String): Unit =
     df.write.mode("overwrite").partitionBy(byCol).parquet(path)
+
+  /** Compact a delta-appended [[writeSharded]]/[[appendSharded]] table back
+    * to exactly `shards` files: read base ∪ deltas, re-shard to `tmpPath`,
+    * then atomically swap directories (rename old → `.old`, tmp → live,
+    * delete `.old`). Rows are identical before and after — run it any time
+    * between ingest batches once the delta file count grows past the
+    * dataloader's comfort. The swap is two directory renames, so a reader
+    * that opened the table BEFORE the compaction keeps its snapshot (the
+    * open file handles), and one that opens after sees the compacted set;
+    * don't run concurrently with a writer to the same path.
+    */
+  def compactSharded(spark: org.apache.spark.sql.SparkSession, path: String,
+                     idCol: String, shards: Int): Unit = {
+    val tmp = path + ".compact_tmp"
+    val old = path + ".old"
+    writeSharded(spark.read.parquet(path), tmp, idCol, shards)
+    val live = new java.io.File(path)
+    val oldF = new java.io.File(old)
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRf))
+      f.delete()
+    }
+    rmRf(oldF)
+    require(live.renameTo(oldF), s"compactSharded: could not move $path aside")
+    require(new java.io.File(tmp).renameTo(live),
+      s"compactSharded: could not swap in $tmp")
+    rmRf(oldF)
+  }
 }

@@ -29,6 +29,27 @@ class ParquetSinkSpec extends SparkTestBase {
     assert(sameGrouping, "shard membership must not depend on input partitioning")
   }
 
+  test("appendSharded adds delta shards; compactSharded restores the shard count, rows unchanged") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = "target/tmp/sink_append_compact"
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    ParquetSink.writeSharded(base, path, "doc_id", 4)
+    ParquetSink.appendSharded(delta, path, "doc_id", 4)
+    def parquetFiles() =
+      new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles() == 8, "base 4 + delta 4 shards")
+    val wantIds = docs.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(spark.read.parquet(path).select("doc_id").as[Long].collect().sorted.toSeq
+      == wantIds, "append must read as base ∪ delta")
+    ParquetSink.compactSharded(spark, path, "doc_id", 4)
+    assert(parquetFiles() == 4, "compaction restores the target shard count")
+    assert(!new java.io.File(path + ".old").exists() &&
+      !new java.io.File(path + ".compact_tmp").exists(), "swap dirs cleaned up")
+    assert(spark.read.parquet(path).select("doc_id").as[Long].collect().sorted.toSeq
+      == wantIds, "compaction must not change the reader-visible rows")
+  }
+
   test("writePartitioned: hive layout; scans prune to the filtered partition") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val path = "target/tmp/sink_partitioned"
