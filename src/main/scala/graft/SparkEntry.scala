@@ -769,6 +769,33 @@ object SparkEntry {
         .orderBy("test_id", "train_id")
     }),
 
+    // D7c: the containment-index UPDATE lifecycle — the df-capped family's
+    // d2d: day-1 build over part of the train corpus, day-2
+    // updateContainmentIndex folds in the rest (df deltas appended,
+    // over-cap shingles tombstoned so their stale entries vanish at read
+    // time), day-3 screens the benchmark against the updated index. The
+    // effective index must equal the from-scratch build over the FULL
+    // train corpus — so the oracle is d7's own SQL, verbatim.
+    "d7c_decon_update" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val idxDir =
+        s"${scratchDir(d)}/d7c_contain_index_${stageKey(srcFile, "n3df50m4")}"
+      if (!new java.io.File(s"$idxDir/_UPDATED").exists()) {
+        Dedup.writeContainmentIndex(
+          Dedup.buildContainmentIndex(
+            docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2),
+            "doc_id", "text", n = 3, maxDf = 50),
+          idxDir, "doc_id", shards = 4)
+        Dedup.updateContainmentIndex(docs.filter(col("doc_id") % 4 === 3),
+          idxDir, "doc_id", "text", n = 3, maxDf = 50, shards = 4)
+        new java.io.File(s"$idxDir/_UPDATED").createNewFile()
+      }
+      Dedup.decontaminationFromIndex(Dedup.readContainmentIndex(s, idxDir),
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("test_id", "train_id")
+    }),
+
     // D8: incremental ingest dedup — new batch (doc_id % 10 = 0) anti-joined
     // against the existing corpus's fingerprint set
     "d8_incremental_dedup" -> ((s, d) => {
@@ -2465,6 +2492,12 @@ object SparkEntry {
     // inverted index are the same relations whether derived inline or
     // loaded from the sharded parquet index
     "d7b_decon_replay" -> d7OracleSql,
+
+    // the lifecycle gate: build(train₁) → update(train₂) must equal the
+    // from-scratch index over train₁ ∪ train₂ — d7's relation exactly,
+    // including entries tombstoned when the update pushed a shingle past
+    // the df cap
+    "d7c_decon_update" -> d7OracleSql,
 
     // components over the same pairs via transitive closure (recursive CTE)
     "d6_components" ->

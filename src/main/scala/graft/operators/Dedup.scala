@@ -899,26 +899,99 @@ object Dedup {
     * real pipeline freezes next to the training corpus so every benchmark
     * release can be screened without re-shingling 100 TB of train text.
     */
-  case class ContainmentIndex(sets: DataFrame, rareInv: DataFrame)
+  /** `df` is carried by BUILT indexes only (the full (sk, df) vocabulary
+    * table the update path needs to re-check the cap); a parquet-LOADED
+    * probe view leaves it None — probing needs just sets + effective inv.
+    */
+  case class ContainmentIndex(sets: DataFrame, rareInv: DataFrame,
+                              df: Option[DataFrame] = None)
 
   def buildContainmentIndex(train: DataFrame, idCol: String, textCol: String,
                             n: Int, maxDf: Int): ContainmentIndex = {
     val tsets = shingleSets(train, idCol, textCol, n)
     val ti = tsets.select(col(idCol).as("train_id"), explode(col("shs")).as("sk"))
-    val rare = ti.groupBy("sk").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDf).select("sk")
-    ContainmentIndex(tsets, ti.join(rare, "sk"))
+    val dfTab = ti.groupBy("sk").agg(count(lit(1)).as("df"))
+    val rare = dfTab.filter(col("df") <= maxDf).select("sk")
+    ContainmentIndex(tsets, ti.join(rare, "sk"), Some(dfTab))
   }
 
+  /** Layout: `sets/`, `inv/` (df-capped pairs), and — when the index was
+    * BUILT rather than loaded — `df/` (the full vocabulary df table,
+    * delta-appended by updates) plus an empty `tomb/` (shingle keys whose
+    * inv entries later batches invalidated). A pre-r8 index without
+    * df/tomb still probes fine; only [[updateContainmentIndex]] needs them.
+    */
   def writeContainmentIndex(index: ContainmentIndex, path: String, idCol: String,
                             shards: Int): Unit = {
     graft.sources.ParquetSink.writeSharded(index.sets, s"$path/sets", idCol, shards)
     graft.sources.ParquetSink.writeSharded(index.rareInv, s"$path/inv", "train_id", shards)
+    index.df.foreach { d =>
+      graft.sources.ParquetSink.writeSharded(d, s"$path/df", "sk", shards)
+      graft.sources.ParquetSink.writeSharded(d.filter(lit(false)).select("sk"),
+        s"$path/tomb", "sk", 1)
+    }
   }
 
   def readContainmentIndex(spark: org.apache.spark.sql.SparkSession,
-                           path: String): ContainmentIndex =
-    ContainmentIndex(spark.read.parquet(s"$path/sets"), spark.read.parquet(s"$path/inv"))
+                           path: String): ContainmentIndex = {
+    val inv = spark.read.parquet(s"$path/inv")
+    val eff =
+      if (new java.io.File(s"$path/tomb").exists())
+        inv.join(spark.read.parquet(s"$path/tomb"), Seq("sk"), "left_anti")
+      else inv
+    ContainmentIndex(spark.read.parquet(s"$path/sets"), eff)
+  }
+
+  /** Fold a batch of NEW train documents into the saved containment index
+    * — the [[updateMinhashIndex]] lifecycle for the df-capped family,
+    * where a plain append would be WRONG: adding documents raises shingle
+    * document frequencies, and a shingle the batch pushes past `maxDf`
+    * must lose its existing inv entries, not just skip its new ones. The
+    * LSM answer, all O(batch)-sized writes against vocabulary-scale reads:
+    *
+    *   1. shingle the batch once; its (sk, df) deltas APPEND to `df/`
+    *      (cumulative df = sum per sk across delta files);
+    *   2. batch (train_id, sk) pairs whose CUMULATIVE df stays ≤ maxDf
+    *      append to `inv/`;
+    *   3. shingles the batch pushed PAST the cap (old ≤ maxDf < new, old
+    *      ≥ 1) append to `tomb/` — [[readContainmentIndex]] anti-joins
+    *      tombstones, so their stale base entries vanish at read time;
+    *   4. batch shingle sets append to `sets/`.
+    *
+    * df only grows, so a tombstoned shingle can never be resurrected and
+    * later batches never re-tombstone it (old df already > maxDf). The
+    * effective index is IDENTICAL to a from-scratch rebuild over
+    * train ∪ batch — d7c_decon_update gates that bit-for-bit against d7's
+    * own oracle. Build parameters must match the index build.
+    */
+  def updateContainmentIndex(newTrain: DataFrame, path: String, idCol: String,
+                             textCol: String, n: Int, maxDf: Int,
+                             shards: Int): Unit = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = newTrain.sparkSession
+    val bsets = shingleSets(newTrain, idCol, textCol, n).persist(lvl)
+    bsets.count()
+    val bi = bsets.select(col(idCol).as("train_id"), explode(col("shs")).as("sk"))
+    val bdf = bi.groupBy("sk").agg(count(lit(1)).as("df"))
+    val oldDf = spark.read.parquet(s"$path/df")
+      .groupBy("sk").agg(sum("df").as("_odf"))
+    val merged = bdf.join(oldDf, Seq("sk"), "left")
+      .withColumn("_odf", coalesce(col("_odf"), lit(0L)))
+      .withColumn("_ndf", col("_odf") + col("df"))
+      .persist(lvl)
+    merged.count()
+    graft.sources.ParquetSink.appendSharded(
+      bi.join(merged.filter(col("_ndf") <= maxDf).select("sk"), "sk"),
+      s"$path/inv", "train_id", shards)
+    graft.sources.ParquetSink.appendSharded(
+      merged.filter(col("_odf") >= 1 && col("_odf") <= maxDf && col("_ndf") > maxDf)
+        .select("sk"),
+      s"$path/tomb", "sk", 1)
+    graft.sources.ParquetSink.appendSharded(bdf, s"$path/df", "sk", shards)
+    graft.sources.ParquetSink.appendSharded(bsets, s"$path/sets", idCol, shards)
+    merged.unpersist()
+    bsets.unpersist()
+  }
 
   /** [[decontaminationPairs]] probing a prebuilt [[ContainmentIndex]]: only
     * the TEST (benchmark) side is shingled; train candidates come from the

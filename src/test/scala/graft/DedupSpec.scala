@@ -479,6 +479,38 @@ class DedupSpec extends SparkTestBase {
       s"embedding updated-index probe $vUpdated != rebuild $vRebuilt")
   }
 
+  test("containment index UPDATE: df-crossing shingles tombstone; probe equals from-scratch rebuild (D7c)") {
+    val dir = "target/tmp/dedupspec_ci_update"
+    // maxDf = 1: "alpha beta" has df 1 in train1 (indexed); the update's
+    // doc 3 repeats it → df 2 > cap → its BASE entry must be invalidated,
+    // not just the new one skipped
+    val train1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val train2 = Seq((3L, "alpha beta theta")).toDF("doc_id", "text")
+    val tests = Seq((10L, "alpha beta"), (11L, "beta gamma kappa"))
+      .toDF("doc_id", "text")
+    Dedup.writeContainmentIndex(
+      Dedup.buildContainmentIndex(train1, "doc_id", "text", n = 2, maxDf = 1),
+      dir, "doc_id", shards = 2)
+    Dedup.updateContainmentIndex(train2, dir, "doc_id", "text", n = 2, maxDf = 1,
+      shards = 2)
+    val got = Dedup.decontaminationFromIndex(Dedup.readContainmentIndex(spark, dir),
+      tests, "doc_id", "text", n = 2, threshold = 0.5)
+      .select("test_id", "train_id", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = Dedup.decontaminationPairs(train1.union(train2), tests,
+      "doc_id", "text", n = 2, threshold = 0.5, maxDf = 1)
+      .select("test_id", "train_id", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want, s"updated index $got != from-scratch rebuild $want")
+    // test 10's only link is the now-over-cap "alpha beta": a stale base
+    // entry would resurrect it with containment 1.0
+    assert(!got.exists(_._1 == 10L), s"tombstoned shingle resurrected a pair: $got")
+    // test 11 still reaches doc 1 through the surviving "beta gamma"
+    assert(got.exists(t => t._1 == 11L && t._2 == 1L),
+      s"surviving shingles must still produce candidates: $got")
+  }
+
   test("decontaminationPairs releaseSets drops both shingle-set caches (D7 loan)") {
     val train = Seq(
       (100L, "preamble words here the quick brown fox jumps over the lazy dog and trailing text"),
