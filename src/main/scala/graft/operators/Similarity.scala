@@ -513,6 +513,27 @@ object Similarity {
                        vecCol: String, k: Int, probes: Int = 2): DataFrame =
     ivfProbe(index.cells, index.cents, queries, idCol, vecCol, "cell", k, probes)
 
+  /** Fold new vectors into the saved [[IvfIndex]] — the ingest-index
+    * UPDATE for the ANN family, with the standard IVF contract (faiss
+    * `add()` semantics): the batch is assigned to the FROZEN centroids by
+    * one narrow argmax projection and delta-appended to `cells/`; the
+    * coarse quantizer itself is not retrained (periodic retraining = a
+    * fresh [[buildIvfIndex]], exactly like index compaction). Appended
+    * members are probed identically to built ones — SimilaritySpec pins
+    * that an updated index returns new-batch vectors ranked by the same
+    * exact cosine as a rebuilt cells frame.
+    */
+  def updateIvfIndex(newVecs: DataFrame, path: String, idCol: String,
+                     vecCol: String, shards: Int): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = spark.read.parquet(s"$path/cents").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toIndexedSeq
+    require(cents.nonEmpty, "updateIvfIndex: index has no centroids")
+    val assigned = newVecs.select(col(idCol), col(vecCol),
+      assignCellExpr(vecCol, cents).as("cell"))
+    graft.sources.ParquetSink.appendSharded(assigned, s"$path/cells", idCol, shards)
+  }
+
   /** LSH-bucketed approximate top-k with 1-bit multiprobe. Candidates from
     * bucket collisions only; exact scores; the same k-bounded aggregate as
     * [[bruteForceTopK]] ranks them (multiprobe duplicates removed first so

@@ -164,6 +164,49 @@ class SimilaritySpec extends SparkTestBase {
       s"replay ${replay.size} rows diverged from inline ${inline.size}")
   }
 
+  test("IVF index UPDATE: batch assigned to frozen centroids; probe equals a manual cells-union rebuild") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = "target/tmp/simspec_ivf_update"
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(base, "vec_id", "embedding", dim = 64, k = 8, iters = 2),
+      dir, "vec_id", shards = 2)
+    Similarity.updateIvfIndex(batch, dir, "vec_id", "embedding", shards = 2)
+    val updated = Similarity.readIvfIndex(spark, dir)
+    // every appended member lands in the cell of its nearest frozen
+    // centroid (ties to the lowest cell — the assignment contract)
+    val centMap = updated.cents.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / math.sqrt(na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val appended = updated.cells.join(batch.select(col("vec_id")), "vec_id")
+      .select("vec_id", "embedding", "cell")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    assert(appended.length == batch.count())
+    appended.foreach { case (id, v, cell) =>
+      val best = centMap.toSeq.map { case (c, cv) => (cos(v, cv), -c) }.max
+      assert(cell == -best._2, s"vec $id assigned to cell $cell, nearest is ${-best._2}")
+    }
+    // appended vectors are probe-reachable: querying with a COPY of a
+    // batch vector (fresh id, so self-exclusion doesn't fire) must return
+    // that very vector as the top neighbor at cosine 1
+    val copies = batch.limit(3)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val top = Similarity.ivfTopKFromIndex(updated, copies,
+      "vec_id", "embedding", k = 1, probes = 3)
+      .collect().map(r => (r.getLong(0) - 1000000L, r.getLong(1), r.getDouble(2)))
+    assert(top.length == 3)
+    top.foreach { case (orig, nbr, cosv) =>
+      assert(nbr == orig && cosv == 1.0,
+        s"copy of appended vec $orig should find it at cosine 1, got $nbr @ $cosv")
+    }
+  }
+
   test("quantizeInt8: packed codes are deterministic, in range, zero-vector safe") {
     val vecs = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f)),
