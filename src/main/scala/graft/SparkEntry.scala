@@ -62,7 +62,7 @@ object SparkEntry {
     import s.implicits._
     val horizonUs = 3600000000L
     val ev = Tables.events(s, d).select("event_id", "user_id", "ts_us", "event_type")
-    val maxTsRow = ev.agg(max("ts_us")).head
+    val maxTsRow = ev.agg(max("ts_us")).head()
     if (maxTsRow.isNullAt(0)) None
     else {
       val srcFile = new java.io.File(s"$d/events.parquet")
@@ -1525,7 +1525,7 @@ object SparkEntry {
       import s.implicits._
       val gapUs = 1800000000L
       val ev = Tables.events(s, d).select("user_id", "ts_us", "event_id")
-      val maxTsRow = ev.agg(max("ts_us")).head
+      val maxTsRow = ev.agg(max("ts_us")).head()
       // empty events: nothing to replay — degrade to the empty session set
       // (max over zero rows is NULL; getLong would NPE)
       if (maxTsRow.isNullAt(0)) s.emptyDataset[StreamOps.SessionOut].toDF()

@@ -325,7 +325,7 @@ object Dedup {
     val fpHash = shim.toExpression(xxhash64(col("fingerprint")))
     val bloomAgg = new BloomFilterAggregate(fpHash, Literal(batchCount), Literal(numBits))
     val bloomBytes = nf.select(shim.toColumn(bloomAgg.toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val mightMatchBatch = shim.toColumn(BloomFilterMightContain(
       Literal(bloomBytes, org.apache.spark.sql.types.BinaryType), fpHash))
     val cf = corpus.select(Text.fingerprint(col(textCol)).as("fingerprint"))
@@ -506,7 +506,7 @@ object Dedup {
     }
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val d = df.agg(sum(col("component").cast(DecimalType(38, 0))).as("s"))
-        .head.getDecimal(0)
+        .head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
     def unchanged(next: DataFrame, prev: DataFrame): Boolean =
