@@ -1621,6 +1621,36 @@ object SparkEntry {
       }
     }),
 
+    // E7 STREAMING, driver-gated via batch replay: the daily-ingest probe
+    // as a LIVE STREAM — incoming documents fingerprint narrowly and
+    // stream-static ANTI-join the materialized fingerprint index (d8c's
+    // staged dir, same build) per micro-batch. Stateless: the index IS
+    // the state, owned by the pipeline (advanced between batches via
+    // updateFingerprintIndex), so this is the streaming face of the whole
+    // materialized-index story. Same oracle as d8/d8c.
+    "e7_stream_ingest_dedup" -> ((s, d) => {
+      Session.tune(s)
+      val docs = Tables.documents(s, d)
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val idxDir = s"${scratchDir(d)}/d8c_fp_index_${stageKey(srcFile, "mod10")}"
+      if (!new java.io.File(s"$idxDir/_SUCCESS").exists()) {
+        ParquetSink.writeSharded(
+          Dedup.fingerprintIndex(docs.filter(col("doc_id") % 10 =!= 0), "text"),
+          idxDir, "fingerprint", shards = 4)
+      }
+      val stageDir = s"${scratchDir(d)}/e7_docs_${stageKey(srcFile, "mod10")}"
+      if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+          .coalesce(4).write.mode("overwrite").parquet(stageDir)
+      }
+      val schema = s.read.parquet(stageDir).schema
+      val src = s.readStream.schema(schema).parquet(stageDir)
+      StreamOps.runToMemoryTable(s,
+        StreamOps.ingestDedupStreaming(src, s.read.parquet(idxDir), "text"),
+        "e7_stream_ingest_sink")
+        .select("doc_id", "fingerprint").orderBy("doc_id")
+    }),
+
     // Q-COVID-SQL: the reference's flagship entry-point-3 chain (filter →
     // dim join → latest-per-group → 7-fn aggregate → meta join) as ONE SQL
     // string on the textual front-end — and the string IS the DuckDB
@@ -2741,6 +2771,10 @@ object SparkEntry {
     // the index replay must reproduce d8 exactly — the fingerprint set is
     // the same relation whether derived inline or loaded from parquet
     "d8c_index_replay" -> d8OracleSql,
+
+    // the streaming replay of the same probe: stream-static anti join
+    // against the loaded index must reproduce d8's batch relation
+    "e7_stream_ingest_dedup" -> d8OracleSql,
 
     // the bloom is a pruning device only — the exact result is the same
     // anti-join semantics as d8, on the %7 split

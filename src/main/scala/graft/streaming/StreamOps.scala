@@ -165,6 +165,29 @@ object StreamOps {
                        joinType: String = "inner"): DataFrame =
     stream.join(dim, Seq(key), joinType)
 
+  /** E7 — STREAMING INGEST DEDUP against a MATERIALIZED fingerprint
+    * index: the daily-ingest probe ([[graft.operators.Dedup
+    * .exactIncrementalFromIndex]]) as a live stream — each micro-batch of
+    * incoming documents fingerprints narrowly and stream-static ANTI-joins
+    * the parquet-loaded index, emitting only never-seen documents. The
+    * static side is a regular batch relation re-planned per micro-batch:
+    * NO streaming state at all (the index IS the state, owned by the
+    * ingest pipeline and advanced between batches via
+    * `updateFingerprintIndex`), so stream history costs no executor
+    * memory, and the index can be 100 TB-corpus-sized — everything the
+    * batch probe's plan does (broadcast or shuffled anti join, bloom
+    * pruning via Catalyst) applies per micro-batch.
+    *
+    * Note this intentionally dedups ONLY against the index, not within
+    * the stream ([[dedupExactStreaming]] is the within-stream watermarked
+    * form; a real ingest runs both).
+    */
+  def ingestDedupStreaming(stream: DataFrame, index: DataFrame,
+                           textCol: String): DataFrame =
+    stream
+      .withColumn("fingerprint", graft.functions.Text.fingerprint(col(textCol)))
+      .join(index.select("fingerprint"), Seq("fingerprint"), "left_anti")
+
   /** E6 — STREAM-STREAM AS-OF JOIN: for each left-stream (purchase) event,
     * the LATEST right-stream (click) event of the same user at or before
     * it, looking back at most `horizonUs` — the j3 as-of shape as two

@@ -163,6 +163,28 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ingestDedupStreaming: stream-static anti join probes the loaded index per micro-batch (E7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val idxDir = "target/tmp/streamspec_e7_idx"
+    val corpus = Seq((100L, "hello world"), (101L, "known document text"))
+      .toDF("doc_id", "text")
+    graft.sources.ParquetSink.writeSharded(
+      operators.Dedup.fingerprintIndex(corpus, "text"), idxDir, "fingerprint", 2)
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    val q = StreamOps.ingestDedupStreaming(src, spark.read.parquet(idxDir), "text")
+      .writeStream.format("memory").queryName("e7_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "HELLO, world!"), (2L, "a brand new document"))
+      mem.addData((3L, "Known Document Text"), (4L, "another fresh one"))
+      q.processAllAvailable()
+      val kept = spark.table("e7_out").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(2L, 4L),
+        s"index-matching docs must drop across micro-batches, got $kept")
+    } finally q.stop()
+  }
+
   test("runToMemoryTable: parquet file-source replay equals the batch dedup (E3 replay)") {
     val dir = java.nio.file.Files.createTempDirectory("e3replay").toString
     val docs = Seq(
