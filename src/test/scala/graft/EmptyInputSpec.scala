@@ -78,6 +78,50 @@ class EmptyInputSpec extends SparkTestBase {
     assert(med.isNullAt(0))
   }
 
+  test("round-8 additions: empty inputs degrade to empty/zero, never throw") {
+    val dir = "target/tmp/emptyspec_r8"
+    val batch = Seq((1L, "some new document text here")).toDF("doc_id", "text")
+    // index UPDATE with an EMPTY survivor batch: appends empty deltas,
+    // probes are unchanged
+    Dedup.writeMinhashIndex(
+      Dedup.buildMinhashIndex(batch, "doc_id", "text"), s"$dir/mh", "doc_id", 2)
+    val before = Dedup.minhashIncrementalFromIndex(
+      Seq((2L, "another doc")).toDF("doc_id", "text"),
+      Dedup.readMinhashIndex(spark, s"$dir/mh"), "doc_id", "text", 0.5).count()
+    Dedup.updateMinhashIndex(emptyDocs, s"$dir/mh", "doc_id", "text", shards = 2)
+    assert(Dedup.minhashIncrementalFromIndex(
+      Seq((2L, "another doc")).toDF("doc_id", "text"),
+      Dedup.readMinhashIndex(spark, s"$dir/mh"), "doc_id", "text", 0.5).count() == before)
+    graft.sources.ParquetSink.writeSharded(
+      Dedup.fingerprintIndex(batch, "text"), s"$dir/fp", "fingerprint", 2)
+    Dedup.updateFingerprintIndex(emptyDocs, s"$dir/fp", "text", shards = 2)
+    assert(spark.read.parquet(s"$dir/fp").count() == 1)
+    Dedup.writeContainmentIndex(
+      Dedup.buildContainmentIndex(batch, "doc_id", "text", 2, 50), s"$dir/ci",
+      "doc_id", 2)
+    Dedup.updateContainmentIndex(emptyDocs, s"$dir/ci", "doc_id", "text", 2, 50,
+      shards = 2)
+    assert(Dedup.decontaminationFromIndex(Dedup.readContainmentIndex(spark, s"$dir/ci"),
+      batch, "doc_id", "text", 2, 0.5).count() == 1)
+    // IVF: empty update is a no-op; empty queries probe to zero rows
+    val vb = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(vb, "vec_id", "embedding", dim = 4, k = 1),
+      s"$dir/ivf", "vec_id", shards = 2)
+    Similarity.updateIvfIndex(noVecs, s"$dir/ivf", "vec_id", "embedding", shards = 2)
+    val ivf = Similarity.readIvfIndex(spark, s"$dir/ivf")
+    assert(ivf.cells.count() == 1)
+    assert(Similarity.ivfTopKFromIndex(ivf, noVecs, "vec_id", "embedding", k = 3).count() == 0)
+    // AVI codec: empty frames stay empty, schemas intact
+    val avi = Multimodal.encodeAviBatches(spark, emptyDocs, "doc_id")
+    assert(avi.columns.toSeq == Seq("doc_id", "payload", "media_type") && avi.count() == 0)
+    assert(Multimodal.decodeVideoBatches(spark, avi, "doc_id").count() == 0)
+    // AIFF: same contract as WAV
+    assert(Multimodal.decodeAudioBatches(spark,
+      Multimodal.encodeAiffBatches(spark, emptyDocs, "doc_id"), "doc_id").count() == 0)
+  }
+
   test("dedup family: empty corpus -> empty outputs, schemas intact") {
     assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
     val nd = Dedup.minhashNearDups(emptyDocs, "doc_id", "text", 0.5)
