@@ -796,6 +796,35 @@ object SparkEntry {
         .orderBy("test_id", "train_id")
     }),
 
+    // D7d: d7c's lifecycle with COMPACTION before the probe — build day 1,
+    // update day 2 (df deltas + tombstones land), compactContainmentIndex
+    // settles the read debt (tombstones applied into inv/, df deltas merged
+    // to one row per shingle, tomb/ dropped), then the day-3 probe runs
+    // against the compacted index. Rows must still equal the from-scratch
+    // build over the full train corpus (d7's oracle, verbatim) — and the
+    // probe plan now carries NO anti-join (PlanSpec-pinned): the index got
+    // FASTER to read after months of batches, not slower.
+    "d7d_decon_compact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val idxDir =
+        s"${scratchDir(d)}/d7d_contain_index_${stageKey(srcFile, "n3df50m4c")}"
+      if (!new java.io.File(s"$idxDir/_COMPACTED").exists()) {
+        Dedup.writeContainmentIndex(
+          Dedup.buildContainmentIndex(
+            docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2),
+            "doc_id", "text", n = 3, maxDf = 50),
+          idxDir, "doc_id", shards = 4)
+        Dedup.updateContainmentIndex(docs.filter(col("doc_id") % 4 === 3),
+          idxDir, "doc_id", "text", n = 3, maxDf = 50, shards = 4)
+        Dedup.compactContainmentIndex(s, idxDir, "doc_id", shards = 4)
+        new java.io.File(s"$idxDir/_COMPACTED").createNewFile()
+      }
+      Dedup.decontaminationFromIndex(Dedup.readContainmentIndex(s, idxDir),
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("test_id", "train_id")
+    }),
+
     // D8: incremental ingest dedup — new batch (doc_id % 10 = 0) anti-joined
     // against the existing corpus's fingerprint set
     "d8_incremental_dedup" -> ((s, d) => {
@@ -1776,12 +1805,14 @@ object SparkEntry {
 
     // D8d: the exact-family index lifecycle (d2d's recipe on the
     // fingerprint index): day-1 build, day-2 probe + delta-append of the
-    // survivors' distinct fingerprints, day-3 probe of the updated index —
-    // oracle = the from-scratch day-3 relation (base ∪ day-2 survivors)
+    // survivors' distinct fingerprints, then COMPACTION (delta shards fold
+    // back to the base shard count — pure physical rewrite, the row set is
+    // unchanged by the probe contract), day-3 probe of the compacted index
+    // — oracle = the from-scratch day-3 relation (base ∪ day-2 survivors)
     "d8d_index_update" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val srcFile = new java.io.File(s"$d/documents.parquet")
-      val idxDir = s"${scratchDir(d)}/d8d_fp_index_${stageKey(srcFile, "mod8")}"
+      val idxDir = s"${scratchDir(d)}/d8d_fp_index_${stageKey(srcFile, "mod8c")}"
       if (!new java.io.File(s"$idxDir/_UPDATED").exists()) {
         ParquetSink.writeSharded(
           Dedup.fingerprintIndex(docs.filter(col("doc_id") % 8 >= 2), "text"),
@@ -1792,6 +1823,7 @@ object SparkEntry {
         surv.count()
         Dedup.updateFingerprintIndex(surv, idxDir, "text", shards = 4)
         surv.unpersist()
+        Dedup.compactFingerprintIndex(s, idxDir, shards = 4)
         new java.io.File(s"$idxDir/_UPDATED").createNewFile()
       }
       Dedup.exactIncrementalFromIndex(
@@ -2528,6 +2560,11 @@ object SparkEntry {
     // including entries tombstoned when the update pushed a shingle past
     // the df cap
     "d7c_decon_update" -> d7OracleSql,
+
+    // compaction is a physical rewrite only: build → update → COMPACT →
+    // probe must still produce d7's relation bit-for-bit (tombstones now
+    // applied into inv/ instead of anti-joined at read time)
+    "d7d_decon_compact" -> d7OracleSql,
 
     // components over the same pairs via transitive closure (recursive CTE)
     "d6_components" ->

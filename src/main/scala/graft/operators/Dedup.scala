@@ -993,6 +993,74 @@ object Dedup {
     bsets.unpersist()
   }
 
+  /** Family-aware compaction for the containment index — the step that
+    * keeps probe cost FLAT under a daily update cadence. Delta-append
+    * ([[updateContainmentIndex]]) is O(batch) per day, but it leaves read
+    * debt that grows monotonically: every [[readContainmentIndex]]
+    * re-anti-joins `tomb/` against `inv/`, and every update re-sums a
+    * growing pile of `df/` delta files. Compaction settles that debt once:
+    *
+    *   1. `inv/` is rewritten with tombstones APPLIED (the anti-join runs
+    *      here, one final time) and delta shards folded back to `shards`
+    *      files;
+    *   2. `df/` deltas merge to ONE row per shingle (sum of deltas — the
+    *      same cumulative df every reader derives on the fly today);
+    *   3. `sets/` delta shards fold to `shards` files;
+    *   4. `tomb/` is DROPPED — its entries are gone from `inv/`, so
+    *      [[readContainmentIndex]] takes the no-tombstone path and the
+    *      probe plan carries no anti-join at all (PlanSpec-pinned).
+    *
+    * The effective relation is unchanged (probe-after-compaction
+    * bit-matches the d7c oracle, driver-gated d7d_decon_compact), later
+    * [[updateContainmentIndex]] batches recreate `tomb/` on demand via
+    * append, and the swap itself is crash-recoverable
+    * ([[graft.sources.ParquetSink.compactShardedWith]]).
+    */
+  def compactContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String, idCol: String, shards: Int): Unit = {
+    import graft.sources.ParquetSink
+    val tombDir = new java.io.File(s"$path/tomb")
+    if (tombDir.exists()) {
+      val tomb = spark.read.parquet(s"$path/tomb").select("sk")
+      ParquetSink.compactShardedWith(spark, s"$path/inv", "train_id", shards)(
+        inv => inv.join(tomb, Seq("sk"), "left_anti"))
+    } else {
+      ParquetSink.compactSharded(spark, s"$path/inv", "train_id", shards)
+    }
+    if (new java.io.File(s"$path/df").exists())
+      ParquetSink.compactShardedWith(spark, s"$path/df", "sk", shards)(
+        d => d.groupBy("sk").agg(sum("df").as("df")))
+    ParquetSink.compactSharded(spark, s"$path/sets", idCol, shards)
+    ParquetSink.rmRf(tombDir)
+  }
+
+  /** Delta-shard folds for the plain index families — no semantic rewrite
+    * needed (their updates only ever append new keys), just file-count
+    * restoration so the dataloader-visible layout stays at `shards` files
+    * per table regardless of how many batches have landed. The fingerprint
+    * fold also re-distincts: each batch's prints are distinct within the
+    * batch and absent from the base by the probe contract, so this is a
+    * no-op on rows — it exists so compaction restores the full
+    * [[fingerprintIndex]] invariant even if a caller folded in a batch
+    * that was NOT probe-screened first.
+    */
+  def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String, shards: Int): Unit =
+    graft.sources.ParquetSink.compactShardedWith(spark, path, "fingerprint", shards)(
+      _.distinct())
+
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, idCol: String, shards: Int): Unit = {
+    graft.sources.ParquetSink.compactSharded(spark, s"$path/sets", idCol, shards)
+    graft.sources.ParquetSink.compactSharded(spark, s"$path/bands", idCol, shards)
+  }
+
+  def compactEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, idCol: String, shards: Int): Unit = {
+    graft.sources.ParquetSink.compactSharded(spark, s"$path/vecs", idCol, shards)
+    graft.sources.ParquetSink.compactSharded(spark, s"$path/bands", idCol, shards)
+  }
+
   /** [[decontaminationPairs]] probing a prebuilt [[ContainmentIndex]]: only
     * the TEST (benchmark) side is shingled; train candidates come from the
     * loaded inverted index, exact containment verifies against the loaded

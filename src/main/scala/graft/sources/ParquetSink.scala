@@ -58,20 +58,47 @@ object ParquetSink {
     * don't run concurrently with a writer to the same path.
     */
   def compactSharded(spark: org.apache.spark.sql.SparkSession, path: String,
-                     idCol: String, shards: Int): Unit = {
+                     idCol: String, shards: Int): Unit =
+    compactShardedWith(spark, path, idCol, shards)(identity)
+
+  /** [[compactSharded]] with a row-level fold applied while rewriting —
+    * the hook family-aware index compaction hangs off (dedup fingerprints,
+    * merge df deltas, apply tombstones). `transform` must be a pure
+    * function of the table's rows (it runs against the live snapshot and
+    * its output REPLACES the table), and reads-after must see exactly
+    * `transform(base ∪ deltas)`.
+    */
+  def compactShardedWith(spark: org.apache.spark.sql.SparkSession, path: String,
+                         idCol: String, shards: Int)
+                        (transform: DataFrame => DataFrame): Unit = {
     val tmp = path + ".compact_tmp"
-    val old = path + ".old"
-    writeSharded(spark.read.parquet(path), tmp, idCol, shards)
+    recoverSwap(path)
+    writeSharded(transform(spark.read.parquet(path)), tmp, idCol, shards)
     val live = new java.io.File(path)
-    val oldF = new java.io.File(old)
-    def rmRf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmRf))
-      f.delete()
-    }
+    val oldF = new java.io.File(path + ".old")
     rmRf(oldF)
     require(live.renameTo(oldF), s"compactSharded: could not move $path aside")
     require(new java.io.File(tmp).renameTo(live),
       s"compactSharded: could not swap in $tmp")
     rmRf(oldF)
+  }
+
+  /** The two-rename swap has a crash window where the live directory does
+    * not exist (moved to `.old`, replacement not yet renamed in). On entry
+    * to any compaction, if exactly that state is found, restore the `.old`
+    * snapshot — every row is still in it (the swap happens only after the
+    * replacement was fully written), so a rerun self-heals instead of
+    * failing at `spark.read.parquet(path)`.
+    */
+  private def recoverSwap(path: String): Unit = {
+    val live = new java.io.File(path)
+    val oldF = new java.io.File(path + ".old")
+    if (!live.exists() && oldF.exists())
+      require(oldF.renameTo(live), s"compact: could not restore $path from .old")
+  }
+
+  private[graft] def rmRf(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmRf))
+    f.delete()
   }
 }

@@ -511,6 +511,55 @@ class DedupSpec extends SparkTestBase {
       s"surviving shingles must still produce candidates: $got")
   }
 
+  test("containment index COMPACTION: probe bit-matches pre-compaction; tomb/ dropped, df merged (D7d)") {
+    val dir = "target/tmp/dedupspec_ci_compact"
+    val train1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val train2 = Seq((3L, "alpha beta theta")).toDF("doc_id", "text")
+    val tests = Seq((10L, "alpha beta"), (11L, "beta gamma kappa"))
+      .toDF("doc_id", "text")
+    Dedup.writeContainmentIndex(
+      Dedup.buildContainmentIndex(train1, "doc_id", "text", n = 2, maxDf = 1),
+      dir, "doc_id", shards = 2)
+    Dedup.updateContainmentIndex(train2, dir, "doc_id", "text", n = 2, maxDf = 1,
+      shards = 2)
+    val before = Dedup.decontaminationFromIndex(Dedup.readContainmentIndex(spark, dir),
+      tests, "doc_id", "text", n = 2, threshold = 0.5)
+      .select("test_id", "train_id", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    Dedup.compactContainmentIndex(spark, dir, "doc_id", shards = 2)
+    // tombstones are applied into inv/, so tomb/ must be GONE (the read
+    // path's anti-join disappears with it — PlanSpec pins the plan side)
+    assert(!new java.io.File(s"$dir/tomb").exists(),
+      "compaction must drop tomb/ after applying it")
+    // df deltas merged: exactly one row per shingle, cumulative counts
+    val dfTab = spark.read.parquet(s"$dir/df")
+    assert(dfTab.count() == dfTab.select("sk").distinct().count(),
+      "compacted df/ must hold one merged row per shingle")
+    assert(dfTab.filter(col("sk").isNotNull).agg(max("df")).as[Long].head() == 2L,
+      "merged df must be the SUM of deltas (alpha-beta: 1+1)")
+    val after = Dedup.decontaminationFromIndex(Dedup.readContainmentIndex(spark, dir),
+      tests, "doc_id", "text", n = 2, threshold = 0.5)
+      .select("test_id", "train_id", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after == before, s"compaction changed the relation: $after != $before")
+    // a LATER update against the compacted index still works: tomb/ is
+    // recreated on demand and df merges pick up from the compacted row
+    val train3 = Seq((4L, "delta epsilon iota")).toDF("doc_id", "text")
+    Dedup.updateContainmentIndex(train3, dir, "doc_id", "text", n = 2, maxDf = 1,
+      shards = 2)
+    val day3 = Dedup.decontaminationFromIndex(Dedup.readContainmentIndex(spark, dir),
+      tests, "doc_id", "text", n = 2, threshold = 0.5)
+      .select("test_id", "train_id", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    val rebuilt = Dedup.decontaminationPairs(train1.union(train2).union(train3),
+      tests, "doc_id", "text", n = 2, threshold = 0.5, maxDf = 1)
+      .select("test_id", "train_id", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(day3 == rebuilt,
+      s"post-compaction update diverged from rebuild: $day3 != $rebuilt")
+  }
+
   test("decontaminationPairs releaseSets drops both shingle-set caches (D7 loan)") {
     val train = Seq(
       (100L, "preamble words here the quick brown fox jumps over the lazy dog and trailing text"),

@@ -50,6 +50,34 @@ class ParquetSinkSpec extends SparkTestBase {
       == wantIds, "compaction must not change the reader-visible rows")
   }
 
+  test("compactShardedWith applies the fold while rewriting (dedup survives the swap)") {
+    val path = "target/tmp/sink_compact_with"
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    ParquetSink.writeSharded(rows, path, "doc_id", 2)
+    ParquetSink.appendSharded(rows, path, "doc_id", 2) // duplicate generation
+    assert(spark.read.parquet(path).count() == 4)
+    ParquetSink.compactShardedWith(spark, path, "doc_id", 2)(_.distinct())
+    assert(spark.read.parquet(path).as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b")), "transform must apply to base ∪ deltas")
+  }
+
+  test("compaction swap is crash-recoverable: live-missing + .old-present self-heals") {
+    val path = "target/tmp/sink_crash_recover"
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    ParquetSink.writeSharded(rows, path, "doc_id", 2)
+    // simulate a crash in the swap window: live renamed aside, replacement
+    // never renamed in — exactly the state between the two renameTo calls
+    val live = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    assert(live.renameTo(old), "test setup: move live aside")
+    assert(!live.exists() && old.exists())
+    // a rerun must restore the snapshot and complete normally
+    ParquetSink.compactSharded(spark, path, "doc_id", 2)
+    assert(live.exists() && !old.exists(), "rerun must heal the swap window")
+    assert(spark.read.parquet(path).select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L), "no rows lost across the recovery")
+  }
+
   test("writePartitioned: hive layout; scans prune to the filtered partition") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val path = "target/tmp/sink_partitioned"

@@ -279,6 +279,34 @@ class PlanSpec extends SparkTestBase {
       s"updated-index probe must stay an equi-join:\n$p")
   }
 
+  test("compacted containment probe has NO anti-join — tombstones were applied at compaction (D7d)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val idxPath = "target/tmp/planspec_d7d_idx"
+    Dedup.writeContainmentIndex(
+      Dedup.buildContainmentIndex(docs.filter(col("doc_id") % 4 === 1),
+        "doc_id", "text", n = 3, maxDf = 50),
+      idxPath, "doc_id", shards = 2)
+    Dedup.updateContainmentIndex(docs.filter(col("doc_id") % 4 === 2),
+      idxPath, "doc_id", "text", n = 3, maxDf = 50, shards = 2)
+    val probe = (p: String) => plan(Dedup.decontaminationFromIndex(
+      Dedup.readContainmentIndex(spark, p),
+      docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", n = 3, threshold = 0.5))
+    // BEFORE compaction the read path pays a tombstone anti-join on every
+    // probe — that is the read debt compaction exists to settle
+    assert(probe(idxPath).contains("LeftAnti"),
+      "pre-compaction probe should carry the tombstone anti-join")
+    Dedup.compactContainmentIndex(spark, idxPath, "doc_id", shards = 2)
+    val p = probe(idxPath)
+    assert(!p.contains("LeftAnti"),
+      s"compacted probe must not anti-join tombstones:\n$p")
+    assert(!new java.io.File(s"$idxPath/tomb").exists(),
+      "tomb/ must be gone after compaction")
+    // df/ holds exactly one merged generation at the target shard count
+    val dfFiles = new java.io.File(s"$idxPath/df").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(dfFiles == 2, s"compacted df/ must hold one generation (2 shards), got $dfFiles")
+  }
+
   test("IVF replay probes ONLY the saved index — no corpus scan, no training in the plan (SIM)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val corpusPath = "target/tmp/planspec_ivf_corpus"
