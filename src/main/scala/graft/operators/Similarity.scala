@@ -442,19 +442,30 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, cellCol: String, dim: Int, k: Int,
-              probes: Int = 2): DataFrame =
+              probes: Int = 2,
+              maxBroadcastProbes: Long = 1L << 16): DataFrame =
     ivfProbe(corpus, labelCentroidVectors(corpus, cellCol, vecCol, dim),
-      queries, idCol, vecCol, cellCol, k, probes)
+      queries, idCol, vecCol, cellCol, k, probes, maxBroadcastProbes)
 
   /** The shared IVF probe: rank the (tiny, broadcast) centroid table per
     * query, keep the `probes` nearest cells, equi-join the corpus on cell
     * membership, exact-score only those members. Used by both the inline
     * [[ivfTopK]] (centroids derived from the assignment) and the
     * materialized [[ivfTopKFromIndex]] (centroids loaded from parquet).
+    *
+    * The probed frame is Q×`probes` rows, each carrying the full query
+    * vector — broadcast-sized for the usual small query batch, but a bulk
+    * re-embedding job probing with millions of queries would ship a
+    * multi-GB broadcast to every executor. Same guard as [[lshTopK]]: when
+    * the probe-row count exceeds `maxBroadcastProbes`, the cell-membership
+    * join falls back to a plain shuffle hash-join on the cell key (both
+    * sides exchange — correct at any scale, just not broadcast-cheap).
+    * The guard costs one count() of the query frame.
     */
   private def ivfProbe(cells: DataFrame, cents: DataFrame, queries: DataFrame,
                        idCol: String, vecCol: String, cellCol: String,
-                       k: Int, probes: Int): DataFrame = {
+                       k: Int, probes: Int,
+                       maxBroadcastProbes: Long = 1L << 16): DataFrame = {
     require(probes >= 1, "ivfTopK: probes must be >= 1")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val w = Window.partitionBy("query_id")
@@ -464,8 +475,10 @@ object Similarity {
       .withColumn("_crn", row_number().over(w))
       .filter(col("_crn") <= probes)
       .select(col("query_id"), col("q_vec"), col(cellCol))
+    val probeRows = queries.count() * probes
+    val pSide = if (probeRows <= maxBroadcastProbes) broadcast(probed) else probed
     val c = cells.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col(cellCol))
-    val scored = c.join(broadcast(probed), Seq(cellCol))
+    val scored = c.join(pSide, Seq(cellCol))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"),
         struct(round(Vectors.cosine(col("q_vec"), col("c_vec")), 6).as("score"),
@@ -510,8 +523,10 @@ object Similarity {
     * training work per query batch.
     */
   def ivfTopKFromIndex(index: IvfIndex, queries: DataFrame, idCol: String,
-                       vecCol: String, k: Int, probes: Int = 2): DataFrame =
-    ivfProbe(index.cells, index.cents, queries, idCol, vecCol, "cell", k, probes)
+                       vecCol: String, k: Int, probes: Int = 2,
+                       maxBroadcastProbes: Long = 1L << 16): DataFrame =
+    ivfProbe(index.cells, index.cents, queries, idCol, vecCol, "cell", k, probes,
+      maxBroadcastProbes)
 
   /** Fold new vectors into the saved [[IvfIndex]] — the ingest-index
     * UPDATE for the ANN family, with the standard IVF contract (faiss

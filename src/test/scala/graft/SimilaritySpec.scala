@@ -311,6 +311,33 @@ class SimilaritySpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ivfTopK probe-broadcast guard: shuffle fallback beyond the cap, identical output") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    def run(cap: Long) = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      "label", dim = 64, k = 5, probes = 2, maxBroadcastProbes = cap)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank")
+        .collect().map(_.mkString("|")).toSeq.sorted
+    import org.apache.spark.sql.execution.ExplainMode
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hinted = run(Long.MaxValue)
+      val guarded = run(0L)
+      // the centroid crossJoin broadcasts in BOTH modes (k rows — always
+      // tiny); the guard governs only the cell-membership HASH join, so
+      // that is the operator the pins look at
+      assert(plan(hinted).contains("BroadcastHashJoin"),
+        "under the cap the probed frame is broadcast into the cell join")
+      assert(!plan(guarded).contains("BroadcastHashJoin"),
+        s"beyond the cap the cell join must not plan a broadcast:\n${plan(guarded)}")
+      assert(canon(hinted) == canon(guarded), "join strategy must not change the result")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("kmeansAssign reseedEmpty: farthest-point repair restores emptied cells, deterministically") {
     // 8 copies of A force >= 2 seeds onto identical vectors; assignment
     // ties go to the lowest cell, so the duplicate-seed cell EMPTIES after
