@@ -1179,6 +1179,26 @@ object SparkEntry {
       meta.join(px, "doc_id").orderBy("doc_id")
     }),
 
+    // M2f: REAL MJPEG video decode — the '00dc' chunks are complete JPEGs
+    // which the already-shipped ImageIO decodes, closing the codec stub
+    // for the one codec the JDK can handle. JPEG is lossy so px_sum has no
+    // closed form; the fixture generator records ground truth by
+    // round-tripping each frame at ENCODE time (whole-image decode), and
+    // px_ok asserts the independent RIFF-walk + per-chunk decode path
+    // reproduces it bit-for-bit. Header fields stay closed-form (m2e's
+    // geometry), so the oracle pins them plus px_ok = TRUE.
+    "m2f_mjpeg_decode" -> ((s, d) => {
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val avi = Multimodal.encodeMjpegAviBatches(s, ids, "doc_id")
+      val px = Multimodal.decodeVideoBatches(s, avi, "doc_id").toDF()
+      px.join(avi.select(col("doc_id"), col("expected_px_sum")), "doc_id")
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_frames"),
+          col("duration_ms"),
+          (col("px_sum") === col("expected_px_sum")).as("px_ok"))
+        .orderBy("doc_id")
+    }),
+
     // V1: per-label embedding centroids (class prototypes) — map-side
     // partial aggregation of per-coordinate means, long-format output
     "v1_label_centroids" -> ((s, d) =>
@@ -3275,6 +3295,17 @@ object SparkEntry {
         "(2 + doc_id % 5)::BIGINT AS n_frames, " +
         "(((2 + doc_id % 5) * 20000 * (1 + doc_id % 3)) // 1000)::BIGINT AS duration_ms, " +
         "s::BIGINT AS px_sum FROM px ORDER BY doc_id"),
+
+    // MJPEG sibling: header fields are the same closed form; the pixel sum
+    // is codec-defined (lossy JPEG), so the gate is px_ok — the per-chunk
+    // ImageIO decode inside the RIFF walk must bit-match the generator's
+    // encode-time whole-image round trip
+    "m2f_mjpeg_decode" ->
+      ("SELECT doc_id, (1 + doc_id % 8)::BIGINT AS width, " +
+        "(1 + doc_id % 6)::BIGINT AS height, " +
+        "(2 + doc_id % 5)::BIGINT AS n_frames, " +
+        "(((2 + doc_id % 5) * 20000 * (1 + doc_id % 3)) // 1000)::BIGINT AS duration_ms, " +
+        "TRUE AS px_ok FROM documents WHERE doc_id < 100 ORDER BY doc_id"),
 
     // the same SQL text shape the Spark side runs via spark.sql
     "q_sql_surface" ->

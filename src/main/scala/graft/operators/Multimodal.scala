@@ -331,10 +331,15 @@ object Multimodal {
   /** Minimal RIFF chunk walker: visits every NON-LIST chunk as
     * (fourcc, bodyOffset, bodySize), descending into LIST bodies (their
     * 4-byte list type is skipped), honoring the spec's word alignment.
-    * Malformed sizes stop the walk instead of over-reading — the parser
-    * stays total on sniff-passing garbage.
+    * Malformed sizes stop the walk instead of over-reading, and LIST
+    * nesting deeper than [[MaxRiffDepth]] is skipped rather than entered
+    * (a real AVI nests 2–3 levels; ~100 KB of crafted nested LIST headers
+    * would otherwise overflow the stack, which NonFatal does not catch) —
+    * the parser stays total on sniff-passing garbage.
     */
-  private def walkRiff(b: Array[Byte], from: Int, to: Int)
+  private val MaxRiffDepth = 64
+
+  private def walkRiff(b: Array[Byte], from: Int, to: Int, depth: Int = 0)
                       (visit: (String, Int, Int) => Unit): Unit = {
     def le32(o: Int): Long =
       (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
@@ -347,8 +352,10 @@ object Multimodal {
       val body = pos + 8
       if (size < 0 || size > Int.MaxValue || body + size > to) ok = false
       else {
-        if (cc == "LIST" && size >= 4) walkRiff(b, body + 4, body + size.toInt)(visit)
-        else visit(cc, body, size.toInt)
+        if (cc == "LIST" && size >= 4) {
+          if (depth < MaxRiffDepth)
+            walkRiff(b, body + 4, body + size.toInt, depth + 1)(visit)
+        } else visit(cc, body, size.toInt)
         pos = body + size.toInt + (size.toInt & 1)
       }
     }
@@ -508,17 +515,131 @@ object Multimodal {
       .withColumn("media_type", lit("video"))
   }
 
+  /** Deterministic MJPEG-AVI fixture generator — [[encodeAviBatches]]'s
+    * compressed sibling: same per-id geometry (frames, size, frame period)
+    * and the same closed-form raster v = (x·7 + y·13 + f·31 + id) mod 256,
+    * but each frame is ImageIO-ENCODED as a complete JPEG in a '00dc'
+    * chunk (strh handler / strf biCompression = 'MJPG'). JPEG is lossy, so
+    * the decoded pixel sum is codec-defined rather than closed-form; the
+    * generator therefore round-trips each frame through ImageIO at encode
+    * time and records the ground truth as `expected_px_sum` — an oracle
+    * column produced by the WHOLE-IMAGE decode, independent of the RIFF
+    * walk + per-chunk decode that [[decodeVideoBatches]] performs. Odd
+    * JPEG byte lengths get the spec's pad byte (excluded from the chunk
+    * size, included in the enclosing LIST size).
+    */
+  def encodeMjpegAviBatches(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (1 + id % 8).toInt
+          val h = (1 + id % 6).toInt
+          val frames = (2 + id % 5).toInt
+          val usPerFrame = (20000 * (1 + id % 3)).toInt
+          var expected = 0L
+          val jpegs = (0 until frames).map { f =>
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = ((x * 7 + y * 13 + f * 31 + id) % 256).toInt
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            val fb = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", fb)
+            val bytes = fb.toByteArray
+            val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            expected += lumSum(back)
+            bytes
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          def cc(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+          def le32(v: Int): Unit = {
+            bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+            bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF)
+          }
+          def le16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+          val strlSize = 4 + (8 + 56) + (8 + 40)
+          val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+          val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+          val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+          cc("RIFF"); le32(riffSize); cc("AVI ")
+          cc("LIST"); le32(hdrlSize); cc("hdrl")
+          cc("avih"); le32(56)
+          le32(usPerFrame); le32(0); le32(0); le32(0)
+          le32(frames); le32(0); le32(1); le32(0)
+          le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
+          cc("LIST"); le32(strlSize); cc("strl")
+          cc("strh"); le32(56)
+          cc("vids"); cc("MJPG")
+          le32(0); le16(0); le16(0); le32(0)
+          le32(usPerFrame); le32(1000000)
+          le32(0); le32(frames); le32(0); le32(-1); le32(0)
+          le16(0); le16(0); le16(w); le16(h)
+          cc("strf"); le32(40)
+          le32(40); le32(w); le32(h); le16(1); le16(24)
+          cc("MJPG")                                   // biCompression
+          le32(0); le32(0); le32(0); le32(0); le32(0)
+          cc("LIST"); le32(moviSize); cc("movi")
+          jpegs.foreach { j =>
+            cc("00dc"); le32(j.length); bos.write(j)
+            if ((j.length & 1) == 1) bos.write(0)
+          }
+          (id, bos.toByteArray, expected)
+        }
+      }
+      .toDF(idCol, "payload", "expected_px_sum")
+      .withColumn("media_type", lit("video"))
+  }
+
   case class VideoFrames(doc_id: Long, width: Int, height: Int, n_frames: Long,
                          duration_ms: Long, px_sum: Long)
 
+  /** Luminance (low-byte) pixel sum of a decoded raster — the shared
+    * decode-proof statistic of [[decodeImageBatches]] and the MJPEG frame
+    * path of [[decodeVideoBatches]].
+    */
+  private def lumSum(img: java.awt.image.BufferedImage): Long = {
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        s += (img.getRGB(x, y) & 0xFF).toLong
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** JPEG SOI sniff — FF D8 FF at offset 0 (every JFIF/EXIF frame starts
+    * with the SOI marker followed by another marker byte).
+    */
+  private def looksLikeJpeg(b: Array[Byte], off: Int, size: Int): Boolean =
+    size >= 3 && (b(off) & 0xFF) == 0xFF && (b(off + 1) & 0xFF) == 0xD8 &&
+      (b(off + 2) & 0xFF) == 0xFF
+
   /** REAL frame-level video decode — the [[decodeAudioBatches]] analogue
-    * for uncompressed AVI: avih header fields plus the byte sum over every
-    * '00db'/'00dc' frame chunk in the movi list (row padding is zero by
-    * spec-writer contract, so the sum equals the pixel-channel sum) — the
-    * cheapest whole-clip statistic that proves the decoder walked every
-    * frame chunk, not just the header. Throws on a payload that is not a
-    * parseable AVI — this path is for known-video columns,
-    * [[decodeBatches]] is the total/fallback form.
+    * for AVI: avih header fields plus a per-frame statistic over every
+    * frame chunk in the movi list. '00db' (uncompressed DIB) chunks are
+    * byte-summed — row padding is zero by spec-writer contract, so the sum
+    * equals the pixel-channel sum. '00dc' (compressed) chunks that sniff
+    * as JPEG — i.e. MJPEG, the one codec the JDK can decode because each
+    * frame is a complete JPEG for the already-shipped ImageIO — are
+    * DECODED and luminance-summed ([[lumSum]]); '00dc' chunks of any other
+    * codec fall back to the byte sum (an integrity statistic, not a pixel
+    * decode — that narrower honest boundary is documented at
+    * [[stubDecode]]). The statistic proves the decoder walked (and for
+    * DIB/MJPEG, decoded) every frame chunk, not just the header. Throws on
+    * a payload that is not a parseable AVI — this path is for known-video
+    * columns, [[decodeBatches]] is the total/fallback form.
     */
   def decodeVideoBatches(spark: SparkSession, withPayload: DataFrame,
                          idCol: String): Dataset[VideoFrames] = {
@@ -535,9 +656,17 @@ object Multimodal {
           walkRiff(payload, 12, payload.length) { (cc, off, size) =>
             if (cc == "00db" || cc == "00dc") {
               nChunks += 1
-              var i = off
-              val end = off + size
-              while (i < end) { pxSum += (payload(i) & 0xFF); i += 1 }
+              if (cc == "00dc" && looksLikeJpeg(payload, off, size)) {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(payload, off, size))
+                require(img != null,
+                  s"decodeVideoBatches: id=$id frame $nChunks sniffs as JPEG but does not decode")
+                pxSum += lumSum(img)
+              } else {
+                var i = off
+                val end = off + size
+                while (i < end) { pxSum += (payload(i) & 0xFF); i += 1 }
+              }
             }
           }
           require(nChunks == meta.n_frames,

@@ -203,6 +203,63 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.tryDecodeAvi("RIFF1234AVI garbage body here".getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("real MJPEG-AVI decode: per-chunk ImageIO decode bit-matches the encode-time round trip (M2f)") {
+    val ids = (0L until 20L).toDF("doc_id")
+    val avi = Multimodal.encodeMjpegAviBatches(spark, ids, "doc_id")
+    val expected = avi.select("doc_id", "expected_px_sum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pxs = Multimodal.decodeVideoBatches(spark, avi, "doc_id")
+      .collect().map(v => v.doc_id -> v).toMap
+    (0L until 20L).foreach { id =>
+      val w = (1 + id % 8).toInt
+      val h = (1 + id % 6).toInt
+      val frames = (2 + id % 5).toInt
+      val usPerFrame = (20000 * (1 + id % 3)).toInt
+      val p = pxs(id)
+      assert((p.width, p.height, p.n_frames, p.duration_ms) ==
+        ((w, h, frames.toLong, frames.toLong * usPerFrame / 1000)),
+        s"MJPEG AVI header for id=$id")
+      assert(p.px_sum == expected(id),
+        s"MJPEG per-chunk decode must match the encode-time round trip for id=$id")
+      // dispatch pin: the '00dc' path went through ImageIO, not the raw
+      // byte sum — a JPEG's entropy-coded bytes never sum to its decoded
+      // luminance sum for these rasters (the frame bytes include markers,
+      // huffman tables and FF bytes; the luminance sum is bounded by
+      // 255·w·h·frames and the byte sum includes ~300+ header bytes/frame)
+      val payload = avi.filter(col("doc_id") === id).select("payload")
+        .collect()(0).getAs[Array[Byte]](0)
+      val rawSum = payload.foldLeft(0L)((s, b) => s + (b & 0xFF))
+      assert(p.px_sum != rawSum, s"id=$id: px_sum must not be the raw byte sum")
+    }
+  }
+
+  test("walkRiff is stack-safe on adversarial deeply-nested LIST payloads (ADVICE r8)") {
+    // ~600 KB of nothing but nested LIST headers: without the depth cap
+    // this recursed once per level and overflowed the stack (which
+    // NonFatal does NOT catch, so it escaped tryDecodeAvi's total
+    // contract and failed the task). With the cap the walk skips levels
+    // past MaxRiffDepth and returns None like any other sniff-passing
+    // garbage.
+    val levels = 50000
+    // sizes inside-out: innermost LIST body is just its 4-byte type;
+    // each enclosing body adds an 8-byte header
+    val sizes = new Array[Int](levels)
+    sizes(levels - 1) = 4
+    for (i <- (levels - 2) to 0 by -1) sizes(i) = 4 + 8 + sizes(i + 1)
+    val bos = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF)
+    }
+    cc("RIFF"); le32(4 + 8 + sizes(0)); cc("AVI ")
+    (0 until levels).foreach { i => cc("LIST"); le32(sizes(i)); cc("nest") }
+    val payload = bos.toByteArray
+    assert(Multimodal.looksLikeAvi(payload))
+    assert(Multimodal.tryDecodeAvi(payload).isEmpty,
+      "deep-nested LIST payload must decode to None, not overflow the stack")
+  }
+
   test("sniff-passing garbage bodies fall back to the stub instead of throwing (ADVICE r6)") {
     // realistic corpus text that PASSES the magic sniff: 'BM25...' sniffs
     // as BMP, 'GIF89a...' prose sniffs as GIF — the JDK readers THROW on
