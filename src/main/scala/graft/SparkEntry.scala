@@ -1700,6 +1700,53 @@ object SparkEntry {
         .select("doc_id", "fingerprint").orderBy("doc_id")
     }),
 
+    // E7b: the streaming ingest loop ACROSS the day boundary — the cadence
+    // a production pipeline actually runs: stream-replay segment 1 against
+    // the day-1 index, fold the survivors in via updateFingerprintIndex
+    // (delta-append, the d8d lifecycle), then stream-replay segment 2
+    // against the UPDATED index — two AvailableNow passes bracketing one
+    // index mutation. d8d proves the batch lifecycle and e7 proves
+    // stream-probe; this gates their composition. Segment-1 survivors are
+    // staged to parquet inside the mutation guard so reruns (the index is
+    // already advanced) replay only the pure-read segment-2 pass. Oracle =
+    // the batch two-day screen: s1 = seg1 \ base, s2 = seg2 \ (base ∪ s1).
+    "e7b_stream_day_boundary" -> ((s, d) => {
+      Session.tune(s)
+      val docs = Tables.documents(s, d)
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val key = stageKey(srcFile, "mod9e7b")
+      val idxDir = s"${scratchDir(d)}/e7b_fp_index_$key"
+      val surv1Dir = s"${scratchDir(d)}/e7b_surv1_$key"
+      val seg2Dir = s"${scratchDir(d)}/e7b_seg2_$key"
+      if (!new java.io.File(s"$idxDir/_UPDATED").exists()) {
+        ParquetSink.writeSharded(
+          Dedup.fingerprintIndex(docs.filter(col("doc_id") % 9 >= 2), "text"),
+          idxDir, "fingerprint", shards = 4)
+        val seg1Dir = s"${scratchDir(d)}/e7b_seg1_$key"
+        docs.filter(col("doc_id") % 9 === 0).select("doc_id", "text")
+          .coalesce(4).write.mode("overwrite").parquet(seg1Dir)
+        val src1 = s.readStream.schema(s.read.parquet(seg1Dir).schema).parquet(seg1Dir)
+        StreamOps.runToMemoryTable(s,
+          StreamOps.ingestDedupStreaming(src1, s.read.parquet(idxDir), "text"),
+          "e7b_day1_sink")
+          .select("doc_id", "text", "fingerprint")
+          .write.mode("overwrite").parquet(surv1Dir)
+        Dedup.updateFingerprintIndex(s.read.parquet(surv1Dir), idxDir, "text", shards = 4)
+        new java.io.File(s"$idxDir/_UPDATED").createNewFile()
+      }
+      if (!new java.io.File(s"$seg2Dir/_SUCCESS").exists()) {
+        docs.filter(col("doc_id") % 9 === 1).select("doc_id", "text")
+          .coalesce(4).write.mode("overwrite").parquet(seg2Dir)
+      }
+      val src2 = s.readStream.schema(s.read.parquet(seg2Dir).schema).parquet(seg2Dir)
+      val day2 = StreamOps.runToMemoryTable(s,
+        StreamOps.ingestDedupStreaming(src2, s.read.parquet(idxDir), "text"),
+        "e7b_day2_sink")
+      s.read.parquet(surv1Dir).select("doc_id", "fingerprint")
+        .unionAll(day2.select("doc_id", "fingerprint"))
+        .orderBy("doc_id")
+    }),
+
     // Q-COVID-SQL: the reference's flagship entry-point-3 chain (filter →
     // dim join → latest-per-group → 7-fn aggregate → meta join) as ONE SQL
     // string on the textual front-end — and the string IS the DuckDB
@@ -2832,6 +2879,19 @@ object SparkEntry {
     // the streaming replay of the same probe: stream-static anti join
     // against the loaded index must reproduce d8's batch relation
     "e7_stream_ingest_dedup" -> d8OracleSql,
+
+    // the two-day screen: day-2 rows are deduped against base ∪ day-1
+    // survivors (whose prints the update folded into the index)
+    "e7b_stream_day_boundary" ->
+      ("WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint " +
+        "FROM documents), " +
+        "s1 AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 9 = 0 " +
+        "AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 9 >= 2)), " +
+        "s2 AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 9 = 1 " +
+        "AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 9 >= 2) " +
+        "AND fingerprint NOT IN (SELECT fingerprint FROM s1)) " +
+        "SELECT doc_id, fingerprint FROM s1 UNION ALL " +
+        "SELECT doc_id, fingerprint FROM s2 ORDER BY doc_id"),
 
     // the bloom is a pruning device only — the exact result is the same
     // anti-join semantics as d8, on the %7 split

@@ -185,6 +185,37 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming ingest across the day boundary: probe → index update → probe again (E7b)") {
+    // day-1 replay screens against the base index; its survivors fold in
+    // via updateFingerprintIndex; the day-2 replay must then drop both
+    // base-known AND day-1-survivor duplicates — the composed lifecycle.
+    val idxDir = "target/tmp/streamspec_e7b_idx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+    val corpus = Seq((100L, "base document")).toDF("doc_id", "text")
+    graft.sources.ParquetSink.writeSharded(
+      operators.Dedup.fingerprintIndex(corpus, "text"), idxDir, "fingerprint", 2)
+    val seg1Dir = java.nio.file.Files.createTempDirectory("e7b_seg1").toString
+    val seg2Dir = java.nio.file.Files.createTempDirectory("e7b_seg2").toString
+    Seq((1L, "Base Document!"), (2L, "day one novelty"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(seg1Dir)
+    Seq((3L, "DAY ONE NOVELTY"), (4L, "base document"), (5L, "day two novelty"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(seg2Dir)
+    val schema = spark.read.parquet(seg1Dir).schema
+    val surv1 = StreamOps.runToMemoryTable(spark,
+      StreamOps.ingestDedupStreaming(
+        spark.readStream.schema(schema).parquet(seg1Dir),
+        spark.read.parquet(idxDir), "text"), "e7b_day1_test")
+    assert(surv1.select("doc_id").as[Long].collect().toSet == Set(2L),
+      "day-1 replay must drop the base-known doc")
+    operators.Dedup.updateFingerprintIndex(surv1, idxDir, "text", shards = 2)
+    val surv2 = StreamOps.runToMemoryTable(spark,
+      StreamOps.ingestDedupStreaming(
+        spark.readStream.schema(schema).parquet(seg2Dir),
+        spark.read.parquet(idxDir), "text"), "e7b_day2_test")
+    assert(surv2.select("doc_id").as[Long].collect().toSet == Set(5L),
+      "day-2 replay must drop base-known AND day-1-survivor duplicates")
+  }
+
   test("runToMemoryTable: parquet file-source replay equals the batch dedup (E3 replay)") {
     val dir = java.nio.file.Files.createTempDirectory("e3replay").toString
     val docs = Seq(
