@@ -236,17 +236,23 @@ object Joins {
     * departure from fully-lazy construction — the lshTopK-guard trade): the
     * right side is persisted around the count so a derived/uncached right
     * pipeline computes its lineage once, and the same persisted frame feeds
-    * the join (released immediately when the guard trips; on the happy
-    * path it stays live so the join reuses it — `persist` registers the
-    * caller's own `right` frame, so the caller releases it with
-    * `right.unpersist()` once the join has run, or Spark's LRU reclaims it
-    * under pressure). Pass `maxExplodedRows = 0` to keep construction fully
-    * lazy when the right side's size is known by contract.
+    * the join. Resource contract (a "defensive copy" cannot avoid this —
+    * Spark's CacheManager matches entries by canonical plan, so persisting
+    * any plan-equal copy IS persisting the caller's relation): the guard
+    * registers ONE cache entry for the right relation, released immediately
+    * when the guard trips; on the happy path it stays live so the join's
+    * materialization reuses it. Repeated calls on the same right frame
+    * share that single entry — they do not accumulate. The caller releases
+    * it with `right.unpersist()` once the join has run (plan-matched, works
+    * whether or not they persisted themselves); Spark's LRU reclaims it
+    * under storage pressure otherwise. Pass `maxExplodedRows = 0` to keep
+    * construction fully lazy (and cache-free) when the right side's size is
+    * known by contract.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, on: (String, String),
                  buckets: Int, maxExplodedRows: Long = 1L << 24): DataFrame = {
     require(buckets >= 1, "saltedJoin: buckets must be >= 1")
-    if (maxExplodedRows > 0) {
+    val rightSide = if (maxExplodedRows > 0) {
       val cached = right.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rc = cached.count()
       if (rc * buckets > maxExplodedRows) cached.unpersist(false)
@@ -256,7 +262,8 @@ object Joins {
           "replicates the ENTIRE right side per bucket — it is a skew escape " +
           "hatch for dim-sized right tables. Raise maxExplodedRows (or pass 0) " +
           "to override deliberately, or use AQE skew-join for large right sides.")
-    }
+      cached
+    } else right
     // Salt derived from the row's own HASHABLE values (+ a fixed seed):
     // deterministic under task retry, unlike monotonically_increasing_id.
     // Map-typed columns are excluded — `hash` rejects MapType. Identical
@@ -273,7 +280,7 @@ object Joins {
     require(saltCols.nonEmpty, "saltedJoin: no hashable columns to derive a salt from")
     val salted = left.withColumn("_salt",
       pmod(hash(saltCols :+ lit(0x5a17): _*), lit(buckets)))
-    val exploded = prefixRight(left, right)
+    val exploded = prefixRight(left, rightSide)
       .withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted
       .join(exploded,

@@ -139,6 +139,25 @@ class JoinsSpec extends SparkTestBase {
       .count() == left.filter("k IS NOT NULL").count())
   }
 
+  test("saltedJoin guard cache: one plan-matched entry, caller-releasable (ADVICE r8)") {
+    // the guard persists the right relation for reuse by the join; the
+    // documented contract is (a) repeated calls share ONE cache entry (the
+    // CacheManager matches by canonical plan — they must not accumulate)
+    // and (b) the caller releases it with right.unpersist(), plan-matched,
+    // whether or not they persisted themselves.
+    val callerRight = spark.range(50).toDF("k").withColumn("rv", lit("y"))
+    val entriesBefore = spark.sharedState.cacheManager.isEmpty
+    Joins.saltedJoin(left, callerRight, ("k", "k"), 4).count()
+    Joins.saltedJoin(left, callerRight, ("k", "k"), 2).count()
+    assert(callerRight.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "guard must leave the right relation cached on the happy path (plan-matched)")
+    callerRight.unpersist(true)
+    assert(callerRight.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "caller's unpersist must release the guard's entry")
+    assert(entriesBefore == spark.sharedState.cacheManager.isEmpty,
+      "repeated calls + one unpersist must leave no accumulated entries")
+  }
+
   test("saltedJoin tolerates unhashable (map) columns by excluding them from the salt") {
     val l = left.withColumn("props", map(lit("a"), lit("b")))
     val base = Joins.hashJoin(left, right, ("k", "k")).count()
