@@ -1779,6 +1779,20 @@ object SparkEntry {
           "FROM ny ORDER BY segment, o_year")
     }),
 
+    // Q-DASHBOARD-SQL: the dashboard chain (pivot → forward-fill →
+    // per-nation stats) on the TEXTUAL front-end — the one entry-point
+    // chain q_covid_sql left unclosed. DuckDB's PIVOT/strftime and Spark's
+    // syntax differ in two fragments, so this is the twin-text form: one
+    // template, two renderings, one canonical oracle (shared with
+    // q_dashboard_chain — the DataFrame chain, this SQL text, and the
+    // DuckDB replay must all produce the same relation). Catalyst plans
+    // the same shape as the chain: broadcast dim joins, pivot as grouped
+    // CASE-max, LOCF as a running window.
+    "q_dashboard_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(dashboardSqlText(forSpark = true))
+    }),
+
     // D2b: incremental NEAR-dup ingest dedup — the daily-batch analogue of
     // d8 for MinHash similarity: new docs (doc_id % 9 = 0) kept only where
     // no corpus doc (doc_id % 9 != 0) sits at trigram Jaccard >= 0.5. The
@@ -2169,33 +2183,11 @@ object SparkEntry {
         "max(o_totalprice) AS o_totalprice FROM orders " +
         "WHERE o_orderpriority IS NOT NULL GROUP BY o_custkey ORDER BY o_custkey"),
 
-    "q_dashboard_chain" ->
-      ("WITH enriched AS (" +
-        "SELECT o.*, c.c_nationkey AS r_c_nationkey, c.c_mktsegment AS r_c_mktsegment " +
-        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
-        "WHERE o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31' " +
-        "AND c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')), " +
-        "mo AS (SELECT *, strftime(o_orderdate, '%Y-%m') AS o_month FROM enriched), " +
-        "tile AS (SELECT round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
-        "AS DECIMAL(38,2)) AS DOUBLE) / count(*), 4) AS tile_avg_totalprice FROM mo), " +
-        "piv AS (SELECT r_c_nationkey, o_month, " +
-        "max(CASE WHEN r_c_mktsegment = 'BUILDING' THEN o_totalprice END) AS building " +
-        "FROM mo GROUP BY 1, 2), " +
-        "filled AS (SELECT r_c_nationkey, o_month, " +
-        "last_value(building IGNORE NULLS) OVER (PARTITION BY r_c_nationkey " +
-        "ORDER BY o_month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS building_filled " +
-        "FROM piv), " +
-        "stats AS (SELECT r_c_nationkey, count(*) AS count_months, " +
-        "round(CAST(CAST(sum(CAST(building_filled AS DECIMAL(18,2))) AS DECIMAL(38,2)) " +
-        "AS DOUBLE) / count(building_filled), 4) AS avg_building, " +
-        "max(building_filled) AS max_building, " +
-        "round(median(building_filled), 4) AS median_building, " +
-        "round(stddev_samp(building_filled), 4) AS std_building " +
-        "FROM filled GROUP BY r_c_nationkey) " +
-        "SELECT s.*, n.n_nationkey AS r_n_nationkey, n.n_name AS r_n_name, " +
-        "n.n_regionkey AS r_n_regionkey, t.tile_avg_totalprice " +
-        "FROM stats s JOIN nation n ON s.r_c_nationkey = n.n_nationkey CROSS JOIN tile t " +
-        "ORDER BY r_c_nationkey"),
+    "q_dashboard_chain" -> dashboardSqlText(forSpark = false),
+
+    // the twin text rendered for DuckDB — same template as the Spark-side
+    // string, so the oracle is canonically shared with q_dashboard_chain
+    "q_dashboard_sql" -> dashboardSqlText(forSpark = false),
 
     "q_pipeline_chain" -> {
       val sampleTh = (BigDecimal(0.5) * BigDecimal(1L << 60)).toLong
@@ -3452,6 +3444,53 @@ object SparkEntry {
     * matches ≥ 0.5, then the surviving batch rows) — shared verbatim by
     * the index replay (d2c).
     */
+  /** The dashboard chain (pivot → forward-fill → per-nation stats, the
+    * reference's entry-point-2 at app.py:1004-1176) as ONE SQL TEMPLATE
+    * rendered for either engine — unlike q_covid_sql's single shared
+    * string, the dashboard needs two engine-specific fragments (DuckDB's
+    * `strftime`/inside-parens `IGNORE NULLS` vs Spark's `date_format`/
+    * ANSI-position `IGNORE NULLS`); everything else — the pivot CASE, the
+    * LOCF window, the decimal-exact averages — is byte-identical, so the
+    * two renderings remain ONE canonical query. `forSpark = false` is
+    * simultaneously q_dashboard_chain's oracle and q_dashboard_sql's,
+    * making the DataFrame chain, the Spark SQL text, and the DuckDB replay
+    * three renderings of the same relation.
+    */
+  private def dashboardSqlText(forSpark: Boolean): String = {
+    val month =
+      if (forSpark) "date_format(o_orderdate, 'yyyy-MM')"
+      else "strftime(o_orderdate, '%Y-%m')"
+    val locf =
+      if (forSpark) "last_value(building) IGNORE NULLS OVER "
+      else "last_value(building IGNORE NULLS) OVER "
+    "WITH enriched AS (" +
+      "SELECT o.*, c.c_nationkey AS r_c_nationkey, c.c_mktsegment AS r_c_mktsegment " +
+      "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "WHERE o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31' " +
+      "AND c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')), " +
+      s"mo AS (SELECT *, $month AS o_month FROM enriched), " +
+      "tile AS (SELECT round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
+      "AS DECIMAL(38,2)) AS DOUBLE) / count(*), 4) AS tile_avg_totalprice FROM mo), " +
+      "piv AS (SELECT r_c_nationkey, o_month, " +
+      "max(CASE WHEN r_c_mktsegment = 'BUILDING' THEN o_totalprice END) AS building " +
+      "FROM mo GROUP BY 1, 2), " +
+      "filled AS (SELECT r_c_nationkey, o_month, " +
+      s"$locf(PARTITION BY r_c_nationkey " +
+      "ORDER BY o_month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS building_filled " +
+      "FROM piv), " +
+      "stats AS (SELECT r_c_nationkey, count(*) AS count_months, " +
+      "round(CAST(CAST(sum(CAST(building_filled AS DECIMAL(18,2))) AS DECIMAL(38,2)) " +
+      "AS DOUBLE) / count(building_filled), 4) AS avg_building, " +
+      "max(building_filled) AS max_building, " +
+      "round(median(building_filled), 4) AS median_building, " +
+      "round(stddev_samp(building_filled), 4) AS std_building " +
+      "FROM filled GROUP BY r_c_nationkey) " +
+      "SELECT s.*, n.n_nationkey AS r_n_nationkey, n.n_name AS r_n_name, " +
+      "n.n_regionkey AS r_n_regionkey, t.tile_avg_totalprice " +
+      "FROM stats s JOIN nation n ON s.r_c_nationkey = n.n_nationkey CROSS JOIN tile t " +
+      "ORDER BY r_c_nationkey"
+  }
+
   /** q_covid_chain's oracle — shared verbatim by q_covid_sql, which also
     * RUNS this very string through `spark.sql`: the text stays inside the
     * ANSI intersection both engines parse (decimal-cast sums, one IEEE
