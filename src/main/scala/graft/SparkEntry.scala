@@ -938,6 +938,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SIM-IVF STATS: retrain-trigger telemetry over the materialized index
+    // — one row of cell-occupancy stats (max/mean imbalance) a pipeline
+    // thresholds to schedule the periodic quantizer rebuild. Shares the
+    // staged index with sim_ivf_index_replay; the oracle recomputes the
+    // deterministic Lloyd assignment and counts the same cells.
+    "sim_ivf_stats" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val idxDir = s"${scratchDir(d)}/sim_ivf_index_${stageKey(srcFile, "d64k8i2")}"
+      if (!new java.io.File(s"$idxDir/cents/_SUCCESS").exists()) {
+        Similarity.writeIvfIndex(
+          Similarity.buildIvfIndex(emb, "vec_id", "embedding", dim = 64, k = 8,
+            iters = 2),
+          idxDir, "vec_id", shards = 4)
+      }
+      Similarity.ivfIndexStats(s, idxDir)
+    }),
+
     // SIM-Q8: int8-quantized exact top-k — vectors packed to one signed
     // byte per coordinate (4× less memory/bandwidth than float32), scored
     // with the exact integer dot product (codegen'd ByteDotProduct): the
@@ -1999,8 +2017,11 @@ object SparkEntry {
     * The final IVF stage recomputes cell centroids from the trained
     * assignment exactly as `ivfTopK` does via `labelCentroidVectors`.
     */
-  private def kmeansIvfSql(dim: Int, k: Int, probes: Int, topK: Int,
-                           seed: String): String = {
+  /** The deterministic-Lloyd training CTEs shared by every trained-IVF
+    * oracle (`a2` = the final assignment, `cents` = its centroids) —
+    * [[kmeansIvfSql]] probes them, the sim_ivf_stats oracle counts them.
+    */
+  private def kmeansCtesSql(dim: Int, k: Int, seed: String): String = {
     val centCols = (1 to dim).map(i =>
       s"CAST(CAST(round(avg(embedding[$i]), 4) + 0.0 AS FLOAT) AS DOUBLE)").mkString(", ")
     def cos(a: String, b: String) = s"round(list_cosine_similarity($a, $b), 6)"
@@ -2015,7 +2036,13 @@ object SparkEntry {
       s"a1 AS (${assign("embeddings", "c0")}), " +
       s"c1 AS (SELECT cell, [$centCols] AS centroid FROM a1 GROUP BY cell), " +
       s"a2 AS (${assign("embeddings", "c1")}), " +
-      s"cents AS (SELECT cell, [$centCols] AS centroid FROM a2 GROUP BY cell), " +
+      s"cents AS (SELECT cell, [$centCols] AS centroid FROM a2 GROUP BY cell)"
+  }
+
+  private def kmeansIvfSql(dim: Int, k: Int, probes: Int, topK: Int,
+                           seed: String): String = {
+    def cos(a: String, b: String) = s"round(list_cosine_similarity($a, $b), 6)"
+    s"${kmeansCtesSql(dim, k, seed)}, " +
       "q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10), " +
       "cellrank AS (SELECT q.query_id, q.qe, c.cell, row_number() OVER (" +
       "PARTITION BY q.query_id ORDER BY " +
@@ -2670,6 +2697,16 @@ object SparkEntry {
     // by the builder or loaded from the sharded parquet index
     "sim_ivf_index_replay" -> kmeansIvfSql(dim = 64, k = 8, probes = 3, topK = 5,
       seed = "kmeans"),
+
+    // occupancy of the SAME deterministic Lloyd assignment the index
+    // materializes — cells/vectors/extremes plus the max/mean imbalance
+    // retrain trigger
+    "sim_ivf_stats" ->
+      (s"${kmeansCtesSql(dim = 64, k = 8, seed = "kmeans")}, " +
+        "occ AS (SELECT cell, count(*)::BIGINT AS n FROM a2 GROUP BY cell) " +
+        "SELECT count(*)::BIGINT AS cells, sum(n)::BIGINT AS vectors, " +
+        "max(n)::BIGINT AS max_cell, round(avg(n), 6) AS mean_cell, " +
+        "round(max(n) / avg(n), 6) AS imbalance FROM occ"),
 
     "sim_topk" ->
       ("SELECT query_id, neighbor_id, cosine, rank FROM (" +

@@ -549,6 +549,39 @@ object Similarity {
     graft.sources.ParquetSink.appendSharded(assigned, s"$path/cells", idCol, shards)
   }
 
+  /** Retrain-trigger telemetry for a materialized [[IvfIndex]] — answers
+    * WHEN the "periodic retraining = fresh [[buildIvfIndex]]" documented on
+    * [[updateIvfIndex]] should actually fire. One row of cell-occupancy
+    * stats computed from `cells/` alone (a count per cell — no vector
+    * math, no centroid reads, one partial-aggregated pass):
+    *
+    *   - `cells`      occupied cells (dead centroids never appear in the
+    *     index: both the builder and the updater derive cells from
+    *     assignments, so occupancy is the live-cell count)
+    *   - `vectors`    total indexed vectors (base + every appended delta)
+    *   - `max_cell` / `mean_cell`  occupancy extremes
+    *   - `imbalance`  max/mean occupancy — ~1.0 when the quantizer still
+    *     fits the data; grows monotonically as [[updateIvfIndex]] appends
+    *     batches the FROZEN centroids mis-fit (skew piles into few cells,
+    *     and appends can never rebalance). A pipeline thresholds this
+    *     (e.g. > 3.0) to schedule the rebuild: past it, probe cost is no
+    *     longer ~`probes`/k of the corpus because the hot cells hold the
+    *     bulk of it.
+    *
+    * Cheap enough to run after every update batch: the scan reads one
+    * int column of `cells/`, and only k partial counts cross the exchange.
+    */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(s"$path/cells").groupBy("cell")
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("cells"),
+        sum("n").as("vectors"),
+        max("n").as("max_cell"),
+        round(avg("n"), 6).as("mean_cell"),
+        round(max("n") / avg("n"), 6).as("imbalance"))
+
   /** LSH-bucketed approximate top-k with 1-bit multiprobe. Candidates from
     * bucket collisions only; exact scores; the same k-bounded aggregate as
     * [[bruteForceTopK]] ranks them (multiprobe duplicates removed first so

@@ -207,6 +207,55 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ivfIndexStats: occupancy bookkeeping; post-update imbalance is monotone in appended skew") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    def freshIndex(dir: String): Unit =
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(base, "vec_id", "embedding", dim = 64, k = 8, iters = 2),
+        dir, "vec_id", shards = 2)
+    def stats(dir: String): (Long, Long, Long, Double, Double) = {
+      val r = Similarity.ivfIndexStats(spark, dir).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    }
+    val dir0 = "target/tmp/simspec_ivf_stats_base"
+    freshIndex(dir0)
+    val s0 = stats(dir0)
+    val baseCells = spark.read.parquet(s"$dir0/cells")
+    val occ = baseCells.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // bookkeeping against an independently computed occupancy map
+    assert(s0._1 == occ.size && s0._2 == occ.values.sum && s0._3 == occ.values.max)
+    assert(s0._4 == BigDecimal(occ.values.sum.toDouble / occ.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // same-size appends, opposite skew: all-one-cell copies vs one copy
+    // per cell. Copied vectors re-assign to their own (frozen) centroid,
+    // so the landing cells are known exactly.
+    val hot = occ.maxBy { case (c, n) => (n, -c) }._1
+    val cellCount = occ.size
+    val skewBatch = baseCells.filter(col("cell") === hot).limit(cellCount)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val balBatch = baseCells.withColumn("_rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy("vec_id")))
+      .filter(col("_rn") === 1)
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+    val dirSkew = "target/tmp/simspec_ivf_stats_skew"
+    val dirBal = "target/tmp/simspec_ivf_stats_bal"
+    freshIndex(dirSkew); freshIndex(dirBal)
+    Similarity.updateIvfIndex(skewBatch, dirSkew, "vec_id", "embedding", shards = 2)
+    Similarity.updateIvfIndex(balBatch, dirBal, "vec_id", "embedding", shards = 2)
+    val (sSkew, sBal) = (stats(dirSkew), stats(dirBal))
+    // both appended the same row count...
+    assert(sSkew._2 == s0._2 + cellCount && sBal._2 == s0._2 + cellCount)
+    // ...but imbalance orders by the skew of what was appended: piling the
+    // batch into one cell must read WORSE than the base, and spreading it
+    // one-per-cell must read BETTER (the retrain-trigger contract)
+    assert(sSkew._5 > s0._5, s"skewed append should raise imbalance: ${sSkew._5} vs ${s0._5}")
+    assert(sBal._5 <= s0._5, s"balanced append must not raise imbalance: ${sBal._5} vs ${s0._5}")
+    assert(sSkew._5 > sBal._5, s"imbalance must order by appended skew: ${sSkew._5} vs ${sBal._5}")
+  }
+
   test("quantizeInt8: packed codes are deterministic, in range, zero-vector safe") {
     val vecs = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f)),
