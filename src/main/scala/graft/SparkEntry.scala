@@ -322,6 +322,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // S8: deterministic shuffle-shard export — the corpus written in
+    // md5(seed:id) pseudo-random order across hive shard directories
+    // (epoch reshuffle = new seed, zero data rewrite); the readback
+    // aggregates per-shard membership + key extremes, which the oracle
+    // recomputes from first principles
+    "s8_shuffle_export" -> ((s, d) => {
+      val outDir = s"${scratchDir(d)}/shuffled_documents"
+      ParquetSink.writeShuffled(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        outDir, "doc_id", seed = "epoch0", shards = 8)
+      s.read.parquet(outDir)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_id"),
+          min("_shuffle_key").as("min_key"), max("_shuffle_key").as("max_key"))
+        .orderBy("shard")
+    }),
+
     // F1: WHERE via predicate expression (pushed into the scan)
     "f1_filter" -> ((s, d) =>
       Ops.filter(Tables.lineitem(s, d),
@@ -1057,6 +1074,21 @@ object SparkEntry {
           Text.gopherPass(col("text")).as("pass"): _*)
         .orderBy("doc_id")
     }),
+
+    // T20: the repetition subfamily of the Gopher quality rules (t13 covers
+    // the length/symbol/bullet rules) — duplicate-word, top-word and
+    // duplicate-trigram fractions, all narrow array expressions over ONE
+    // shared words projection (the projection alias keeps tokenization to
+    // one pass per row; no shuffle anywhere)
+    "t20_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          round(Text.dupWordFrac(col("ws")), 6).as("dup_word_frac"),
+          round(Text.topWordFrac(col("ws")), 6).as("top_word_frac"),
+          round(Text.dupNgramFrac(col("ws"), 3), 6).as("dup_3gram_frac"))
+        .orderBy("doc_id")),
 
     // M1: multimodal binary payload metadata (oracle-checkable scalars)
     "m1_multimodal_meta" -> ((s, d) =>
@@ -2387,6 +2419,16 @@ object SparkEntry {
       ("SELECT doc_id, text, lang, source, n_chars FROM documents " +
         "WHERE lang = 'en' ORDER BY doc_id"),
 
+    // the export's shard membership and in-shard key range recomputed from
+    // first principles: key = md5-60bit('epoch0:' || id), shard = key % 8
+    "s8_shuffle_export" ->
+      ("WITH k AS (SELECT doc_id, " +
+        "('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS key " +
+        "FROM documents) " +
+        "SELECT key % 8 AS shard, count(*)::BIGINT AS n_docs, " +
+        "sum(doc_id)::BIGINT AS sum_doc_id, min(key) AS min_key, max(key) AS max_key " +
+        "FROM k GROUP BY shard ORDER BY shard"),
+
     "f1_filter" ->
       "SELECT * FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber",
 
@@ -2795,6 +2837,27 @@ object SparkEntry {
         "AND (alpha_frac IS NULL OR alpha_frac >= 0.8) " +
         "AND stop_hits >= 2) AS pass " +
         "FROM sig ORDER BY doc_id"),
+
+    // repetition fractions over the same lower/trim/split words as the
+    // Spark side; top-word share via an explicit per-word count (the Spark
+    // side's sorted-run fold computes the same maximum without a shuffle)
+    "t20_repetition" ->
+      ("WITH w AS (SELECT doc_id, " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+        "u AS (SELECT doc_id, unnest(ws) AS word FROM w), " +
+        "wc AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM u GROUP BY doc_id, word), " +
+        "st AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS nd, " +
+        "max(c)::BIGINT AS mx FROM wc GROUP BY doc_id), " +
+        "tri AS (SELECT doc_id, " +
+        "CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 0 END AS tot, " +
+        "CASE WHEN len(ws) >= 3 THEN len(list_distinct(list_transform(" +
+        "generate_series(1, len(ws) - 2), " +
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) ELSE 0 END AS dis FROM w) " +
+        "SELECT s.doc_id, s.n AS n_words, " +
+        "round(1.0 - s.nd::DOUBLE / s.n, 6) AS dup_word_frac, " +
+        "round(s.mx::DOUBLE / s.n, 6) AS top_word_frac, " +
+        "CASE WHEN t.tot > 0 THEN round(1.0 - t.dis::DOUBLE / t.tot, 6) END AS dup_3gram_frac " +
+        "FROM st s JOIN tri t USING (doc_id) ORDER BY s.doc_id"),
 
     "m1_multimodal_meta" ->
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +

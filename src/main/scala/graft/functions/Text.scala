@@ -80,9 +80,7 @@ object Text {
     */
   def repetitionScore(text: Column): Column = {
     val words = split(lower(trim(text)), "\\s+")
-    val n = size(words).cast("double")
-    round(when(n > 0, lit(1.0) - size(array_distinct(words)).cast("double") / n)
-      .otherwise(0.0), 4)
+    round(when(size(words) > 0, dupWordFrac(words)).otherwise(0.0), 4)
   }
 
   /** PII scrubbing, C4-style: redact email addresses and long digit runs
@@ -193,6 +191,55 @@ object Text {
     */
   def wordShingles(text: Column, n: Int): Column =
     shinglesFromWords(split(lower(trim(text)), "\\s+"), n)
+
+  /** T20 — Gopher-style intra-document repetition signals (the "repetitious
+    * documents are low-quality" family of pretraining filters; cf. Rae et
+    * al. 2021 §A1.1, which thresholds exactly these fractions). All three
+    * are narrow per-row array expressions over ONE shared words projection
+    * — zero shuffle, so the filter costs a map pass at any corpus size.
+    * Word convention matches [[wsTokens]]/the shingle family:
+    * `split(lower(trim(text)), "\\s+")`.
+    */
+  /** Fraction of word occurrences that are repeats of an earlier word:
+    * `1 − distinct/total`. 0 for all-unique text, → 1 as one word
+    * dominates. Null-safe via the caller's guard (total ≥ 1 always holds
+    * for the split convention: splitting "" yields [""]).
+    */
+  def dupWordFrac(words: Column): Column =
+    lit(1.0) - size(array_distinct(words)).cast("double") / size(words)
+
+  /** Occurrence fraction of the single most frequent word — the "top word
+    * share" signal (boilerplate/spam pages repeat one token). Computed
+    * WITHOUT a per-word shuffle: sort the in-row array, then one fold
+    * tracks the longest equal-run. O(w log w) per row, no exchange —
+    * the 100 TB-right shape for a per-document statistic (an
+    * explode + groupBy(doc, word) formulation would shuffle every word
+    * occurrence in the corpus).
+    */
+  def topWordFrac(words: Column): Column = {
+    val best = aggregate(
+      array_sort(words),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    best.cast("double") / size(words)
+  }
+
+  /** Fraction of word n-grams that duplicate an earlier n-gram in the same
+    * document: `1 − distinct/total` over the [[shinglesFromWords]] grams.
+    * Null when the document has fewer than n words (no n-grams to judge).
+    */
+  def dupNgramFrac(words: Column, n: Int): Column = {
+    val total = size(words) - (n - 1)
+    when(total > 0,
+      lit(1.0) -
+        size(shinglesFromWords(words, n)).cast("double") / total.cast("double"))
+  }
 
   /** Shingle set from an already-materialized words array. When `words` is
     * a projection-level alias (referenced n+2 times here, so

@@ -47,6 +47,35 @@ object ParquetSink {
   def writePartitioned(df: DataFrame, path: String, byCol: String): Unit =
     df.write.mode("overwrite").partitionBy(byCol).parquet(path)
 
+  /** S8 — deterministic global shuffle for training-data export. Every row
+    * gets the pseudo-random 60-bit key `md5(seed ":" id)` (same
+    * md5-derived form as `Text.tokenHash60`, so any SQL engine reproduces
+    * it); `shard = key mod shards` becomes a Hive partition directory and
+    * rows inside each shard are sorted by (key, id). The composition is a
+    * uniform permutation of the corpus that is a PURE FUNCTION of
+    * (seed, ids): re-runs are byte-stable, and a new epoch's reshuffle is
+    * just a new seed — no second copy of the data to maintain. A
+    * dataloader streams shard directories round-robin and gets the
+    * shuffled order for free.
+    *
+    * Scaling: one hash exchange on the shard key + a per-partition sort —
+    * NO global sort (a total-order shuffle would range-exchange the whole
+    * corpus through a sampled boundary map; mod-sharding needs no
+    * coordination at all) and no driver involvement. `shards` sizes the
+    * output files exactly like [[writeSharded]].
+    */
+  def writeShuffled(df: DataFrame, path: String, idCol: String, seed: String,
+                    shards: Int): Unit = {
+    require(shards >= 1, "writeShuffled: shards must be >= 1")
+    df.withColumn("_shuffle_key",
+        conv(substring(md5(concat_ws(":", lit(seed), col(idCol))), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("shard", pmod(col("_shuffle_key"), lit(shards)).cast("int"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "_shuffle_key", idCol)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Compact a delta-appended [[writeSharded]]/[[appendSharded]] table back
     * to exactly `shards` files: read base ∪ deltas, re-shard to `tmpPath`,
     * then atomically swap directories (rename old → `.old`, tmp → live,

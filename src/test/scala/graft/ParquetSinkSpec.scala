@@ -78,6 +78,50 @@ class ParquetSinkSpec extends SparkTestBase {
       == Seq(1L, 2L, 3L), "no rows lost across the recovery")
   }
 
+  test("writeShuffled: seed-keyed permutation — membership by key mod, in-shard sort, byte-stable reruns (S8)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source")
+    val path = "target/tmp/sink_shuffled"
+    ParquetSink.writeShuffled(docs, path, "doc_id", seed = "e1", shards = 4)
+    val back = spark.read.parquet(path)
+      .select(col("doc_id"), col("_shuffle_key"), col("shard").cast("int").as("shard"),
+        input_file_name().as("f"))
+      .as[(Long, Long, Int, String)].collect()
+    // lossless, membership = key mod shards, key = the documented md5 form
+    assert(back.length == docs.count())
+    back.foreach { case (id, key, shard, _) =>
+      assert(shard == (key % 4).toInt, s"doc $id: shard $shard != key%4")
+    }
+    val expectKey = docs.select(col("doc_id"),
+        conv(substring(md5(concat_ws(":", lit("e1"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long")).as[(Long, Long)].collect().toMap
+    back.foreach { case (id, key, _, _) => assert(key == expectKey(id)) }
+    // each shard file is internally sorted by (key, id) — the dataloader's
+    // stream order IS the shuffled order
+    back.groupBy(_._4).foreach { case (_, rows) =>
+      val keys = rows.sortBy(r => (r._2, r._1)).map(_._2).toSeq
+      assert(rows.map(_._2).toSeq == keys, "shard file must be key-sorted")
+    }
+    // byte-stable: a rerun with the same seed reproduces the same files
+    val sums1 = new java.io.File(path).listFiles().filter(_.getName.startsWith("shard="))
+      .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath))).toSeq)
+      .toMap
+    ParquetSink.writeShuffled(docs, path, "doc_id", seed = "e1", shards = 4)
+    val sums2 = new java.io.File(path).listFiles().filter(_.getName.startsWith("shard="))
+      .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath))).toSeq)
+      .toMap
+    assert(sums1 == sums2, "same-seed rerun must be byte-stable")
+    // a new seed is a fresh permutation: some doc changes shard
+    ParquetSink.writeShuffled(docs, path + "_e2", "doc_id", seed = "e2", shards = 4)
+    val m1 = back.map(r => r._1 -> r._3).toMap
+    val m2 = spark.read.parquet(path + "_e2")
+      .select(col("doc_id"), col("shard").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(m1.exists { case (id, s) => m2(id) != s }, "new seed must reshuffle")
+  }
+
   test("writePartitioned: hive layout; scans prune to the filtered partition") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val path = "target/tmp/sink_partitioned"

@@ -56,6 +56,27 @@ class TextSpec extends SparkTestBase {
     assert(out == Seq((1L, 0.0), (2L, 0.75), (3L, 0.5)))
   }
 
+  test("dupWordFrac / topWordFrac / dupNgramFrac: hand-computed fractions (T20)") {
+    def ws(t: String) = split(lower(trim(lit(t))), "\\s+")
+    def d(c: org.apache.spark.sql.Column): Double =
+      Seq(1).toDF("x").select(round(c, 6)).collect()(0).getDouble(0)
+    // "a b a b a" — 5 words, 2 distinct; top word "a" appears 3 times
+    assert(d(Text.dupWordFrac(ws("a b a b a"))) == 0.6)
+    assert(d(Text.topWordFrac(ws("a b a b a"))) == 0.6)
+    // trigrams of "a b a b a": [aba, bab, aba] — 3 total, 2 distinct
+    assert(d(Text.dupNgramFrac(ws("a b a b a"), 3)) == 0.333333)
+    // all-distinct text: zero repetition on every signal
+    assert(d(Text.dupWordFrac(ws("v w x y z"))) == 0.0)
+    assert(d(Text.topWordFrac(ws("v w x y z"))) == 0.2)
+    assert(d(Text.dupNgramFrac(ws("v w x y z"), 3)) == 0.0)
+    // top-word fold is order-independent (sorted-run maximum)
+    assert(d(Text.topWordFrac(ws("b a a b a"))) == 0.6)
+    // fewer than n words: no n-grams to judge -> null
+    val nulls = Seq(1).toDF("x")
+      .select(Text.dupNgramFrac(ws("a b"), 3).as("f")).collect()(0)
+    assert(nulls.isNullAt(0))
+  }
+
   test("scrubPii redacts emails and long digit runs; piiCount matches (T9)") {
     import spark.implicits._
     val df = Seq(
