@@ -76,7 +76,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val timings = (1 to runs).map { _ =>
+      def once(): (Double, Option[String]) = {
         System.gc() // isolate queries from each other's garbage
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
@@ -86,39 +86,64 @@ object Bench {
                   }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      var timings = (1 to runs).map(_ => once()).toVector
+      // interference detector input: the WARM successful runs (run 1 fills
+      // query-internal caches by design, so its gap vs run 2 is expected,
+      // not noise).
+      def warm = timings.zipWithIndex.collect { case ((t, None), i) if i > 0 => t }
+      // Adaptive re-measure: when the warm runs fail to replicate (>1.5×
+      // AND >100 ms), the cause is either a one-off external blip — extra
+      // runs will agree with the smaller value — or genuine instability —
+      // they won't. Up to 2 extra runs, paid ONLY by unstable rows (the
+      // stable bulk of the suite costs nothing extra). Measured r8: single
+      // blips inflated d4/d6 warm spreads to 5× while their minima stayed
+      // reproducible; re-measuring separates that from real bimodality.
+      var extra = 0
+      def unstable: Boolean = {
+        val w = warm
+        w.size >= 2 && w.max / w.min > 1.5 && w.max - w.min > 0.1
+      }
+      while (extra < 2 && runs >= 3 && unstable) {
+        timings = timings :+ once(); extra += 1
+      }
       // a query that failed on ANY run is reported failed (a flaky query
       // must not bench as its fastest successful run). Timings come from
       // SUCCESSFUL runs when at least one succeeded — a fast-fail duration
       // is not a measurement of the query and must not understate the
       // total (only when every run failed does the failure time stand in).
-      val ok = timings.zipWithIndex.collect { case ((t, None), i) => (t, i) }
-      val base = if (ok.nonEmpty) ok.map(_._1) else timings.map(_._1)
-      // interference detector input: the WARM successful runs (run 1 fills
-      // query-internal caches by design, so its gap vs run 2 is expected,
-      // not noise). Falls back to all measured runs when fewer than two
-      // warm successes exist (runs=1, or run 1 was the only success).
-      val warm = ok.collect { case (t, i) if i > 0 => t }
-      val spread = if (warm.size >= 2) warm else base
-      (name, base.min, spread.min, spread.max, timings.flatMap(_._2).headOption)
+      val ok = timings.collect { case (t, None) => t }
+      val base = if (ok.nonEmpty) ok else timings.map(_._1)
+      // The noisy flag asks "is the reported MIN reproducible?", so it
+      // compares the two SMALLEST warm runs after re-measuring: a single
+      // interference blip among agreeing runs is rejected by min-of-k and
+      // must not condemn the row; persistent disagreement even between
+      // the two best measurements is genuine. Falls back to all measured
+      // runs when fewer than two warm successes exist (runs=1, or run 1
+      // was the only success). The reported interval stays the FULL warm
+      // range — a flagged row shows everything the detector saw.
+      val w = { val ws = warm; if (ws.size >= 2) ws else base }
+      val best2 = w.sorted.take(2)
+      (name, base.min, best2.min, best2.max, w.min, w.max,
+        timings.flatMap(_._2).headOption)
     }
-    val qs = results.map { case (k, v, _, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val qs = results.map { case (k, v, _, _, _, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, _, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    // self-identifying spread: queries whose WARM runs disagree by >1.5×
-    // AND by at least 100 ms absolute. With runs>=3 the cold run-1 cache
-    // fill is excluded from this ratio, so a flag here means genuine
-    // external interference (GC pause, page cache eviction, co-tenant load)
-    // during the steady-state runs — the [min,max] of those warm runs tells
-    // a reader comparing rounds exactly which entries' numbers not to
-    // trust. The absolute floor exists because sub-100 ms queries swing
-    // past 1.5× on pure scheduler jitter (f1_filter [0.077, 0.192]) — a
-    // spread that small can't mislead a round-over-round comparison anyway.
+    // self-identifying spread: queries whose two BEST warm runs (after the
+    // adaptive re-measure above) disagree by >1.5× AND by at least 100 ms
+    // absolute — i.e. the reported min itself failed to replicate, so a
+    // reader comparing rounds knows exactly which entries' numbers not to
+    // trust. The interval printed is the full warm range. The absolute
+    // floor exists because sub-100 ms queries swing past 1.5× on pure
+    // scheduler jitter (f1_filter [0.077, 0.192]) — a spread that small
+    // can't mislead a round-over-round comparison anyway.
     val noisy = results.collect {
-      case (k, _, mn, mx, None) if mn > 0 && mx / mn > 1.5 && mx - mn > 0.1 =>
+      case (k, _, b2lo, b2hi, mn, mx, None)
+        if b2lo > 0 && b2hi / b2lo > 1.5 && b2hi - b2lo > 0.1 =>
         s"${jstr(k)}:[$mn,$mx]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val nFailed = results.count(_._5.isDefined)
+    val nFailed = results.count(_._7.isDefined)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"noisy":$noisy,"sf":"$sfDir"}"""
     println(json)
     // Also persist the line to a file: stdout capture truncates on long
