@@ -973,6 +973,22 @@ object SparkEntry {
       Similarity.ivfIndexStats(s, idxDir)
     }),
 
+    // SIM CLUSTER CAP: cluster-balanced curation (the SemDeDup recipe's
+    // outer loop) — train the deterministic Lloyd quantizer, then keep at
+    // most k vectors per cell by the engine-portable id-hash quota
+    // (s5c's sampler over sim_ivf_trained's clustering). Caps any one
+    // semantic region's share of the training set; hash membership makes
+    // the kept subset a pure function of (ids, seed, k).
+    "sim_cluster_cap" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        dim = 64, k = 8, iters = 2)
+      Sampling.quotaSample(
+        assigned.select(col("vec_id"), col("cell").cast("long").as("cell")),
+        "vec_id", "cell", 40)
+        .orderBy("vec_id")
+    }),
+
     // SIM-Q8: int8-quantized exact top-k — vectors packed to one signed
     // byte per coordinate (4× less memory/bandwidth than float32), scored
     // with the exact integer dot product (codegen'd ByteDotProduct): the
@@ -1089,6 +1105,30 @@ object SparkEntry {
           round(Text.topWordFrac(col("ws")), 6).as("top_word_frac"),
           round(Text.dupNgramFrac(col("ws"), 3), 6).as("dup_3gram_frac"))
         .orderBy("doc_id")),
+
+    // CHAIN: the curation SURVIVAL FUNNEL — how much of each source clears
+    // the Gopher quality gate, then the repetition cut, then the language
+    // cut. ONE corpus pass: every stage predicate is a narrow expression
+    // and the monotone stage counts are conditional sums inside a single
+    // map-side-combined aggregation (the shape that reports a 100 TB
+    // curation run's yield without re-scanning per stage).
+    "q_quality_funnel" -> ((s, d) => {
+      val ws = split(lower(trim(col("text"))), "\\s+")
+      val dupW = round(Text.dupWordFrac(col("ws")), 6)
+      val dup3 = round(Text.dupNgramFrac(col("ws"), 3), 6)
+      Tables.documents(s, d)
+        .select(col("source"), col("text"), ws.as("ws"))
+        .select(col("source"),
+          Text.gopherPass(col("text")).as("gpass"),
+          (dupW <= 0.3 && (dup3.isNull || dup3 <= 0.2)).as("rpass"),
+          (Text.langId(col("text")) === "en").as("lpass"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("gpass"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("gpass") && col("rpass"), 1L).otherwise(0L)).as("n_low_repetition"),
+          sum(when(col("gpass") && col("rpass") && col("lpass"), 1L).otherwise(0L)).as("n_english"))
+        .orderBy("source")
+    }),
 
     // M1: multimodal binary payload metadata (oracle-checkable scalars)
     "m1_multimodal_meta" -> ((s, d) =>
@@ -2023,6 +2063,60 @@ object SparkEntry {
       s"(1.0 - least(1.0, len(regexp_extract_all($t, '[^\\w\\s]'))::DOUBLE / " +
       s"greatest(length($t)::DOUBLE, 1.0))) * 0.2, 4)"
   }
+  /** Gopher-signal CTE prefix (`gsig` = one row per doc with the t13
+    * signals) and the pass predicate over its columns — single definitions
+    * shared by the t13 oracle and the q_quality_funnel composition so the
+    * two can never drift.
+    */
+  private val gopherCtesSql: String =
+    "gw AS (SELECT doc_id, " +
+      "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS words, " +
+      "string_split(text, chr(10)) AS lines, " +
+      "len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS sym FROM documents), " +
+      "gsig AS (SELECT doc_id, len(words)::BIGINT AS n_words, " +
+      "CASE WHEN len(words) > 0 THEN round(list_sum(list_transform(words, x -> len(x)))::DOUBLE / len(words), 4) END AS mean_word_len, " +
+      "CASE WHEN len(words) > 0 THEN round(sym::DOUBLE / len(words), 4) END AS symbol_ratio, " +
+      "CASE WHEN len(words) > 0 THEN round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words), 4) END AS alpha_frac, " +
+      "CASE WHEN len(list_filter(lines, l -> len(trim(l)) > 0)) > 0 THEN " +
+      "round(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE / len(list_filter(lines, l -> len(trim(l)) > 0)), 4) END AS bullet_frac, " +
+      "CASE WHEN len(list_filter(lines, l -> len(trim(l)) > 0)) > 0 THEN " +
+      "round(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::DOUBLE / len(list_filter(lines, l -> len(trim(l)) > 0)), 4) END AS ellipsis_frac, " +
+      "len(list_filter(['the','be','to','of','and','that','have','with'], " +
+      "sw -> list_contains(list_transform(words, x -> lower(x)), sw)))::BIGINT AS stop_hits FROM gw)"
+
+  private val gopherPassSql: String =
+    "(n_words >= 50 AND n_words <= 100000 " +
+      "AND (mean_word_len IS NULL OR (mean_word_len >= 3.0 AND mean_word_len <= 10.0)) " +
+      "AND (symbol_ratio IS NULL OR symbol_ratio < 0.1) " +
+      "AND (bullet_frac IS NULL OR bullet_frac < 0.9) " +
+      "AND (ellipsis_frac IS NULL OR ellipsis_frac < 0.3) " +
+      "AND (alpha_frac IS NULL OR alpha_frac >= 0.8) " +
+      "AND stop_hits >= 2)"
+
+  /** Repetition-fraction CTE prefix (`rfrac` = one row per doc with t20's
+    * three fractions over the lower/trim/split words) — shared by the t20
+    * oracle and the q_quality_funnel composition. Top-word share via an
+    * explicit per-word count (the Spark side's sorted-run fold computes
+    * the same maximum without a shuffle).
+    */
+  private val repetitionCtesSql: String =
+    "rw AS (SELECT doc_id, " +
+      "regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+      "ru AS (SELECT doc_id, unnest(ws) AS word FROM rw), " +
+      "rwc AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM ru GROUP BY doc_id, word), " +
+      "rst AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS nd, " +
+      "max(c)::BIGINT AS mx FROM rwc GROUP BY doc_id), " +
+      "rtri AS (SELECT doc_id, " +
+      "CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 0 END AS tot, " +
+      "CASE WHEN len(ws) >= 3 THEN len(list_distinct(list_transform(" +
+      "generate_series(1, len(ws) - 2), " +
+      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) ELSE 0 END AS dis FROM rw), " +
+      "rfrac AS (SELECT s.doc_id, s.n AS n_words, " +
+      "round(1.0 - s.nd::DOUBLE / s.n, 6) AS dup_word_frac, " +
+      "round(s.mx::DOUBLE / s.n, 6) AS top_word_frac, " +
+      "CASE WHEN t.tot > 0 THEN round(1.0 - t.dis::DOUBLE / t.tot, 6) END AS dup_3gram_frac " +
+      "FROM rst s JOIN rtri t USING (doc_id))"
+
   private def repetitionSql(t: String): String = {
     val words = s"regexp_split_to_array(lower(trim($t)), '\\s+')"
     s"round(CASE WHEN len($words) > 0 THEN 1.0 - " +
@@ -2740,6 +2834,15 @@ object SparkEntry {
     "sim_ivf_index_replay" -> kmeansIvfSql(dim = 64, k = 8, probes = 3, topK = 5,
       seed = "kmeans"),
 
+    // the quota sampler's rank applied to the deterministic Lloyd
+    // assignment — at most 40 per cell, smallest id-hashes win
+    "sim_cluster_cap" ->
+      (s"${kmeansCtesSql(dim = 64, k = 8, seed = "kmeans")} " +
+        "SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (" +
+        "PARTITION BY cell ORDER BY " +
+        "('0x' || substr(md5(vec_id::VARCHAR || '_q0'), 1, 15))::BIGINT ASC, vec_id ASC" +
+        ") AS qrn FROM a2) WHERE qrn <= 40 ORDER BY vec_id"),
+
     // occupancy of the SAME deterministic Lloyd assignment the index
     // materializes — cells/vectors/extremes plus the max/mean imbalance
     // retrain trigger
@@ -2814,50 +2917,29 @@ object SparkEntry {
     // mirrors gopherSignals/gopherPass: integer counts, one round(4)
     // division per ratio, zero denominators → NULL (which passes its rule)
     "t13_gopher" ->
-      ("WITH w AS (SELECT doc_id, " +
-        "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS words, " +
-        "string_split(text, chr(10)) AS lines, " +
-        "len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS sym FROM documents), " +
-        "sig AS (SELECT doc_id, len(words)::BIGINT AS n_words, " +
-        "CASE WHEN len(words) > 0 THEN round(list_sum(list_transform(words, x -> len(x)))::DOUBLE / len(words), 4) END AS mean_word_len, " +
-        "CASE WHEN len(words) > 0 THEN round(sym::DOUBLE / len(words), 4) END AS symbol_ratio, " +
-        "CASE WHEN len(words) > 0 THEN round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words), 4) END AS alpha_frac, " +
-        "CASE WHEN len(list_filter(lines, l -> len(trim(l)) > 0)) > 0 THEN " +
-        "round(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE / len(list_filter(lines, l -> len(trim(l)) > 0)), 4) END AS bullet_frac, " +
-        "CASE WHEN len(list_filter(lines, l -> len(trim(l)) > 0)) > 0 THEN " +
-        "round(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::DOUBLE / len(list_filter(lines, l -> len(trim(l)) > 0)), 4) END AS ellipsis_frac, " +
-        "len(list_filter(['the','be','to','of','and','that','have','with'], " +
-        "sw -> list_contains(list_transform(words, x -> lower(x)), sw)))::BIGINT AS stop_hits FROM w) " +
+      (s"WITH $gopherCtesSql " +
         "SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, bullet_frac, ellipsis_frac, stop_hits, " +
-        "(n_words >= 50 AND n_words <= 100000 " +
-        "AND (mean_word_len IS NULL OR (mean_word_len >= 3.0 AND mean_word_len <= 10.0)) " +
-        "AND (symbol_ratio IS NULL OR symbol_ratio < 0.1) " +
-        "AND (bullet_frac IS NULL OR bullet_frac < 0.9) " +
-        "AND (ellipsis_frac IS NULL OR ellipsis_frac < 0.3) " +
-        "AND (alpha_frac IS NULL OR alpha_frac >= 0.8) " +
-        "AND stop_hits >= 2) AS pass " +
-        "FROM sig ORDER BY doc_id"),
+        s"$gopherPassSql AS pass FROM gsig ORDER BY doc_id"),
 
-    // repetition fractions over the same lower/trim/split words as the
-    // Spark side; top-word share via an explicit per-word count (the Spark
-    // side's sorted-run fold computes the same maximum without a shuffle)
     "t20_repetition" ->
-      ("WITH w AS (SELECT doc_id, " +
-        "regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
-        "u AS (SELECT doc_id, unnest(ws) AS word FROM w), " +
-        "wc AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM u GROUP BY doc_id, word), " +
-        "st AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS nd, " +
-        "max(c)::BIGINT AS mx FROM wc GROUP BY doc_id), " +
-        "tri AS (SELECT doc_id, " +
-        "CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 0 END AS tot, " +
-        "CASE WHEN len(ws) >= 3 THEN len(list_distinct(list_transform(" +
-        "generate_series(1, len(ws) - 2), " +
-        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) ELSE 0 END AS dis FROM w) " +
-        "SELECT s.doc_id, s.n AS n_words, " +
-        "round(1.0 - s.nd::DOUBLE / s.n, 6) AS dup_word_frac, " +
-        "round(s.mx::DOUBLE / s.n, 6) AS top_word_frac, " +
-        "CASE WHEN t.tot > 0 THEN round(1.0 - t.dis::DOUBLE / t.tot, 6) END AS dup_3gram_frac " +
-        "FROM st s JOIN tri t USING (doc_id) ORDER BY s.doc_id"),
+      (s"WITH $repetitionCtesSql " +
+        "SELECT doc_id, n_words, dup_word_frac, top_word_frac, dup_3gram_frac " +
+        "FROM rfrac ORDER BY doc_id"),
+
+    // the staged survival funnel over the same shared CTEs: Gopher pass →
+    // repetition cut → language cut, counted per source in one aggregation
+    "q_quality_funnel" ->
+      (s"WITH $gopherCtesSql, $repetitionCtesSql, " +
+        s"fg AS (SELECT doc_id, $gopherPassSql AS gpass FROM gsig), " +
+        "fr AS (SELECT doc_id, (dup_word_frac <= 0.3 AND " +
+        "(dup_3gram_frac IS NULL OR dup_3gram_frac <= 0.2)) AS rpass FROM rfrac), " +
+        s"fl AS (SELECT doc_id, (${langIdSql("text")} = 'en') AS lpass FROM documents) " +
+        "SELECT d.source, count(*)::BIGINT AS n_docs, " +
+        "sum(CASE WHEN gpass THEN 1 ELSE 0 END)::BIGINT AS n_quality, " +
+        "sum(CASE WHEN gpass AND rpass THEN 1 ELSE 0 END)::BIGINT AS n_low_repetition, " +
+        "sum(CASE WHEN gpass AND rpass AND lpass THEN 1 ELSE 0 END)::BIGINT AS n_english " +
+        "FROM documents d JOIN fg USING (doc_id) JOIN fr USING (doc_id) " +
+        "JOIN fl USING (doc_id) GROUP BY d.source ORDER BY d.source"),
 
     "m1_multimodal_meta" ->
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +

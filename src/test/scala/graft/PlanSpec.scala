@@ -157,6 +157,38 @@ class PlanSpec extends SparkTestBase {
     assert(!plan(sp).contains("Exchange"), "dataset split must not shuffle")
   }
 
+  test("repetition signals are narrow — zero exchanges, one tokenization pass (T20)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rep = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .select(col("doc_id"),
+        graft.functions.Text.dupWordFrac(col("ws")).as("dw"),
+        graft.functions.Text.topWordFrac(col("ws")).as("tw"),
+        graft.functions.Text.dupNgramFrac(col("ws"), 3).as("dn"))
+    val p = plan(rep)
+    assert(!p.contains("Exchange"), "repetition fractions must not shuffle")
+    // the shared words projection keeps tokenization to ONE split per row
+    assert("split\\(lower\\(trim\\(".r.findAllIn(p).length <= 1,
+      s"words must tokenize once, not once per signal:\n$p")
+  }
+
+  test("shuffle export plans ONE exchange (shard co-location) + in-partition sort, no global sort (S8)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+    val shuffled = docs
+      .withColumn("_shuffle_key",
+        conv(substring(md5(concat_ws(":", lit("e"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("shard", pmod(col("_shuffle_key"), lit(8)).cast("int"))
+      .repartition(8, col("shard"))
+      .sortWithinPartitions("shard", "_shuffle_key", "doc_id")
+    val p = plan(shuffled)
+    assert("Arguments: hashpartitioning".r.findAllIn(p).length == 1,
+      s"shuffle export must plan exactly one (hash) exchange:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      "mod-sharding must not plan a range (global-sort) exchange")
+  }
+
   test("standardize: one aggregate pass, stats broadcast back, no window over the corpus (X6)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val p = plan(Analytics.standardize(li, Seq("l_quantity", "l_extendedprice")))
