@@ -1949,6 +1949,9 @@ object SparkEntry {
         surv.count()
         Dedup.updateMinhashIndex(surv, idxDir, "doc_id", "text", shards = 4)
         surv.unpersist()
+        // settle the delta shards before day 3 — the probe result must be
+        // identical before and after compaction (same oracle row gates it)
+        Dedup.compactMinhashIndex(s, idxDir, "doc_id", shards = 4)
         new java.io.File(s"$idxDir/_UPDATED").createNewFile()
       }
       Dedup.minhashIncrementalFromIndex(

@@ -467,6 +467,9 @@ class DedupSpec extends SparkTestBase {
     assert(vsurv.select("vec_id").as[Long].collect().toSet == Set(202L))
     Dedup.updateEmbeddingIndex(vsurv, em, "vec_id", "embedding", dim = 4,
       shards = 2, bands = 16, bitsPerBand = 2)
+    // settle the delta shards before day 3: the probe must be identical
+    // before and after compaction (the rebuild-equivalence below gates it)
+    Dedup.compactEmbeddingIndex(spark, em, "vec_id", shards = 2)
     val vUpdated = Dedup.embeddingIncrementalFromIndex(v3,
       Dedup.readEmbeddingIndex(spark, em), "vec_id", "embedding", 0.9, dim = 4,
       bands = 16, bitsPerBand = 2)

@@ -54,6 +54,25 @@ class PropertySpec extends SparkTestBase {
     }, samples = 4)
   }
 
+  test("t20 repetition fractions equal the naive in-JVM computation (T20)") {
+    import graft.functions.Text
+    val word = Gen.oneOf("a", "b", "c", "ab", "x1")
+    check("t20-vs-naive", Prop.forAll(Gen.nonEmptyListOf(word)) { ws =>
+      val row = Seq(1).toDF("x").select(
+        Text.dupWordFrac(typedLit(ws)).as("dw"),
+        Text.topWordFrac(typedLit(ws)).as("tw"),
+        Text.dupNgramFrac(typedLit(ws), 3).as("dn")).collect().head
+      val n = ws.size.toDouble
+      val dwN = 1.0 - ws.distinct.size / n
+      val twN = ws.groupBy(identity).values.map(_.size).max / n
+      val tris = ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val dnOk =
+        if (tris.isEmpty) row.isNullAt(2)
+        else row.getDouble(2) == 1.0 - tris.distinct.size.toDouble / tris.size
+      row.getDouble(0) == dwN && row.getDouble(1) == twN && dnOk
+    }, samples = 5)
+  }
+
   test("|inner join| equals sum of key-multiplicity products") {
     check("join-cardinality", Prop.forAll(
       Gen.nonEmptyListOf(Gen.choose(0, 4)), Gen.nonEmptyListOf(Gen.choose(0, 4))) { (ls, rs) =>

@@ -173,6 +173,9 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.buildIvfIndex(base, "vec_id", "embedding", dim = 64, k = 8, iters = 2),
       dir, "vec_id", shards = 2)
     Similarity.updateIvfIndex(batch, dir, "vec_id", "embedding", shards = 2)
+    // settle the appended cell shards: the probe and the frozen-centroid
+    // assignment checks below must hold identically after compaction
+    graft.sources.ParquetSink.compactSharded(spark, s"$dir/cells", "vec_id", shards = 2)
     val updated = Similarity.readIvfIndex(spark, dir)
     // every appended member lands in the cell of its nearest frozen
     // centroid (ties to the lowest cell — the assignment contract)
