@@ -404,6 +404,13 @@ object SparkEntry {
         ("o_custkey", "c_custkey"), buckets = 8)
         .orderBy("o_orderkey")),
 
+    // J6: pre-join skew diagnostic — the measured top-20 hottest lineitem
+    // suppliers with share and skew factor; the evidence a pipeline reads
+    // BEFORE reaching for j5's deliberate salting. Only (key, count)
+    // partials cross the exchange; top-k is a TakeOrderedAndProject
+    "j6_skew_stats" -> ((s, d) =>
+      Joins.skewStats(Tables.lineitem(s, d), Seq("l_suppkey"), topK = 20)),
+
     // J2: left-semi join — customers WITH at least one order
     "j2_join_semi" -> ((s, d) =>
       Joins.semiJoin(Tables.customer(s, d), Tables.orders(s, d), ("c_custkey", "o_custkey"))
@@ -2563,6 +2570,15 @@ object SparkEntry {
         "c.c_nationkey AS r_c_nationkey, c.c_acctbal AS r_c_acctbal, " +
         "c.c_mktsegment AS r_c_mktsegment " +
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey"),
+
+    // counts/share/skew recomputed from first principles; ties at the
+    // top-k boundary break by key so membership is deterministic
+    "j6_skew_stats" ->
+      ("WITH c AS (SELECT l_suppkey, count(*)::BIGINT AS n FROM lineitem GROUP BY l_suppkey), " +
+        "t AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS nk FROM c) " +
+        "SELECT l_suppkey, n, round(n::DOUBLE / tot, 6) AS share, " +
+        "round(n::DOUBLE * nk / tot, 4) AS skew " +
+        "FROM c CROSS JOIN t ORDER BY n DESC, l_suppkey ASC LIMIT 20"),
 
     "j1_join_left" ->
       ("SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment, " +

@@ -288,4 +288,29 @@ object Joins {
         "inner")
       .drop("_salt")
   }
+
+  /** J6 — pre-join skew diagnostic: the `topK` hottest key values with
+    * their row count, global share, and skew factor (count ÷ mean rows per
+    * distinct key). This is how a pipeline KNOWS a key is hot before
+    * reaching for [[saltedJoin]] (deliberate salting wants a measured
+    * culprit, not a guess) or before trusting AQE's runtime split to
+    * handle it; skew ≈ 1 everywhere means neither is needed.
+    *
+    * Cost at 100 TB: one map-side-combined groupBy — only (key, count)
+    * partials cross the exchange, never rows — then everything downstream
+    * operates on the distinct-key frame: the totals reduce to ONE
+    * broadcast row and the top-k is a `TakeOrderedAndProject` (per-
+    * partition heaps of k), never a global sort.
+    */
+  def skewStats(df: DataFrame, keys: Seq[String], topK: Int = 20): DataFrame = {
+    require(keys.nonEmpty && topK >= 1, "skewStats: keys and topK required")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("_tot"), count(lit(1)).as("_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(keys.map(col) ++ Seq(col("n"),
+        round(col("n").cast("double") / col("_tot"), 6).as("share"),
+        round(col("n").cast("double") * col("_keys") / col("_tot"), 4).as("skew")): _*)
+      .orderBy(col("n").desc +: keys.map(col(_).asc): _*)
+      .limit(topK)
+  }
 }

@@ -176,6 +176,22 @@ class JoinsSpec extends SparkTestBase {
       "inclusive bounds, exactly-once per qualifying pair, key isolation")
   }
 
+  test("skewStats: hand-computed counts, shares, skew factors; deterministic tiebreak (J6)") {
+    // a×4, b×2, c×1, d×1: total 8 rows over 4 distinct keys, mean 2
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val out = Joins.skewStats(df, Seq("k"), topK = 3)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("a", 4L, 0.5, 2.0), ("b", 2L, 0.25, 1.0),
+      ("c", 1L, 0.125, 0.5)),
+      s"counts/share/skew must match the closed form, ties to the lower key: $out")
+    // uniform keys: skew ~ 1 everywhere — the "nothing to salt" reading
+    val uni = Joins.skewStats(Seq("x", "y", "z").zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v"), Seq("k"), topK = 3)
+      .select("skew").as[Double].collect()
+    assert(uni.forall(_ == 1.0))
+  }
+
   test("broadcastJoin and saltedJoin produce the same multiset as hashJoin") {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.mkString("|")).toSeq.sorted

@@ -433,4 +433,39 @@ class PlanSpec extends SparkTestBase {
     assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length >= 2,
       s"partial+final aggregation phases expected:\n$p")
   }
+
+  test("skewStats: count exchange REUSED across both consumers; top-k heaps, no global sort (J6)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val df = Joins.skewStats(li, Seq("l_suppkey"), topK = 20)
+    // the (key, count) frame feeds the totals row AND the ranked output;
+    // exchange reuse dedupes the identical groupBy subplans so the corpus
+    // is scanned/aggregated once, not twice — AQE applies it at runtime,
+    // so execute and read the FINAL adaptive plan
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"the count exchange must be shared between the totals and the rank:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must heap per partition, never globally sort:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row totals must broadcast:\n$p")
+  }
+
+  test("q_quality_funnel: ONE corpus pass — single scan, single partial-agged aggregate, no joins") {
+    val p = plan(SparkEntry.queries("q_quality_funnel")(spark, sf))
+    // exactly one execution-time corpus scan, whatever the Tables cache
+    // state is when this test runs (suite neighbors may or may not have
+    // the documents persist live). Cached: one InMemoryTableScan, whose
+    // RELATION-DEFINITION subtree legitimately shows the parquet scan
+    // that fills the cache (runs once at cache build, not per query).
+    // Uncached: one parquet scan. Either way a SECOND independent scan of
+    // either kind means a stage predicate forked the corpus — the bug.
+    val ims = "\\(\\d+\\) InMemoryTableScan".r.findAllIn(p).length
+    val pq = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(ims <= 1 && pq <= 1 && ims + pq >= 1,
+      s"all three stage predicates must ride ONE corpus scan (ims=$ims, parquet=$pq):\n$p")
+    assert(!p.contains("Join"), s"stage counts are conditional sums, not joins:\n$p")
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length >= 2,
+      s"funnel counts must partial-aggregate before the exchange:\n$p")
+  }
 }
