@@ -1428,6 +1428,13 @@ object SparkEntry {
       TermStats.unigramLmScore(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // T22: bigram fluency — per-doc mean corpus frequency of its adjacent
+    // token pairs (order-sensitive: scrambled text scores low even when
+    // its words are common); <2-token docs → null
+    "t22_bigram_lm" -> ((s, d) =>
+      TermStats.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // X3: fixed-width histogram — the range/skew profiling pass
     "x3_histogram" -> ((s, d) =>
       Analytics.histogram(Tables.orders(s, d), "o_totalprice", 0.0, 50000.0, 12)
@@ -3101,6 +3108,19 @@ object SparkEntry {
         "vocab AS (SELECT term, count(*) AS n FROM toks GROUP BY term) " +
         "SELECT t.doc_id, round(avg(v.n), 4) AS lm_score FROM toks t JOIN vocab v USING (term) " +
         "GROUP BY t.doc_id ORDER BY t.doc_id"),
+
+    // adjacent-pair frequencies over the same lower/trim/split words;
+    // <2-token docs left-join to null
+    "t22_bigram_lm" ->
+      ("WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws " +
+        "FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1), " +
+        "i -> ws[i] || ' ' || ws[i+1])) AS b FROM w WHERE len(ws) >= 2), " +
+        "v AS (SELECT b, count(*)::BIGINT AS n FROM bg GROUP BY b), " +
+        "s AS (SELECT bg.doc_id, round(avg(v.n), 4) AS lm2_score " +
+        "FROM bg JOIN v USING (b) GROUP BY bg.doc_id) " +
+        "SELECT d.doc_id, s.lm2_score FROM documents d LEFT JOIN s USING (doc_id) " +
+        "ORDER BY d.doc_id"),
 
     "s5e_split" -> {
       val ths = Sampling.splitThresholds(

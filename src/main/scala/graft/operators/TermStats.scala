@@ -324,4 +324,31 @@ object TermStats {
       .groupBy(col(idCol))
       .agg(round(avg(col("_n")), 4).as("lm_score"))
   }
+
+  /** T22 — bigram fluency: the order-sensitive extension of
+    * [[unigramLmScore]] (the CCNet-style "does this read like the corpus"
+    * signal, with corpus frequency as the integer-exact, engine-portable
+    * stand-in for an external LM's probability): each document scores the
+    * MEAN corpus-wide frequency of its adjacent token pairs. Scrambled or
+    * garbled text is built of pairs the corpus rarely produces and scores
+    * low even when its individual words are common — exactly what the
+    * unigram form cannot see. Docs with fewer than two tokens have no
+    * pairs to judge → null.
+    *
+    * Scale shape is t11/t12's: ONE corpus-sized exchange keyed by the
+    * bigram (map-side-combined vocabulary count), one bigram-keyed join
+    * back, one per-doc mean. The mean of long counts divides exactly the
+    * same way in any engine — no logs, no float summation drift.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ids = docs.select(col(idCol))
+    val pairs = docs.select(col(idCol),
+      explode(graft.functions.Text.shinglesFromWords(
+        split(lower(trim(col(textCol))), "\\s+"), 2, distinct = false)).as("bg"))
+    val vocab = pairs.groupBy("bg").agg(count(lit(1)).as("_n"))
+    val scored = pairs.join(vocab, "bg")
+      .groupBy(col(idCol))
+      .agg(round(avg(col("_n")), 4).as("lm2_score"))
+    ids.join(scored, Seq(idCol), "left")
+  }
 }

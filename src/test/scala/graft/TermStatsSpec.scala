@@ -49,6 +49,21 @@ class TermStatsSpec extends SparkTestBase {
     assert(out(3L) == ((3 + 3 + 3 + 1) / 4.0))                     // spark tuning tuning notes
   }
 
+  test("bigramLmScore: order-sensitive pair frequencies; <2-token docs null (T22)") {
+    // corpus bigram freqs: "a b"=3 (doc1 ×2, doc2 ×1), "b a"=2 (doc1, doc3),
+    // "b c"=1 (doc2); doc3 is doc2 scrambled — same words, rarer pairs
+    val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "c b a"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val out = TermStats.bigramLmScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L) == Some(((3 + 2 + 3) / 3.0 * 10000).round / 10000.0)) // "a b","b a","a b"
+    assert(out(2L) == Some((3 + 1) / 2.0))                               // "a b","b c"
+    assert(out(3L) == Some((1 + 2) / 2.0))                               // "c b"=1,"b a"
+    // scrambled doc scores strictly below its in-order twin
+    assert(out(3L).get < out(2L).get)
+    assert(out(4L).isEmpty)                                              // no pairs to judge
+  }
+
   test("chiSquareDrift: hand-computed cells; absent vocabulary terms contribute e (T16)") {
     // corpus: x,y,z each 3 of N=9; every source has n=3, so e=1 per cell
     val docs = Seq(("A", "x x y"), ("B", "x y y"), ("C", "z z z"))
