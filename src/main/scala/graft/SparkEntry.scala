@@ -1435,6 +1435,17 @@ object SparkEntry {
       TermStats.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // T23: hashed-feature linear quality score (fasttext-filter shape) —
+    // token → md5 bucket → weight-vector fold, all per-row narrow
+    // arithmetic: applying the model to 100 TB is a zero-shuffle map
+    "t23_linear_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.hashedLinearScore(col("text")).as("lin_score"))
+        .select(col("doc_id"), col("lin_score"),
+          (col("lin_score") >= 0).as("keep"))
+        .orderBy("doc_id")),
+
     // X3: fixed-width histogram — the range/skew profiling pass
     "x3_histogram" -> ((s, d) =>
       Analytics.histogram(Tables.orders(s, d), "o_totalprice", 0.0, 50000.0, 12)
@@ -3121,6 +3132,15 @@ object SparkEntry {
         "FROM bg JOIN v USING (b) GROUP BY bg.doc_id) " +
         "SELECT d.doc_id, s.lm2_score FROM documents d LEFT JOIN s USING (doc_id) " +
         "ORDER BY d.doc_id"),
+
+    // same md5-bucket + dyadic weight formula; list_sum of multiples of
+    // 1/8 is exact in double in any order, so no rounding is needed
+    "t23_linear_quality" ->
+      ("WITH s AS (SELECT doc_id, list_sum(list_transform(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        "w -> ((((('0x' || substr(md5(w),1,4))::BIGINT % 64) * 37 + 11) % 21 - 10) / 8.0)" +
+        ")) AS lin_score FROM documents) " +
+        "SELECT doc_id, lin_score, lin_score >= 0 AS keep FROM s ORDER BY doc_id"),
 
     "s5e_split" -> {
       val ths = Sampling.splitThresholds(

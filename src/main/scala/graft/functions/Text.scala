@@ -83,6 +83,31 @@ object Text {
     round(when(size(words) > 0, dupWordFrac(words)).otherwise(0.0), 4)
   }
 
+  /** T23 — hashed-feature linear quality score: the fasttext-filter plan
+    * shape (hash each token into one of `buckets` feature slots, sum the
+    * weight-vector entries of the slots the document hits, threshold the
+    * linear score). Real pipelines load trained weights; here the weight
+    * vector is a deterministic fixture over the bucket index — dyadic
+    * rationals (multiples of 1/8) so per-doc sums are EXACT in double in
+    * any summation order, making the score bit-identical across engines.
+    *
+    * Scale shape is the point: scoring is per-row array arithmetic —
+    * md5-bucket each token, fold the weights — so applying the model to
+    * 100 TB is a zero-shuffle narrow map over the corpus, embarrassingly
+    * parallel across executors. No join against a weight table (the
+    * vector is closed-form here; a real 64-entry vector would broadcast
+    * for free as a literal array).
+    */
+  def hashedLinearScore(text: Column, buckets: Int = 64): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    // slot = first 16 md5 bits mod buckets; weight(slot) ∈ {-10/8 … +10/8}
+    def weight(w: Column): Column = {
+      val slot = conv(substring(md5(w), 1, 4), 16, 10).cast("long") % buckets
+      ((slot * 37L + 11L) % 21L - 10L).cast("double") / 8.0
+    }
+    aggregate(words, lit(0.0), (acc, w) => acc + weight(w))
+  }
+
   /** PII scrubbing, C4-style: redact email addresses and long digit runs
     * (phone/account numbers) with fixed placeholder tokens. Patterns are
     * RE2-compatible (no lookaround/backrefs) so the same pattern text runs

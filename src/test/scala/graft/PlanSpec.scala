@@ -172,6 +172,16 @@ class PlanSpec extends SparkTestBase {
       s"words must tokenize once, not once per signal:\n$p")
   }
 
+  test("hashed linear scoring is a zero-exchange narrow map — model application never shuffles (T23)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = docs
+      .select(col("doc_id"), graft.functions.Text.hashedLinearScore(col("text")).as("s"))
+      .select(col("doc_id"), col("s"), (col("s") >= 0).as("keep"))
+    val p = plan(scored)
+    assert(!p.contains("Exchange"), s"linear scoring must be narrow:\n$p")
+    assert(!p.contains("Join"), "weights are closed-form/literal — no weight-table join")
+  }
+
   test("shuffle export plans ONE exchange (shard co-location) + in-partition sort, no global sort (S8)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source", "n_chars")

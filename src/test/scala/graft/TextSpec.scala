@@ -129,4 +129,18 @@ class TextSpec extends SparkTestBase {
     assert(!out(3L), "under 50 words fails the length rule")
     assert(!out(4L), "symbol ratio >= 0.1 fails the symbol rule")
   }
+
+  test("hashedLinearScore: additive over tokens, dyadic-exact, trim/case stable (T23)") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a b"), (4L, "a a"),
+      (5L, "  A  b "), (6L, "a b c d e f g h the of and with")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), Text.hashedLinearScore(col("text")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    // linear: score of a concatenation is the sum of per-token weights
+    assert(out(3L) == out(1L) + out(2L))
+    assert(out(4L) == 2 * out(1L))
+    // casefold + trim + \s+ collapse → same tokens, same score
+    assert(out(5L) == out(3L))
+    // every weight is a multiple of 1/8 → 8×score is integral (exact sums)
+    out.values.foreach(s => assert((s * 8) == (s * 8).round.toDouble, s"non-dyadic $s"))
+  }
 }
