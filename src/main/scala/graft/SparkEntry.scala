@@ -1520,6 +1520,22 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_1", "col_2")),
 
+    // X8: snapshot diff — the incremental-reprocessing delta. Two derived
+    // snapshots of documents (yesterday: no %10 ids, ' v1' texts on %7;
+    // today: no %13 ids, texts as-is) diff to added/removed/changed rows
+    // only; unchanged rows never leave the join
+    "x8_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v1")))
+            .otherwise(col("text")).as("text"))
+      val newSnap = docs.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("text"))
+      Ops.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+        .orderBy("doc_id")
+    }),
+
     // S5e: deterministic train/val/test split — hash-banded, so no row can
     // migrate between bands across runs/engines/retries
     "s5e_split" -> ((s, d) =>
@@ -3272,6 +3288,19 @@ object SparkEntry {
           s"THEN coalesce(corr($a, $b), 0.0) END, 4) + 0.0 AS corr FROM lineitem"
       }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_1, col_2")
     },
+
+    // same derived snapshots; content compared directly (the md5
+    // fingerprint is a pure pre-shuffle size reduction, not semantics)
+    "x8_snapshot_diff" ->
+      ("WITH old AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v1' " +
+        "ELSE text END AS text FROM documents WHERE doc_id % 10 != 0), " +
+        "new AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 != 0), " +
+        "j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' " +
+        "WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN o.text != n.text THEN 'changed' END AS change " +
+        "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id) " +
+        "SELECT doc_id, change FROM j WHERE change IS NOT NULL ORDER BY doc_id"),
 
     "t10_distinctive" ->
       ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +

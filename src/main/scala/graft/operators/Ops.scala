@@ -97,4 +97,34 @@ object Ops {
   def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
 
   def except(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+
+  /** X8 — snapshot diff: the primitive that drives INCREMENTAL
+    * reprocessing. Given yesterday's and today's snapshot of a keyed
+    * table, emit only the delta: keys present only in `newDf` (`added`),
+    * only in `oldDf` (`removed`), or in both with differing content
+    * (`changed`). Unchanged rows are not emitted — downstream stages
+    * (re-embedding, re-indexing, re-scoring) consume the delta instead of
+    * the full corpus.
+    *
+    * Scale shape: each side reduces to (key, 16-byte md5 fingerprint of
+    * the content columns) BEFORE the full-outer join, so the exchange
+    * carries ~24 bytes/row regardless of document size — diffing two
+    * 100 TB snapshots shuffles GBs, not TBs. One shuffle per side keyed
+    * by `idCol` (zero if both snapshots are bucketed on the key).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "snapshotDiff: empty content column list")
+    def fp(df: DataFrame) =
+      md5(concat_ws("\u0001", contentCols.map(df(_)): _*))
+    val o = oldDf.select(col(idCol), fp(oldDf).as("_ofp"))
+    val n = newDf.select(col(idCol), fp(newDf).as("_nfp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_ofp").isNull, "added")
+          .when(col("_nfp").isNull, "removed")
+          .when(col("_ofp") =!= col("_nfp"), "changed")
+          .as("change"))
+      .where(col("change").isNotNull)
+  }
 }

@@ -76,6 +76,20 @@ class OpsSpec extends SparkTestBase {
     assert(Ops.except(a, b).as[Int].collect().sorted.toSeq == Seq(1, 2))
   }
 
+  test("snapshotDiff: added/removed/changed only — unchanged rows never emitted (X8)") {
+    val old = Seq((1L, "same"), (2L, "was this"), (3L, "gone")).toDF("id", "body")
+    val neu = Seq((1L, "same"), (2L, "now this"), (4L, "fresh")).toDF("id", "body")
+    val out = Ops.snapshotDiff(old, neu, "id", Seq("body"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // multi-column content: boundary shifts between columns are changes
+    val o2 = Seq((1L, "ab", "c")).toDF("id", "x", "y")
+    val n2 = Seq((1L, "a", "bc")).toDF("id", "x", "y")
+    assert(Ops.snapshotDiff(o2, n2, "id", Seq("x", "y")).count() == 1)
+    // identical snapshots diff to nothing
+    assert(Ops.snapshotDiff(old, old, "id", Seq("body")).count() == 0)
+  }
+
   test("filter composes: filter(p).filter(q) == filter(p && q) (SURVEY 5.3)") {
     val t = (1 to 100).toDF("v")
     val a = Ops.filter(Ops.filter(t, col("v") > 10), col("v") < 50).count()
