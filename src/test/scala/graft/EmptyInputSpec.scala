@@ -173,4 +173,26 @@ class EmptyInputSpec extends SparkTestBase {
     // empty and whitespace-only normalize to the same fingerprint
     assert(out(0).getString(3) == out(1).getString(3))
   }
+
+  test("round-9 additions: empty inputs degrade to empty/zero, never throw") {
+    // bigram LM over an empty corpus: no rows, schema intact
+    val bg = TermStats.bigramLmScore(emptyDocs, "doc_id", "text")
+    assert(bg.columns.toSeq == Seq("doc_id", "lm2_score") && bg.count() == 0)
+    // single-token corpus: every row survives with a null score
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    val bg1 = TermStats.bigramLmScore(one, "doc_id", "text").collect()
+    assert(bg1.length == 1 && bg1(0).isNullAt(1))
+    // hashed linear scorer over an empty frame: no rows, no throw
+    assert(emptyDocs.select(Text.hashedLinearScore(col("text"))).count() == 0)
+    // snapshot diff: empty vs empty, empty vs non-empty (all added/removed)
+    assert(Ops.snapshotDiff(emptyDocs, emptyDocs, "doc_id", Seq("text")).count() == 0)
+    val some = Seq((1L, "a")).toDF("doc_id", "text")
+    assert(Ops.snapshotDiff(emptyDocs, some, "doc_id", Seq("text"))
+      .collect()(0).getString(1) == "added")
+    assert(Ops.snapshotDiff(some, emptyDocs, "doc_id", Seq("text"))
+      .collect()(0).getString(1) == "removed")
+    // skew stats over an empty table: no rows, schema intact
+    val sk = Joins.skewStats(emptyDocs, Seq("doc_id"))
+    assert(sk.count() == 0)
+  }
 }
