@@ -339,6 +339,20 @@ object SparkEntry {
         .orderBy("shard")
     }),
 
+    // S9: Z-order clustered export — rows co-located in BOTH quantity and
+    // price, so the box predicate below prunes most files by footer
+    // stats; the read-back gates filter correctness over the new layout
+    "s9_zorder_export" -> ((s, d) => {
+      val outDir = s"${scratchDir(d)}/zorder_lineitem"
+      ParquetSink.zorderExport(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        outDir, "l_quantity", "l_extendedprice", shards = 8)
+      s.read.parquet(outDir)
+        .where(col("l_quantity").between(10, 15) && col("l_extendedprice") <= 20000)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // F1: WHERE via predicate expression (pushed into the scan)
     "f1_filter" -> ((s, d) =>
       Ops.filter(Tables.lineitem(s, d),
@@ -2566,6 +2580,13 @@ object SparkEntry {
         "SELECT key % 8 AS shard, count(*)::BIGINT AS n_docs, " +
         "sum(doc_id)::BIGINT AS sum_doc_id, min(key) AS min_key, max(key) AS max_key " +
         "FROM k GROUP BY shard ORDER BY shard"),
+
+    // the layout is invisible to semantics: the box filter over the
+    // z-ordered export must return exactly the source table's rows
+    "s9_zorder_export" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem " +
+        "WHERE l_quantity BETWEEN 10 AND 15 AND l_extendedprice <= 20000 " +
+        "ORDER BY l_orderkey, l_linenumber"),
 
     "f1_filter" ->
       "SELECT * FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber",

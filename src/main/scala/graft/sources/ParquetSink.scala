@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sink side of the pipeline: write the processed corpus as parquet a
@@ -74,6 +74,70 @@ object ParquetSink {
       .repartition(shards, col("shard"))
       .sortWithinPartitions("shard", "_shuffle_key", idCol)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
+  /** Morton (Z-order) interleave of two grid coordinates in [0, 2^bits):
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Pure shift/
+    * mask arithmetic — codegen'd, no UDF.
+    */
+  def zorderValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "zorderValue: bits in [1,31]")
+    (0 until bits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** S9 — Z-order clustered export (the Delta/Iceberg `ZORDER BY` layout
+    * technique): scale two numeric columns onto a 2^bits × 2^bits grid,
+    * interleave the grid bits into a Morton key, range-partition and
+    * locally sort by it, and write. Rows close in BOTH dimensions land in
+    * the same files, so every file's (min,max) box is tight in both
+    * columns at once — a box predicate on either or both columns skips
+    * most files/row-groups by footer stats, where a single-column sort
+    * only ever prunes its own column. [[fileStats]] exposes exactly the
+    * per-file boxes a stats-based planner (or parquet's row-group pruner)
+    * skips with.
+    *
+    * Scaling: one 4-value min/max aggregate (driver gets ONE row), then
+    * one range exchange on the Morton key + per-partition sort — the same
+    * cost as any global sort-and-write, no driver data path. Null
+    * coordinates grid to cell 0 and cluster together. `shards` sizes
+    * files as in [[writeSharded]].
+    */
+  def zorderExport(df: DataFrame, path: String, colA: String, colB: String,
+                   shards: Int, bits: Int = 16): Unit = {
+    require(shards >= 1, "zorderExport: shards must be >= 1")
+    val r = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    def grid(c: String, lo: Double, hi: Double): Column =
+      if (!(hi > lo)) lit(0L)
+      else coalesce(
+        ((col(c).cast("double") - lit(lo)) / lit(hi - lo) *
+          lit((1L << bits) - 1)).cast("long"), lit(0L))
+    val z = zorderValue(
+      grid(colA, r.getDouble(0), r.getDouble(1)),
+      grid(colB, r.getDouble(2), r.getDouble(3)), bits)
+    df.withColumn("_zorder", z)
+      .repartitionByRange(shards, col("_zorder"))
+      .sortWithinPartitions("_zorder")
+      .drop("_zorder")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file (min,max) stats for `cols` over a parquet table — the
+    * file-level pruning index a stats-based planner consults (what Delta
+    * keeps in its transaction log, parquet in its footers). One scan, one
+    * small aggregate keyed by file name.
+    */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Compact a delta-appended [[writeSharded]]/[[appendSharded]] table back

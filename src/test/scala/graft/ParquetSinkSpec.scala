@@ -122,6 +122,31 @@ class ParquetSinkSpec extends SparkTestBase {
     assert(m1.exists { case (id, s) => m2(id) != s }, "new seed must reshuffle")
   }
 
+  test("zorderExport: tight per-file boxes in BOTH dims — a y-band touches few files where an x-sort touches all (S9)") {
+    // 64×64 grid, 16 files of 256 rows each. Under z-order every file is
+    // one 16×16 quadrant; under an x-only sort every file spans all of y.
+    val grid = spark.range(64 * 64)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    val zPath = "target/tmp/sink_zorder"
+    val xPath = "target/tmp/sink_xsort"
+    ParquetSink.zorderExport(grid, zPath, "x", "y", shards = 16, bits = 6)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xPath)
+    // round-trip is lossless
+    assert(spark.read.parquet(zPath).count() == 4096)
+    assert(spark.read.parquet(zPath).agg(sum(col("x") * 64 + col("y"))).head.getLong(0) ==
+      grid.agg(sum(col("x") * 64 + col("y"))).head.getLong(0))
+    // stats-based pruning for the band y ∈ [10, 13] (all x)
+    def touched(path: String): Int =
+      ParquetSink.fileStats(spark, path, Seq("x", "y"))
+        .where(col("min_y") <= 13 && col("max_y") >= 10)
+        .count().toInt
+    val zTouched = touched(zPath)
+    val xTouched = touched(xPath)
+    assert(xTouched == 16, s"x-sorted files all span y: $xTouched")
+    assert(zTouched <= 4, s"z-order should prune the y-band to one quadrant row: $zTouched")
+  }
+
   test("writePartitioned: hive layout; scans prune to the filtered partition") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val path = "target/tmp/sink_partitioned"
