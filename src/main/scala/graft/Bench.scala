@@ -36,11 +36,23 @@ object Bench {
     // is the reference's own model (app.py:84-85); queries measure queries.
     // Skipped in focused (SPARK_GRAFT_ONLY) runs: those are for relative
     // iteration, and warming all 10 tables would dominate their wall time.
+    // Each warm-up is individually fenced: one unloadable table must cost
+    // only the queries that touch it, never the round's entire performance
+    // artifact (r9: an events schema change outside any try killed the whole
+    // bench 19 s in — zero timings recorded for 125 unaffected queries).
     if (only.isEmpty) {
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings")
-        .foreach(t => Tables.table(spark, sfDir, t).count())
-      Tables.events(spark, sfDir).count()
+        .foreach { t =>
+          try Tables.table(spark, sfDir, t).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warm-up $t failed (continuing): ${e.getMessage}")
+          }
+        }
+      try Tables.events(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up events failed (continuing): ${e.getMessage}")
+      }
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -11,8 +11,10 @@ import org.apache.spark.sql.SparkSession
   *     and broadcast-join demotion/promotion based on observed sizes.
   *   - shuffle.partitions sized to the local core count for tests; on a
   *     cluster AQE's coalescing makes the initial number non-critical.
-  *   - `nanosAsLong` so parquet TIMESTAMP(NANOS) columns (the `events`
-  *     table) read as bigint nanoseconds instead of failing.
+  *   - `nanosAsLong` so parquet TIMESTAMP(NANOS) columns (one of the
+  *     encodings producers have used for `events.ts`) read as bigint
+  *     nanoseconds instead of failing; `Tables.tsUsColumn` then adapts to
+  *     whichever type actually arrives.
   */
 object Session {
   def builder(cores: Int = 32): SparkSession.Builder =

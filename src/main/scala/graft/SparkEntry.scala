@@ -55,6 +55,45 @@ object SparkEntry {
     * warm runs, per the A15 load-once-query-many model) reads the
     * materialized sink rows. Returns None when the events table is empty.
     */
+  /** The x8/x8b shared snapshot derivation: "yesterday" drops %10 ids and
+    * edits %7 texts, "today" drops %13 ids — a deterministic pair with all
+    * three change classes populated.
+    */
+  private def x8Snapshots(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val oldSnap = docs.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")).as("text"))
+    val newSnap = docs.where(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), col("text"))
+    (oldSnap, newSnap)
+  }
+
+  /** x8b staging: both snapshots as catalog-bucketed tables, hashed on
+    * doc_id into the same bucket count, so the diff's full-outer join needs
+    * no exchange. Memoized per (session, dir): the catalog entry is
+    * session-scoped (in-memory catalog), so each session stages once and
+    * every later call — bench warm runs included — reuses the tables (the
+    * A15 load-once model; the snapshots themselves are the "index" here).
+    */
+  private val x8bMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def x8bBucketed(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    Tables.evictStopped(x8bMemo)(_._1)
+    x8bMemo.getOrElseUpdate((s, d), {
+      val (oldSnap, newSnap) = x8Snapshots(s, d)
+      val safe = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val (tOld, tNew) = (s"x8b_old$safe", s"x8b_new$safe")
+      ParquetSink.writeBucketedTable(oldSnap, tOld, "doc_id", 8,
+        s"${scratchDir(d)}/x8b_old")
+      ParquetSink.writeBucketedTable(newSnap, tNew, "doc_id", 8,
+        s"${scratchDir(d)}/x8b_new")
+      (s.table(tOld), s.table(tNew))
+    })
+  }
+
   private val e6Memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -1539,14 +1578,20 @@ object SparkEntry {
     // today: no %13 ids, texts as-is) diff to added/removed/changed rows
     // only; unchanged rows never leave the join
     "x8_snapshot_diff" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val oldSnap = docs.where(col("doc_id") % 10 =!= 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v1")))
-            .otherwise(col("text")).as("text"))
-      val newSnap = docs.where(col("doc_id") % 13 =!= 0)
-        .select(col("doc_id"), col("text"))
+      val (oldSnap, newSnap) = x8Snapshots(s, d)
       Ops.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+        .orderBy("doc_id")
+    }),
+
+    // X8b: the same diff over CATALOG-BUCKETED snapshots — the
+    // exchange-free form for repeatedly-diffed corpora. Both snapshots are
+    // staged once per session as bucketed tables
+    // (ParquetSink.writeBucketedTable, hash(doc_id) into 8 buckets); the
+    // full-outer then plans as scan+merge with ZERO shuffle (PlanSpec pins
+    // it) and must bit-match x8's relation.
+    "x8b_snapshot_diff_bucketed" -> ((s, d) => {
+      val (oldT, newT) = x8bBucketed(s, d)
+      Ops.snapshotDiff(oldT, newT, "doc_id", Seq("text"))
         .orderBy("doc_id")
     }),
 
@@ -1676,7 +1721,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val src = s.readStream.schema(schema)
         .parquet(s"$d/events.*")
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", Tables.tsUsColumn(schema("ts").dataType))
       val agg = StreamOps.tumblingCountsStreaming(src, "1 hour", "1 minute")
       StreamOps.runToMemoryTable(s, agg, "e1b_stream_window_sink", mode = "complete")
         .select(expr("unix_micros(window.start) div 3600000000").as("bucket"),
@@ -1693,7 +1738,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val src = s.readStream.schema(schema)
         .parquet(s"$d/events.*")
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", Tables.tsUsColumn(schema("ts").dataType))
       val dim = s.read.parquet(s"$d/events.parquet")
         .select(col("user_id")).distinct()
         .withColumn("cohort", col("user_id") % 10)
@@ -1757,7 +1802,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val src = s.readStream.schema(schema)
         .parquet(s"$d/events.*")
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", Tables.tsUsColumn(schema("ts").dataType))
       val agg = StreamOps.hoppingCountsStreaming(src, "2 hours", "1 hour", "1 minute")
       StreamOps.runToMemoryTable(s, agg, "e4b_stream_hopping_sink", mode = "complete")
         .select(expr("unix_micros(window.start)").as("win_start"),
@@ -3313,6 +3358,19 @@ object SparkEntry {
     // same derived snapshots; content compared directly (the md5
     // fingerprint is a pure pre-shuffle size reduction, not semantics)
     "x8_snapshot_diff" ->
+      ("WITH old AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v1' " +
+        "ELSE text END AS text FROM documents WHERE doc_id % 10 != 0), " +
+        "new AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 != 0), " +
+        "j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' " +
+        "WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN o.text != n.text THEN 'changed' END AS change " +
+        "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id) " +
+        "SELECT doc_id, change FROM j WHERE change IS NOT NULL ORDER BY doc_id"),
+
+    // bucketing is a physical-layout property; the logical diff relation is
+    // identical to x8's
+    "x8b_snapshot_diff_bucketed" ->
       ("WITH old AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v1' " +
         "ELSE text END AS text FROM documents WHERE doc_id % 10 != 0), " +
         "new AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 != 0), " +

@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   *
   * All loads are plain parquet scans — Catalyst pushes filters and column
   * pruning into the scan, so callers should NOT pre-materialize. `events`
-  * needs the nanos conf (FIXTURES.md §B note), which `Session.tune` sets.
+  * adapts to the producer's physical timestamp encoding (see [[tsUsColumn]]);
+  * `Session.tune` sets the nanos conf so the legacy bigint encoding still
+  * reads instead of failing.
   */
 object Tables {
 
@@ -78,20 +80,63 @@ object Tables {
     * — on top of the same cached, parallelized scans the typed API uses.
     * (The reference has no SQL parser — SURVEY §1 — but Catalyst gives the
     * whole SQL front-end for free once the views exist.)
+    *
+    * Per-view isolation: a table that fails to load (missing file, schema
+    * the loader rejects) costs only queries that reference IT — r9's events
+    * breakage took down SQL-text queries that never touch events because
+    * this loop was all-or-nothing. The first failure per call is re-thrown
+    * AFTER the loop only when nothing registered at all (a fully-missing
+    * dir should still fail loudly).
     */
-  def registerAll(s: SparkSession, dir: String): Unit =
-    AllNames.foreach {
-      case "events" => events(s, dir).createOrReplaceTempView("events")
-      case n => table(s, dir, n).createOrReplaceTempView(n)
+  def registerAll(s: SparkSession, dir: String): Unit = {
+    var registered = 0
+    var firstErr: Option[Throwable] = None
+    AllNames.foreach { n =>
+      try {
+        (if (n == "events") events(s, dir) else table(s, dir, n))
+          .createOrReplaceTempView(n)
+        registered += 1
+      } catch { case e: Throwable =>
+        System.err.println(s"[tables] view $n failed to register (continuing): ${e.getMessage}")
+        if (firstErr.isEmpty) firstErr = Some(e)
+      }
     }
+    if (registered == 0) firstErr.foreach(throw _)
+  }
 
-  /** `events.parquet` stores ts as parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it reads as bigint nanos.
-    * Exposes an extra `ts_us` (microseconds) column matching what
-    * micro-precision engines (e.g. the DuckDB oracle) see after truncation.
+  /** Epoch-microseconds from whatever physical encoding the producer wrote
+    * the event-time column in. A 100 TB pipeline reads parquet from many
+    * writers, and "what precision did this one use" is table stakes:
+    *   - bigint            → nanos (parquet TIMESTAMP(NANOS) read under
+    *                         `spark.sql.legacy.parquet.nanosAsLong=true`)
+    *   - TIMESTAMP_NTZ     → micros; session is pinned UTC (Session.tune),
+    *                         so the NTZ→LTZ cast is the identity reinterpret
+    *   - TIMESTAMP (LTZ)   → micros directly
+    * Anything else fails loudly at plan time with the offending type —
+    * better than an analysis error deep inside a downstream operator.
+    */
+  private[graft] def tsUsColumn(dt: org.apache.spark.sql.types.DataType,
+                                name: String = "ts"): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType                       => expr(s"`$name` div 1000")
+      case TimestampNTZType               => unix_micros(col(name).cast(TimestampType))
+      case TimestampType                  => unix_micros(col(name))
+      case other => throw new IllegalArgumentException(
+        s"events `$name` column: expected bigint nanos or a timestamp type, got $other")
+    }
+  }
+
+  /** `events.parquet`: event-time `ts` arrives in producer-dependent
+    * precision (the driver has shipped both TIMESTAMP(NANOS) and
+    * timestamp[us] encodings across rounds). Exposes a uniform `ts_us`
+    * (epoch microseconds, bigint) column — the precision every downstream
+    * operator and the DuckDB oracle (`epoch_us(ts)`) agree on — derived
+    * adaptively from the column's actual type via [[tsUsColumn]].
     */
   def events(s: SparkSession, d: String): DataFrame = {
     Session.tune(s)
-    table(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
+    val raw = table(s, d, "events")
+    raw.withColumn("ts_us", tsUsColumn(raw.schema("ts").dataType))
   }
 }

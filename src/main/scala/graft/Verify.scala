@@ -28,6 +28,11 @@ object Verify {
     only.foreach(o => System.err.println(
       s"[verify] SUBSET run (${o.size} queries) — $outDir/oracle_sql.json covers only these; " +
         "do not reuse a full-run outDir"))
+    // A throwing query must FAIL VISIBLY, not vanish: r9 silently dropped 19
+    // formerly-green rows with no record anywhere, so the round's JSON
+    // could not distinguish "not declared" from "broken". errors.json gives
+    // the driver (and any reader of the artifact) the per-query exception.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -35,6 +40,7 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -53,6 +59,10 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED — see $outDir/errors.json")
     spark.stop()
   }
 }

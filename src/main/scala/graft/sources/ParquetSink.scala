@@ -47,6 +47,30 @@ object ParquetSink {
   def writePartitioned(df: DataFrame, path: String, byCol: String): Unit =
     df.write.mode("overwrite").partitionBy(byCol).parquet(path)
 
+  /** Catalog-registered BUCKETED snapshot: hash(idCol) % buckets decides the
+    * file (Spark's native bucketing, murmur3 — the same partitioning a
+    * shuffle on idCol would produce), sorted by idCol within each bucket.
+    * Unlike [[writeSharded]] (same physical layout, no catalog entry) the
+    * bucket spec is recorded in the table catalog, so every later join or
+    * aggregation keyed on idCol between same-bucket-count tables plans with
+    * ZERO exchange — the scan itself satisfies the clustering requirement.
+    * That turns repeatedly-diffed / repeatedly-joined snapshots (x8b) from
+    * one-shuffle-per-side into pure scan+merge: at 100 TB the diff of two
+    * snapshots moves no bytes between executors at all. `path` makes the
+    * table external (data lives with the rest of the corpus, not the
+    * warehouse dir); re-writing the same table name replaces it.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, idCol: String,
+                         buckets: Int, path: String): Unit = {
+    require(buckets >= 1, "writeBucketedTable: buckets must be >= 1")
+    val spark = df.sparkSession
+    // saveAsTable(Overwrite) refuses some external-table transitions; a
+    // clean drop keeps re-staging idempotent (data dir is rewritten anyway)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(buckets, idCol).sortBy(idCol).saveAsTable(table)
+  }
+
   /** S8 — deterministic global shuffle for training-data export. Every row
     * gets the pseudo-random 60-bit key `md5(seed ":" id)` (same
     * md5-derived form as `Text.tokenHash60`, so any SQL engine reproduces
@@ -102,27 +126,40 @@ object ParquetSink {
     * Scaling: one 4-value min/max aggregate (driver gets ONE row), then
     * one range exchange on the Morton key + per-partition sort — the same
     * cost as any global sort-and-write, no driver data path. Null
-    * coordinates grid to cell 0 and cluster together. `shards` sizes
+    * coordinates grid to cell 0 and cluster together; empty input (or an
+    * all-null column — min/max come back null) degrades to a constant key
+    * and writes the table with its schema intact. Values outside the
+    * sampled [lo,hi] (possible when the upstream is non-deterministic
+    * between the stats pass and the write pass) clamp to the grid edge
+    * instead of sign-extending into aliased Morton keys. `shards` sizes
     * files as in [[writeSharded]].
     */
   def zorderExport(df: DataFrame, path: String, colA: String, colB: String,
                    shards: Int, bits: Int = 16): Unit = {
     require(shards >= 1, "zorderExport: shards must be >= 1")
+    // internal key column: collision-proof against user schemas (a user
+    // `_zorder` column would be silently overwritten then dropped)
+    val zc = "_graft_zorder_key"
+    require(!df.columns.contains(zc), s"zorderExport: input must not contain $zc")
     val r = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
-    def grid(c: String, lo: Double, hi: Double): Column =
+    def grid(c: String, i: Int): Column = {
+      val (lo, hi) =
+        if (r.isNullAt(i) || r.isNullAt(i + 1)) (0.0, 0.0)
+        else (r.getDouble(i), r.getDouble(i + 1))
       if (!(hi > lo)) lit(0L)
-      else coalesce(
-        ((col(c).cast("double") - lit(lo)) / lit(hi - lo) *
-          lit((1L << bits) - 1)).cast("long"), lit(0L))
-    val z = zorderValue(
-      grid(colA, r.getDouble(0), r.getDouble(1)),
-      grid(colB, r.getDouble(2), r.getDouble(3)), bits)
-    df.withColumn("_zorder", z)
-      .repartitionByRange(shards, col("_zorder"))
-      .sortWithinPartitions("_zorder")
-      .drop("_zorder")
+      else {
+        val scaled = ((col(c).cast("double") - lit(lo)) / lit(hi - lo) *
+          lit((1L << bits) - 1)).cast("long")
+        coalesce(greatest(lit(0L), least(lit((1L << bits) - 1), scaled)), lit(0L))
+      }
+    }
+    val z = zorderValue(grid(colA, 0), grid(colB, 2), bits)
+    df.withColumn(zc, z)
+      .repartitionByRange(shards, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
       .write.mode("overwrite").parquet(path)
   }
 

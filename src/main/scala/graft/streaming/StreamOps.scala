@@ -7,10 +7,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Event-stream operators, batch and streaming forms with shared semantics.
   *
-  * The `events` table models the stream (ts = epoch nanos as bigint, see
-  * Tables.events). Batch forms are the oracle-checkable reference
-  * semantics; streaming forms run the same logic incrementally under
-  * Structured Streaming with watermarked state.
+  * The `events` table models the stream; whatever physical encoding the
+  * producer wrote `ts` in (bigint nanos, timestamp[us], …), Tables.events
+  * normalizes it to a `ts_us` epoch-micros column, which is the event-time
+  * every operator here keys on. Batch forms are the oracle-checkable
+  * reference semantics; streaming forms run the same logic incrementally
+  * under Structured Streaming with watermarked state.
   */
 object StreamOps {
 

@@ -144,7 +144,28 @@ class ParquetSinkSpec extends SparkTestBase {
     val zTouched = touched(zPath)
     val xTouched = touched(xPath)
     assert(xTouched == 16, s"x-sorted files all span y: $xTouched")
-    assert(zTouched <= 4, s"z-order should prune the y-band to one quadrant row: $zTouched")
+    // ideal is 4 (one quadrant row); repartitionByRange samples its
+    // boundaries, so one file may straddle a quadrant row and intersect the
+    // band — allow that single straddler, still 3× better than the x-sort
+    assert(zTouched <= 5, s"z-order should prune the y-band to ~one quadrant row: $zTouched")
+  }
+
+  test("zorderExport: empty input and all-null columns degrade to a valid write (no NPE)") {
+    import spark.implicits._
+    val empty = spark.range(0).select(col("id").as("x"), col("id").as("y"))
+    ParquetSink.zorderExport(empty, "target/tmp/sink_zorder_empty", "x", "y", shards = 2, bits = 4)
+    val backE = spark.read.parquet("target/tmp/sink_zorder_empty")
+    assert(backE.count() == 0 && backE.columns.toSeq == Seq("x", "y"))
+    // all-null coordinate column: min/max are null — everything grids to 0
+    val nulls = Seq((1L, Option.empty[Long]), (2L, None), (3L, None))
+      .toDF("x", "y")
+    ParquetSink.zorderExport(nulls, "target/tmp/sink_zorder_nulls", "x", "y", shards = 2, bits = 4)
+    assert(spark.read.parquet("target/tmp/sink_zorder_nulls").count() == 3)
+    // user column named like the internal key must be rejected, not dropped
+    val clash = spark.range(3).withColumn("_graft_zorder_key", lit(1L))
+    intercept[IllegalArgumentException] {
+      ParquetSink.zorderExport(clash, "target/tmp/sink_zorder_clash", "id", "id", shards = 1)
+    }
   }
 
   test("writePartitioned: hive layout; scans prune to the filtered partition") {

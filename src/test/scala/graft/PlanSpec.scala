@@ -424,6 +424,30 @@ class PlanSpec extends SparkTestBase {
       }
   }
 
+  test("bucketed snapshot diff: ZERO exchanges — the full-outer merges the bucketed scans directly (X8b)") {
+    val docs = spark.range(1000)
+      .select(col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"))
+    val oldSnap = docs.where(col("doc_id") % 9 =!= 0)
+    val newSnap = docs.where(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")).as("text"))
+    graft.sources.ParquetSink.writeBucketedTable(oldSnap, "planspec_x8b_old",
+      "doc_id", 4, "target/tmp/planspec_x8b_old")
+    graft.sources.ParquetSink.writeBucketedTable(newSnap, "planspec_x8b_new",
+      "doc_id", 4, "target/tmp/planspec_x8b_new")
+    val diff = Ops.snapshotDiff(spark.table("planspec_x8b_old"),
+      spark.table("planspec_x8b_new"), "doc_id", Seq("text"))
+    val p = plan(diff)
+    assert(!p.contains("Exchange"),
+      s"same-bucket-count scans satisfy the join's clustering — no shuffle may appear:\n$p")
+    assert(p.contains("SortMergeJoin"), s"expected a merge join over the bucketed scans:\n$p")
+    // the relation itself must match the unbucketed diff
+    val plain = Ops.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+    assert(diff.orderBy("doc_id").collect().toSeq ==
+      plain.orderBy("doc_id").collect().toSeq)
+  }
+
   test("hive-partitioned read prunes partitions at plan time (S7)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = "target/tmp/planspec_part_documents"
