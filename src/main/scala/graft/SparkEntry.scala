@@ -1311,6 +1311,21 @@ object SparkEntry {
       meta.join(pcm, "doc_id").orderBy("doc_id")
     }),
 
+    // M2g: PCM resample to 12 kHz over the WAV fixture — source rates span
+    // 8–15 kHz, so the same run exercises upsampling, downsampling, AND
+    // the identity rate (12 kHz sources: frac is always 0, output ==
+    // input samples). Exact integer interpolation means the oracle is a
+    // closed form over the fixture formula, not an ok-bit.
+    "m2g_resample" -> ((s, d) => {
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val wav = Multimodal.encodeWavBatches(s, ids, "doc_id")
+      Multimodal.resampleAudioBatches(s, wav, "doc_id", 12000).toDF()
+        .select(col("doc_id"), col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"), col("n_frames"),
+          col("duration_ms"), col("amp_sum"))
+        .orderBy("doc_id")
+    }),
+
     // M2e: REAL video decode over hand-built UNCOMPRESSED AVI fixtures —
     // the last multimodal stub closed for the codec-free case: the RIFF
     // walker reads avih width/height/frames/duration and sums every
@@ -3678,6 +3693,27 @@ object SparkEntry {
 
     // identical closed-form fixture, AIFF container — same oracle
     "m2d_aiff_decode" -> audioFixtureOracleSql,
+
+    // exact-integer linear interpolation at 12 kHz: output frame j reads
+    // source position j·src/12000 as quotient i0 + remainder fr; with the
+    // fixture's sample+256 = (31·i + id) mod 512 the interpolated value is
+    // a pure integer expression, so the resample oracle is closed-form
+    // (floor == // throughout, every dividend non-negative)
+    "m2g_resample" ->
+      ("WITH p AS (SELECT doc_id, 8000 + (doc_id % 8) * 1000 AS src, " +
+        "1 + doc_id % 2 AS ch, 500 + doc_id % 251 AS frames " +
+        "FROM documents WHERE doc_id < 100), " +
+        "v AS (SELECT p.doc_id, p.ch, p.frames, (p.frames * 12000) // p.src AS n_out, " +
+        "j.range * p.src AS num FROM p CROSS JOIN range(0, 1125) j " +
+        "WHERE j.range < (p.frames * 12000) // p.src), " +
+        "o AS (SELECT doc_id, ch, n_out, " +
+        "((((num // 12000) * 31 + doc_id) % 512) * (12000 - num % 12000) " +
+        "+ ((LEAST(num // 12000 + 1, frames - 1) * 31 + doc_id) % 512) * (num % 12000)) " +
+        "// 12000 - 256 AS outv FROM v), " +
+        "a AS (SELECT doc_id, ch, n_out, sum(outv) AS s FROM o GROUP BY doc_id, ch, n_out) " +
+        "SELECT doc_id, 12000::BIGINT AS sample_rate, ch::BIGINT AS channels, " +
+        "n_out::BIGINT AS n_frames, ((n_out * 1000) // 12000)::BIGINT AS duration_ms, " +
+        "(ch * s)::BIGINT AS amp_sum FROM a ORDER BY doc_id"),
 
     // closed-form uncompressed-AVI round-trip: header fields and the
     // triple-range pixel-channel sum (3 identical BGR bytes per pixel,

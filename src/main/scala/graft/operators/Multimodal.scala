@@ -439,6 +439,76 @@ object Multimodal {
       }
   }
 
+  case class ResampledPcm(doc_id: Long, sample_rate: Int, channels: Int,
+                          n_frames: Long, duration_ms: Long, amp_sum: Long)
+
+  /** M2g — PCM sample-rate conversion, the one audio TRANSFORM next to
+    * decode: each channel is linearly interpolated at exact rational
+    * source positions (output frame j samples source position
+    * j·src/target, kept as integer quotient+remainder — no floating
+    * point, so results are bit-identical across engines, partitions and
+    * reruns, and an upsample at src == target is the identity). The
+    * interpolated value is the exact floor of
+    * (s0·(target−frac) + s1·frac) / target, computed with a +32768 offset
+    * so the dividend stays non-negative (floor == truncate — the same
+    * arithmetic any SQL engine reproduces with `//`). Output rows carry
+    * the resampled frame count (floor(frames·target/src)), duration at
+    * the new rate, and the summed resampled amplitude across channels —
+    * the decode-proof statistic, as in [[decodeAudioBatches]].
+    *
+    * Same scale shape as every decoder here: narrow mapPartitions, one
+    * row per clip, payloads never shuffle. Accepts 16-bit signed PCM in
+    * either byte order (WAV LE / AIFF BE).
+    */
+  def resampleAudioBatches(spark: SparkSession, withPayload: DataFrame,
+                           idCol: String, targetRate: Int): Dataset[ResampledPcm] = {
+    require(targetRate >= 1, "resampleAudioBatches: targetRate must be >= 1")
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = in.getFormat
+            require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16,
+              s"resampleAudioBatches: id=$id is not 16-bit signed PCM")
+            val ch = fmt.getChannels
+            val src = math.max(1L, math.round(fmt.getSampleRate.toDouble)).toInt
+            val bytes = in.readAllBytes()
+            val be = fmt.isBigEndian
+            val frames = bytes.length / (2 * ch)
+            def sample(i: Int, c: Int): Long = {
+              val off = (i * ch + c) * 2
+              (if (be) ((bytes(off) << 8) | (bytes(off + 1) & 0xFF)).toShort
+               else ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort).toLong
+            }
+            val nOut = if (frames == 0) 0L else frames.toLong * targetRate / src
+            var amp = 0L
+            var j = 0L
+            while (j < nOut) {
+              val num = j * src
+              val i0 = (num / targetRate).toInt
+              val frac = num % targetRate
+              val i1 = math.min(i0 + 1, frames - 1)
+              var c = 0
+              while (c < ch) {
+                val s0 = sample(i0, c) + 32768L
+                val s1 = sample(i1, c) + 32768L
+                amp += (s0 * (targetRate - frac) + s1 * frac) / targetRate - 32768L
+                c += 1
+              }
+              j += 1
+            }
+            ResampledPcm(id, targetRate, ch, nOut,
+              nOut * 1000L / targetRate, amp)
+          } finally in.close()
+        }
+      }
+  }
+
   /** Deterministic uncompressed-AVI fixture generator — the video sibling
     * of [[encodePngBatches]]/[[encodeWavBatches]], built BY HAND to the
     * RIFF/AVI spec (no codec exists in the JDK to do it for us): for id

@@ -173,6 +173,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.tryDecodeWav("FORM1234AIFFgarbage body".getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("resampleAudioBatches: identity at source rate; exact integer interpolation both directions (M2g)") {
+    val ids = (0L until 20L).toDF("doc_id")
+    val wav = Multimodal.encodeWavBatches(spark, ids, "doc_id")
+    // identity: resampling each clip AT its own rate must reproduce the
+    // decode exactly (frac is always 0 → pure copy). Source rates vary per
+    // id, so run one id at a time at its own rate.
+    val pcms = Multimodal.decodeAudioBatches(spark, wav, "doc_id")
+      .collect().map(p => p.doc_id -> p).toMap
+    Seq(0L, 3L, 7L, 12L).foreach { id =>
+      val rate = (8000 + (id % 8) * 1000).toInt
+      val one = wav.filter(col("doc_id") === id)
+      val r = Multimodal.resampleAudioBatches(spark, one, "doc_id", rate).collect().head
+      val p = pcms(id)
+      assert((r.n_frames, r.amp_sum) == ((p.n_frames, p.amp_sum)),
+        s"identity resample must be a copy for id=$id")
+    }
+    // cross-rate: the closed-form fixture oracle (same arithmetic as the
+    // DuckDB side of m2g_resample) for up- (8k→12k) and down- (14k→12k)
+    val target = 12000
+    val res = Multimodal.resampleAudioBatches(spark, wav, "doc_id", target)
+      .collect().map(r => r.doc_id -> r).toMap
+    (0L until 20L).foreach { id =>
+      val src = (8000 + (id % 8) * 1000).toInt
+      val ch = (1 + id % 2).toInt
+      val frames = (500 + id % 251).toInt
+      def vr(i: Long): Long = (i * 31 + id) % 512 // sample + 256
+      val nOut = frames.toLong * target / src
+      val exp = ch * (0L until nOut).map { j =>
+        val num = j * src
+        val i0 = num / target
+        val fr = num % target
+        val i1 = math.min(i0 + 1, frames - 1L)
+        (vr(i0) * (target - fr) + vr(i1) * fr) / target - 256
+      }.sum
+      val r = res(id)
+      assert((r.sample_rate, r.channels, r.n_frames, r.duration_ms, r.amp_sum) ==
+        ((target, ch, nOut, nOut * 1000L / target, exp)),
+        s"closed-form resample mismatch for id=$id (src=$src)")
+    }
+    // AIFF (big-endian) input resamples identically to WAV (little-endian)
+    val aiff = Multimodal.encodeAiffBatches(spark, ids, "doc_id")
+    val resAiff = Multimodal.resampleAudioBatches(spark, aiff, "doc_id", target)
+      .collect().map(r => r.doc_id -> r.amp_sum).toMap
+    (0L until 20L).foreach(id => assert(resAiff(id) == res(id).amp_sum,
+      s"byte order must not change the resample for id=$id"))
+  }
+
   test("real uncompressed-AVI round-trip: hand parser returns the exact fixture header + frame bytes (M2e)") {
     val ids = (0L until 20L).toDF("doc_id")
     val avi = Multimodal.encodeAviBatches(spark, ids, "doc_id")
