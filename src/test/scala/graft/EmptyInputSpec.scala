@@ -195,4 +195,20 @@ class EmptyInputSpec extends SparkTestBase {
     val sk = Joins.skewStats(emptyDocs, Seq("doc_id"))
     assert(sk.count() == 0)
   }
+
+  test("round-10 additions: empty inputs degrade to empty/zero, never throw") {
+    // PCM resample of an empty payload frame: no rows, typed schema intact
+    val emptyPayload = spark.emptyDataset[(Long, Array[Byte])]
+      .toDF("doc_id", "payload")
+    val rs = Multimodal.resampleAudioBatches(spark, emptyPayload, "doc_id", 12000)
+    assert(rs.count() == 0)
+    // bucketed snapshot staging of an empty frame: table registers, diff
+    // of two empty bucketed snapshots is empty
+    graft.sources.ParquetSink.writeBucketedTable(emptyDocs, "empty_x8b_a",
+      "doc_id", 2, "target/tmp/empty_x8b_a")
+    graft.sources.ParquetSink.writeBucketedTable(emptyDocs, "empty_x8b_b",
+      "doc_id", 2, "target/tmp/empty_x8b_b")
+    assert(Ops.snapshotDiff(spark.table("empty_x8b_a"), spark.table("empty_x8b_b"),
+      "doc_id", Seq("text")).count() == 0)
+  }
 }
