@@ -1598,6 +1598,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X9: single-pass data-quality expectations — the ingest gate. Five
+    // rules (three row predicates, two uniqueness checks) fold into ONE
+    // corpus aggregate; violations include null-predicate rows (3VL-safe)
+    "x9_expectations" -> ((s, d) =>
+      Ops.expectations(Tables.documents(s, d),
+        Seq(
+          "text_not_null" -> col("text").isNotNull,
+          "min_50_chars" -> (length(col("text")) >= 50),
+          "doc_id_nonneg" -> (col("doc_id") >= 0)),
+        uniqueCols = Seq("doc_id", "lang"))
+        .orderBy("rule")),
+
+    // X10: incremental aggregate maintenance — yesterday's state + today's
+    // delta state merged must equal the full recompute. Lineitem split
+    // into two disjoint batches by l_orderkey % 3; the merged+finalized
+    // state is compared to DuckDB's direct GROUP BY over the whole table.
+    // Decimal state sums make the merge order-independent (bit-exact).
+    "x10_incremental_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val batchA = li.where(col("l_orderkey") % 3 =!= 0)
+      val batchB = li.where(col("l_orderkey") % 3 === 0)
+      val keys = Seq("l_returnflag")
+      val merged = Agg.mergeAggState(
+        Seq(Agg.buildAggState(batchA, keys, "l_quantity"),
+          Agg.buildAggState(batchB, keys, "l_quantity")), keys)
+      Agg.finalizeAggState(merged, keys)
+        .select(col("l_returnflag"), col("n"),
+          (round(col("sum"), 2) + lit(0.0)).as("sum_qty"),
+          col("min").as("min_qty"), col("max").as("max_qty"),
+          col("avg").as("avg_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // X8b: the same diff over CATALOG-BUCKETED snapshots — the
     // exchange-free form for repeatedly-diffed corpora. Both snapshots are
     // staged once per session as bucketed tables
@@ -3382,6 +3415,31 @@ object SparkEntry {
         "WHEN o.text != n.text THEN 'changed' END AS change " +
         "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id) " +
         "SELECT doc_id, change FROM j WHERE change IS NOT NULL ORDER BY doc_id"),
+
+    // each rule recomputed as an independent conditional sum / distinct
+    // count; violations count predicate-false OR predicate-null rows
+    "x9_expectations" ->
+      ("WITH a AS (SELECT count(*) AS n, " +
+        "sum(CASE WHEN NOT (doc_id >= 0) OR doc_id IS NULL THEN 1 ELSE 0 END) AS v_doc, " +
+        "sum(CASE WHEN NOT (length(text) >= 50) OR text IS NULL THEN 1 ELSE 0 END) AS v_len, " +
+        "sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v_null, " +
+        "count(doc_id) - count(DISTINCT doc_id) AS v_uid, " +
+        "count(lang) - count(DISTINCT lang) AS v_ulang FROM documents) " +
+        "SELECT rule, violations::BIGINT AS violations, n::BIGINT AS n_rows FROM (" +
+        "SELECT 'doc_id_nonneg' AS rule, v_doc AS violations, n FROM a " +
+        "UNION ALL SELECT 'min_50_chars', v_len, n FROM a " +
+        "UNION ALL SELECT 'text_not_null', v_null, n FROM a " +
+        "UNION ALL SELECT 'unique_doc_id', v_uid, n FROM a " +
+        "UNION ALL SELECT 'unique_lang', v_ulang, n FROM a) ORDER BY rule"),
+
+    // the oracle is the DIRECT aggregate over the whole table — the
+    // incremental merge must be indistinguishable from a full recompute
+    "x10_incremental_agg" ->
+      ("SELECT l_returnflag, count(l_quantity)::BIGINT AS n, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2) + 0.0 AS sum_qty, " +
+        "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(l_quantity), 4) + 0.0 AS avg_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     // bucketing is a physical-layout property; the logical diff relation is
     // identical to x8's

@@ -137,4 +137,53 @@ object Agg {
   def cubeAgg(df: DataFrame, keys: Seq[String], spec: Seq[(String, Seq[String])],
               approxMedian: Boolean = false): DataFrame =
     groupingSetAgg(df.cube(keys.map(col): _*), df, spec, approxMedian, "cubeAgg")
+
+  /** X10 — MERGEABLE aggregate state, the primitive behind maintaining a
+    * materialized aggregate over a growing corpus without recomputing it.
+    * `buildAggState` reduces a batch to one row per key holding the
+    * commutative-monoid components (count, decimal sum, min, max);
+    * `mergeAggState` folds any number of such states together — counts and
+    * sums add, min/max combine — and the result is bit-identical to the
+    * state built from the concatenated batches, because every component is
+    * associative and the sum is exact DECIMAL(38,6) (float summation order
+    * could differ between merge orders; decimal cannot). `finalizeAggState`
+    * derives the presentation row (n, sum, min, max, avg).
+    *
+    * Scale shape: each daily batch reduces map-side to its own small state
+    * (one shuffle of partials over the BATCH, not the corpus); the merge
+    * then shuffles state rows — bounded by the number of DISTINCT KEYS,
+    * not corpus rows. A 100 TB history is never rescanned: yesterday's
+    * state + today's delta state → today's state.
+    */
+  def buildAggState(df: DataFrame, keys: Seq[String], v: String): DataFrame = {
+    val aggs = Seq(
+      count(col(v)).as("state_n"),
+      sum(col(v).cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("state_sum"),
+      min(col(v)).as("state_min"),
+      max(col(v)).as("state_max"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def mergeAggState(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeAggState: no states to merge")
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("state_n")).as("state_n"),
+        sum(col("state_sum")).as("state_sum"),
+        min(col("state_min")).as("state_min"),
+        max(col("state_max")).as("state_max"))
+  }
+
+  /** Presentation row from a state: avg divides the exact decimal sum AS A
+    * DOUBLE (both engines see the identical double dividend, so the 4dp
+    * round is engine-independent; `+ 0.0` folds IEEE -0.0, the repo-wide
+    * oracle convention).
+    */
+  def finalizeAggState(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) ++ Seq(
+      col("state_n").as("n"),
+      col("state_sum").cast("double").as("sum"),
+      col("state_min").as("min"),
+      col("state_max").as("max"),
+      (round(col("state_sum").cast("double") / col("state_n"), 4) + lit(0.0)).as("avg")): _*)
 }

@@ -127,4 +127,40 @@ object Ops {
           .as("change"))
       .where(col("change").isNotNull)
   }
+
+  /** X9 — declarative data-quality expectations over a corpus, evaluated
+    * in ONE aggregate pass (the ingest gate a 100 TB pipeline runs before
+    * accepting a batch — the "expectations" pattern of data-validation
+    * frameworks, expressed as conditional sums). Two rule shapes:
+    *   - row rules: a boolean Column; a row violates when the predicate is
+    *     false OR null (SQL three-valued logic would otherwise let a null
+    *     slip past both the rule and its negation);
+    *   - uniqueness rules: a column name; violations = non-null rows minus
+    *     distinct values (0 ⇔ unique).
+    * Output is long-format (rule, violations, n_rows) — one row per rule.
+    *
+    * Scale shape: every rule folds into the SAME single aggregate
+    * (conditional sums partial-aggregate map-side; distinct counts ride
+    * the same Expand), so k rules cost one corpus scan, not k. The stack
+    * to long format happens on the one-row result — driver-free,
+    * corpus-free.
+    */
+  def expectations(df: DataFrame, rowRules: Seq[(String, Column)],
+                   uniqueCols: Seq[String] = Nil): DataFrame = {
+    require(rowRules.nonEmpty || uniqueCols.nonEmpty, "expectations: no rules")
+    val names = rowRules.map(_._1) ++ uniqueCols.map(c => s"unique_$c")
+    require(names.distinct.size == names.size, "expectations: duplicate rule names")
+    val aggs = count(lit(1)).as("_n") +:
+      (rowRules.map { case (name, p) =>
+        coalesce(sum(when(p.isNull || !p, 1L).otherwise(0L)), lit(0L)).as(s"_v_$name")
+      } ++ uniqueCols.map { c =>
+        (count(col(c)) - countDistinct(col(c))).as(s"_v_unique_$c")
+      })
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = names
+      .map(n => s"'${n.replace("'", "''")}', `_v_$n`").mkString(", ")
+    row.select(
+      expr(s"stack(${names.size}, $stackArgs) AS (rule, violations)"),
+      col("_n").as("n_rows"))
+  }
 }

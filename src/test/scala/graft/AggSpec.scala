@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Agg
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, expr}
 
 /** G1–G3/A3/A7 edge semantics pinned to the reference
   * (`/root/reference/src/dataframe.py:28-87`).
@@ -169,5 +170,33 @@ class AggSpec extends SparkTestBase {
       Agg.groupAgg(t, Seq("k"), Seq("v" -> Seq("median")),
         approxMedian = true, exactMedian = true)
     }
+  }
+
+  test("agg state: merge of disjoint batches == full recompute, any merge order (X10)") {
+    val rnd = new scala.util.Random(7)
+    val t = (1 to 2000).map(i => (s"k${i % 5}", rnd.nextDouble() * 100 - 50))
+      .toDF("k", "v").repartition(8)
+    val batches = Seq(
+      t.where(expr("crc32(cast(v as string)) % 3 = 0")),
+      t.where(expr("crc32(cast(v as string)) % 3 = 1")),
+      t.where(expr("crc32(cast(v as string)) % 3 = 2")))
+    val full = Agg.finalizeAggState(Agg.buildAggState(t, Seq("k"), "v"), Seq("k"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    // merged in two different orders — decimal sums make both bit-equal
+    // to the full recompute
+    def merged(bs: Seq[org.apache.spark.sql.DataFrame]) =
+      Agg.finalizeAggState(
+        Agg.mergeAggState(bs.map(Agg.buildAggState(_, Seq("k"), "v")), Seq("k")),
+        Seq("k")).orderBy("k").collect().map(_.toSeq).toSeq
+    assert(merged(batches) == full)
+    assert(merged(batches.reverse) == full)
+    // a merge of one state is the identity
+    assert(merged(Seq(t)) == full)
+    // null values: count skips them, min/max ignore them
+    val withNull = Seq(("a", Some(1.0)), ("a", None), ("b", Some(2.0)))
+      .toDF("k", "v")
+    val st = Agg.finalizeAggState(Agg.buildAggState(withNull, Seq("k"), "v"), Seq("k"))
+      .orderBy("k").collect()
+    assert(st(0).getLong(1) == 1L && st(0).getDouble(2) == 1.0)
   }
 }

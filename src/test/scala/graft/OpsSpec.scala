@@ -96,4 +96,32 @@ class OpsSpec extends SparkTestBase {
     val b = Ops.filter(t, col("v") > 10 && col("v") < 50).count()
     assert(a == b && a == 39)
   }
+
+  test("expectations: one pass, 3VL-safe row rules, uniqueness by distinct gap (X9)") {
+    val t = Seq(
+      (1L, Some(10), "en"),   // ok
+      (2L, Some(-5), "en"),   // violates v_pos
+      (3L, None, "de"),       // null predicate -> violates v_pos too
+      (3L, Some(7), "de")     // duplicate id
+    ).toDF("id", "v", "lang")
+    val out = Ops.expectations(t,
+      Seq("v_pos" -> (col("v") > 0)), uniqueCols = Seq("id", "lang"))
+      .orderBy("rule").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == Seq(
+      ("unique_id", 1L, 4L),    // 4 non-null ids, 3 distinct
+      ("unique_lang", 2L, 4L),  // 4 non-null langs, 2 distinct
+      ("v_pos", 2L, 4L)))       // false + null both count
+    // empty corpus: every rule reports 0 violations over 0 rows
+    val empty = Ops.expectations(t.where(lit(false)),
+      Seq("v_pos" -> (col("v") > 0)), uniqueCols = Seq("id")).collect()
+    assert(empty.length == 2 && empty.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+    // all rules ride ONE aggregate: a single scan in the plan
+    val p = Ops.expectations(t, Seq("a" -> (col("v") > 0), "b" -> col("lang").isNotNull),
+      uniqueCols = Seq("id")).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"rules must fold into one aggregate, not join:\n$p")
+    intercept[IllegalArgumentException] { Ops.expectations(t, Nil, Nil) }
+    intercept[IllegalArgumentException] {
+      Ops.expectations(t, Seq("unique_id" -> (col("v") > 0)), Seq("id"))
+    }
+  }
 }
