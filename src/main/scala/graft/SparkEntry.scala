@@ -1731,6 +1731,47 @@ object SparkEntry {
       StreamOps.hoppingCounts(Tables.events(s, d), 7200000000L, 3600000000L)
         .orderBy("win_start", "event_type")),
 
+    // E8: hourly distinct users (exact) — the canonical active-users metric
+    "e8_window_distinct" -> ((s, d) =>
+      StreamOps.windowDistinctUsers(Tables.events(s, d), 3600000000L)
+        .orderBy("bucket")),
+
+    // E8 STREAMING, driver-gated via batch replay: the dedup-then-count
+    // chain (watermarked dropDuplicates on (window, user) feeding a
+    // windowed count — streaming forbids distinct aggregates, so this IS
+    // the production pattern; two chained stateful operators, append
+    // mode). Append emits a window only when the watermark closes it, so
+    // the staged copy appends one far-future sentinel event whose
+    // watermark passes every real window's end; the sentinel's own window
+    // never closes and never emits (the e2b trick).
+    "e8b_stream_distinct" -> ((s, d) => {
+      Session.tune(s)
+      import s.implicits._
+      val widthUs = 3600000000L
+      val wmUs = 60000000L
+      val ev = Tables.events(s, d).select("user_id", "ts_us", "event_id")
+      val maxTsRow = ev.agg(max("ts_us")).head()
+      if (maxTsRow.isNullAt(0)) s.emptyDataset[(Long, Long)].toDF("bucket", "n_users")
+      else {
+        val srcFile = new java.io.File(s"$d/events.parquet")
+        val stageDir =
+          s"${scratchDir(d)}/e8b_events_${stageKey(srcFile, s"w${widthUs}wm$wmUs")}"
+        if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
+          val maxTs = maxTsRow.getLong(0)
+          val sentinel = Seq((-1L, maxTs + 2 * widthUs + wmUs + 1, -1L))
+            .toDF("user_id", "ts_us", "event_id")
+          ev.union(sentinel.select("user_id", "ts_us", "event_id"))
+            .coalesce(4).write.mode("overwrite").parquet(stageDir)
+        }
+        val src = s.readStream.schema(s.read.parquet(stageDir).schema).parquet(stageDir)
+        val agg = StreamOps.windowDistinctUsersStreaming(src, "1 hour", "1 minute")
+        StreamOps.runToMemoryTable(s, agg, "e8b_stream_distinct_sink")
+          .select(expr("unix_micros(window.start) div 3600000000").as("bucket"),
+            col("n_users"))
+          .orderBy("bucket")
+      }
+    }),
+
     // E2: gap-based sessionization (batch form of the stream op)
     "e2_sessionize" -> ((s, d) =>
       StreamOps.sessionize(Tables.events(s, d), 1800000000L)
@@ -3551,6 +3592,16 @@ object SparkEntry {
     "e1_events_window" ->
       ("SELECT epoch_us(ts) // 3600000000 AS bucket, event_type, count(*) AS n_events, " +
         "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"),
+
+    "e8_window_distinct" ->
+      ("SELECT epoch_us(ts) // 3600000000 AS bucket, count(DISTINCT user_id) AS n_users, " +
+        "count(*) AS n_events FROM events GROUP BY 1 ORDER BY bucket"),
+
+    // the streaming dedup-then-count chain must reproduce the exact batch
+    // distinct relation (sentinel window excluded by construction)
+    "e8b_stream_distinct" ->
+      ("SELECT epoch_us(ts) // 3600000000 AS bucket, count(DISTINCT user_id) AS n_users " +
+        "FROM events GROUP BY 1 ORDER BY bucket"),
 
     // each event belongs to width/slide = 2 hour-aligned windows
     "e4_hopping_window" ->

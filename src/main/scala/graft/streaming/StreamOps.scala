@@ -85,6 +85,43 @@ object StreamOps {
       .groupBy(window(col("event_time"), width, slide), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** E8 — per-window DISTINCT-user count (the canonical "hourly active
+    * users" metric), BATCH form: floor-bucket + exact `count_distinct`.
+    * The distinct rides Spark's Expand-based two-phase aggregate — the
+    * exchange carries (bucket, user) partials, bounded by distinct pairs
+    * per partition, not events.
+    */
+  def windowDistinctUsers(events: DataFrame, widthUs: Long): DataFrame = {
+    require(widthUs > 0, "windowDistinctUsers: width must be positive")
+    events
+      .withColumn("bucket", floorDivTs("ts_us", widthUs))
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** E8 STREAMING form. Structured Streaming disallows distinct aggregates
+    * outright, so the real-world shape is DEDUP-THEN-COUNT: a watermarked
+    * `dropDuplicates` on (window, user) — the window struct carries the
+    * event-time metadata, so dedup state evicts as the watermark passes
+    * each window — feeding a windowed count that sees every (window, user)
+    * pair exactly once. Two CHAINED stateful operators; Spark supports the
+    * chain in append mode only, which is also the right production mode
+    * (each window's user count emits once, when the watermark closes it).
+    * Emits (window, n_users); n_events is not carried — the dedup that
+    * makes the count distinct necessarily discards event multiplicity
+    * (batch form reports both).
+    */
+  def windowDistinctUsersStreaming(events: DataFrame, width: String,
+                                   watermark: String): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .select(window(col("event_time"), width).as("window"), col("user_id"))
+      .dropDuplicates("window", "user_id")
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_users"))
+
   /** Gap-based sessionization, BATCH form: a session breaks when the gap
     * from the previous event of the same user exceeds `gapUs`. Classic
     * lag-diff + running-sum session ids; one shuffle to co-locate users.

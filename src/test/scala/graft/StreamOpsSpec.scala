@@ -145,6 +145,42 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowDistinctUsers: batch exact distinct; streaming dedup-then-count emits closed windows (E8)") {
+    // batch: two users in hour A (one twice), one user in hour B
+    val ev = Seq(
+      (1L, 1000L * 3600000000L + 10L, 1L),
+      (1L, 1000L * 3600000000L + 20L, 2L),
+      (2L, 1000L * 3600000000L + 30L, 3L),
+      (3L, 1001L * 3600000000L + 40L, 4L))
+      .toDF("user_id", "ts_us", "event_id")
+    val batch = StreamOps.windowDistinctUsers(ev, 3600000000L)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(batch.toSeq == Seq((1000L, 2L, 3L), (1001L, 1L, 1L)))
+    // streaming: same events + a sentinel far enough that the watermark
+    // closes both real windows; append emits exactly the batch relation
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val src = mem.toDF().toDF("user_id", "ts_us", "event_id")
+    mem.addData((1L, 1000L * 3600000000L + 10L, 1L))
+    mem.addData((1L, 1000L * 3600000000L + 20L, 2L))
+    mem.addData((2L, 1000L * 3600000000L + 30L, 3L))
+    mem.addData((3L, 1001L * 3600000000L + 40L, 4L))
+    mem.addData((-1L, 1004L * 3600000000L, 5L)) // sentinel: watermark passes hours 1000-1001
+    val q = StreamOps.windowDistinctUsersStreaming(src, "1 hour", "1 minute")
+      .writeStream.format("memory").queryName("e8_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("e8_out")
+        .select(expr("unix_micros(window.start) div 3600000000").as("bucket"),
+          col("n_users"))
+        .as[(Long, Long)].collect().sorted
+      // the sentinel's own window never closes, so exactly the two real
+      // hours emit, each with the exact distinct count
+      assert(out.toSeq == Seq((1000L, 2L), (1001L, 1L)))
+    } finally q.stop()
+  }
+
   test("dedupExactStreaming: first arrival wins; later normalized-equal docs dropped (E3 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]
