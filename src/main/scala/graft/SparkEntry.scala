@@ -1598,6 +1598,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X8c: the diff→apply round trip — yesterday's snapshot + the delta
+    // (snapshotDiff joined back to today's content for added/changed keys)
+    // must reconstruct today's snapshot EXACTLY; the oracle is today's
+    // snapshot itself, so any key lost or duplicated by the apply fails
+    // the hash
+    "x8c_apply_changeset" -> ((s, d) => {
+      val (oldSnap, newSnap) = x8Snapshots(s, d)
+      val diff = Ops.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+      val changes = diff.join(newSnap, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("change"), col("text"))
+      Ops.applyChangeset(oldSnap, changes, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // X9: single-pass data-quality expectations — the ingest gate. Five
     // rules (three row predicates, two uniqueness checks) fold into ONE
     // corpus aggregate; violations include null-predicate rows (3VL-safe)
@@ -3456,6 +3470,11 @@ object SparkEntry {
         "WHEN o.text != n.text THEN 'changed' END AS change " +
         "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id) " +
         "SELECT doc_id, change FROM j WHERE change IS NOT NULL ORDER BY doc_id"),
+
+    // the reconstruction target IS the new snapshot — no reimplementation
+    // of the apply on the oracle side at all
+    "x8c_apply_changeset" ->
+      ("SELECT doc_id, text FROM documents WHERE doc_id % 13 != 0 ORDER BY doc_id"),
 
     // each rule recomputed as an independent conditional sum / distinct
     // count; violations count predicate-false OR predicate-null rows

@@ -128,6 +128,29 @@ object Ops {
       .where(col("change").isNotNull)
   }
 
+  /** X8c — apply a keyed changeset: the CONSUMER of [[snapshotDiff]]'s
+    * delta. `changes` carries (idCol, change ∈ added|removed|changed,
+    * content columns matching `base`); the result is base with removed
+    * keys dropped, changed keys replaced, added keys inserted — i.e.
+    * yesterday's snapshot + the delta reconstructs today's, which is how
+    * a 100 TB corpus consumes an upstream revision without receiving the
+    * full new copy.
+    *
+    * Scale shape: one left-anti join of base against the changeset's keys
+    * (the changeset is delta-sized — typically tiny vs base, so Spark
+    * broadcasts it; with catalog-bucketed inputs the anti join is
+    * exchange-free on the base side, as in the x8b diff) plus a union of
+    * the delta's surviving rows. Base content crosses no exchange.
+    */
+  def applyChangeset(base: DataFrame, changes: DataFrame, idCol: String): DataFrame = {
+    require(changes.columns.contains("change"), "applyChangeset: missing change column")
+    val contentCols = base.columns.toIndexedSeq
+    val kept = base.join(changes.select(col(idCol)), Seq(idCol), "left_anti")
+    val incoming = changes.filter(col("change") =!= "removed")
+      .select(contentCols.map(col): _*)
+    kept.select(contentCols.map(col): _*).unionByName(incoming)
+  }
+
   /** X9 — declarative data-quality expectations over a corpus, evaluated
     * in ONE aggregate pass (the ingest gate a 100 TB pipeline runs before
     * accepting a batch — the "expectations" pattern of data-validation

@@ -97,6 +97,24 @@ class OpsSpec extends SparkTestBase {
     assert(a == b && a == 39)
   }
 
+  test("applyChangeset: diff -> apply reconstructs the new snapshot; empty delta is identity (X8c)") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "body")
+    val neu = Seq((1L, "a"), (3L, "C2"), (4L, "d")).toDF("id", "body") // drop 2, change 3, add 4
+    val diff = Ops.snapshotDiff(old, neu, "id", Seq("body"))
+    val changes = diff.join(neu, Seq("id"), "left").select(col("id"), col("change"), col("body"))
+    val rebuilt = Ops.applyChangeset(old, changes, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rebuilt.toSeq == Seq((1L, "a"), (3L, "C2"), (4L, "d")))
+    // empty changeset: base passes through untouched
+    val empty = changes.where(lit(false))
+    assert(Ops.applyChangeset(old, empty, "id").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    intercept[IllegalArgumentException] {
+      Ops.applyChangeset(old, old, "id") // no change column
+    }
+  }
+
   test("expectations: one pass, 3VL-safe row rules, uniqueness by distinct gap (X9)") {
     val t = Seq(
       (1L, Some(10), "en"),   // ok
