@@ -136,19 +136,30 @@ object Ops {
     * a 100 TB corpus consumes an upstream revision without receiving the
     * full new copy.
     *
-    * Scale shape: one left-anti join of base against the changeset's keys
-    * (the changeset is delta-sized — typically tiny vs base, so Spark
-    * broadcasts it; with catalog-bucketed inputs the anti join is
-    * exchange-free on the base side, as in the x8b diff) plus a union of
-    * the delta's surviving rows. Base content crosses no exchange.
+    * Scale shape: ONE join, with the changeset referenced ONCE — an
+    * anti-join + union formulation would plant the (possibly expensive)
+    * delta subtree in the plan twice, and Spark does not dedupe common
+    * subplans without a materialization (measured on the x8c gate: the
+    * whole diff ran twice). A full outer on the key decides each row in
+    * place: no changeset match → base row passes; removed → dropped;
+    * added/changed → the delta's content wins. The changeset is
+    * delta-sized, so the join typically broadcasts (left outer is enough
+    * when the delta is pre-filtered to known keys, but full outer also
+    * surfaces 'added' keys, which have no base row); base content crosses
+    * the usual one keyed exchange at most — zero with catalog-bucketed
+    * inputs, as in the x8b diff.
     */
   def applyChangeset(base: DataFrame, changes: DataFrame, idCol: String): DataFrame = {
     require(changes.columns.contains("change"), "applyChangeset: missing change column")
     val contentCols = base.columns.toIndexedSeq
-    val kept = base.join(changes.select(col(idCol)), Seq(idCol), "left_anti")
-    val incoming = changes.filter(col("change") =!= "removed")
-      .select(contentCols.map(col): _*)
-    kept.select(contentCols.map(col): _*).unionByName(incoming)
+    val renamed = changes.select(col(idCol) +: col("change") +:
+      contentCols.filterNot(_ == idCol).map(c => col(c).as(s"_new_$c")): _*)
+    base.join(renamed, Seq(idCol), "full_outer")
+      .filter(col("change").isNull || col("change") =!= "removed")
+      .select(contentCols.map { c =>
+        if (c == idCol) col(c)
+        else when(col("change").isNotNull, col(s"_new_$c")).otherwise(col(c)).as(c)
+      }: _*)
   }
 
   /** X9 — declarative data-quality expectations over a corpus, evaluated
