@@ -152,7 +152,9 @@ object ParquetSink {
       else {
         val scaled = ((col(c).cast("double") - lit(lo)) / lit(hi - lo) *
           lit((1L << bits) - 1)).cast("long")
-        coalesce(greatest(lit(0L), least(lit((1L << bits) - 1), scaled)), lit(0L))
+        // coalesce BEFORE clamping: least/greatest SKIP nulls (a null
+        // coordinate would clamp to the max cell instead of cell 0)
+        greatest(lit(0L), least(lit((1L << bits) - 1), coalesce(scaled, lit(0L))))
       }
     }
     val z = zorderValue(grid(colA, 0), grid(colB, 2), bits)

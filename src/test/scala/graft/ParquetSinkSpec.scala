@@ -166,6 +166,20 @@ class ParquetSinkSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       ParquetSink.zorderExport(clash, "target/tmp/sink_zorder_clash", "id", "id", shards = 1)
     }
+    // null coordinates grid to cell 0 (least/greatest skip nulls — the
+    // clamp must not bounce a null to the max cell): the null row files
+    // with the (0,0) corner, not with the far corner
+    val mixed = Seq((1L, Option(0L), Option(0L)), (2L, None, None),
+      (3L, Option(63L), Option(63L)), (4L, Option(62L), Option(63L)))
+      .toDF("id", "x", "y")
+    val mPath = "target/tmp/sink_zorder_nullcell"
+    ParquetSink.zorderExport(mixed, mPath, "x", "y", shards = 2, bits = 6)
+    val byFile = spark.read.parquet(mPath)
+      .select(input_file_name().as("f"), col("id"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val nullFile = byFile.find(_._2.contains(2L)).get._2
+    assert(nullFile.contains(1L) && !nullFile.contains(3L),
+      s"null row must cluster at cell 0 with (0,0), away from the far corner: $byFile")
   }
 
   test("writePartitioned: hive layout; scans prune to the filtered partition") {
