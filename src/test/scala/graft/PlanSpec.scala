@@ -448,6 +448,30 @@ class PlanSpec extends SparkTestBase {
       plain.orderBy("doc_id").collect().toSeq)
   }
 
+  test("agg-state merge: partial-aggregated, no joins — state rows only cross the exchange (X10)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val a = Agg.buildAggState(li.where(col("l_orderkey") % 2 === 0), Seq("l_returnflag"), "l_quantity")
+    val b = Agg.buildAggState(li.where(col("l_orderkey") % 2 =!= 0), Seq("l_returnflag"), "l_quantity")
+    val p = plan(Agg.finalizeAggState(Agg.mergeAggState(Seq(a, b), Seq("l_returnflag")), Seq("l_returnflag")))
+    assert(!p.contains("Join"), s"state merge is a union + re-reduce, never a join:\n$p")
+    // each batch partial-aggregates before its exchange AND the merge
+    // partial-aggregates the union: >= 4 HashAggregate phases
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"expected partial+final phases for batches and merge:\n$p")
+  }
+
+  test("expectations: k rules = ONE aggregate over ONE scan (X9)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(Ops.expectations(docs,
+      Seq("len" -> (length(col("text")) >= 50), "nn" -> col("text").isNotNull),
+      uniqueCols = Seq("doc_id")))
+    assert(!p.contains("Join"), s"rules must not join:\n$p")
+    // formatted mode lists each physical node once by id in the details
+    // section — count those, not the tree echo
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 1,
+      s"exactly one corpus scan whatever the rule count:\n$p")
+  }
+
   test("hive-partitioned read prunes partitions at plan time (S7)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = "target/tmp/planspec_part_documents"
