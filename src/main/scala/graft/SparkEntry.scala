@@ -1645,6 +1645,32 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // X10b: the agg-state LIFECYCLE — day-1 state sharded to parquet,
+    // day-2 batch delta-appended, COMPACTED (pre-merged to one row per
+    // key), then merge-on-read + finalize must equal the direct GROUP BY
+    // over both days (x10's oracle verbatim)
+    "x10b_agg_state_lifecycle" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val keys = Seq("l_returnflag")
+      val srcFile = new java.io.File(s"$d/lineitem.parquet")
+      val stateDir = s"${scratchDir(d)}/x10b_agg_state_${stageKey(srcFile, "mod3qty")}"
+      if (!new java.io.File(s"$stateDir/_UPDATED").exists()) {
+        ParquetSink.writeSharded(
+          Agg.buildAggState(li.where(col("l_orderkey") % 3 =!= 0), keys, "l_quantity"),
+          stateDir, keys.head, shards = 2)
+        Agg.updateAggState(li.where(col("l_orderkey") % 3 === 0),
+          stateDir, keys, "l_quantity", shards = 2)
+        Agg.compactAggState(s, stateDir, keys, shards = 2)
+        new java.io.File(s"$stateDir/_UPDATED").createNewFile()
+      }
+      Agg.finalizeAggState(Agg.readAggState(s, stateDir, keys), keys)
+        .select(col("l_returnflag"), col("n"),
+          (round(col("sum"), 2) + lit(0.0)).as("sum_qty"),
+          col("min").as("min_qty"), col("max").as("max_qty"),
+          col("avg").as("avg_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // X8b: the same diff over CATALOG-BUCKETED snapshots — the
     // exchange-free form for repeatedly-diffed corpora. Both snapshots are
     // staged once per session as bucketed tables
@@ -3470,6 +3496,16 @@ object SparkEntry {
         "WHEN o.text != n.text THEN 'changed' END AS change " +
         "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id) " +
         "SELECT doc_id, change FROM j WHERE change IS NOT NULL ORDER BY doc_id"),
+
+    // the lifecycle (shard -> delta-append -> compact -> merge-on-read)
+    // is pure physical plumbing: the relation must stay the direct
+    // aggregate, same oracle as x10
+    "x10b_agg_state_lifecycle" ->
+      ("SELECT l_returnflag, count(l_quantity)::BIGINT AS n, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2) + 0.0 AS sum_qty, " +
+        "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(l_quantity), 4) + 0.0 AS avg_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     // the reconstruction target IS the new snapshot — no reimplementation
     // of the apply on the oracle side at all

@@ -174,6 +174,30 @@ object Agg {
         max(col("state_max")).as("state_max"))
   }
 
+  /** X10b — the MATERIALIZED agg-state lifecycle: the dedup-index recipe
+    * ([[graft.operators.Dedup]]'s build → delta-append → compact) applied
+    * to aggregate state. The persisted table holds state rows (possibly
+    * several per key after delta appends); [[readAggState]] merges on read
+    * (idempotent once compacted), and [[compactAggState]] folds the delta
+    * shards back to one pre-merged row per key — after which reads skip
+    * the re-reduce's regrouping of duplicates entirely. Day N's update
+    * cost is one batch-sized build + a delta-append; the 100 TB history
+    * is never rescanned.
+    */
+  def readAggState(spark: org.apache.spark.sql.SparkSession, path: String,
+                   keys: Seq[String]): DataFrame =
+    mergeAggState(Seq(spark.read.parquet(path)), keys)
+
+  def updateAggState(batch: DataFrame, path: String, keys: Seq[String],
+                     v: String, shards: Int): Unit =
+    graft.sources.ParquetSink.appendSharded(
+      buildAggState(batch, keys, v), path, keys.head, shards)
+
+  def compactAggState(spark: org.apache.spark.sql.SparkSession, path: String,
+                      keys: Seq[String], shards: Int): Unit =
+    graft.sources.ParquetSink.compactShardedWith(spark, path, keys.head, shards)(
+      df => mergeAggState(Seq(df), keys))
+
   /** Presentation row from a state: avg divides the exact decimal sum AS A
     * DOUBLE (both engines see the identical double dividend, so the 4dp
     * round is engine-independent; `+ 0.0` folds IEEE -0.0, the repo-wide
