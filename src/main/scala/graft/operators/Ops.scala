@@ -184,6 +184,8 @@ object Ops {
     require(rowRules.nonEmpty || uniqueCols.nonEmpty, "expectations: no rules")
     val names = rowRules.map(_._1) ++ uniqueCols.map(c => s"unique_$c")
     require(names.distinct.size == names.size, "expectations: duplicate rule names")
+    require(names.forall(n => !n.contains("`")),
+      "expectations: rule names must not contain backquotes")
     val aggs = count(lit(1)).as("_n") +:
       (rowRules.map { case (name, p) =>
         coalesce(sum(when(p.isNull || !p, 1L).otherwise(0L)), lit(0L)).as(s"_v_$name")
