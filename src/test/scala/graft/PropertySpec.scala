@@ -187,4 +187,33 @@ class PropertySpec extends SparkTestBase {
       }
     }, samples = 4)
   }
+
+  test("snapshot diff -> apply reconstructs ANY new snapshot from ANY old one (X8/X8c)") {
+    import graft.operators.Ops
+    // random keyed tables with overlapping key ranges and colliding texts
+    val snapGen = Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.oneOf("a", "b", "c")))
+      .map(_.toMap) // map: last write wins -> unique keys, like a snapshot
+    check("diff-apply-roundtrip", Prop.forAll(snapGen, snapGen) { (o, n) =>
+      val old = o.toSeq.toDF("id", "body")
+      val neu = n.toSeq.toDF("id", "body")
+      val diff = Ops.snapshotDiff(old, neu, "id", Seq("body"))
+      val changes = diff.join(neu, Seq("id"), "left").select(col("id"), col("change"), col("body"))
+      val rebuilt = Ops.applyChangeset(old, changes, "id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      rebuilt == n.toSet
+    }, samples = 6)
+  }
+
+  test("agg-state merge over ANY batch partitioning bit-equals the full recompute (X10)") {
+    check("state-merge-recompute", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.choose(-1e6, 1e6), Gen.choose(0, 2)))) { xs =>
+      val df = xs.toDF("k", "v", "batch")
+      val full = Agg.finalizeAggState(Agg.buildAggState(df, Seq("k"), "v"), Seq("k"))
+        .collect().map(_.toSeq).toSet
+      val states = (0 to 2).map(b => Agg.buildAggState(df.where(col("batch") === b), Seq("k"), "v"))
+      val merged = Agg.finalizeAggState(Agg.mergeAggState(states, Seq("k")), Seq("k"))
+        .collect().map(_.toSeq).toSet
+      merged == full
+    }, samples = 5)
+  }
 }
