@@ -334,6 +334,41 @@ object SparkEntry {
       CsvSource.read(s, csvDir).orderBy("n_nationkey")
     }),
 
+    // S10: ORC round-trip — Spark's second first-class columnar format
+    // (in-core, no extra jar); the relation must hash-match the parquet
+    // original, proving format choice changes bytes on disk, not data
+    "s10_orc_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val orcDir = s"${scratchDir(d)}/orc_documents"
+      sources.ColumnarSource.writeOrcSharded(docs, orcDir, "doc_id", 4)
+      sources.ColumnarSource.readOrc(s, orcDir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // S11: raw text-lines round-trip — the rawest LLM-corpus shape (one
+    // doc per line, .txt shards). Restricted to newline-free docs on BOTH
+    // sides (a newline would split a document; writeTextLines documents
+    // the constraint), result is the line multiset
+    "s11_text_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(!col("text").contains("\n") && !col("text").contains("\r"))
+      val txtDir = s"${scratchDir(d)}/text_documents"
+      sources.ColumnarSource.writeTextLines(docs, "text", txtDir, 4)
+      sources.ColumnarSource.readTextLines(s, txtDir).orderBy("value")
+    }),
+
+    // S12: zstd-parquet round-trip — codec control for the archival tier;
+    // a pure physical property, the relation is unchanged
+    "s12_zstd_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val zDir = s"${scratchDir(d)}/zstd_documents"
+      sources.ColumnarSource.writeParquetCodec(docs, zDir, "doc_id", 4, "zstd")
+      s.read.parquet(zDir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // S6: JSONL round-trip — documents → hash-sharded .jsonl → explicit-
     // schema read-back; must hash-match the parquet original (JSON
     // escaping preserves newlines/quotes/unicode exactly)
@@ -2744,6 +2779,18 @@ object SparkEntry {
     "s7_partitioned_roundtrip" ->
       ("SELECT doc_id, text, lang, source, n_chars FROM documents " +
         "WHERE lang = 'en' ORDER BY doc_id"),
+
+    // format round trips: the oracle is the ORIGINAL relation — the format
+    // may only change bytes on disk, never data
+    "s10_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    "s11_text_roundtrip" ->
+      ("SELECT text AS value FROM documents " +
+        "WHERE position(chr(10) IN text) = 0 AND position(chr(13) IN text) = 0 ORDER BY value"),
+
+    "s12_zstd_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
 
     // the export's shard membership and in-shard key range recomputed from
     // first principles: key = md5-60bit('epoch0:' || id), shard = key % 8
