@@ -334,6 +334,45 @@ object SparkEntry {
       CsvSource.read(s, csvDir).orderBy("n_nationkey")
     }),
 
+    // S6b: gzip JSONL round-trip — the common corpus-RELEASE format
+    // (.jsonl.gz). gzip is NOT splittable: each shard decompresses on one
+    // core, so shard count = parallelism floor — fine for releases sized
+    // shards≈workers, wrong for a monolithic 100 TB file (JsonlSource
+    // scaladoc; zstd/parquet are the processing-tier formats)
+    "s6b_jsonl_gz" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gzDir = s"${scratchDir(d)}/jsonl_gz_documents"
+      JsonlSource.writeSharded(docs, gzDir, "doc_id", 4, compression = "gzip")
+      JsonlSource.readWithSchema(s, gzDir, docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // S13: parquet schema EVOLUTION — a later producer adds a column.
+    // Base shards carry (doc_id, text); delta shards add `quality`; a
+    // mergeSchema read unifies (old rows null) — the drift tolerance a
+    // long-lived 100 TB table needs (mergeSchema costs a footer pass per
+    // file, so production pins the unified schema once known)
+    "s13_schema_evolution" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = s"${scratchDir(d)}/schema_evo_documents"
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val stamped = s"$dir/_DONE_${stageKey(srcFile, "mod2q")}"
+      if (!new java.io.File(stamped).exists()) {
+        ParquetSink.writeSharded(
+          docs.where(col("doc_id") % 2 === 0).select("doc_id", "text"),
+          dir, "doc_id", shards = 2)
+        ParquetSink.appendSharded(
+          docs.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"),
+            (round(col("n_chars") / 100.0, 4) + lit(0.0)).as("quality")),
+          dir, "doc_id", shards = 2)
+        new java.io.File(stamped).createNewFile()
+      }
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .select("doc_id", "text", "quality")
+        .orderBy("doc_id")
+    }),
+
     // S10: ORC round-trip — Spark's second first-class columnar format
     // (in-core, no extra jar); the relation must hash-match the parquet
     // original, proving format choice changes bytes on disk, not data
@@ -2779,6 +2818,16 @@ object SparkEntry {
     "s7_partitioned_roundtrip" ->
       ("SELECT doc_id, text, lang, source, n_chars FROM documents " +
         "WHERE lang = 'en' ORDER BY doc_id"),
+
+    "s6b_jsonl_gz" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    // old rows surface with a null for the later-added column; new rows
+    // carry the derived value — recomputed directly from the base table
+    "s13_schema_evolution" ->
+      ("SELECT doc_id, text, CASE WHEN doc_id % 2 = 1 " +
+        "THEN round(n_chars / 100.0, 4) + 0.0 END AS quality " +
+        "FROM documents ORDER BY doc_id"),
 
     // format round trips: the oracle is the ORIGINAL relation — the format
     // may only change bytes on disk, never data
