@@ -348,6 +348,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // S6c: PERMISSIVE-mode quarantine — a raw dump always carries broken
+    // lines; each becomes ONE quarantinable row (raw line preserved),
+    // never a failed 100 TB job. Five garbage lines injected into the
+    // staged dir; the gate checks both populations' counts
+    "s6c_jsonl_quarantine" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qDir = s"${scratchDir(d)}/jsonl_quarantine_documents"
+      JsonlSource.writeSharded(docs, qDir, "doc_id", 4)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$qDir/part-garbage.json"),
+        ("{broken json\nnot json at all\n{\"doc_id\": }\n[1,2\n\"dangling"
+          + "\n").getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType(
+        docs.schema.fields :+ org.apache.spark.sql.types.StructField(
+          JsonlSource.CorruptCol, org.apache.spark.sql.types.StringType))
+      // counts per population as one 2-row relation. The projection only
+      // needs the corrupt column, and Spark refuses a raw-file scan
+      // pruned down to JUST that column (SPARK-38523) — so cache the
+      // parsed frame first, exactly as the JsonlSource scaladoc
+      // prescribes: the cache materializes the full schema and the
+      // kind-count reads from it, not from the raw files
+      val parsed = JsonlSource.readWithSchema(s, qDir, schema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      parsed.count()
+      parsed
+        .select(when(col(JsonlSource.CorruptCol).isNull, "well")
+          .otherwise("corrupt").as("kind"))
+        .groupBy("kind").agg(count(lit(1)).as("n"))
+        .orderBy("kind")
+    }),
+
     // S13: parquet schema EVOLUTION — a later producer adds a column.
     // Base shards carry (doc_id, text); delta shards add `quality`; a
     // mergeSchema read unifies (old rows null) — the drift tolerance a
@@ -2821,6 +2852,12 @@ object SparkEntry {
 
     "s6b_jsonl_gz" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    // exactly the 5 injected garbage lines quarantine; every real doc
+    // parses — the counts are derivable without running the parser
+    "s6c_jsonl_quarantine" ->
+      ("SELECT * FROM (SELECT 'corrupt' AS kind, 5::BIGINT AS n " +
+        "UNION ALL SELECT 'well', count(*) FROM documents) ORDER BY kind"),
 
     // old rows surface with a null for the later-added column; new rows
     // carry the derived value — recomputed directly from the base table
