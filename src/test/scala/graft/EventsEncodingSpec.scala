@@ -85,6 +85,25 @@ class EventsEncodingSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Tables.tsUsColumn(StringType) }
   }
 
+  test("the STREAMING path is encoding-invariant too (the r9 breakage hit streamed re-reads)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (a, b) = dirs
+    def streamed(d: String, sink: String): Seq[Row] = {
+      val schema = spark.read.parquet(s"$d/events.parquet").schema
+      val src = spark.readStream.schema(schema).parquet(s"$d/events.parquet")
+        .withColumn("ts_us", Tables.tsUsColumn(schema("ts").dataType))
+      val agg = StreamOps.tumblingCountsStreaming(src, "1 hour", "1 minute")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      collectSorted(spark.table(sink)
+        .select(expr("unix_micros(window.start)").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value")))
+    }
+    assert(streamed(a, "enc_nanos_sink") == streamed(b, "enc_micros_sink"))
+    assert(streamed(a, "enc_nanos_sink2").nonEmpty)
+  }
+
   test("as-of join and tumbling window are encoding-invariant") {
     val (a, b) = dirs
     def asof(d: String): DataFrame = {
