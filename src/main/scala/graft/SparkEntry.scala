@@ -832,6 +832,24 @@ object SparkEntry {
           .cast(D384).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))),
 
+    // TPC-H Q10-style: returned-item revenue per customer — the canonical
+    // reporting join (lineitem⋈orders shuffle on the shared fact key;
+    // customer/nation DIMS broadcast), decimal-exact revenue, top-20 with
+    // a custkey tiebreak for total determinism
+    "q10_returned_items" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1996-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(discPrice).cast(D384).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q3-style: 3-way join, grouped revenue, top-10
     "q3_shipping" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
@@ -3099,6 +3117,18 @@ object SparkEntry {
         "count(*) AS n_items FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
         "AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.02 AND 0.04 AND l_quantity < 24"),
+
+    "q10_returned_items" ->
+      ("SELECT c_custkey, c_name, n_name, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1995-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-01-01' " +
+        "GROUP BY c_custkey, c_name, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
 
     "q3_shipping" ->
       ("SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(revenue AS DOUBLE) AS revenue FROM (" +
