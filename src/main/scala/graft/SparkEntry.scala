@@ -850,6 +850,31 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q7-style: cross-nation trade volume — the two-sided dim
+    // pattern (nation joined TWICE under different roles). Fact⋈fact
+    // (lineitem⋈orders, then customer) shuffle on their keys; supplier
+    // and both nation roles broadcast; cross-border rows only
+    "q7_volume_shipping" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val cus = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("int").as("l_year"))
+        .agg(sum(discPrice).cast(D384).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // TPC-H Q3-style: 3-way join, grouped revenue, top-10
     "q3_shipping" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
@@ -3117,6 +3142,20 @@ object SparkEntry {
         "count(*) AS n_items FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
         "AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.02 AND 0.04 AND l_quantity < 24"),
+
+    "q7_volume_shipping" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS INT) AS l_year, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE n1.n_name != n2.n_name " +
+        "GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INT) " +
+        "ORDER BY supp_nation, cust_nation, l_year"),
 
     "q10_returned_items" ->
       ("SELECT c_custkey, c_name, n_name, " +
