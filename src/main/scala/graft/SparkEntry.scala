@@ -1760,6 +1760,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X11: MAD robust outlier scores — the curation outlier gate that a
+    // single wild value can't blind (classical z inflates its own
+    // denominator); round(4)+0.0 for the cross-engine hash
+    "x11_mad_outliers" -> ((s, d) =>
+      Analytics.madScores(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+          Seq("l_returnflag"), "l_quantity")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (round(col("mad_z"), 4) + lit(0.0)).as("mad_z"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // X9: single-pass data-quality expectations — the ingest gate. Five
     // rules (three row predicates, two uniqueness checks) fold into ONE
     // corpus aggregate; violations include null-predicate rows (3VL-safe)
@@ -3713,6 +3724,21 @@ object SparkEntry {
     // of the apply on the oracle side at all
     "x8c_apply_changeset" ->
       ("SELECT doc_id, text FROM documents WHERE doc_id % 13 != 0 ORDER BY doc_id"),
+
+    // same two nested exact medians; the score expression is shaped
+    // identically ((x - med) / (1.4826 * mad)) so the doubles agree
+    "x11_mad_outliers" ->
+      ("WITH med AS (SELECT l_returnflag, median(l_quantity) AS med " +
+        "FROM lineitem GROUP BY 1), " +
+        "dev AS (SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, " +
+        "l.l_quantity, m.med, abs(l.l_quantity - m.med) AS ad " +
+        "FROM lineitem l JOIN med m USING (l_returnflag)), " +
+        "mad AS (SELECT l_returnflag, median(ad) AS mad FROM dev GROUP BY 1) " +
+        "SELECT d.l_orderkey, d.l_linenumber, " +
+        "round(CASE WHEN m.mad IS NOT NULL AND m.mad != 0 " +
+        "THEN (d.l_quantity - d.med) / (1.4826 * m.mad) END, 4) + 0.0 AS mad_z " +
+        "FROM dev d JOIN mad m USING (l_returnflag) " +
+        "ORDER BY d.l_orderkey, d.l_linenumber"),
 
     // each rule recomputed as an independent conditional sum / distinct
     // count; violations count predicate-false OR predicate-null rows

@@ -242,6 +242,34 @@ object Analytics {
       .select(df.columns.toIndexedSeq.map(col) ++ zcols: _*)
   }
 
+  /** X11 — robust per-group outlier scores via MAD (median absolute
+    * deviation): mad_z = (x − median) / (1.4826·MAD), the outlier gate
+    * that survives what wrecks the classical z-score — a single wild
+    * value inflates mean AND stddev until nothing looks anomalous, while
+    * the two medians barely move (curation use: doc-length / score
+    * outlier cuts on heavy-tailed corpora). Zero or null MAD (≥ half the
+    * group identical) → null score, as standardizeBy's degenerate rule.
+    *
+    * Scale shape: two grouped EXACT-median aggregates over the corpus
+    * (medians don't decompose into partials — two shuffles is the honest
+    * cost; `approxMedian` in [[graft.operators.Agg]] is the sketch
+    * escape), each producing a #groups-row stats frame broadcast back
+    * onto narrow projections. The corpus itself crosses each exchange as
+    * (keys, value) only.
+    */
+  def madScores(df: DataFrame, keys: Seq[String], c: String,
+                outCol: String = "mad_z"): DataFrame = {
+    require(keys.nonEmpty, "madScores: group keys required")
+    val med = df.groupBy(keys.map(col): _*).agg(median(col(c)).as("__med"))
+    val withDev = df.join(broadcast(med), keys, "left")
+      .withColumn("__ad", abs(col(c) - col("__med")))
+    val mad = withDev.groupBy(keys.map(col): _*).agg(median(col("__ad")).as("__mad"))
+    withDev.join(broadcast(mad), keys, "left")
+      .select(df.columns.toIndexedSeq.map(col) :+
+        when(col("__mad").isNotNull && col("__mad") =!= 0.0,
+          (col(c) - col("__med")) / (lit(1.4826) * col("__mad"))).as(outCol): _*)
+  }
+
   /** A21 — per-group running total (cumulative sum): the balance /
     * running-spend / cumulative-token-count window. One shuffle to
     * co-locate groups, one sorted pass; `orderCols` must totally order

@@ -153,4 +153,22 @@ class AnalyticsSpec extends SparkTestBase {
     assert(approx(out(("x", "y")), 1.0) && approx(out(("x", "z")), -1.0) &&
       approx(out(("y", "z")), -1.0))
   }
+
+  test("madScores: a single wild value cannot blind the gate the way it blinds z-scores (X11)") {
+    import spark.implicits._
+    // 100 values near 10 plus one at 10000: the outlier must still score
+    // extreme under MAD, while its own presence drags the z denominator
+    val base = (1 to 100).map(i => ("g", 10.0 + (i % 5))) :+ (("g", 10000.0))
+    val df = base.toDF("k", "v")
+    val mad = Analytics.madScores(df, Seq("k"), "v")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val z = Analytics.standardizeBy(df, Seq("k"), Seq("v"))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(mad(10000.0) > 100.0, s"MAD keeps the outlier extreme: ${mad(10000.0)}")
+    assert(z(10000.0) < 11.0, s"z is blinded by its own outlier: ${z(10000.0)}")
+    assert(math.abs(mad(12.0)) < 2.0, "inliers stay small under MAD")
+    // degenerate: constant group -> MAD 0 -> null scores, never a divide
+    val const = Seq(("c", 5.0), ("c", 5.0), ("c", 5.0)).toDF("k", "v")
+    assert(Analytics.madScores(const, Seq("k"), "v").collect().forall(_.isNullAt(2)))
+  }
 }
