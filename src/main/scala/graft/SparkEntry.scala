@@ -1760,6 +1760,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // T24: pre-tokenization text normalization — NFC (native codegen'd
+    // Expression over the JDK Normalizer) → control chars to spaces →
+    // lowercase → whitespace collapse → trim, one narrow projection
+    "t24_normalize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextNorm.normalizeText(col("text")).as("norm_text"))
+        .orderBy("doc_id")),
+
     // X11: MAD robust outlier scores — the curation outlier gate that a
     // single wild value can't blind (classical z inflates its own
     // denominator); round(4)+0.0 for the cross-engine hash
@@ -3724,6 +3733,13 @@ object SparkEntry {
     // of the apply on the oracle side at all
     "x8c_apply_changeset" ->
       ("SELECT doc_id, text FROM documents WHERE doc_id % 13 != 0 ORDER BY doc_id"),
+
+    // the identical five steps in SQL (DuckDB's nfc_normalize is the
+    // utf8proc twin of the JDK Normalizer's NFC)
+    "t24_normalize" ->
+      ("SELECT doc_id, trim(regexp_replace(lower(regexp_replace(" +
+        "nfc_normalize(text), '[\\p{Cc}]', ' ', 'g')), '\\s+', ' ', 'g')) " +
+        "AS norm_text FROM documents ORDER BY doc_id"),
 
     // same two nested exact medians; the score expression is shaped
     // identically ((x - med) / (1.4826 * mad)) so the doubles agree

@@ -100,7 +100,7 @@ object ArgmaxRewrite extends Rule[LogicalPlan] {
 /** `spark.sql.extensions` entry point injecting graft's optimizer rules and
   * SQL functions: the codegen'd vector/set kernels become callable from
   * plain `spark.sql(...)` (`graft_cosine`, `graft_dot`, `graft_pack_int8`,
-  * `graft_byte_dot`, `graft_sorted_intersect_size`) — SQL users get the
+  * `graft_byte_dot`, `graft_sorted_intersect_size`, `graft_nfc`) — SQL users get the
   * same native Expressions the Scala API uses, not UDF wrappers.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -113,7 +113,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{ByteDotProduct, CosineSimilarity, DotProduct, PackInt8, SortedIntersectSize}
+  import graft.functions.{ByteDotProduct, CosineSimilarity, DotProduct, NfcNormalize, PackInt8, SortedIntersectSize}
 
   private def binary(name: String, make: (Expression, Expression) => Expression,
                      clazz: Class[_]) =
@@ -134,6 +134,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"graft_pack_int8 expects 1 argument, got ${args.length}")
         PackInt8(args.head)
+      }),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_nfc expects 1 argument, got ${args.length}")
+        NfcNormalize(args.head)
       }))
 
   /** Register the functions on an ALREADY-RUNNING session (the extensions

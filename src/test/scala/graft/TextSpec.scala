@@ -143,4 +143,31 @@ class TextSpec extends SparkTestBase {
     // every weight is a multiple of 1/8 → 8×score is integral (exact sums)
     out.values.foreach(s => assert((s * 8) == (s * 8).round.toDouble, s"non-dyadic $s"))
   }
+
+  test("NFC normalization: decomposed == precomposed after the expression; pipeline collapses noise (T24)") {
+    import graft.functions.TextNorm
+    import spark.implicits._
+    val precomposed = "caf\u00e9"       // \u00e9 precomposed
+    val decomposed = "cafe\u0301"       // e + combining acute accent
+    val rows = Seq((1L, precomposed), (2L, decomposed),
+      (3L, "  Mixed\tCase\u000band\u0000control  "), (4L, "plain ascii"))
+      .toDF("id", "t")
+    val out = rows.select(col("id"), TextNorm.normalizeText(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the whole point: the two byte sequences become THE SAME document
+    assert(out(1L) == out(2L), s"NFC must canonicalize: ${out(1L)} vs ${out(2L)}")
+    assert(out(1L) == "caf\u00e9")
+    // control chars (tab, VT, NUL) become spaces, then collapse; case folds
+    assert(out(3L) == "mixed case and control")
+    assert(out(4L) == "plain ascii")
+    // bare expression: ASCII fast path returns the input unchanged; nulls pass
+    assert(rows.select(TextNorm.nfc(lit(null).cast("string"))).head.isNullAt(0))
+    // SQL registration: graft_nfc callable from plain SQL
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    assert(spark.sql("SELECT graft_nfc('cafe\u0301') = 'caf\u00e9'").head.getBoolean(0))
+    // wrong input type fails at analysis, not execution
+    intercept[org.apache.spark.sql.AnalysisException] {
+      rows.select(TextNorm.nfc(col("id"))).collect()
+    }
+  }
 }
