@@ -1760,6 +1760,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // E9 STREAMING, driver-gated via batch replay: predicate ROUTING to
+    // two parquet sinks in one foreachBatch pass — the accept/quarantine
+    // fork of a streaming ingest (failures reviewable, never dropped).
+    // Dirs keyed by source identity; the replay happens once, repeat
+    // calls read the routed sinks (parquet appends are not idempotent
+    // across replays)
+    "e9_stream_route" -> ((s, d) => {
+      Session.tune(s)
+      val docs = Tables.documents(s, d)
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val key = stageKey(srcFile, "nchars300")
+      val stageDir = s"${scratchDir(d)}/e9_docs_$key"
+      if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
+        docs.select("doc_id", "text", "n_chars")
+          .coalesce(4).write.mode("overwrite").parquet(stageDir)
+      }
+      val routeBase = s"${scratchDir(d)}/e9_route_$key"
+      val marker = new java.io.File(s"$routeBase/_ROUTED")
+      if (!marker.exists()) {
+        val schema = s.read.parquet(stageDir).schema
+        val src = s.readStream.schema(schema).parquet(stageDir)
+        StreamOps.routeToSinks(src, col("n_chars") >= 300,
+          s"$routeBase/pass", s"$routeBase/fail", s"$routeBase/ckpt")
+        marker.createNewFile()
+      }
+      s.read.parquet(s"$routeBase/pass")
+        .select(col("doc_id"), lit("pass").as("route"))
+        .unionByName(s.read.parquet(s"$routeBase/fail")
+          .select(col("doc_id"), lit("fail").as("route")))
+        .orderBy("doc_id")
+    }),
+
     // T24: pre-tokenization text normalization — NFC (native codegen'd
     // Expression over the JDK Normalizer) → control chars to spaces →
     // lowercase → whitespace collapse → trim, one narrow projection
@@ -3733,6 +3765,11 @@ object SparkEntry {
     // of the apply on the oracle side at all
     "x8c_apply_changeset" ->
       ("SELECT doc_id, text FROM documents WHERE doc_id % 13 != 0 ORDER BY doc_id"),
+
+    // every doc lands on exactly one side of the fork
+    "e9_stream_route" ->
+      ("SELECT doc_id, CASE WHEN n_chars >= 300 THEN 'pass' ELSE 'fail' END " +
+        "AS route FROM documents ORDER BY doc_id"),
 
     // the identical five steps in SQL (DuckDB's nfc_normalize is the
     // utf8proc twin of the JDK Normalizer's NFC)

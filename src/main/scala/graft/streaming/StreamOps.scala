@@ -285,6 +285,35 @@ object StreamOps {
         col("_best.c_ts_us").as("r_ts_us"))
   }
 
+  /** E9 — predicate ROUTING to two parquet sinks in one pass: the
+    * accept/quarantine fork every streaming ingest runs (pass rows flow to
+    * the corpus, failures to a reviewable reject store — never dropped on
+    * the floor). `foreachBatch` is the multi-sink escape hatch: each
+    * micro-batch is persisted ONCE and written twice-filtered, so the
+    * source is read once per batch regardless of sink count; a
+    * null/violating predicate routes to the FAIL side (3VL-safe, as
+    * [[graft.operators.Ops.expectations]]). AvailableNow + the caller's
+    * checkpoint dir give exactly-once per replay; reruns must use a fresh
+    * checkpoint+sink trio (parquet appends are not idempotent across
+    * replays — the staged gate keys its dirs by source identity).
+    */
+  def routeToSinks(stream: DataFrame, pred: org.apache.spark.sql.Column,
+                   passPath: String, failPath: String,
+                   checkpointPath: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        try {
+          b.filter(pred).write.mode("append").parquet(passPath)
+          b.filter(!coalesce(pred, lit(false))).write.mode("append").parquet(failPath)
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runToMemoryTable(spark: SparkSession, streamed: DataFrame, name: String,
                        mode: String = "append"): DataFrame = {
     spark.catalog.dropTempView(name)

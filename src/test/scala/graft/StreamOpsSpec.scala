@@ -181,6 +181,27 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("routeToSinks: one batch read, two filtered sinks; null predicate routes to FAIL (E9)") {
+    val base = "target/tmp/e9_route_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    Seq((1L, Some(10)), (2L, Some(3)), (3L, None))
+      .toDF("id", "score")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/src")
+    val schema = spark.read.parquet(s"$base/src").schema
+    val src = spark.readStream.schema(schema).parquet(s"$base/src")
+    StreamOps.routeToSinks(src, col("score") >= 5,
+      s"$base/pass", s"$base/fail", s"$base/ckpt")
+    val pass = spark.read.parquet(s"$base/pass").select("id").as[Long].collect().toSet
+    val fail = spark.read.parquet(s"$base/fail").select("id").as[Long].collect().toSet
+    assert(pass == Set(1L), s"pass: $pass")
+    // the null-score row must land in the reviewable store, not vanish
+    assert(fail == Set(2L, 3L), s"fail: $fail")
+  }
+
   test("dedupExactStreaming: first arrival wins; later normalized-equal docs dropped (E3 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]
