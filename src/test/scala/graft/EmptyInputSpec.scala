@@ -210,5 +210,23 @@ class EmptyInputSpec extends SparkTestBase {
       "doc_id", 2, "target/tmp/empty_x8b_b")
     assert(Ops.snapshotDiff(spark.table("empty_x8b_a"), spark.table("empty_x8b_b"),
       "doc_id", Seq("text")).count() == 0)
+    // MAD over an empty frame: empty stats, empty scores, no throw
+    assert(Analytics.madScores(emptyDocs.withColumn("v", col("doc_id").cast("double")),
+      Seq("text"), "v").count() == 0)
+    // normalization of empty/blank strings: empty out, null passes through
+    val blank = Seq((1L, ""), (2L, "   \t "), (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select(col("id"), graft.functions.TextNorm.normalizeText(col("t")).as("n"))
+      .orderBy("id").collect()
+    assert(blank(0).getString(1) == "" && blank(1).getString(1) == "")
+    assert(blank(2).isNullAt(1))
+    // per-window distinct users over zero events: empty relation
+    assert(graft.streaming.StreamOps.windowDistinctUsers(
+      emptyDocs.select(col("doc_id").as("user_id"), col("doc_id").as("ts_us")),
+      3600000000L).count() == 0)
+    // changeset apply with both sides empty: empty, schema intact
+    val emptyChanges = emptyDocs.withColumn("change", lit("added"))
+      .select("doc_id", "change", "text")
+    assert(Ops.applyChangeset(emptyDocs, emptyChanges, "doc_id").count() == 0)
   }
 }
