@@ -44,13 +44,15 @@ object Bench {
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings")
         .foreach { t =>
+          // NonFatal only: an OOM/LinkageError here means the session is
+          // broken — limping on would produce misleading per-query numbers
           try Tables.table(spark, sfDir, t).count()
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] warm-up $t failed (continuing): ${e.getMessage}")
           }
         }
       try Tables.events(spark, sfDir).count()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up events failed (continuing): ${e.getMessage}")
       }
     }
@@ -92,7 +94,7 @@ object Bench {
         System.gc() // isolate queries from each other's garbage
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
-                  catch { case e: Throwable =>
+                  catch { case e if scala.util.control.NonFatal(e) =>
                     System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
                     Some(e.getClass.getSimpleName)
                   }
@@ -161,12 +163,22 @@ object Bench {
     // Also persist the line to a file: stdout capture truncates on long
     // runs (BENCH_r04 lost 9 of 78 per-query timings to the log tail), so
     // the artifact must not depend on buffer luck.
-    try {
-      val out = java.nio.file.Paths.get("target/bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    // Two copies: target/ for local iteration, and BENCH_DETAIL.json at the
+    // repo root so the FULL per-query map gets committed each round — the
+    // driver's BENCH_r*.json keeps only a 2000-char stdout tail, which has
+    // amputated the per-query timings of full-suite runs more than once.
+    // (focused SPARK_GRAFT_ONLY runs skip the repo-root copy — a partial
+    // map must not overwrite the committed full-suite artifact)
+    val outPaths = if (only.isEmpty) Seq("target/bench.json", "BENCH_DETAIL.json")
+                   else Seq("target/bench.json")
+    outPaths.foreach { p =>
+      try {
+        val out = java.nio.file.Paths.get(p)
+        Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

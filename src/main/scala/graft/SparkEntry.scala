@@ -84,8 +84,14 @@ object SparkEntry {
     Tables.evictStopped(x8bMemo)(_._1)
     x8bMemo.getOrElseUpdate((s, d), {
       val (oldSnap, newSnap) = x8Snapshots(s, d)
+      // collision-proof table names: sanitizing alone aliases distinct dirs
+      // (".../sf0.1" vs ".../sf0_1") onto one catalog entry, so the second
+      // stage would drop the table out from under the first dir's memo —
+      // fold an MD5 of the RAW dir string in alongside the readable suffix
       val safe = d.replaceAll("[^A-Za-z0-9_]", "_")
-      val (tOld, tNew) = (s"x8b_old$safe", s"x8b_new$safe")
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val (tOld, tNew) = (s"x8b_old_${dirHash}_$safe", s"x8b_new_${dirHash}_$safe")
       ParquetSink.writeBucketedTable(oldSnap, tOld, "doc_id", 8,
         s"${scratchDir(d)}/x8b_old")
       ParquetSink.writeBucketedTable(newSnap, tNew, "doc_id", 8,
@@ -1779,6 +1785,12 @@ object SparkEntry {
       val routeBase = s"${scratchDir(d)}/e9_route_$key"
       val marker = new java.io.File(s"$routeBase/_ROUTED")
       if (!marker.exists()) {
+        // rerun safety: a prior run that died after some foreachBatch
+        // appends but before the marker would otherwise replay into the
+        // SAME checkpoint+sink trio and duplicate rows (parquet appends
+        // are at-least-once across replays) — absent marker means the trio
+        // is unfinished, so always restart it from empty
+        graft.sources.ParquetSink.rmRf(new java.io.File(routeBase))
         val schema = s.read.parquet(stageDir).schema
         val src = s.readStream.schema(schema).parquet(stageDir)
         StreamOps.routeToSinks(src, col("n_chars") >= 300,

@@ -96,7 +96,9 @@ object Tables {
         (if (n == "events") events(s, dir) else table(s, dir, n))
           .createOrReplaceTempView(n)
         registered += 1
-      } catch { case e: Throwable =>
+      } catch { case e if scala.util.control.NonFatal(e) =>
+        // NonFatal: a fatal JVM error (OOM, LinkageError) must propagate —
+        // the session is broken, not just this one table
         System.err.println(s"[tables] view $n failed to register (continuing): ${e.getMessage}")
         if (firstErr.isEmpty) firstErr = Some(e)
       }

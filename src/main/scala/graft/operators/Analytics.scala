@@ -260,6 +260,9 @@ object Analytics {
   def madScores(df: DataFrame, keys: Seq[String], c: String,
                 outCol: String = "mad_z"): DataFrame = {
     require(keys.nonEmpty, "madScores: group keys required")
+    val reserved = Set("__med", "__ad", "__mad")
+    require(!df.columns.exists(reserved),
+      s"madScores: input already has a reserved temp column (${reserved.mkString(", ")})")
     val med = df.groupBy(keys.map(col): _*).agg(median(col(c)).as("__med"))
     val withDev = df.join(broadcast(med), keys, "left")
       .withColumn("__ad", abs(col(c) - col("__med")))

@@ -217,12 +217,20 @@ object Dedup {
     * an inverted index before the same exact verification.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double, blocks: Int = 32,
-                        releaseSets: Boolean = false): DataFrame =
+                        n: Int, threshold: Double, blocks: Int = 0,
+                        releaseSets: Boolean = false): DataFrame = {
+    // blocks <= 0 → derive B from the corpus size: a fixed B at 10× the
+    // corpus silently means 10× the per-task block memory. Counted on the
+    // INPUT frame, not the persisted sets — counting through the loan
+    // pattern's persist would materialize a sets cache even on calls whose
+    // final pairs plan is served from an existing cache entry.
+    val b = if (blocks > 0) blocks
+            else Pairs.autoBlocks(df.count(),
+              taskSlots = df.sparkSession.sparkContext.defaultParallelism)
     // blockedPairs replicates its input onto both join sides — persist the
     // reduced sets so the shingling runs once, not once per side
     withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
-      Pairs.blockedPairs(sets, idCol, blocks)
+      Pairs.blockedPairs(sets, idCol, b)
         .select(col("id_1"), col("id_2"),
           ArrayOps.sortedIntersectSize(col("s_1.shs"), col("s_2.shs")).cast("double").as("inter"),
           (col("s_1.n_sh") + col("s_2.n_sh")).cast("double").as("sz"))
@@ -232,6 +240,7 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
     }
+  }
 
   /** Inverted-index variant for SPARSE shingle distributions: candidates =
     * pairs co-occurring under some shingle with document frequency ≤
@@ -731,11 +740,19 @@ object Dedup {
     * to 6.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, blocks: Int = 16): DataFrame =
-    Pairs.blockedPairs(df.select(col(idCol), col(vecCol)), idCol, blocks)
+                        threshold: Double, blocks: Int = 0): DataFrame = {
+    val vecs = df.select(col(idCol), col(vecCol))
+    // blocks <= 0 → size B from the corpus so per-task memory (two blocks
+    // of vectors) stays flat as the corpus grows; the count is a cheap
+    // id+vec scan (the testdata embeddings are Tables-persisted upstream)
+    val b = if (blocks > 0) blocks
+            else Pairs.autoBlocks(vecs.count(),
+              taskSlots = df.sparkSession.sparkContext.defaultParallelism)
+    Pairs.blockedPairs(vecs, idCol, b)
       .withColumn("cosine", round(Vectors.cosine(col(s"s_1.$vecCol"), col(s"s_2.$vecCol")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_1", "id_2", "cosine")
+  }
 
   /** Incremental EMBEDDING near-dup ingest — completes the incremental
     * family (exact: [[exactIncremental]], MinHash: [[minhashIncremental]])

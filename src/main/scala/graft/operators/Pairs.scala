@@ -33,6 +33,33 @@ import org.apache.spark.sql.functions._
   */
 object Pairs {
 
+  /** Derive a block count from the input size: keeps the PER-TASK working
+    * set (two blocks) roughly constant as the corpus grows — a fixed B
+    * silently multiplies per-task memory by the corpus growth factor (10×
+    * rows at B=16 means 10× the rows per block). Two lower bounds compose:
+    *
+    *   - memory: `ceil(n / rowsPerBlock)` so a block stays ≤ rowsPerBlock
+    *     rows (size rowsPerBlock for the payload: ~8 KB-row shingle sets
+    *     and ~1 KB-row embeddings both fit a few-hundred-MB task at the
+    *     8192 default);
+    *   - parallelism: smallest B with B(B+1)/2 ≥ taskSlots so the
+    *     block-pair keys can occupy every core even on small corpora.
+    *
+    * Capped at min(n, 4096): B beyond n only makes empty blocks, and the
+    * B× replication factor (shuffle volume = B·n rows) should not grow
+    * unboundedly — past the cap the quadratic pair COUNT is the binding
+    * constraint anyway, and the sparse/LSH variants are the right tool.
+    */
+  def autoBlocks(n: Long, rowsPerBlock: Long = 8192, taskSlots: Int = 32): Int = {
+    require(rowsPerBlock >= 1, "autoBlocks: rowsPerBlock must be >= 1")
+    if (n <= 1) 1
+    else {
+      val memB = (n + rowsPerBlock - 1) / rowsPerBlock
+      val parB = math.ceil((math.sqrt(8.0 * math.max(taskSlots, 1) + 1) - 1) / 2).toLong
+      math.min(math.max(memB, parB), math.min(n, 4096L)).toInt
+    }
+  }
+
   def blockedPairs(df: DataFrame, idCol: String, blocks: Int): DataFrame = {
     require(blocks >= 1, "blockedPairs: blocks must be >= 1")
     val payload = struct(df.columns.toIndexedSeq.map(col): _*)
