@@ -122,6 +122,47 @@ object StreamOps {
       .groupBy(col("window"))
       .agg(count(lit(1)).as("n_users"))
 
+  /** E8c companion — plain watermarked per-window EVENT count (one
+    * stateful aggregate, no dedup): the multiplicity that
+    * [[windowDistinctUsersStreaming]]'s dedup necessarily discards. A
+    * production active-users dashboard runs BOTH queries over the same
+    * source and joins their append-mode outputs on the window — streaming
+    * forbids putting a distinct and a plain count in one aggregate, so
+    * the two-query fork IS the canonical shape (each emits a window once,
+    * when the watermark closes it; the join downstream is a plain batch
+    * join of two closed-window tables).
+    */
+  def windowEventCountsStreaming(events: DataFrame, width: String,
+                                 watermark: String): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), width).as("window"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Run `body` with the session's streaming state-store provider switched
+    * to `providerClass`, restoring the previous setting afterwards. At
+    * production state sizes (watermark horizon × active keys) the default
+    * HDFS-backed in-memory store is the first thing to fall over; RocksDB
+    * ([[RocksDbProvider]], bundled with Spark) spills state off-heap. The
+    * conf is read at QUERY START, so wrapping a replay is enough — and the
+    * operators here carry no provider assumptions (StreamOpsSpec replays
+    * the dedup-then-count chain under RocksDB against the batch oracle).
+    */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def withStateStoreProvider[T](spark: SparkSession, providerClass: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, providerClass)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Gap-based sessionization, BATCH form: a session breaks when the gap
     * from the previous event of the same user exceeds `gapUs`. Classic
     * lag-diff + running-sum session ids; one shuffle to co-locate users.

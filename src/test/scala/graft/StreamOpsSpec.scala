@@ -181,6 +181,65 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("e8c two-query fork: distinct-users + event-counts joined on window equals batch (E8c)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 1000L * 3600000000L + 10L, 1L),
+      (1L, 1000L * 3600000000L + 20L, 2L),
+      (2L, 1000L * 3600000000L + 30L, 3L),
+      (3L, 1001L * 3600000000L + 40L, 4L),
+      (-1L, 1004L * 3600000000L, 5L)) // sentinel closes hours 1000-1001
+    def replay(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+               name: String) = {
+      val mem = MemoryStream[(Long, Long, Long)]
+      rows.foreach(r => { mem.addData(r); () })
+      val q = build(mem.toDF().toDF("user_id", "ts_us", "event_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    }
+    val users = replay(StreamOps.windowDistinctUsersStreaming(_, "1 hour", "1 minute"), "e8c_users")
+    val counts = replay(StreamOps.windowEventCountsStreaming(_, "1 hour", "1 minute"), "e8c_counts")
+    val got = users.join(counts, "window")
+      .select(expr("unix_micros(window.start) div 3600000000").as("bucket"),
+        col("n_users"), col("n_events"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    // batch both-column relation over the REAL events (sentinel never emits)
+    assert(got == Seq((1000L, 2L, 3L), (1001L, 1L, 1L)))
+  }
+
+  test("dedup-then-count chain replays identically under the RocksDB state store") {
+    // provider-agnosticism gate: at production state sizes the default
+    // in-memory store is the first thing to fall over — the same chained
+    // stateful operators must produce the same append-mode output with
+    // spark.sql.streaming.stateStore.providerClass = RocksDB
+    implicit val sqlCtx = spark.sqlContext
+    val got = StreamOps.withStateStoreProvider(spark, StreamOps.RocksDbProvider) {
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == StreamOps.RocksDbProvider)
+      val mem = MemoryStream[(Long, Long, Long)]
+      mem.addData((1L, 1000L * 3600000000L + 10L, 1L))
+      mem.addData((1L, 1000L * 3600000000L + 20L, 2L))
+      mem.addData((2L, 1000L * 3600000000L + 30L, 3L))
+      mem.addData((3L, 1001L * 3600000000L + 40L, 4L))
+      mem.addData((-1L, 1004L * 3600000000L, 5L))
+      val src = mem.toDF().toDF("user_id", "ts_us", "event_id")
+      val q = StreamOps.windowDistinctUsersStreaming(src, "1 hour", "1 minute")
+        .writeStream.format("memory").queryName("e8_rocksdb_out")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("e8_rocksdb_out")
+        .select(expr("unix_micros(window.start) div 3600000000").as("bucket"),
+          col("n_users"))
+        .as[(Long, Long)].collect().sorted.toSeq
+    }
+    assert(got == Seq((1000L, 2L), (1001L, 1L)))
+    // and the toggle restored the default provider for later suites
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .contains(StreamOps.RocksDbProvider))
+  }
+
   test("routeToSinks: one batch read, two filtered sinks; null predicate routes to FAIL (E9)") {
     val base = "target/tmp/e9_route_spec"
     def rm(f: java.io.File): Unit = {
