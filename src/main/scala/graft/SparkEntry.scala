@@ -974,7 +974,13 @@ object SparkEntry {
       val big = Tables.lineitem(s, d).groupBy("l_orderkey")
         .agg(sum(col("l_quantity")).as("total_qty"))
         .filter(col("total_qty") > 250)
-      Tables.orders(s, d).join(big, col("o_orderkey") === col("l_orderkey"))
+      // broadcast the POST-HAVING agg side explicitly: it is ~1.5% of
+      // orders (2.3k vs 150k rows at sf0.1) but the planner can't see
+      // through the aggregate's estimate and was building the broadcast on
+      // ORDERS — a 65×-larger hash relation rebuilt per execution, whose
+      // driver-side build was the source of the r10 bimodal timings
+      // (0.88 s vs 2.95 s warm). PlanSpec pins the build side.
+      Tables.orders(s, d).join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice"), col("total_qty"))

@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Memoized row count for the broadcast-vs-shuffle probe guards
+    * ([[lshTopK]], ivfProbe): the guard needs the query-batch size, but an
+    * eager count() at every plan BUILD re-runs the job each time the same
+    * query frame is re-planned (bench warm runs, repeated probes of one
+    * batch — the A15 load-once-query-many model). Keyed by the session and
+    * the CANONICALIZED logical plan, so semantically-identical frames
+    * share one count; entries for stopped sessions are evicted on access.
+    */
+  private val countMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession,
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Long]
+
+  private def memoCount(df: DataFrame): Long = {
+    graft.Tables.evictStopped(countMemo)(_._1)
+    countMemo.getOrElseUpdate(
+      (df.sparkSession, df.queryExecution.logical.canonicalized), df.count())
+  }
+
   /** Rank a (query_id, sn: struct<score,id>) frame to the top-k per query
     * via the bounded-heap aggregate [[graft.functions.TopK]]: the map side
     * prunes each partition to k before the shuffle, so the exchange carries
@@ -475,7 +493,7 @@ object Similarity {
       .withColumn("_crn", row_number().over(w))
       .filter(col("_crn") <= probes)
       .select(col("query_id"), col("q_vec"), col(cellCol))
-    val probeRows = queries.count() * probes
+    val probeRows = memoCount(queries) * probes
     val pSide = if (probeRows <= maxBroadcastProbes) broadcast(probed) else probed
     val c = cells.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col(cellCol))
     val scored = c.join(pSide, Seq(cellCol))
@@ -611,7 +629,7 @@ object Similarity {
       // probe own bucket + every bucket one bit-flip away
       .withColumn("bucket", explode(array(
         (col("qb") +: (0 until bits).map(b => col("qb").bitwiseXOR(lit(1L << b)))): _*)))
-    val probeRows = queries.count() * (bits + 1)
+    val probeRows = memoCount(queries) * (bits + 1)
     val qSide = if (probeRows <= maxBroadcastProbes) broadcast(q) else q
     val scored = c.join(qSide, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

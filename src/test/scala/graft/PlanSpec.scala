@@ -492,6 +492,22 @@ class PlanSpec extends SparkTestBase {
       s"partial+final aggregation phases expected:\n$p")
   }
 
+  test("q18: the orders join builds its broadcast on the post-HAVING agg side, never on orders") {
+    // r10 bimodality root cause: the planner can't estimate through the
+    // HAVING filter and built the broadcast hash relation on ORDERS (65×
+    // more rows than the qualifying-orders agg at sf0.1) — rebuilt per
+    // execution, its driver-side build was the 0.88 s vs 2.95 s swing.
+    // The explicit broadcast(big) hint pins the small side; this gate
+    // reads the FINAL adaptive plan after execution.
+    val df = SparkEntry.queries("q18_large_orders")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("BroadcastHashJoin [o_orderkey"))
+    assert(line.isDefined, s"expected a broadcast join on o_orderkey in:\n$p")
+    assert(line.get.contains("BuildRight"),
+      s"the agg (right) side must be the broadcast build, got: ${line.get}")
+  }
+
   test("skewStats: count exchange REUSED across both consumers; top-k heaps, no global sort (J6)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val df = Joins.skewStats(li, Seq("l_suppkey"), topK = 20)
