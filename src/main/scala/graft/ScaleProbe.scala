@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicLong
+
+/** 10×-scale probe harness (VERDICT r10 task #1): run the heavy / quadratic
+  * query families at the bench scale AND at a [[ScaleGen]]-expanded scale,
+  * recording per-query wall time plus the task-metric aggregates a wall
+  * clock can't show — PEAK per-task execution memory (does the working set
+  * stay flat?), spill bytes (did anything fall out of memory?), and
+  * shuffle volume (does the exchange grow like the design says?).
+  *
+  * Emits one JSON line per (query, dir) to stdout AND appends to
+  * `target/scale_probe.jsonl` so partial results survive an interrupted
+  * run. Each query runs `runs` times; wall time reports min (the warmed
+  * steady state, as Bench), metrics come from the LAST run only (reset
+  * between runs — cold-run cache fills would otherwise inflate shuffle
+  * totals).
+  *
+  * Usage: runMain graft.ScaleProbe <q1,q2,...> <dir> [runs]
+  */
+object ScaleProbe {
+
+  private final class MetricsListener extends SparkListener {
+    val peakTaskMem = new AtomicLong(0)
+    val memSpill = new AtomicLong(0)
+    val diskSpill = new AtomicLong(0)
+    val shufWrite = new AtomicLong(0)
+    val shufRead = new AtomicLong(0)
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        peakTaskMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        ()
+      }
+    }
+    def reset(): Unit =
+      Seq(peakTaskMem, memSpill, diskSpill, shufWrite, shufRead).foreach(_.set(0))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(sys.error("usage: ScaleProbe <q1,q2,...> <dir> [runs]"))
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(2).flatMap(_.toIntOption).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Session.tune(spark)
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val out = java.nio.file.Paths.get("target/scale_probe.jsonl")
+    java.nio.file.Files.createDirectories(out.getParent)
+
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
+      var rowCount = -1L
+      val times = (1 to runs).map { _ =>
+        System.gc()
+        listener.reset()
+        val t0 = System.nanoTime()
+        rowCount = fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // metrics reflect the final (warmed) run; listener events are posted
+      // asynchronously — the bus API is private, so give the queue a
+      // moment to drain (task-end events trail the job by milliseconds)
+      Thread.sleep(300)
+      val json =
+        s"""{"query":"$name","dir":"$dir","rows":$rowCount,""" +
+        s""""wall_min_s":${times.min},"wall_all_s":[${times.mkString(",")}],""" +
+        s""""peak_task_mem":${listener.peakTaskMem.get},""" +
+        s""""mem_spill":${listener.memSpill.get},"disk_spill":${listener.diskSpill.get},""" +
+        s""""shuffle_write":${listener.shufWrite.get},"shuffle_read":${listener.shufRead.get}}"""
+      println(s"[scaleprobe] $json")
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    }
+    spark.stop()
+  }
+}
