@@ -220,26 +220,31 @@ object Dedup {
                         n: Int, threshold: Double, blocks: Int = 0,
                         releaseSets: Boolean = false): DataFrame = {
     // blocks <= 0 → derive B from the corpus size: a fixed B at 10× the
-    // corpus silently means 10× the per-task block memory. Counted on the
-    // INPUT frame, not the persisted sets — counting through the loan
-    // pattern's persist would materialize a sets cache even on calls whose
-    // final pairs plan is served from an existing cache entry.
+    // corpus silently means 10× the per-task block memory
     val b = if (blocks > 0) blocks
             else Pairs.autoBlocks(df.count(),
               taskSlots = df.sparkSession.sparkContext.defaultParallelism)
-    // blockedPairs replicates its input onto both join sides — persist the
-    // reduced sets so the shingling runs once, not once per side
-    withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
-      Pairs.blockedPairs(sets, idCol, b)
-        .select(col("id_1"), col("id_2"),
-          ArrayOps.sortedIntersectSize(col("s_1.shs"), col("s_2.shs")).cast("double").as("inter"),
-          (col("s_1.n_sh") + col("s_2.n_sh")).cast("double").as("sz"))
-        .withColumn("jaccard",
-          round(when(col("sz") > col("inter"), col("inter") / (col("sz") - col("inter")))
-            .otherwise(0.0), 6))
-        .filter(col("jaccard") >= threshold)
-        .select("id_1", "id_2", "jaccard")
-    }
+    // The sets are deliberately NOT materialized: blockedPairs reads them
+    // on two join sides, and the shingling recompute (one narrow codegen'd
+    // projection per side) is CHEAPER than feeding the billion-iteration
+    // intersect kernel from a columnar cache — measured at 10× scale
+    // (BENCH_SCALE.md): persist() made the warm steady state 2.3× SLOWER
+    // than inline recompute (340 s vs 140 s; cache-free cold = 137 s),
+    // while inline stays flat across runs. The loan-pattern persist
+    // remains right for the ≥3-read consumers (the sparse inverted-index
+    // and MinHash paths, which showed no such inversion); `releaseSets`
+    // is kept for API compatibility and is a no-op here — there is no
+    // cache to release.
+    val _ = releaseSets
+    Pairs.blockedPairs(shingleSets(df, idCol, textCol, n), idCol, b)
+      .select(col("id_1"), col("id_2"),
+        ArrayOps.sortedIntersectSize(col("s_1.shs"), col("s_2.shs")).cast("double").as("inter"),
+        (col("s_1.n_sh") + col("s_2.n_sh")).cast("double").as("sz"))
+      .withColumn("jaccard",
+        round(when(col("sz") > col("inter"), col("inter") / (col("sz") - col("inter")))
+          .otherwise(0.0), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_1", "id_2", "jaccard")
   }
 
   /** Inverted-index variant for SPARSE shingle distributions: candidates =

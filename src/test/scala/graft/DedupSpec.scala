@@ -64,23 +64,37 @@ class DedupSpec extends SparkTestBase {
     assert(sparse == exact, "uncapped inverted index must reproduce the exact result")
   }
 
-  test("releaseSets drops the shingle-set cache once the pair frame is built") {
+  test("releaseSets drops the shingle-set cache once the pair frame is built (sparse path)") {
+    // the loan-pattern contract lives on the >=3-read consumers; the
+    // blocked two-read path (ngramJaccardPairs) deliberately builds its
+    // sets inline with NO cache — BENCH_SCALE.md round 11
     spark.sparkContext.getPersistentRDDs.size // force lazy init
     def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
     val baseline = cachedIds
-    val res = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.1, releaseSets = true)
+    val res = Dedup.ngramJaccardPairsSparse(corpus, "doc_id", "text", 2, 0.1,
+      maxDf = 1000, releaseSets = true)
     val afterBuild = cachedIds -- baseline
     // exactly the result's own persist remains, never the sets'
     assert(afterBuild.size == 1,
       s"one owned persist (the materialized pairs) expected, got ${afterBuild.size}")
     // the eager materialization means the result survives the release
-    assert(res.count() == Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.1).count())
+    assert(res.count() ==
+      Dedup.ngramJaccardPairsSparse(corpus, "doc_id", "text", 2, 0.1, maxDf = 1000).count())
     res.unpersist(blocking = true)
     assert((cachedIds -- baseline).isEmpty, "no lingering cache after the caller unpersists")
     // lazy default still leaves the sets cache in place (documented trade)
-    Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.1).count()
+    Dedup.ngramJaccardPairsSparse(corpus, "doc_id", "text", 2, 0.1, maxDf = 1000).count()
     assert((cachedIds -- baseline).nonEmpty)
     spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("ngramJaccardPairs (blocked) leaves NO cache behind — sets are built inline") {
+    spark.sparkContext.getPersistentRDDs.size
+    def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val baseline = cachedIds
+    Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.1).count()
+    assert((cachedIds -- baseline).isEmpty,
+      "the two-read blocked path must not materialize a sets cache")
   }
 
   test("decontaminationPairs: catches a benchmark question buried in a train doc (D7)") {
