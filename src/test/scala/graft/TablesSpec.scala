@@ -28,6 +28,10 @@ class TablesSpec extends SparkTestBase {
 
   test("registerAll: a corrupt table costs only its own view — the other nine register and query") {
     val dir = stageCorrupted("events")
+    // drop any views a neighboring suite registered: createOrReplaceTempView
+    // only replaces on a SUCCESSFUL load, so a pre-existing good `events`
+    // view would mask the corrupt-table outcome this test pins
+    Tables.AllNames.foreach(spark.catalog.dropTempView(_))
     Tables.registerAll(spark, dir)
     val good = Tables.AllNames.filterNot(_ == "events")
     assert(good.forall(spark.catalog.tableExists),
