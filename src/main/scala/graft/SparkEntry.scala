@@ -2047,6 +2047,15 @@ object SparkEntry {
       StreamOps.windowDistinctUsers(Tables.events(s, d), 3600000000L)
         .orderBy("bucket")),
 
+    // E8d: hourly distinct users via HyperLogLog++ — ONE stateful op with
+    // fixed-size per-window state (vs the exact dedup-then-count chain's
+    // per-user rows); the sketch is engine-specific so there is no DuckDB
+    // oracle row (rows-only check) — accuracy vs the exact count and
+    // batch≡streaming-replay equality are gated in StreamOpsSpec
+    "e8d_window_approx_distinct" -> ((s, d) =>
+      StreamOps.windowApproxDistinctUsers(Tables.events(s, d), 3600000000L)
+        .orderBy("bucket")),
+
     // E8 STREAMING, driver-gated via batch replay: the dedup-then-count
     // chain (watermarked dropDuplicates on (window, user) feeding a
     // windowed count — streaming forbids distinct aggregates, so this IS

@@ -122,6 +122,36 @@ object StreamOps {
       .groupBy(col("window"))
       .agg(count(lit(1)).as("n_users"))
 
+  /** E8d — approximate per-window distinct users via HyperLogLog++
+    * (`approx_count_distinct`), batch and streaming from ONE definition.
+    * Streaming bans exact distinct aggregates (the dedup-then-count chain
+    * in [[windowDistinctUsersStreaming]] is the exact workaround, TWO
+    * stateful operators), but the HLL sketch is an ordinary partial
+    * aggregate — ONE stateful operator whose per-window state is a
+    * fixed-size sketch (~kilobytes at rsd 0.05) no matter how many
+    * distinct users the window sees. At 100 TB stream rates that
+    * bounded-state-per-window property is why dashboards run HLL and
+    * reconcile exact counts offline; `rsd` is the standard-error knob.
+    * Batch form for the differential gate (same sketch, same answer).
+    */
+  def windowApproxDistinctUsers(events: DataFrame, widthUs: Long,
+                                rsd: Double = 0.05): DataFrame = {
+    require(widthUs > 0, "windowApproxDistinctUsers: width must be positive")
+    events
+      .withColumn("bucket", floorDivTs("ts_us", widthUs))
+      .groupBy(col("bucket"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
+  }
+
+  def windowApproxDistinctUsersStreaming(events: DataFrame, width: String,
+                                         watermark: String,
+                                         rsd: Double = 0.05): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), width).as("window"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
+
   /** E8c companion — plain watermarked per-window EVENT count (one
     * stateful aggregate, no dedup): the multiplicity that
     * [[windowDistinctUsersStreaming]]'s dedup necessarily discards. A

@@ -240,6 +240,58 @@ class StreamOpsSpec extends SparkTestBase {
       .contains(StreamOps.RocksDbProvider))
   }
 
+  test("windowApproxDistinctUsers: streaming replay equals batch bit-exactly; error within HLL bound (E8d)") {
+    // HLL register merges are max-based — commutative and associative — so
+    // the sketch estimate is deterministic under ANY partitioning or
+    // arrival order: the streaming replay must equal the batch form
+    // exactly, not approximately
+    implicit val sqlCtx = spark.sqlContext
+    val n = 500
+    val rows = (0 until n).map { i =>
+      (i.toLong % 173, 1000L * 3600000000L + (i % 3500) * 1000000L, i.toLong)
+    } :+ ((-1L, 1004L * 3600000000L, 9999L)) // sentinel closes the real hour
+    val batch = StreamOps.windowApproxDistinctUsers(
+      rows.dropRight(1).toDF("user_id", "ts_us", "event_id"), 3600000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val mem = MemoryStream[(Long, Long, Long)]
+    rows.foreach(r => { mem.addData(r); () })
+    val q = StreamOps.windowApproxDistinctUsersStreaming(
+      mem.toDF().toDF("user_id", "ts_us", "event_id"), "1 hour", "1 minute")
+      .writeStream.format("memory").queryName("e8d_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("e8d_out")
+      .select(expr("unix_micros(window.start) div 3600000000").as("bucket"),
+        col("n_users_approx"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch, s"streaming $streamed != batch $batch")
+    // 173 true distinct users in the hour; rsd 0.05 → assert a generous 3σ
+    val est = batch(1000L).toDouble
+    assert(math.abs(est - 173) / 173 <= 0.15, s"HLL estimate $est too far from 173")
+  }
+
+  test("e9 gate rerun-safety: an unfinished route trio (no _ROUTED marker) is wiped before replay") {
+    // the ADVICE r10 fix: a crash after some foreachBatch appends but
+    // before the marker must NOT let a rerun double-append into the same
+    // checkpoint+sink trio — absent marker ⇒ the whole trio restarts empty
+    val d = "/root/testdata/sf0.001"
+    val fresh = SparkEntry.queries("e9_stream_route")(spark, d).collect()
+    val scratch = new java.io.File(
+      "/root/repo/target/tmp/" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val routeBase = Option(scratch.listFiles()).toSeq.flatten
+      .find(_.getName.startsWith("e9_route_"))
+      .getOrElse(fail("route dir not staged"))
+    // simulate the crashed prior run: marker gone, sinks left with rows
+    assert(new java.io.File(routeBase, "_ROUTED").delete())
+    val junk = new java.io.File(routeBase, "pass/junk-from-crashed-run.txt")
+    java.nio.file.Files.write(junk.toPath, "junk".getBytes)
+    val rerun = SparkEntry.queries("e9_stream_route")(spark, d).collect()
+    assert(!junk.exists(), "unfinished trio must be wiped before the replay")
+    assert(rerun.map(_.toString).sorted.toSeq == fresh.map(_.toString).sorted.toSeq,
+      "rerun after a simulated crash must reproduce the routed relation exactly")
+    assert(new java.io.File(routeBase, "_ROUTED").exists())
+  }
+
   test("routeToSinks: one batch read, two filtered sinks; null predicate routes to FAIL (E9)") {
     val base = "target/tmp/e9_route_spec"
     def rm(f: java.io.File): Unit = {
