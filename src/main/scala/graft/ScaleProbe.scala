@@ -59,6 +59,11 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Session.tune(spark)
+    // SPARK_GRAFT_STATESTORE=rocksdb runs the streaming replays under the
+    // RocksDB provider — the production state store at real state sizes
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").exists(_.equalsIgnoreCase("rocksdb")))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.StreamOps.RocksDbProvider)
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
     spark.range(1000000).selectExpr("sum(id)").collect()
