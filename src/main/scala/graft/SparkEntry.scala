@@ -6,7 +6,7 @@ import graft.sources.{CsvSource, JsonlSource, ParquetSink}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-pipeline extensions), each with DuckDB oracle
@@ -1882,6 +1882,19 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           (round(col("mad_z"), 4) + lit(0.0)).as("mad_z"))
         .orderBy("l_orderkey", "l_linenumber")),
+
+    // X12: semi-structured extraction — lift a typed field out of the
+    // events JSON props blob with an EXPLICIT schema (from_json, narrow,
+    // no inference job) and aggregate it; count(k) vs count(*) is the
+    // parse-success census the PERMISSIVE contract makes meaningful
+    "x12_json_extract" -> ((s, d) =>
+      SemiStructured.extractJson(
+          Tables.events(s, d).select("event_type", "props"),
+          "props", StructType(Seq(StructField("k", LongType))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_k"),
+          sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
 
     // X9: single-pass data-quality expectations — the ingest gate. Five
     // rules (three row predicates, two uniqueness checks) fold into ONE
@@ -3875,6 +3888,15 @@ object SparkEntry {
         "THEN (d.l_quantity - d.med) / (1.4826 * m.mad) END, 4) + 0.0 AS mad_z " +
         "FROM dev d JOIN mad m USING (l_returnflag) " +
         "ORDER BY d.l_orderkey, d.l_linenumber"),
+
+    // the JSON parse twinned as a regex field pull; try_cast(''→NULL)
+    // mirrors from_json's PERMISSIVE null-on-malformed
+    "x12_json_extract" ->
+      ("SELECT event_type, count(*) AS n_events, count(k) AS n_k, " +
+        "CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k " +
+        "FROM (SELECT event_type, " +
+        "try_cast(regexp_extract(props, '\"k\":\\s*(-?[0-9]+)', 1) AS BIGINT) AS k " +
+        "FROM events) GROUP BY 1 ORDER BY 1"),
 
     // each rule recomputed as an independent conditional sum / distinct
     // count; violations count predicate-false OR predicate-null rows

@@ -229,4 +229,14 @@ class EmptyInputSpec extends SparkTestBase {
       .select("doc_id", "change", "text")
     assert(Ops.applyChangeset(emptyDocs, emptyChanges, "doc_id").count() == 0)
   }
+
+  test("round-11 additions: empty inputs degrade to empty/zero, never throw") {
+    // JSON extraction over an empty frame: no rows, lifted schema intact
+    val emptyProps = Seq.empty[(Long, String)].toDF("id", "props")
+    val out = SemiStructured.extractJson(emptyProps, "props",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+    assert(out.columns.toSeq == Seq("id", "k") && out.count() == 0)
+  }
 }
