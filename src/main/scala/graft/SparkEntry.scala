@@ -1998,6 +1998,22 @@ object SparkEntry {
         "doc_id", "w", rate = 0.2)
         .select("doc_id", "n_chars").orderBy("doc_id")),
 
+    // S5i: token-budget selection — the best-scored documents until a
+    // quarter of the corpus's tokens are filled (budget relative to the
+    // corpus so the cut is nontrivial at every SF). Score = n_chars with
+    // doc_id tiebreak: a total order, so the greedy prefix is exact and
+    // engine-portable. One-row total collect is the bounded driver step.
+    "s5i_token_budget" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("double").as("score"),
+          Text.bpeTokens(col("text")).cast("long").as("n_tokens"))
+      val totalRow = toks.agg(sum("n_tokens")).head()
+      val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+      Sampling.tokenBudgetSelect(toks, "doc_id", "score", "n_tokens", total / 4)
+        .select("doc_id", "score", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // G9: exact median via the custom counts-map TypedImperativeAggregate
     // (SURVEY 7.3's documented escape hatch, now closed) — must agree with
     // DuckDB's median on both a low-cardinality column (quantity: dozens
@@ -3752,6 +3768,20 @@ object SparkEntry {
         "WHERE (n_chars / 500.0) >= 0.0 " +
         "AND ('0x' || substr(md5(doc_id::VARCHAR || '_w0'), 1, 15))::BIGINT < " +
         "CAST(floor(least(CAST(1.0 AS DOUBLE), 0.2 * (n_chars / 500.0)) * 1152921504606846976) AS BIGINT) " +
+        "ORDER BY doc_id"),
+
+    // the same greedy prefix as ONE global window — correct in DuckDB at
+    // oracle scale; the Spark side's distributed prefix sum must match it
+    // exactly (integer-division budget, (score DESC, doc_id) total order)
+    "s5i_token_budget" ->
+      ("WITH toks AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS score, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens " +
+        "FROM documents), " +
+        "sel AS (SELECT doc_id, score, n_tokens, " +
+        "sum(n_tokens) OVER (ORDER BY score DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM toks) " +
+        "SELECT doc_id, score, n_tokens FROM sel " +
+        "WHERE cum <= (SELECT sum(n_tokens) FROM toks) // 4 " +
         "ORDER BY doc_id"),
 
     "t12_bigram_counts" ->

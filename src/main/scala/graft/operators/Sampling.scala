@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Text
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reproducible corpus sampling for training-data pipelines.
@@ -189,6 +190,58 @@ object Sampling {
     val threshold = floor(p * lit(HashSpace.toDouble)).cast("long")
     df.filter(col(weightCol) >= 0.0 &&
       Text.tokenHash60(concat(col(idCol).cast("string"), lit(s"_w$seed"))) < threshold)
+  }
+
+  /** S5i — token-budget selection: the highest-`scoreCol` documents, in
+    * (score desc, id asc) order, until their cumulative `tokensCol` fills
+    * `budgetTokens` — the greedy prefix every "train on the best N tokens"
+    * curation cut needs. The first document that would overflow the budget
+    * stops the prefix (later, smaller documents are NOT back-filled:
+    * greedy-prefix, so the selected set is a pure function of the order).
+    *
+    * Scale shape — the global running total WITHOUT the single-partition
+    * trap: a window with an empty partitionBy pulls the whole corpus into
+    * ONE task, so instead this is the classic two-level distributed prefix
+    * sum. Range-repartition on the selection order, per-partition running
+    * sums (window partitioned by `spark_partition_id()` — partition-local),
+    * per-partition token totals reduce to ≤`shuffle.partitions` rows whose
+    * exclusive prefix becomes each partition's offset, broadcast-joined
+    * back. Both branches share the same range exchange (one corpus scan,
+    * ReusedExchange); the only single-partition window runs over the tiny
+    * totals frame. Global cumulative sums are a pure function of the TOTAL
+    * (score desc, id) order, so the result is independent of input
+    * partitioning and of where the range boundaries fall. Exact long
+    * arithmetic throughout (t6's rule: token sums past 2^53 must not lose
+    * precision in doubles).
+    *
+    * Pass a narrow (id, score, tokens) projection — the selection shuffles
+    * its input twice (range + pid co-location), so project before, join
+    * bodies back after on the id.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                        tokensCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "tokenBudgetSelect: budget must be >= 0")
+    val reserved = Set("_graft_pid", "_graft_run", "_graft_off")
+    require(!df.columns.exists(reserved), s"tokenBudgetSelect: reserved column present")
+    if (budgetTokens == 0) return df.limit(0)
+    val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("_graft_pid", spark_partition_id())
+    val wRun = Window.partitionBy("_graft_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = ranged.withColumn("_graft_run",
+      sum(col(tokensCol).cast("long")).over(wRun))
+    val totals = ranged.groupBy("_graft_pid")
+      .agg(sum(col(tokensCol).cast("long")).as("_graft_t"))
+    val wOff = Window.orderBy("_graft_pid")
+      .rowsBetween(Window.unboundedPreceding, -1) // tiny frame: ≤ parts rows
+    val offsets = totals
+      .withColumn("_graft_off", coalesce(sum("_graft_t").over(wOff), lit(0L)))
+      .drop("_graft_t")
+    run.join(broadcast(offsets), "_graft_pid")
+      .filter(col("_graft_run") + col("_graft_off") <= budgetTokens)
+      .drop("_graft_pid", "_graft_run", "_graft_off")
   }
 
   /** Stratified variant: per-stratum keep fractions (e.g. per-language

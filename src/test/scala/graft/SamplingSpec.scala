@@ -153,4 +153,42 @@ class SamplingSpec extends SparkTestBase {
       sumNeg, "id", "src", "w", Map("a" -> 0.5, "b" -> 0.5)).count())
     assert(e2.getMessage.contains("negative weight"), s"got: ${e2.getMessage}")
   }
+
+  test("tokenBudgetSelect matches the local greedy prefix and is partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"n_chars".cast("double").as("score"),
+        graft.functions.Text.bpeTokens($"text").cast("long").as("n_tokens"))
+    val rows = toks.as[(Long, Double, Long)].collect()
+    val budget = rows.map(_._3).sum / 4
+    // local greedy prefix in (score desc, id asc) order
+    var cum = 0L
+    val expected = rows.sortBy(r => (-r._2, r._1)).takeWhile { r =>
+      cum += r._3; cum <= budget
+    }.map(_._1).toSet
+    val got = Sampling.tokenBudgetSelect(toks, "doc_id", "score", "n_tokens", budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected, s"greedy prefix mismatch: ${got.size} vs ${expected.size}")
+    val repart = Sampling.tokenBudgetSelect(toks.repartition(13), "doc_id", "score",
+      "n_tokens", budget).select("doc_id").as[Long].collect().toSet
+    assert(repart == expected, "selection must not depend on input partitioning")
+  }
+
+  test("tokenBudgetSelect bounds: 0 keeps nothing, >= total keeps everything; no global-window partition") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"n_chars".cast("double").as("score"),
+        graft.functions.Text.bpeTokens($"text").cast("long").as("n_tokens"))
+    assert(Sampling.tokenBudgetSelect(toks, "doc_id", "score", "n_tokens", 0L).count() == 0)
+    val total = toks.agg(sum("n_tokens")).head().getLong(0)
+    assert(Sampling.tokenBudgetSelect(toks, "doc_id", "score", "n_tokens", total)
+      .count() == toks.count(), "budget = total tokens keeps the whole corpus")
+    // the CORPUS prefix sum must be partition-local (window keyed on the
+    // partition id); only the tiny offsets frame may single-partition
+    val plan = Sampling.tokenBudgetSelect(toks, "doc_id", "score", "n_tokens", total / 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_graft_pid"), s"expected pid-partitioned prefix sum:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "offsets must come back via broadcast, not a corpus shuffle")
+  }
 }
