@@ -206,13 +206,20 @@ object Sampling {
     * sums (window partitioned by `spark_partition_id()` — partition-local),
     * per-partition token totals reduce to ≤`shuffle.partitions` rows whose
     * exclusive prefix becomes each partition's offset, broadcast-joined
-    * back. Both branches share the same range exchange (one corpus scan,
-    * ReusedExchange); the only single-partition window runs over the tiny
-    * totals frame. Global cumulative sums are a pure function of the TOTAL
-    * (score desc, id) order, so the result is independent of input
-    * partitioning and of where the range boundaries fall. Exact long
-    * arithmetic throughout (t6's rule: token sums past 2^53 must not lose
-    * precision in doubles).
+    * back; the only single-partition window runs over the tiny totals
+    * frame. The ranged frame is MATERIALIZED (persist, the A15 level)
+    * before fan-out — this is correctness, not just the one-scan saving:
+    * `spark_partition_id()` is nondeterministic to Catalyst, so the two
+    * consumers would otherwise each re-execute the range exchange with
+    * independently SAMPLED boundaries (RangePartitioner seeds by rdd id),
+    * and a row's pid in the running-sum branch need not match the pids
+    * behind the offsets it joins — silently shifted cumulative sums. One
+    * materialization pins one boundary set for both (plan-pinned in the
+    * spec: both branches read the InMemoryTableScan). Global cumulative
+    * sums are a pure function of the TOTAL (score desc, id) order, so the
+    * result is independent of input partitioning and of where the range
+    * boundaries fall. Exact long arithmetic throughout (t6's rule: token
+    * sums past 2^53 must not lose precision in doubles).
     *
     * Pass a narrow (id, score, tokens) projection — the selection shuffles
     * its input twice (range + pid co-location), so project before, join
@@ -228,6 +235,7 @@ object Sampling {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("_graft_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wRun = Window.partitionBy("_graft_pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val run = ranged.withColumn("_graft_run",

@@ -190,5 +190,10 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("_graft_pid"), s"expected pid-partitioned prefix sum:\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "offsets must come back via broadcast, not a corpus shuffle")
+    // the ranged frame must be MATERIALIZED before fan-out: without it the
+    // two consumers re-execute the range exchange with independently
+    // sampled boundaries and the pid spaces of run and offsets can diverge
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"both branches must read one materialized ranged frame:\n$plan")
   }
 }
