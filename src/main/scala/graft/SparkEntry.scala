@@ -6,7 +6,7 @@ import graft.sources.{CsvSource, JsonlSource, ParquetSink}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, LongType, StringType, StructField, StructType}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-pipeline extensions), each with DuckDB oracle
@@ -1895,6 +1895,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_k"),
           sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
+
+    // X12b: nested/array JSON round-trip — to_json packs a struct with an
+    // ARRAY field, extractJson lifts it back against the declared nested
+    // schema; the oracle recomputes the fields straight from the table, so
+    // serialize→parse must be lossless for strings and string arrays
+    "x12b_json_nested" -> ((s, d) => {
+      val packed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          to_json(struct(col("lang"),
+            split(trim(col("text")), "\\s+").as("words"))).as("blob"))
+      SemiStructured.extractJson(packed, "blob", StructType(Seq(
+          StructField("lang", StringType),
+          StructField("words", ArrayType(StringType)))))
+        .select(col("doc_id"), col("lang"),
+          size(col("words")).cast("long").as("n_words"))
+        .orderBy("doc_id")
+    }),
 
     // X9: single-pass data-quality expectations — the ingest gate. Five
     // rules (three row predicates, two uniqueness checks) fold into ONE
@@ -3927,6 +3944,13 @@ object SparkEntry {
         "FROM (SELECT event_type, " +
         "try_cast(regexp_extract(props, '\"k\":\\s*(-?[0-9]+)', 1) AS BIGINT) AS k " +
         "FROM events) GROUP BY 1 ORDER BY 1"),
+
+    // the round-trip oracle: fields recomputed straight from the table —
+    // Spark's serialize→parse must land on the same values
+    "x12b_json_nested" ->
+      ("SELECT doc_id, lang, " +
+        "len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_words " +
+        "FROM documents ORDER BY doc_id"),
 
     // each rule recomputed as an independent conditional sum / distinct
     // count; violations count predicate-false OR predicate-null rows

@@ -51,6 +51,25 @@ class SemiStructuredSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"extractJson must not shuffle:\n$plan")
   }
 
+  test("nested struct + array round-trips through to_json -> extractJson losslessly") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.ArrayType
+    val df = Seq(
+      (1L, "en", Seq("a", "b", "c")),
+      (2L, "de", Seq.empty[String]),
+      (3L, "fr", Seq("x\"y", "z\\w"))) // JSON-escaping stress
+      .toDF("id", "lang", "words")
+    val packed = df.select(col("id"),
+      to_json(struct(col("lang"), col("words"))).as("blob"))
+    val schema = StructType(Seq(
+      StructField("lang", StringType),
+      StructField("words", ArrayType(StringType))))
+    val back = SemiStructured.extractJson(packed, "blob", schema)
+      .orderBy("id").as[(Long, String, Seq[String])].collect().toSeq
+    assert(back == Seq((1L, "en", Seq("a", "b", "c")), (2L, "de", Seq.empty[String]),
+      (3L, "fr", Seq("x\"y", "z\\w"))), "escape-heavy arrays must survive the round trip")
+  }
+
   test("x12 query row matches a hand-computed aggregate at sf0.001") {
     val out = SparkEntry.queries("x12_json_extract")(spark, "/root/testdata/sf0.001")
       .collect()
