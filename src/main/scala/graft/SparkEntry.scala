@@ -1991,6 +1991,25 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // S5j: LEAKAGE-SAFE dataset split — the split coin is tossed on the
+    // near-dup CLUSTER (d6 connected component, canonical = min id), not
+    // the document, so a train/test boundary can never separate two
+    // near-duplicates — the contamination an id-keyed split silently
+    // allows. Singleton docs (no pair) group as themselves.
+    "s5j_group_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.1))
+        .withColumnRenamed("id", "doc_id")
+      val grouped = docs.select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("group_id"))
+      Sampling.datasetSplit(grouped, "group_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "group_id", "split").orderBy("doc_id")
+    }),
+
     // S5f: data mixing — resample to a 50/30/20 target blend of three
     // sources (largest feasible output; other sources drop)
     "s5f_mixture" -> ((s, d) =>
@@ -3742,6 +3761,26 @@ object SparkEntry {
       "WITH h AS (SELECT doc_id, " +
         "('0x' || substr(md5(doc_id::VARCHAR || '_sp0'), 1, 15))::BIGINT AS h FROM documents) " +
         s"SELECT doc_id, CASE WHEN h < ${ths(0)} THEN 'train' " +
+        s"WHEN h < ${ths(1)} THEN 'val' WHEN h < ${ths(2)} THEN 'test' END AS split " +
+        "FROM h ORDER BY doc_id"
+    },
+
+    // d6's component CTE (canonical = min id) feeding s5e's hash-CASE on
+    // the GROUP id — every member of a cluster draws the same coin
+    "s5j_group_split" -> {
+      val ths = Sampling.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"WITH RECURSIVE pairs AS ($bigramJaccardSql), " +
+        "bidir AS (SELECT id_1, id_2 FROM pairs UNION SELECT id_2, id_1 FROM pairs), " +
+        "nodes AS (SELECT DISTINCT id_1 AS id FROM bidir), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT b.id_1, r.r FROM reach r JOIN bidir b ON b.id_2 = r.id), " +
+        "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id), " +
+        "g AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id " +
+        "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id), " +
+        "h AS (SELECT doc_id, group_id, " +
+        "('0x' || substr(md5(group_id::VARCHAR || '_sp0'), 1, 15))::BIGINT AS h FROM g) " +
+        s"SELECT doc_id, group_id, CASE WHEN h < ${ths(0)} THEN 'train' " +
         s"WHEN h < ${ths(1)} THEN 'val' WHEN h < ${ths(2)} THEN 'test' END AS split " +
         "FROM h ORDER BY doc_id"
     },

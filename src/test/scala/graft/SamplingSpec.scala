@@ -154,6 +154,23 @@ class SamplingSpec extends SparkTestBase {
     assert(e2.getMessage.contains("negative weight"), s"got: ${e2.getMessage}")
   }
 
+  test("s5j group split: near-duplicate pairs never straddle a split boundary") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val split = SparkEntry.queries("s5j_group_split")(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
+      "doc_id", "text", 2, 0.1)
+      .select("id_1", "id_2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs for the gate to bite")
+    val straddlers = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(straddlers.isEmpty,
+      s"near-dups split apart (train/test leak): ${straddlers.take(5).toSeq}")
+    // and it IS a split: every doc assigned, all three bands populated
+    assert(split.size == Tables.documents(spark, dir).count())
+    assert(split.values.toSet == Set("train", "val", "test"))
+  }
+
   test("tokenBudgetSelect matches the local greedy prefix and is partition-invariant") {
     import org.apache.spark.sql.functions._
     val toks = Tables.documents(spark, "/root/testdata/sf0.001")
