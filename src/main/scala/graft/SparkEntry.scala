@@ -2010,6 +2010,20 @@ object SparkEntry {
         .select("doc_id", "group_id", "split").orderBy("doc_id")
     }),
 
+    // S5k: per-source token budgets — the best-scored prefix of EACH
+    // source until that source's budget fills (fixed budgets so the
+    // oracle carries the same literals; src3 absent → dropped)
+    "s5k_group_token_budget" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("double").as("score"),
+          Text.bpeTokens(col("text")).cast("long").as("n_tokens"))
+      Sampling.tokenBudgetSelectPerGroup(toks, "doc_id", "source",
+        "score", "n_tokens", Map("src0" -> 40000L, "src1" -> 25000L, "src2" -> 10000L))
+        .select("doc_id", "source", "score", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // S5f: data mixing — resample to a 50/30/20 target blend of three
     // sources (largest feasible output; other sources drop)
     "s5f_mixture" -> ((s, d) =>
@@ -3784,6 +3798,20 @@ object SparkEntry {
         s"WHEN h < ${ths(1)} THEN 'val' WHEN h < ${ths(2)} THEN 'test' END AS split " +
         "FROM h ORDER BY doc_id"
     },
+
+    // per-source greedy prefix as a partitioned window; the CASE budget
+    // mirrors the operator's literal map (absent source → -1 → dropped)
+    "s5k_group_token_budget" ->
+      ("WITH toks AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens " +
+        "FROM documents), " +
+        "sel AS (SELECT doc_id, source, score, n_tokens, " +
+        "sum(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM toks) " +
+        "SELECT doc_id, source, score, n_tokens FROM sel " +
+        "WHERE cum <= CASE source WHEN 'src0' THEN 40000 WHEN 'src1' THEN 25000 " +
+        "WHEN 'src2' THEN 10000 ELSE -1 END " +
+        "ORDER BY doc_id"),
 
     // mirrors mixtureSample's fixed arithmetic shape: cap = n/share,
     // T = min(cap), p = least(1, T*share/n), threshold = floor(p * 2^60)

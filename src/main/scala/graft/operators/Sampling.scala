@@ -252,6 +252,35 @@ object Sampling {
       .drop("_graft_pid", "_graft_run", "_graft_off")
   }
 
+  /** S5k — [[tokenBudgetSelect]] per GROUP: the best-scored prefix of each
+    * group until that group's budget fills ("2B tokens per language" — the
+    * form a mixing recipe actually states). Groups absent from `budgets`
+    * are dropped.
+    *
+    * Scale shape: here the running sum needs no prefix-sum machinery — the
+    * window partitions on the group key, so it is one keyed exchange and a
+    * per-group sorted fold; groups are the parallelism unit (fine when
+    * groups are many or group sizes bounded — the per-language case; for
+    * ONE giant group use [[tokenBudgetSelect]]). Exact long arithmetic.
+    */
+  def tokenBudgetSelectPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                                scoreCol: String, tokensCol: String,
+                                budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetSelectPerGroup: empty budgets")
+    require(budgets.values.forall(_ >= 0), "tokenBudgetSelectPerGroup: negative budget")
+    require(!df.columns.contains("_graft_run"),
+      "tokenBudgetSelectPerGroup: reserved column _graft_run present")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.foldLeft(lit(-1L)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    df.withColumn("_graft_run", sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("_graft_run") <= budget)
+      .drop("_graft_run")
+  }
+
   /** Stratified variant: per-stratum keep fractions (e.g. per-language
     * corpus balancing). Strata absent from the map are dropped.
     */

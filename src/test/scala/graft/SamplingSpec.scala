@@ -191,6 +191,29 @@ class SamplingSpec extends SparkTestBase {
     assert(repart == expected, "selection must not depend on input partitioning")
   }
 
+  test("tokenBudgetSelectPerGroup matches per-group local greedy; absent groups drop") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"source", $"n_chars".cast("double").as("score"),
+        graft.functions.Text.bpeTokens($"text").cast("long").as("n_tokens"))
+    val budgets = Map("src0" -> 3000L, "src1" -> 1500L)
+    val rows = toks.as[(Long, String, Double, Long)].collect()
+    val expected = rows.groupBy(_._2).collect {
+      case (g, members) if budgets.contains(g) =>
+        var cum = 0L
+        members.sortBy(r => (-r._3, r._1)).takeWhile { r =>
+          cum += r._4; cum <= budgets(g)
+        }.map(_._1)
+    }.flatten.toSet
+    val got = Sampling.tokenBudgetSelectPerGroup(toks, "doc_id", "source",
+      "score", "n_tokens", budgets).select("doc_id").as[Long].collect().toSet
+    assert(got == expected, s"per-group prefix mismatch: ${got.size} vs ${expected.size}")
+    assert(expected.nonEmpty, "fixture budgets must bind")
+    val repart = Sampling.tokenBudgetSelectPerGroup(toks.repartition(7), "doc_id",
+      "source", "score", "n_tokens", budgets).select("doc_id").as[Long].collect().toSet
+    assert(repart == expected, "selection must not depend on input partitioning")
+  }
+
   test("tokenBudgetSelect bounds: 0 keeps nothing, >= total keeps everything; no global-window partition") {
     import org.apache.spark.sql.functions._
     val toks = Tables.documents(spark, "/root/testdata/sf0.001")
