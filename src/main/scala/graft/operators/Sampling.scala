@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Text
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -224,13 +224,33 @@ object Sampling {
     * Pass a narrow (id, score, tokens) projection — the selection shuffles
     * its input twice (range + pid co-location), so project before, join
     * bodies back after on the id.
+    *
+    * Token-count contract: `tokensCol` must be NON-NULL and ≥ 0 on every
+    * row — a negative count makes the cumulative sum non-monotone (the
+    * `cum ≤ budget` filter is then no longer the greedy prefix) and a null
+    * is skipped by the window sum (the row would ride along at zero cost).
+    * Both are data errors, so they FAIL the job loudly (a guarded
+    * `raise_error` fused into the cast — no extra validation pass) rather
+    * than silently corrupt the selection, mirroring
+    * [[mixtureSampleByWeight]]'s negative-weight enforcement.
+    *
+    * Cache lifecycle: the ranged frame's persist is REQUIRED for
+    * pid-consistency (see above). `release = false` (default) leaves it
+    * cached — right inside a query where the session ends with the job.
+    * `release = true` follows the repo's loan contract
+    * (`Dedup.withPersistedSets`): the (budget-bounded) selected prefix is
+    * materialized into its own persist and the ranged frame is unpersisted
+    * before returning, so repeated calls in a long-lived session leave no
+    * cache residue; the caller owns the returned frame's persist.
     */
   def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
-                        tokensCol: String, budgetTokens: Long): DataFrame = {
+                        tokensCol: String, budgetTokens: Long,
+                        release: Boolean = false): DataFrame = {
     require(budgetTokens >= 0, "tokenBudgetSelect: budget must be >= 0")
     val reserved = Set("_graft_pid", "_graft_run", "_graft_off")
     require(!df.columns.exists(reserved), s"tokenBudgetSelect: reserved column present")
     if (budgetTokens == 0) return df.limit(0)
+    val toks = checkedTokens(tokensCol, "tokenBudgetSelect")
     val order = Seq(col(scoreCol).desc, col(idCol).asc)
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df.repartitionByRange(parts, order: _*)
@@ -238,19 +258,33 @@ object Sampling {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wRun = Window.partitionBy("_graft_pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val run = ranged.withColumn("_graft_run",
-      sum(col(tokensCol).cast("long")).over(wRun))
-    val totals = ranged.groupBy("_graft_pid")
-      .agg(sum(col(tokensCol).cast("long")).as("_graft_t"))
+    val run = ranged.withColumn("_graft_run", sum(toks).over(wRun))
+    val totals = ranged.groupBy("_graft_pid").agg(sum(toks).as("_graft_t"))
     val wOff = Window.orderBy("_graft_pid")
       .rowsBetween(Window.unboundedPreceding, -1) // tiny frame: ≤ parts rows
     val offsets = totals
       .withColumn("_graft_off", coalesce(sum("_graft_t").over(wOff), lit(0L)))
       .drop("_graft_t")
-    run.join(broadcast(offsets), "_graft_pid")
+    val res = run.join(broadcast(offsets), "_graft_pid")
       .filter(col("_graft_run") + col("_graft_off") <= budgetTokens)
       .drop("_graft_pid", "_graft_run", "_graft_off")
+    if (!release) res
+    else {
+      val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // force: the prefix must never silently recompute the range
+      ranged.unpersist()
+      out
+    }
   }
+
+  /** Validated long token count: non-null and ≥ 0 or the job fails with a
+    * row-level error (see [[tokenBudgetSelect]]'s token-count contract).
+    */
+  private def checkedTokens(tokensCol: String, op: String): Column =
+    when(col(tokensCol).isNotNull && col(tokensCol) >= 0, col(tokensCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"$op: $tokensCol must be non-null and >= 0, got "),
+        coalesce(col(tokensCol).cast("string"), lit("NULL")))))
 
   /** S5k — [[tokenBudgetSelect]] per GROUP: the best-scored prefix of each
     * group until that group's budget fills ("2B tokens per language" — the
@@ -262,6 +296,8 @@ object Sampling {
     * per-group sorted fold; groups are the parallelism unit (fine when
     * groups are many or group sizes bounded — the per-language case; for
     * ONE giant group use [[tokenBudgetSelect]]). Exact long arithmetic.
+    * Token counts follow [[tokenBudgetSelect]]'s contract: null or
+    * negative `tokensCol` fails the job loudly.
     */
   def tokenBudgetSelectPerGroup(df: DataFrame, idCol: String, groupCol: String,
                                 scoreCol: String, tokensCol: String,
@@ -276,7 +312,8 @@ object Sampling {
     val budget = budgets.foldLeft(lit(-1L)) { case (acc, (g, b)) =>
       when(col(groupCol) === g, lit(b)).otherwise(acc)
     }
-    df.withColumn("_graft_run", sum(col(tokensCol).cast("long")).over(w))
+    df.withColumn("_graft_run",
+        sum(checkedTokens(tokensCol, "tokenBudgetSelectPerGroup")).over(w))
       .filter(col("_graft_run") <= budget)
       .drop("_graft_run")
   }

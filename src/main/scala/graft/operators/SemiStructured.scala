@@ -53,8 +53,11 @@ object SemiStructured {
     require(!df.columns.contains(ParsedCol),
       s"extractJson: reserved column $ParsedCol present in input")
     val parsed = df.withColumn(ParsedCol, from_json(col(jsonCol), schema))
+    // getField, not col("parsed.f"): a schema field whose NAME contains a
+    // dot (legal in JSON) must resolve as the exact struct field, not be
+    // re-parsed as a nested column path
     val lifted = schema.fieldNames.foldLeft(parsed) { (acc, f) =>
-      acc.withColumn(f, col(s"$ParsedCol.$f"))
+      acc.withColumn(f, col(ParsedCol).getField(f))
     }
     val out = lifted.drop(ParsedCol)
     if (keepRaw) out else out.drop(jsonCol)

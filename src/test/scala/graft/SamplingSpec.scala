@@ -236,4 +236,54 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
       s"both branches must read one materialized ranged frame:\n$plan")
   }
+
+  test("tokenBudgetSelect release=true drops the ranged-frame cache, same selection (ADVICE r11)") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"n_chars".cast("double").as("score"),
+        graft.functions.Text.bpeTokens($"text").cast("long").as("n_tokens"))
+    val budget = toks.agg(sum("n_tokens")).head().getLong(0) / 4
+    // default path first (leaves its documented cache; gives the expected set)
+    val expected = Sampling.tokenBudgetSelect(toks, "doc_id", "score", "n_tokens", budget)
+      .select("doc_id").as[Long].collect().toSet
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    // distinct input plan (repartition count used NOWHERE else in this
+    // suite) so CacheManager cannot dedupe the release call's ranged frame
+    // onto another test's cache entry — the count below must isolate THIS
+    // call's residue
+    val out = Sampling.tokenBudgetSelect(toks.repartition(11), "doc_id", "score",
+      "n_tokens", budget, release = true)
+    assert(out.select("doc_id").as[Long].collect().toSet == expected,
+      "release variant must select the identical prefix")
+    // loan contract: only the materialized prefix remains cached — the
+    // ranged frame was unpersisted inside the call
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline + 1,
+      "exactly one new cache entry (the materialized prefix) may remain")
+    out.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline,
+      "after the caller releases the result, no cache residue remains")
+  }
+
+  test("null or negative token counts fail the job loudly (ADVICE r11)") {
+    import org.apache.spark.sql.functions._
+    val base = spark.range(20).select($"id".as("doc_id"),
+      $"id".cast("double").as("score"), lit(10L).as("n_tokens"))
+    val neg = base.withColumn("n_tokens",
+      when($"doc_id" === 7, lit(-3L)).otherwise($"n_tokens"))
+    val ex1 = intercept[Exception] {
+      Sampling.tokenBudgetSelect(neg, "doc_id", "score", "n_tokens", 100L).collect()
+    }
+    assert(ex1.getMessage != null)
+    val nul = base.withColumn("n_tokens",
+      when($"doc_id" === 3, lit(null).cast("long")).otherwise($"n_tokens"))
+    intercept[Exception] {
+      Sampling.tokenBudgetSelect(nul, "doc_id", "score", "n_tokens", 100L).collect()
+    }
+    val grp = base.withColumn("g", lit("a"))
+    intercept[Exception] {
+      Sampling.tokenBudgetSelectPerGroup(
+        grp.withColumn("n_tokens", when($"doc_id" === 7, lit(-3L)).otherwise($"n_tokens")),
+        "doc_id", "g", "score", "n_tokens", Map("a" -> 100L)).collect()
+    }
+  }
 }

@@ -85,4 +85,13 @@ class SemiStructuredSpec extends SparkTestBase {
       r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(got == expected, "from_json aggregate must equal the direct fold")
   }
+
+  test("a field name containing a dot resolves as the exact field (ADVICE r11)") {
+    val df = Seq((1L, """{"a.b": 7, "a": {"b": 99}}""")).toDF("id", "props")
+    val out = SemiStructured.extractJson(df, "props",
+      StructType(Seq(StructField("a.b", LongType))))
+    // getField semantics: the literal top-level "a.b" key, NOT the nested
+    // a→b path a parsed column string would have resolved to
+    assert(out.select(out("`a.b`")).as[Long].head() == 7L)
+  }
 }
