@@ -1019,6 +1019,23 @@ object SparkEntry {
       Dedup.ngramJaccardPairsSparse(Tables.documents(s, d), "doc_id", "text", 3, 0.2, maxDf = 50)
         .orderBy("id_1", "id_2")),
 
+    // D4c: the df-distribution diagnostic behind the sparse path's cap —
+    // per-df shingle counts, the candidate pairs each df stratum costs,
+    // and the running total (the cost model maxDf derivation reads)
+    "d4c_df_stats" -> ((s, d) =>
+      Dedup.shingleDfStats(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy("df")),
+
+    // D4d: sparse Jaccard with the cap DERIVED from a candidate-pair
+    // budget — the oracle re-derives the same ceiling from the same
+    // histogram in SQL, so the derivation arithmetic itself is gated.
+    // Budget 12000 binds at every SF (ceiling 3 at sf0.001/0.01, 4 at
+    // sf0.1), so the pruning path — not just the derivation — is exercised
+    "d4d_jaccard_sparse_auto" -> ((s, d) =>
+      Dedup.ngramJaccardPairsSparseAuto(Tables.documents(s, d), "doc_id", "text",
+        3, 0.2, budgetPairs = 12000L)
+        .orderBy("id_1", "id_2")),
+
     // D6: connected components over the exact bigram-Jaccard pairs —
     // pairs → clusters, component = min id (the canonical keep)
     "d6_components" -> ((s, d) =>
@@ -2891,6 +2908,17 @@ object SparkEntry {
 
   private val bigramJaccardSql: String = bigramJaccardSqlOver("documents", 0.1)
 
+  /** The distinct-trigram sets CTE over `documents` — shared by the d4b /
+    * d4c / d4d oracles so the shingling text can never drift between the
+    * fixed-cap, diagnostic, and derived-cap rows.
+    */
+  private val trigramShCte: String =
+    "sh AS (SELECT doc_id, list_distinct(list_transform(" +
+      "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1), " +
+      "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
+      "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' || " +
+      "regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM documents)"
+
   /** DuckDB SQL equivalents — one per `queries` entry, zero omissions: the
     * LSH paths use ordinal sketches (comparisons only, no float
     * arithmetic), so even the approximate paths replay bit-identically.
@@ -3083,13 +3111,47 @@ object SparkEntry {
         "WHERE levenshtein(d1.text, d2.text) <= 40 ORDER BY id_1, id_2"),
 
     "d4b_jaccard_sparse" ->
-      ("WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
-        "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1), " +
-        "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
-        "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' || " +
-        "regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM documents), " +
+      (s"WITH $trigramShCte, " +
         "inv AS (SELECT doc_id, unnest(grams) AS g FROM sh), " +
         "rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 50), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2 " +
+        "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id " +
+        "WHERE a.g IN (SELECT g FROM rare)), " +
+        "v AS (SELECT c.id_1, c.id_2, " +
+        "len(list_intersect(s1.grams, s2.grams))::DOUBLE AS inter, " +
+        "(len(s1.grams) + len(s2.grams))::DOUBLE AS sz " +
+        "FROM cand c JOIN sh s1 ON c.id_1 = s1.doc_id JOIN sh s2 ON c.id_2 = s2.doc_id) " +
+        "SELECT id_1, id_2, round(CASE WHEN sz > inter THEN inter / (sz - inter) " +
+        "ELSE 0 END, 6) AS jaccard FROM v " +
+        "WHERE round(CASE WHEN sz > inter THEN inter / (sz - inter) ELSE 0 END, 6) >= 0.2 " +
+        "ORDER BY id_1, id_2"),
+
+    // the df histogram recomputed over raw grams (Spark counts 64-bit
+    // shingle keys — identical modulo hash collisions, as everywhere);
+    // df*(df-1) is even so // 2 is exact integer arithmetic in both engines
+    "d4c_df_stats" ->
+      (s"WITH $trigramShCte, " +
+        "inv AS (SELECT doc_id, unnest(grams) AS g FROM sh), " +
+        "dfs AS (SELECT g, count(*) AS df FROM inv GROUP BY g), " +
+        "hist AS (SELECT df, count(*)::BIGINT AS n_shingles FROM dfs GROUP BY df), " +
+        "c AS (SELECT df, n_shingles, " +
+        "(n_shingles * (df * (df - 1) // 2))::BIGINT AS pair_cost FROM hist) " +
+        "SELECT df, n_shingles, pair_cost, " +
+        "(sum(pair_cost) OVER (ORDER BY df))::BIGINT AS cum_pair_cost " +
+        "FROM c ORDER BY df"),
+
+    // d4b's pipeline with the ceiling DERIVED in SQL from the same
+    // histogram + budget the Spark side uses: greatest(max df with
+    // cum cost <= 12000, 2) — gates the derivation arithmetic, not just
+    // the pruned pair set
+    "d4d_jaccard_sparse_auto" ->
+      (s"WITH $trigramShCte, " +
+        "inv AS (SELECT doc_id, unnest(grams) AS g FROM sh), " +
+        "dfs AS (SELECT g, count(*) AS df FROM inv GROUP BY g), " +
+        "hist AS (SELECT df, count(*) AS n FROM dfs GROUP BY df), " +
+        "cum AS (SELECT df, sum(n * (df * (df - 1) // 2)) OVER (ORDER BY df) AS c FROM hist), " +
+        "lim AS (SELECT greatest(coalesce((SELECT max(df) FROM cum WHERE c <= 12000), 2), 2) AS maxdf), " +
+        "rare AS (SELECT g FROM dfs WHERE df <= (SELECT maxdf FROM lim)), " +
         "cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2 " +
         "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id " +
         "WHERE a.g IN (SELECT g FROM rare)), " +

@@ -266,16 +266,99 @@ object Dedup {
     // table is the corpus reduced to 8-byte keys (~1-2% of text size) —
     // persisting it is the standard inverted-index-build trade.
     withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
-      val inv = sets.select(col(idCol).as("id"), explode(col("shs")).as("sk"))
-      val rare = inv.join(
-        inv.groupBy("sk").agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf).select("sk"),
-        "sk")
-      val candidates = rare.select(col("id").as("id_1"), col("sk"))
-        .join(rare.select(col("id").as("id_2"), col("sk")), "sk")
-        .filter(col("id_1") < col("id_2"))
-        .select("id_1", "id_2").distinct()
-      verifyJaccard(candidates, sets, idCol, threshold)
+      sparseJaccardFromSets(sets, idCol, threshold, maxDf)
     }
+
+  /** The df-capped candidate+verify body over prepared sets — shared by
+    * the fixed-ceiling ([[ngramJaccardPairsSparse]]) and budget-derived
+    * ([[ngramJaccardPairsSparseAuto]]) entry points so the candidate
+    * semantics can never diverge between them.
+    */
+  private def sparseJaccardFromSets(sets: DataFrame, idCol: String,
+                                    threshold: Double, maxDf: Int): DataFrame = {
+    val inv = sets.select(col(idCol).as("id"), explode(col("shs")).as("sk"))
+    val rare = inv.join(
+      inv.groupBy("sk").agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf).select("sk"),
+      "sk")
+    val candidates = rare.select(col("id").as("id_1"), col("sk"))
+      .join(rare.select(col("id").as("id_2"), col("sk")), "sk")
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2").distinct()
+    verifyJaccard(candidates, sets, idCol, threshold)
+  }
+
+  /** D4c — document-frequency distribution diagnostic for the sparse
+    * inverted-index path: one row per distinct shingle df with the number
+    * of shingles at that df, the candidate pairs those shingles generate
+    * (`n_shingles · df·(df−1)/2` — each df-frequency shingle emits a
+    * df-choose-2 self-join block), and the running total. This is the
+    * cost model behind choosing `maxDf`: the candidate-generation cost of
+    * [[ngramJaccardPairsSparse]] at ceiling c is exactly
+    * `cum_pair_cost(c)`, so the histogram turns "pick a df cap" from a
+    * guess into reading one column. (VERDICT r11 #1 — the j6/autoBlocks
+    * pattern applied to the one measured super-linear scale row, d4b.)
+    *
+    * Scale shape: ONE map-side-combined (shingle-key, count) aggregate —
+    * the same exchange the sparse path's df-count already pays — reduced
+    * to a ≤|distinct dfs| histogram (heavy-tailed corpora have thousands
+    * of distinct df values, not millions); the cumulative window runs over
+    * that tiny frame only. Shingles are the usual 64-bit keys, so two
+    * grams colliding merge their dfs — the same accepted divergence as
+    * the index itself.
+    */
+  def shingleDfStats(df: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame =
+    dfHistogram(shingleSets(df, idCol, textCol, n))
+
+  private def dfHistogram(sets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = sets.select(explode(col("shs")).as("sk"))
+      .groupBy("sk").agg(count(lit(1)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("n_shingles"))
+      // df·(df−1) is even, so DIV 2 is exact long arithmetic
+      .withColumn("pair_cost", expr("n_shingles * (df * (df - 1) DIV 2)"))
+    val wCum = Window.orderBy("df") // tiny frame: ≤ |distinct df values| rows
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum_pair_cost", sum("pair_cost").over(wCum))
+  }
+
+  /** [[ngramJaccardPairsSparse]] with the df ceiling DERIVED from a
+    * candidate-pair budget instead of hand-picked: the largest `maxDf`
+    * whose cumulative candidate cost (see [[shingleDfStats]]) stays within
+    * `budgetPairs`, floored at 2 (a ceiling below 2 generates no
+    * candidates at all — if even the df=2 shingles blow the budget the
+    * floor keeps the operator productive and the caller sees the real
+    * cost in the diagnostic). This is what keeps the sparse path's
+    * per-task memory flat as the corpus grows: a fixed hand-picked cap
+    * admits ~linearly more candidates at 10× data, while a fixed PAIR
+    * budget adapts the cap downward so candidate volume — the thing task
+    * memory and shuffle actually scale with — stays bounded.
+    *
+    * Recall trade (document with the corpus, as with the fixed cap): only
+    * candidate GENERATION is restricted — verification still uses full
+    * sets — so lowering the ceiling loses exactly the pairs whose entire
+    * overlap sits in shingles above it. The derived ceiling is returned
+    * nowhere; read it from [[shingleDfStats]] + `budgetPairs` (the
+    * derivation is one deterministic filter over that histogram, and the
+    * d4d oracle reproduces it in SQL).
+    *
+    * The histogram pass reuses the SAME persisted sets as the pair
+    * pipeline (one extra tiny aggregate, no re-shingling); the one-row
+    * ceiling collect is the bounded driver step (the s5i-total pattern).
+    */
+  def ngramJaccardPairsSparseAuto(df: DataFrame, idCol: String, textCol: String,
+                                  n: Int, threshold: Double, budgetPairs: Long,
+                                  releaseSets: Boolean = false): DataFrame = {
+    require(budgetPairs >= 0, "ngramJaccardPairsSparseAuto: budget must be >= 0")
+    withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
+      val row = dfHistogram(sets)
+        .filter(col("cum_pair_cost") <= budgetPairs)
+        .agg(max("df")).head()
+      val ceiling = if (row.isNullAt(0)) 2 else math.max(2L, row.getLong(0))
+      sparseJaccardFromSets(sets, idCol, threshold,
+        math.min(ceiling, Int.MaxValue.toLong).toInt)
+    }
+  }
 
   /** Incremental ingest dedup — the daily-batch form of [[exact]]: keep
     * only NEW documents whose normalized fingerprint does not already

@@ -618,4 +618,50 @@ class DedupSpec extends SparkTestBase {
     res.unpersist(blocking = true)
     assert((cachedIds -- baseline).isEmpty, "no lingering cache after caller release")
   }
+
+  test("shingleDfStats: histogram accounts for every posting; cost columns are exact (D4c)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val hist = Dedup.shingleDfStats(docs, "doc_id", "text", 3)
+      .orderBy("df").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(hist.nonEmpty)
+    // every posting lands in exactly one stratum: sum(df * n_shingles) ==
+    // total postings (= sum of per-doc distinct-shingle counts)
+    val postings = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      .agg(sum("n_sh")).head().getLong(0)
+    assert(hist.map { case (df, n, _, _) => df * n }.sum == postings,
+      "histogram must partition the posting list")
+    // per-stratum cost is n · C(df,2); the cumulative column is its prefix sum
+    var cum = 0L
+    hist.foreach { case (df, n, cost, cumCost) =>
+      assert(cost == n * (df * (df - 1) / 2), s"cost at df=$df")
+      cum += cost
+      assert(cumCost == cum, s"cum at df=$df")
+    }
+  }
+
+  test("ngramJaccardPairsSparseAuto: unbounded budget = exact; binding budget = hand-derived ceiling (D4d)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // unbounded budget → ceiling = max df → candidates unrestricted; any
+    // pair at jaccard >= t shares a shingle, so the result is the exact set
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val unbounded = Dedup.ngramJaccardPairsSparseAuto(docs, "doc_id", "text", 3, 0.2,
+      budgetPairs = Long.MaxValue)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(unbounded == exact, "unbounded budget must reproduce the exact result")
+    // binding budget → the same result as the fixed-cap path at the
+    // ceiling derived by hand from the histogram
+    val budget = 10000L
+    val hist = Dedup.shingleDfStats(docs, "doc_id", "text", 3)
+      .orderBy("df").as[(Long, Long, Long, Long)].collect().toSeq
+    val ceiling = math.max(2L,
+      hist.filter(_._4 <= budget).map(_._1).maxOption.getOrElse(2L))
+    assert(ceiling < hist.map(_._1).max, "fixture budget must actually bind")
+    val auto = Dedup.ngramJaccardPairsSparseAuto(docs, "doc_id", "text", 3, 0.2,
+      budgetPairs = budget).select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val fixed = Dedup.ngramJaccardPairsSparse(docs, "doc_id", "text", 3, 0.2,
+      maxDf = ceiling.toInt).select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(auto == fixed, s"auto(budget=$budget) must equal fixed(maxDf=$ceiling)")
+    assert(auto.subsetOf(exact), "pruning may lose recall, never invent pairs")
+  }
 }
