@@ -2027,6 +2027,36 @@ object SparkEntry {
         .select("doc_id", "group_id", "split").orderBy("doc_id")
     }),
 
+    // S5j2: s5j's PRODUCTION form (VERDICT r11 #2) — the same leakage-safe
+    // group split, but the near-dup pair set comes from the MATERIALIZED
+    // MinHash index (d2c's staging pattern: build+shard once, keyed on the
+    // source file identity; replays scan ONLY the index): components over
+    // minhashNearDupPairsFromIndex, then the identical group-keyed coin.
+    // At 100 TB the split job stops riding a full exact-pairs pipeline
+    // over raw text — it reads the ~1% index, never the corpus. Trigram
+    // j >= 0.5 pairs (the d2 family's regime; banding recall gated there)
+    "s5j2_group_split_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val idxDir =
+        s"${scratchDir(d)}/s5j2_minhash_index_${stageKey(srcFile, "full_n3b32r2")}"
+      if (!new java.io.File(s"$idxDir/bands/_SUCCESS").exists()) {
+        Dedup.writeMinhashIndex(
+          Dedup.buildMinhashIndex(docs, "doc_id", "text"), idxDir, "doc_id", shards = 4)
+      }
+      val pairs = Dedup.minhashNearDupPairsFromIndex(
+        Dedup.readMinhashIndex(s, idxDir), "doc_id", threshold = 0.5)
+      val labels = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val grouped = docs.select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("group_id"))
+      Sampling.datasetSplit(grouped, "group_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "group_id", "split").orderBy("doc_id")
+    }),
+
     // S5k: per-source token budgets — the best-scored prefix of EACH
     // source until that source's budget fills (fixed budgets so the
     // oracle carries the same literals; src3 absent → dropped)
@@ -2910,7 +2940,8 @@ object SparkEntry {
 
   /** The distinct-trigram sets CTE over `documents` — shared by the d4b /
     * d4c / d4d oracles so the shingling text can never drift between the
-    * fixed-cap, diagnostic, and derived-cap rows.
+    * fixed-cap, diagnostic, and derived-cap rows. Declared BEFORE its
+    * consumers: object vals initialize in order.
     */
   private val trigramShCte: String =
     "sh AS (SELECT doc_id, list_distinct(list_transform(" +
@@ -2918,6 +2949,20 @@ object SparkEntry {
       "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
       "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' || " +
       "regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM documents)"
+
+  /** Exact trigram-Jaccard pairs at j ≥ 0.5 over `documents` — the d2
+    * family's oracle relation (the LSH output equals it: full banding
+    * recall at this threshold on the corpus, no false positives by exact
+    * verify). Shared by the d2 row and the s5j2 indexed-split oracle.
+    */
+  private val trigramJaccardSql: String =
+    s"WITH $trigramShCte, " +
+      "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh) " +
+      "SELECT a.doc_id AS id_1, b.doc_id AS id_2, " +
+      "round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard " +
+      "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
+      "GROUP BY a.doc_id, b.doc_id " +
+      "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5"
 
   /** DuckDB SQL equivalents — one per `queries` entry, zero omissions: the
     * LSH paths use ordinal sketches (comparisons only, no float
@@ -3498,19 +3543,7 @@ object SparkEntry {
       ("SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint, " +
         "min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1"),
 
-    "d2_minhash_lsh" ->
-      ("WITH sh AS (SELECT doc_id, list_distinct(list_transform(" +
-        "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1), " +
-        "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
-        "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' || " +
-        "regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM documents), " +
-        "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh) " +
-        "SELECT a.doc_id AS id_1, b.doc_id AS id_2, " +
-        "round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard " +
-        "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
-        "GROUP BY a.doc_id, b.doc_id " +
-        "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5 " +
-        "ORDER BY id_1, id_2"),
+    "d2_minhash_lsh" -> (trigramJaccardSql + " ORDER BY id_1, id_2"),
 
     "d4_ngram_jaccard" -> (bigramJaccardSql + " ORDER BY id_1, id_2"),
 
@@ -3865,6 +3898,27 @@ object SparkEntry {
       val ths = Sampling.splitThresholds(
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       s"WITH RECURSIVE pairs AS ($bigramJaccardSql), " +
+        "bidir AS (SELECT id_1, id_2 FROM pairs UNION SELECT id_2, id_1 FROM pairs), " +
+        "nodes AS (SELECT DISTINCT id_1 AS id FROM bidir), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT b.id_1, r.r FROM reach r JOIN bidir b ON b.id_2 = r.id), " +
+        "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id), " +
+        "g AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id " +
+        "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id), " +
+        "h AS (SELECT doc_id, group_id, " +
+        "('0x' || substr(md5(group_id::VARCHAR || '_sp0'), 1, 15))::BIGINT AS h FROM g) " +
+        s"SELECT doc_id, group_id, CASE WHEN h < ${ths(0)} THEN 'train' " +
+        s"WHEN h < ${ths(1)} THEN 'val' WHEN h < ${ths(2)} THEN 'test' END AS split " +
+        "FROM h ORDER BY doc_id"
+    },
+
+    // s5j's split over the INDEX-derived pair set: the d2 relation (exact
+    // trigram j >= 0.5 — what the banded index yields, recall gated by the
+    // d2 row) feeding the same component CTE and hash-CASE coin
+    "s5j2_group_split_indexed" -> {
+      val ths = Sampling.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"WITH RECURSIVE pairs AS ($trigramJaccardSql), " +
         "bidir AS (SELECT id_1, id_2 FROM pairs UNION SELECT id_2, id_1 FROM pairs), " +
         "nodes AS (SELECT DISTINCT id_1 AS id FROM bidir), " +
         "reach(id, r) AS (SELECT id, id FROM nodes " +

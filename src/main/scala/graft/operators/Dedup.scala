@@ -996,6 +996,29 @@ object Dedup {
       newDocs.join(matched, newDocs(idCol) === matched("id_1"), "left_anti")
     }
 
+  /** ALL near-dup pairs of the indexed corpus, from the materialized
+    * [[MinhashIndex]] alone — the self-join form of
+    * [[minhashIncrementalFromIndex]]: candidates are the band index
+    * equi-joined against itself, verification runs on `index.sets`, and
+    * the corpus TEXT is never touched (no re-shingling, no re-signing).
+    * This is the production input to corpus-wide clustering jobs —
+    * leakage-safe splits, canonical-keep — which otherwise ride a full
+    * exact-pairs pipeline over raw text every run (s5j vs s5j2): at
+    * 100 TB the index is a ~1% reduction of the corpus and the only
+    * thing this ever scans. Recall is the banding S-curve, exactly as
+    * [[minhashNearDups]] (bit-identical to it on the same corpus and
+    * parameters — spec-gated); no false positives (exact verify).
+    */
+  def minhashNearDupPairsFromIndex(index: MinhashIndex, idCol: String,
+                                   threshold: Double): DataFrame = {
+    val candidates = index.bands.select(col(idCol).as("id_1"), col("band"), col("bkey"))
+      .join(index.bands.select(col(idCol).as("id_2"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2").distinct()
+    verifyJaccard2(candidates, index.sets, index.sets, idCol, threshold)
+  }
+
   /** The decontamination probe structure: `sets` = the TRAIN corpus'
     * shingle sets (id, n_sh, shs — what exact containment verifies
     * against), `rareInv` = the df-capped inverted index (train_id, sk)

@@ -619,6 +619,18 @@ class DedupSpec extends SparkTestBase {
     assert((cachedIds -- baseline).isEmpty, "no lingering cache after caller release")
   }
 
+  test("minhashNearDupPairsFromIndex bit-matches the one-shot self-join (S5j2 input)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val oneShot = Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fromIndex = Dedup.minhashNearDupPairsFromIndex(
+      Dedup.buildMinhashIndex(docs, "doc_id", "text"), "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(oneShot.nonEmpty, "fixture must contain near-dup pairs")
+    assert(fromIndex == oneShot,
+      "index self-join must reproduce the one-shot banding relation exactly")
+  }
+
   test("shingleDfStats: histogram accounts for every posting; cost columns are exact (D4c)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val hist = Dedup.shingleDfStats(docs, "doc_id", "text", 3)

@@ -171,6 +171,29 @@ class SamplingSpec extends SparkTestBase {
     assert(split.values.toSet == Set("train", "val", "test"))
   }
 
+  test("s5j2 indexed split: no straddling pairs over ITS index pair set (VERDICT r11 #2)") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val split = SparkEntry.queries("s5j2_group_split_indexed")(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // the pair set this split must respect is the INDEX's own relation —
+    // replay it from the staged index the query just built
+    val idxDir = {
+      val f = new java.io.File(s"$dir/documents.parquet")
+      s"/root/repo/target/tmp/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+        s"/s5j2_minhash_index_${f.lastModified}_${f.length}_full_n3b32r2"
+    }
+    val pairs = Dedup.minhashNearDupPairsFromIndex(
+      Dedup.readMinhashIndex(spark, idxDir), "doc_id", 0.5)
+      .select("id_1", "id_2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs for the gate to bite")
+    val straddlers = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(straddlers.isEmpty,
+      s"index near-dups split apart (train/test leak): ${straddlers.take(5).toSeq}")
+    assert(split.size == Tables.documents(spark, dir).count())
+    assert(split.values.toSet == Set("train", "val", "test"))
+  }
+
   test("tokenBudgetSelect matches the local greedy prefix and is partition-invariant") {
     import org.apache.spark.sql.functions._
     val toks = Tables.documents(spark, "/root/testdata/sf0.001")
