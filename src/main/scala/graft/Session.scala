@@ -47,7 +47,10 @@ object Session {
 
   /** Apply graft's runtime-settable defaults to an externally-built session
     * (the Verify/Bench drivers build their own). Static confs are skipped by
-    * Spark automatically when already fixed.
+    * Spark automatically when already fixed. Also registers the `graft_*`
+    * SQL functions (idempotent — re-registration overwrites in place), so
+    * a tuned session has the same SQL surface as [[get]]: the SQL-text
+    * rows (s5l, x12c, q_*_sql) must resolve them under any driver.
     */
   def tune(spark: SparkSession): SparkSession = {
     val runtime = Seq(
@@ -60,6 +63,7 @@ object Session {
       try spark.conf.set(k, v)
       catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
+    graft.plans.GraftExtensions.registerFunctions(spark)
     spark
   }
 }

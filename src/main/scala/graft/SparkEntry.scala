@@ -2071,6 +2071,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // S5l: the s5k relation stated as PURE SQL TEXT on the registered
+    // views, tokenized by the REGISTERED graft_bpe_tokens function
+    // (VERDICT r11 #7): proves a SQL-only front-end user can run the
+    // per-group token-budget curation cut — same literals, same greedy
+    // window — without touching the Scala API. Catalyst plans the same
+    // keyed exchange + sorted window as the operator form.
+    "s5l_sql_token_budget" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        "WITH toks AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score, " +
+          "CAST(graft_bpe_tokens(text) AS BIGINT) AS n_tokens FROM documents), " +
+          "sel AS (SELECT doc_id, source, score, n_tokens, " +
+          "sum(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM toks) " +
+          "SELECT doc_id, source, score, n_tokens FROM sel " +
+          "WHERE cum <= CASE source WHEN 'src0' THEN 40000 WHEN 'src1' THEN 25000 " +
+          "WHEN 'src2' THEN 10000 ELSE -1 END " +
+          "ORDER BY doc_id")
+    }),
+
+    // X12c: the x12 JSON lift as PURE SQL TEXT — from_json with a DDL
+    // schema string on the events view (the SQL spelling of extractJson's
+    // declared-schema contract; same PERMISSIVE null-on-malformed)
+    "x12c_json_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        "SELECT event_type, count(*) AS n_events, count(k) AS n_k, " +
+          "sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k " +
+          "FROM (SELECT event_type, from_json(props, 'k BIGINT').k AS k FROM events) " +
+          "GROUP BY event_type ORDER BY event_type")
+    }),
+
     // S5f: data mixing — resample to a 50/30/20 target blend of three
     // sources (largest feasible output; other sources drop)
     "s5f_mixture" -> ((s, d) =>
@@ -2949,6 +2981,35 @@ object SparkEntry {
       "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
       "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' || " +
       "regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM documents)"
+
+  /** The s5k relation's oracle — shared verbatim by the operator row
+    * (s5k) and the SQL-text row (s5l): one canonical DuckDB statement,
+    * two engine-side renderings.
+    */
+  private val s5kOracleSql: String =
+    "WITH toks AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score, " +
+      "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens " +
+      "FROM documents), " +
+      "sel AS (SELECT doc_id, source, score, n_tokens, " +
+      "sum(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM toks) " +
+      "SELECT doc_id, source, score, n_tokens FROM sel " +
+      "WHERE cum <= CASE source WHEN 'src0' THEN 40000 WHEN 'src1' THEN 25000 " +
+      "WHEN 'src2' THEN 10000 ELSE -1 END " +
+      "ORDER BY doc_id"
+
+  /** The x12 JSON-lift oracle — DuckDB's NATIVE json path, faithful to
+    * from_json(LongType) on every regime (malformed → NULL via
+    * json_valid; nested $.k absent → NULL; float → json_type DOUBLE →
+    * NULL). Shared by the typed row (x12) and the SQL-text row (x12c).
+    */
+  private val x12OracleSql: String =
+    "SELECT event_type, count(*) AS n_events, count(k) AS n_k, " +
+      "CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k " +
+      "FROM (SELECT event_type, " +
+      "CASE WHEN json_valid(props) AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT') " +
+      "THEN try_cast(json_extract(props, '$.k') AS BIGINT) END AS k " +
+      "FROM events) GROUP BY 1 ORDER BY 1"
 
   /** Exact trigram-Jaccard pairs at j ≥ 0.5 over `documents` — the d2
     * family's oracle relation (the LSH output equals it: full banding
@@ -3935,17 +3996,11 @@ object SparkEntry {
 
     // per-source greedy prefix as a partitioned window; the CASE budget
     // mirrors the operator's literal map (absent source → -1 → dropped)
-    "s5k_group_token_budget" ->
-      ("WITH toks AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score, " +
-        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens " +
-        "FROM documents), " +
-        "sel AS (SELECT doc_id, source, score, n_tokens, " +
-        "sum(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM toks) " +
-        "SELECT doc_id, source, score, n_tokens FROM sel " +
-        "WHERE cum <= CASE source WHEN 'src0' THEN 40000 WHEN 'src1' THEN 25000 " +
-        "WHEN 'src2' THEN 10000 ELSE -1 END " +
-        "ORDER BY doc_id"),
+    "s5k_group_token_budget" -> s5kOracleSql,
+
+    // the SQL-text twin states the identical relation (registered
+    // graft_bpe_tokens == the oracle's regex tokenizer)
+    "s5l_sql_token_budget" -> s5kOracleSql,
 
     // mirrors mixtureSample's fixed arithmetic shape: cap = n/share,
     // T = min(cap), p = least(1, T*share/n), threshold = floor(p * 2^60)
@@ -4137,19 +4192,11 @@ object SparkEntry {
         "FROM dev d JOIN mad m USING (l_returnflag) " +
         "ORDER BY d.l_orderkey, d.l_linenumber"),
 
-    // the JSON parse twinned via DuckDB's NATIVE json path — faithful to
-    // from_json(LongType) on every regime, not just the flat-integer
-    // fixture: malformed → json_valid false → NULL; nested {"a":{"k":1}}
-    // → top-level $.k absent → NULL; "k":1.5 → json_type DOUBLE (not in
-    // the integer set) → NULL — exactly PERMISSIVE from_json, where the
-    // old regex twin would have matched the nested/float cases wrongly
-    "x12_json_extract" ->
-      ("SELECT event_type, count(*) AS n_events, count(k) AS n_k, " +
-        "CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k " +
-        "FROM (SELECT event_type, " +
-        "CASE WHEN json_valid(props) AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT') " +
-        "THEN try_cast(json_extract(props, '$.k') AS BIGINT) END AS k " +
-        "FROM events) GROUP BY 1 ORDER BY 1"),
+    "x12_json_extract" -> x12OracleSql,
+
+    // the SQL-text twin (from_json with a DDL schema string) computes the
+    // identical relation
+    "x12c_json_sql" -> x12OracleSql,
 
     // the round-trip oracle: fields recomputed straight from the table —
     // Spark's serialize→parse must land on the same values

@@ -43,16 +43,38 @@ object Text {
       .otherwise("es")
   }
 
-  /** Whitespace token count. */
-  def wsTokens(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+  /** Whitespace token count. Defined once as a catalyst tree
+    * ([[wsTokensExpr]]) so the Column API and the `graft_ws_tokens` SQL
+    * registration share the exact same expression.
+    */
+  def wsTokens(text: Column): Column = {
+    import org.apache.spark.sql.{graftshim => shim}
+    shim.toColumn(wsTokensExpr(shim.toExpression(text)))
+  }
+
+  private[graft] def wsTokensExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Size, StringSplit, StringTrim}
+    Size(StringSplit(StringTrim(e), Literal("\\s+"), Literal(-1)))
+  }
 
   /** BPE-ish token count: letter runs, digit runs, and single punctuation
     * marks each count as one token (a cheap stand-in for a real tokenizer's
-    * token count, linear in text length).
+    * token count, linear in text length). One catalyst definition
+    * ([[bpeTokensExpr]]) behind both the Column API and `graft_bpe_tokens`.
     */
-  def bpeTokens(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+  def bpeTokens(text: Column): Column = {
+    import org.apache.spark.sql.{graftshim => shim}
+    shim.toColumn(bpeTokensExpr(shim.toExpression(text)))
+  }
+
+  private[graft] def bpeTokensExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpExtractAll, Size}
+    Size(RegExpExtractAll(Lower(e), Literal("[a-z]+|[0-9]+|[^a-z0-9\\s]"), Literal(0)))
+  }
 
   /** Punctuation (non-word, non-space) character count. */
   def punctChars(text: Column): Column =

@@ -123,6 +123,18 @@ object GraftExtensions {
         make(args(0), args(1))
       })
 
+  /** Register a unary expression-tree builder (the Text curation kernels
+    * expose their catalyst form — e.g. [[graft.functions.Text.bpeTokensExpr]]
+    * — which the Column API wraps) under a SQL name: one definition behind
+    * both surfaces, so SQL text can never drift from the Scala API.
+    */
+  private def unaryComposed(name: String, make: Expression => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft.functions.Text", name),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+        make(args.head)
+      })
+
   private[graft] val functions = Seq(
     binary("graft_cosine", CosineSimilarity.apply, classOf[CosineSimilarity]),
     binary("graft_dot", DotProduct.apply, classOf[DotProduct]),
@@ -140,7 +152,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"graft_nfc expects 1 argument, got ${args.length}")
         NfcNormalize(args.head)
-      }))
+      }),
+    // the token counters the budget selectors consume (VERDICT r11 #7),
+    // callable from SQL text so a pure-SQL front-end can state the
+    // s5k/s5i relations (the distributed prefix-sum OPERATOR stays Scala
+    // — its two-level shape is a plan, not an expression; the SQL form is
+    // the window idiom the s5l row exercises)
+    unaryComposed("graft_bpe_tokens", graft.functions.Text.bpeTokensExpr),
+    unaryComposed("graft_ws_tokens", graft.functions.Text.wsTokensExpr))
 
   /** Register the functions on an ALREADY-RUNNING session (the extensions
     * path needs the conf set before session construction).

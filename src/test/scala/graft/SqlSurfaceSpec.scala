@@ -48,6 +48,23 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(e.getMessage.contains("2 arguments"))
   }
 
+  test("graft token counters resolve in SQL text and equal the Column API (VERDICT r11 #7)") {
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_bpe_tokens(text) AS bpe, graft_ws_tokens(text) AS ws " +
+        "FROM documents ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val viaApi = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.Text.bpeTokens(col("text")).as("bpe"),
+        graft.functions.Text.wsTokens(col("text")).as("ws"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(viaSql == viaApi, "one expression definition behind both surfaces")
+    val e = intercept[Exception](spark.sql("SELECT graft_bpe_tokens('a', 'b')").collect())
+    assert(e.getMessage.contains("1 argument"))
+  }
+
   test("SQL CTE + window functions run over the registered views") {
     Tables.registerAll(spark, sf)
     val top = spark.sql(
