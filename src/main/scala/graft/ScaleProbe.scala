@@ -49,9 +49,26 @@ object ScaleProbe {
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val runs = args.lift(2).flatMap(_.toIntOption).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples the exchange width from the
+    // core count: at N× data the per-partition working set grows N× under
+    // a fixed partition count (the local-mode stand-in for "more
+    // executors"), and raising it is how a cluster keeps sort/join state
+    // in memory — the knee probe for the 100× runs.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // SPARK_GRAFT_ADVISORY_MB shrinks AQE's post-shuffle partition target —
+    // with coalescing on, raw shuffle.partitions is NOT the binding width
+    // (AQE merges back to the advisory size); this is the knob that sizes
+    // per-task sort/join state, i.e. where the spill knee actually lives.
+    val advisoryMb = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64")
+    // SPARK_GRAFT_MAX_PARTITION_MB sizes the INPUT splits — the width of
+    // map-side partial aggregates/sorts (pre-exchange state lives at scan
+    // granularity, not shuffle granularity).
+    val maxPartMb = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_MB", "128")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${advisoryMb}m")
+      .config("spark.sql.files.maxPartitionBytes", s"${maxPartMb}m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
