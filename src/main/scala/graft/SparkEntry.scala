@@ -1703,6 +1703,12 @@ object SparkEntry {
     "t12_bigram_counts" -> ((s, d) =>
       TermStats.ngramCounts(Tables.documents(s, d), "text", 2, 100)),
 
+    // T25: PMI collocations — top adjacent-pair pointwise mutual
+    // information at a min-count cutoff (phrase mining / tokenizer prep)
+    "t25_pmi_collocations" -> ((s, d) =>
+      TermStats.pmiCollocations(Tables.documents(s, d), "text", minCount = 5,
+        topN = 50)),
+
     // T18: cross-document repeated-span coverage — the duplicate-n-gram
     // fraction gate (boilerplate/templated spam that doc-level dedup and
     // within-doc repetition both miss): tokens covered by 5-token windows
@@ -2102,6 +2108,23 @@ object SparkEntry {
           "FROM (SELECT event_type, from_json(props, 'k BIGINT').k AS k FROM events) " +
           "GROUP BY event_type ORDER BY event_type")
     }),
+
+    // S5m: TEMPERATURE-scaled mixture — shares ∝ (n_g/N)^(1/T), T = 2
+    // (the multilingual up-weight-the-tail rule). The fixture's sources
+    // are uniform (temperature of a flat distribution is the identity),
+    // so the row first SKEWS them deterministically — keep a doc iff
+    // doc_id % (1 + srcnum % 4) = 0, giving group sizes n, n/2, n/3, n/4
+    // — and then the sqrt flattening must downsample the large groups
+    // toward the tail (the smallest group is share-limiting and keeps
+    // everything). Oracle re-derives the skew, the shares
+    // (round(pow, 9)), and the mixture coin arithmetic.
+    "s5m_temperature_mixture" -> ((s, d) =>
+      Sampling.temperatureSample(
+        Tables.documents(s, d).filter(
+          pmod(col("doc_id"),
+            lit(1) + pmod(expr("CAST(substring(source, 4) AS INT)"), lit(4))) === 0),
+        "doc_id", "source", temperature = 2.0)
+        .select("doc_id", "source").orderBy("doc_id")),
 
     // S5f: data mixing — resample to a 50/30/20 target blend of three
     // sources (largest feasible output; other sources drop)
@@ -4002,6 +4025,24 @@ object SparkEntry {
     // graft_bpe_tokens == the oracle's regex tokenizer)
     "s5l_sql_token_budget" -> s5kOracleSql,
 
+    // the temperature rule re-derived in SQL: share = round(pow(n/N, 1/T), 9)
+    // (the 9-dp round collapses libm-vs-Math.pow ulp differences), then
+    // the exact mixtureSample arithmetic (cap, least, floor·2^60 coin)
+    "s5m_temperature_mixture" ->
+      ("WITH docs AS (SELECT doc_id, source FROM documents " +
+        "WHERE doc_id % (1 + CAST(substr(source, 4) AS INT) % 4) = 0), " +
+        "cnt AS (SELECT source, count(*)::BIGINT AS n FROM docs " +
+        "WHERE source IS NOT NULL GROUP BY source), " +
+        "tot AS (SELECT sum(n)::DOUBLE AS total FROM cnt), " +
+        "sh AS (SELECT source, n, round(power(n / t.total, 0.5), 9) AS share FROM cnt, tot t), " +
+        "mt AS (SELECT min(n / share) AS T FROM sh), " +
+        "p AS (SELECT sh.source, " +
+        "CAST(floor(least(CAST(1.0 AS DOUBLE), mt.T * sh.share / sh.n) * 1152921504606846976) AS BIGINT) AS th " +
+        "FROM sh CROSS JOIN mt) " +
+        "SELECT d.doc_id, d.source FROM docs d JOIN p USING (source) " +
+        "WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '_mx0'), 1, 15))::BIGINT < p.th " +
+        "ORDER BY d.doc_id"),
+
     // mirrors mixtureSample's fixed arithmetic shape: cap = n/share,
     // T = min(cap), p = least(1, T*share/n), threshold = floor(p * 2^60)
     "s5f_mixture" ->
@@ -4062,6 +4103,24 @@ object SparkEntry {
         "SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram " +
         "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents)) " +
         "GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 100"),
+
+    // pmi recomputed with the SAME division association as the Spark side
+    // ((cab/N2) / ((ca/N1)*(cb/N1))) so the doubles agree; +0.0 kills -0.0
+    "t25_pmi_collocations" ->
+      ("WITH w AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "uni AS (SELECT u AS wd, count(*)::BIGINT AS cw FROM (SELECT unnest(w) AS u FROM w) GROUP BY u), " +
+        "n1 AS (SELECT sum(cw)::DOUBLE AS N1 FROM uni), " +
+        "bc AS (SELECT gram, count(*)::BIGINT AS cab FROM (" +
+        "SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram FROM w) " +
+        "GROUP BY gram), " +
+        "n2 AS (SELECT sum(cab)::DOUBLE AS N2 FROM bc), " +
+        "j AS (SELECT b.gram, b.cab, ua.cw AS ca, ub.cw AS cb FROM bc b " +
+        "JOIN uni ua ON ua.wd = split_part(b.gram, ' ', 1) " +
+        "JOIN uni ub ON ub.wd = split_part(b.gram, ' ', 2) " +
+        "WHERE b.cab >= 5) " +
+        "SELECT gram, cab AS n, " +
+        "round(ln((cab / n2.N2) / ((ca / n1.N1) * (cb / n1.N1))), 6) + 0.0 AS pmi " +
+        "FROM j, n1, n2 ORDER BY pmi DESC, gram ASC LIMIT 50"),
 
     "x3_histogram" ->
       ("SELECT CAST(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT) AS bin, count(*) AS n " +

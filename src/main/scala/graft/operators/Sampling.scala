@@ -172,6 +172,40 @@ object Sampling {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** S5m — TEMPERATURE-scaled mixture: resample the corpus toward shares
+    * ∝ (n_g/N)^(1/T) — the multilingual sampling rule (mBERT/XLM-R style):
+    * T = 1 reproduces the natural distribution, T → ∞ approaches uniform,
+    * and intermediate T up-weights low-resource groups without the
+    * replication an up-SAMPLER would need (this is a sampler: the
+    * largest-feasible blend at those shares, via [[mixtureSample]]'s cap
+    * arithmetic — the share-limiting group keeps everything and the rest
+    * downsample to match).
+    *
+    * Scale shape: one map-side-combined per-group count, collected to the
+    * driver (bounded by group cardinality — the languages/sources, the
+    * s5i-total pattern), then the mixture sampler's broadcast-threshold
+    * narrow filter. Derived shares are rounded to 9 decimals so the
+    * `pow` is reproducible across engines (libm vs Math.pow agree well
+    * inside 1 ulp; the rounding collapses that) — the oracle re-derives
+    * the shares in SQL. Rows with a NULL group drop (no coin), matching
+    * the mixture sampler's absent-source contract.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+                        temperature: Double, seed: Long = 0L): DataFrame = {
+    require(temperature > 0.0, "temperatureSample: temperature must be > 0")
+    val alpha = 1.0 / temperature
+    val counts = df.filter(col(sourceCol).isNotNull)
+      .groupBy(sourceCol).agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+    require(counts.nonEmpty, "temperatureSample: no non-null groups")
+    val total = counts.map(_._2).sum.toDouble
+    val shares = counts.map { case (g, n) =>
+      g -> BigDecimal(math.pow(n / total, alpha))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    mixtureSample(df, idCol, sourceCol, shares, seed)
+  }
+
   /** Weighted Bernoulli sample: row kept with probability
     * `min(1, rate × weight)` — quality-weighted corpus selection ("keep
     * high-quality documents preferentially, at an overall ~rate·E[w]

@@ -64,6 +64,46 @@ object TermStats {
     }
   }
 
+  /** T25 — PMI collocations: pointwise mutual information of adjacent word
+    * pairs, `pmi(a,b) = ln( (c_ab/N₂) / ((c_a/N₁)·(c_b/N₁)) )` — the
+    * classic collocation detector (multiword expressions, named entities,
+    * boilerplate phrases) a tokenizer-training or phrase-mining pass runs
+    * over the corpus. `minCount` kills the low-frequency noise PMI is
+    * notoriously fond of; output is the top `topN` by (pmi desc, gram asc).
+    *
+    * Scale shape: two map-side-combined count shuffles (unigrams, bigrams)
+    * + two vocabulary-keyed joins to attach c_a/c_b (vocab-sized, not
+    * corpus-sized, and the filtered bigram side is the small one), totals
+    * are two one-row aggregates broadcast back, top-N rides
+    * `TakeOrderedAndProject`. All counts are exact integers; the single
+    * ln is rounded to 6 dp so both engines sort the same relation.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+                      topN: Int): DataFrame = {
+    require(minCount >= 1 && topN >= 1, "pmiCollocations: minCount and topN must be >= 1")
+    val words = docs.select(split(lower(trim(col(textCol))), "\\s+").as("_words"))
+    val uni = words.select(explode(col("_words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val n1 = uni.agg(sum("cw").cast("double").as("N1"))
+    val bi = words.select(explode(graft.functions.Text.shinglesFromWords(
+        col("_words"), 2, distinct = false)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cab"))
+    val n2 = bi.agg(sum("cab").cast("double").as("N2"))
+    // words contain no whitespace (split-derived), so the bigram's single
+    // space is an unambiguous separator
+    bi.filter(col("cab") >= minCount)
+      .withColumn("_a", element_at(split(col("gram"), " "), 1))
+      .withColumn("_b", element_at(split(col("gram"), " "), 2))
+      .join(uni.select(col("w").as("_a"), col("cw").as("ca")), Seq("_a"))
+      .join(uni.select(col("w").as("_b"), col("cw").as("cb")), Seq("_b"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("gram"), col("cab").as("n"),
+        (round(log((col("cab") / col("N2")) /
+          ((col("ca") / col("N1")) * (col("cb") / col("N1")))), 6) + lit(0.0)).as("pmi"))
+      .orderBy(col("pmi").desc, col("gram").asc)
+      .limit(topN)
+  }
+
   /** Corpus-wide word n-gram counts — the classic LM-statistics workload
     * (bigram/trigram tables with frequency cutoffs). One narrow explode +
     * one map-side-combined count shuffle; the top-N cut rides

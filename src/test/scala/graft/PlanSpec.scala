@@ -542,4 +542,47 @@ class PlanSpec extends SparkTestBase {
     assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length >= 2,
       s"funnel counts must partial-aggregate before the exchange:\n$p")
   }
+
+  test("indexed split's pair generation probes ONLY the saved index — no corpus scan (S5j2)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpusPath = "target/tmp/planspec_s5j2_corpus"
+    val idxPath = "target/tmp/planspec_s5j2_idx"
+    docs.write.mode("overwrite").parquet(corpusPath)
+    Dedup.writeMinhashIndex(
+      Dedup.buildMinhashIndex(spark.read.parquet(corpusPath), "doc_id", "text"),
+      idxPath, "doc_id", shards = 2)
+    val p = plan(Dedup.minhashNearDupPairsFromIndex(
+      Dedup.readMinhashIndex(spark, idxPath), "doc_id", 0.5))
+    assert(!p.contains("planspec_s5j2_corpus"),
+      s"the all-pairs probe must not touch the corpus source:\n$p")
+    assert(p.contains("planspec_s5j2_idx"),
+      s"the all-pairs probe must scan the saved index:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the band self-join must stay an equi-join:\n$p")
+  }
+
+  test("budget-derived sparse Jaccard stays equi-join; its histogram is one partial-agged pass (D4c/D4d)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val hist = plan(Dedup.shingleDfStats(docs, "doc_id", "text", 3))
+    // (shingle, df) then (df, n) — both hash aggregates partial-aggregate
+    // map-side; no join anywhere in the diagnostic
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(hist).length >= 4,
+      s"both histogram levels must partial-aggregate:\n$hist")
+    assert(!hist.contains("Join"), s"the diagnostic is aggregate-only:\n$hist")
+    val pairs = plan(Dedup.ngramJaccardPairsSparseAuto(docs, "doc_id", "text", 3, 0.2,
+      budgetPairs = 10000L))
+    assert(!pairs.contains("CartesianProduct") && !pairs.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an inverted-index equi-join:\n$pairs")
+  }
+
+  test("SQL-text token budget plans the keyed window — no global (empty-partition) window (S5l)") {
+    Tables.registerAll(spark, sf)
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    val p = plan(SparkEntry.queries("s5l_sql_token_budget")(spark, sf))
+    // the running sum must partition on source — a window with an empty
+    // partitionBy would pull the corpus into one task
+    assert(p.contains("Window"), s"expected a window operator:\n$p")
+    assert(!p.toLowerCase.contains("singlepartition"),
+      s"the budget window must never single-partition the corpus:\n$p")
+  }
 }

@@ -194,6 +194,35 @@ class SamplingSpec extends SparkTestBase {
     assert(split.values.toSet == Set("train", "val", "test"))
   }
 
+  test("temperatureSample: smallest group is share-limiting and keeps all; deterministic (S5m)") {
+    import org.apache.spark.sql.functions._
+    // skewed groups: g0 = 40 rows, g1 = 10 rows
+    val df = spark.range(50).select($"id".as("doc_id"),
+      when($"id" < 40, "g0").otherwise("g1").as("src"))
+    val out = Sampling.temperatureSample(df, "doc_id", "src", temperature = 2.0)
+      .select("doc_id", "src").as[(Long, String)].collect().toSet
+    // the smallest group minimizes n/share (∝ sqrt(n·N)) → threshold 1.0 →
+    // every one of its rows survives the coin
+    assert(out.count(_._2 == "g1") == 10, "limiting (smallest) group keeps everything")
+    // the large group downsamples toward the flattened blend: expected
+    // keep ≈ T·share/n = sqrt(10·50)/40 ≈ 0.56 — assert it dropped SOME
+    // rows and kept some (the coin is deterministic, so this is stable)
+    val g0 = out.count(_._2 == "g0")
+    assert(g0 > 0 && g0 < 40, s"large group must downsample, kept $g0/40")
+    // deterministic across runs and partitionings
+    val again = Sampling.temperatureSample(df.repartition(7), "doc_id", "src", 2.0)
+      .select("doc_id", "src").as[(Long, String)].collect().toSet
+    assert(again == out)
+    // temperature 1 with EQUAL groups is the identity blend (natural
+    // distribution): nothing drops
+    val even = spark.range(40).select($"id".as("doc_id"),
+      when($"id" % 2 === 0, "a").otherwise("b").as("src"))
+    assert(Sampling.temperatureSample(even, "doc_id", "src", 1.0).count() == 40)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(df, "doc_id", "src", 0.0)
+    }
+  }
+
   test("tokenBudgetSelect matches the local greedy prefix and is partition-invariant") {
     import org.apache.spark.sql.functions._
     val toks = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -158,4 +158,29 @@ class TermStatsSpec extends SparkTestBase {
     assert(out(1L)._2 > out(2L)._2)
     assert(out.values.forall(_._2 >= 0.0))
   }
+
+  test("pmiCollocations: hand-computed PMI; collocated pair beats frequent-but-independent (T25)") {
+    // "new york" always collocates; "the" is everywhere (so "the x" pairs
+    // have high counts but low PMI); pairs under minCount drop
+    val docs = Seq(
+      (1L, "new york the a the b"),
+      (2L, "new york the c the d"),
+      (3L, "new york the a the b"),
+      (4L, "rare pair")).toDF("doc_id", "text")
+    val out = TermStats.pmiCollocations(docs, "text", minCount = 2, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byGram = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    // hand recompute for "new york": unigrams N1=20, c_new=3, c_york=3;
+    // bigrams N2=16, c_ab=3 → pmi = ln((3/16) / ((3/20)*(3/20)))
+    val expected = BigDecimal(math.log((3.0/16.0) / ((3.0/20.0) * (3.0/20.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byGram("new york")._1 == 3L)
+    assert(math.abs(byGram("new york")._2 - expected) < 1e-9,
+      s"pmi(new york) = ${byGram("new york")._2}, expected $expected")
+    assert(!byGram.contains("rare pair"), "pairs under minCount must drop")
+    // the collocation outranks the independent high-frequency pairs
+    assert(out.head._1 == "new york")
+    byGram.filterKeys(_.startsWith("the ")).foreach { case (g, (_, p)) =>
+      assert(p < byGram("new york")._2, s"$g must score below the collocation") }
+  }
 }
