@@ -1610,6 +1610,16 @@ object SparkEntry {
           (round(col("col"), 6) + lit(0.0)).as("unit_val"))
         .orderBy("vec_id", "dim_idx")),
 
+    // V3: nearest-centroid assignment — the centroid classifier's
+    // application step: label every vector with its closest label
+    // centroid (the v1 model in its float-quantized vector form)
+    "v3_nearest_centroid" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.assignNearestCentroid(emb, "vec_id", "embedding",
+        Similarity.labelCentroidVectors(emb, "label", "embedding", 64))
+        .orderBy("vec_id")
+    }),
+
     // J3: as-of join — for each purchase, the latest preceding click by
     // that user (union-merge formulation, one shuffle)
     "j3_asof_join" -> ((s, d) => {
@@ -1708,6 +1718,12 @@ object SparkEntry {
     "t25_pmi_collocations" -> ((s, d) =>
       TermStats.pmiCollocations(Tables.documents(s, d), "text", minCount = 5,
         topN = 50)),
+
+    // T26: CCNet-style quality buckets — head/middle/tail by exact
+    // corpus quartiles of the t11 LM score
+    "t26_quality_buckets" -> ((s, d) =>
+      TermStats.qualityBuckets(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // T18: cross-document repeated-span coverage — the duplicate-n-gram
     // fraction gate (boilerplate/templated spam that doc-level dedup and
@@ -3839,6 +3855,23 @@ object SparkEntry {
         "FROM embeddings CROSS JOIN range(0, 64) r " +
         "GROUP BY label, r.range ORDER BY label, dim_idx"),
 
+    // centroids rebuilt with v1's arithmetic + the float quantize
+    // (labelCentroidVectors), cosine in double as d5, ties → larger label
+    // (Spark's max(struct(cos, label)) ≡ ORDER BY cos DESC, label DESC)
+    "v3_nearest_centroid" ->
+      ("WITH cvals AS (SELECT label, r.range AS d, " +
+        "CAST(round(avg(embedding[r.range + 1]), 4) + 0.0 AS FLOAT) AS v " +
+        "FROM embeddings CROSS JOIN range(0, 64) r GROUP BY label, r.range), " +
+        "cents AS (SELECT label, (list(v ORDER BY d))::DOUBLE[] AS centroid " +
+        "FROM cvals GROUP BY label), " +
+        "scored AS (SELECT e.vec_id, c.label, " +
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) AS cos " +
+        "FROM embeddings e CROSS JOIN cents c), " +
+        "ranked AS (SELECT vec_id, label, cos, row_number() OVER (" +
+        "PARTITION BY vec_id ORDER BY cos DESC, label DESC) AS rn FROM scored) " +
+        "SELECT vec_id, label AS nearest, cos + 0.0 AS cosine FROM ranked " +
+        "WHERE rn = 1 ORDER BY vec_id"),
+
     // mirrors l2Normalize: double-cast elementwise squares summed in index
     // order (list_sum folds sequentially, as Spark's aggregate() does).
     // The WHERE mirrors the Spark side's NULL-on-zero-norm contract: a
@@ -3943,6 +3976,22 @@ object SparkEntry {
         "vocab AS (SELECT term, count(*) AS n FROM toks GROUP BY term) " +
         "SELECT t.doc_id, round(avg(v.n), 4) AS lm_score FROM toks t JOIN vocab v USING (term) " +
         "GROUP BY t.doc_id ORDER BY t.doc_id"),
+
+    // t11's score feeding a quartile CASE; quantile_cont matches Spark's
+    // percentile interpolation (the g7 parity), fractions 0.25/0.75 are
+    // exact binary doubles
+    "t26_quality_buckets" ->
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "vocab AS (SELECT term, count(*) AS n FROM toks GROUP BY term), " +
+        "scored AS (SELECT t.doc_id, round(avg(v.n), 4) AS lm_score " +
+        "FROM toks t JOIN vocab v USING (term) GROUP BY t.doc_id), " +
+        "th AS (SELECT quantile_cont(lm_score, 0.25) AS t1, " +
+        "quantile_cont(lm_score, 0.75) AS t2 FROM scored) " +
+        "SELECT s.doc_id, s.lm_score, " +
+        "CASE WHEN s.lm_score <= th.t1 THEN 'tail' " +
+        "WHEN s.lm_score <= th.t2 THEN 'middle' ELSE 'head' END AS bucket " +
+        "FROM scored s, th ORDER BY s.doc_id"),
 
     // adjacent-pair frequencies over the same lower/trim/split words;
     // <2-token docs left-join to null

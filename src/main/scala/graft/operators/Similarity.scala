@@ -250,6 +250,34 @@ object Similarity {
         col("pos").cast("long").as("dim_idx"), col("col").as("centroid_val"))
   }
 
+  /** V3 — nearest-centroid ASSIGNMENT: label every vector with its closest
+    * centroid by cosine — the application step of a centroid classifier
+    * (domain labeling, topic routing) once [[labelCentroidVectors]] has
+    * built the model. Output: (id, nearest, cosine).
+    *
+    * Scale shape: the centroid table is label-cardinality-sized →
+    * broadcast; scoring is a narrow per-row loop over k centroids (the
+    * cross join never shuffles the corpus) and the per-row argmax is a
+    * `max(struct(cosine, label))` partial aggregate — one exchange of
+    * (id, best-so-far) pairs, never the vectors. Ties at the rounded
+    * cosine resolve to the LARGEST label (struct comparison), mirrored by
+    * the oracle's `label DESC` rank.
+    */
+  def assignNearestCentroid(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, labelCol: String = "label",
+                            centroidCol: String = "centroid"): DataFrame = {
+    val cents = centroids.select(col(labelCol).as("_lab"), col(centroidCol).as("_cent"))
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol),
+        struct(round(Vectors.cosine(col(vecCol), col("_cent")), 6).as("cos"),
+          col("_lab").as("label")).as("_sc"))
+      .groupBy(idCol)
+      .agg(max(col("_sc")).as("_m"))
+      .select(col(idCol), col("_m.label").as("nearest"),
+        (col("_m.cos") + lit(0.0)).as("cosine"))
+  }
+
   /** Per-cell centroid VECTORS (array<float>) for the IVF coarse quantizer:
     * per-coordinate means rounded to `roundTo` decimals, -0.0-normalized,
     * then float-quantized — three steps that make the centroid bits

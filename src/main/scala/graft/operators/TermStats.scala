@@ -64,6 +64,34 @@ object TermStats {
     }
   }
 
+  /** T26 — quality BUCKETS (the CCNet head/middle/tail split): bin each
+    * document by its [[unigramLmScore]] against the corpus's exact
+    * quartiles — bottom quartile `tail`, top quartile `head`, the middle
+    * half `middle`. The standard cheap stratification before an expensive
+    * model-based filter (train mostly on head, sample the tail for
+    * diversity).
+    *
+    * Scale shape: the score is t11's (one vocab exchange + one keyed
+    * join + per-doc partial-agged mean); the two thresholds are ONE
+    * corpus aggregate broadcast back — the bucketing itself is a narrow
+    * CASE. Quartile fractions 0.25/0.75 are exact binary doubles, so the
+    * interpolated thresholds are engine-reproducible (the g7 percentile
+    * parity); a score can only EQUAL a threshold when the threshold is an
+    * actual data value (interpolation fraction 0), where both engines are
+    * bit-exact — comparisons never straddle an ulp.
+    */
+  def qualityBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = unigramLmScore(docs, idCol, textCol)
+    val th = scored.agg(
+      expr("percentile(lm_score, 0.25)").as("_t1"),
+      expr("percentile(lm_score, 0.75)").as("_t2"))
+    scored.crossJoin(broadcast(th))
+      .select(col(idCol), col("lm_score"),
+        when(col("lm_score") <= col("_t1"), "tail")
+          .when(col("lm_score") <= col("_t2"), "middle")
+          .otherwise("head").as("bucket"))
+  }
+
   /** T25 — PMI collocations: pointwise mutual information of adjacent word
     * pairs, `pmi(a,b) = ln( (c_ab/N₂) / ((c_a/N₁)·(c_b/N₁)) )` — the
     * classic collocation detector (multiword expressions, named entities,

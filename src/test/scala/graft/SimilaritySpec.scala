@@ -451,4 +451,32 @@ class SimilaritySpec extends SparkTestBase {
       .as[Double].collect()
     assert(norms.forall(n2 => approx(n2, 1.0, 1e-9)), "all corpus vectors unit after normalize")
   }
+
+  test("assignNearestCentroid: every vector labels with its own cluster's centroid (V3)") {
+    import org.apache.spark.sql.functions._
+    // two well-separated clusters along different axes
+    val rows = (0 until 10).map { i =>
+      val base = if (i < 5) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      val v = base.clone(); v(2) = 0.01f * i // small deterministic jitter
+      (i.toLong, if (i < 5) "x" else "y", v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val cents = Similarity.labelCentroidVectors(df, "label", "embedding", 4)
+    val out = Similarity.assignNearestCentroid(df, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out.length == 10)
+    out.foreach { case (id, nearest, cos) =>
+      val want = if (id < 5) "x" else "y"
+      assert(nearest == want, s"vec $id assigned $nearest, want $want")
+      assert(cos > 0.9, s"vec $id cosine $cos to its own centroid")
+    }
+    // tie resolution: equidistant vector picks the LARGER label (the
+    // max(struct) contract the oracle mirrors with label DESC)
+    val tie = Seq((99L, "q", Seq(1f, 1f, 0f, 0f))).toDF("vec_id", "label", "embedding")
+    val tieOut = Similarity.assignNearestCentroid(tie, "vec_id", "embedding",
+      Seq(("a", Seq(1f, 0f, 0f, 0f)), ("b", Seq(0f, 1f, 0f, 0f)))
+        .toDF("label", "centroid"))
+      .collect().head
+    assert(tieOut.getString(1) == "b", "cosine tie must resolve to the larger label")
+  }
 }

@@ -159,6 +159,30 @@ class TermStatsSpec extends SparkTestBase {
     assert(out.values.forall(_._2 >= 0.0))
   }
 
+  test("qualityBuckets: quartile thresholds partition the corpus into head/middle/tail (T26)") {
+    // lm_score is monotone in how common a doc's tokens are: docs built
+    // of the repeated token score high, unique-token docs score low
+    val docs = (1L to 8L).map { i =>
+      val text = if (i <= 2) s"rare$i token$i only$i"          // tail
+                 else if (i <= 6) s"common common rare$i"      // middle
+                 else "common common common"                   // head
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = TermStats.qualityBuckets(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(out.length == 8, "every document is bucketed")
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"), s"got $byBucket")
+    // ordering invariant: every tail score <= every middle <= every head
+    val maxTail = out.filter(_._3 == "tail").map(_._2).max
+    val mids = out.filter(_._3 == "middle").map(_._2)
+    val minHead = out.filter(_._3 == "head").map(_._2).min
+    assert(maxTail <= mids.min && mids.max <= minHead,
+      s"buckets must be score-ordered: $out")
+    // the all-common docs land in head
+    assert(byBucket("head").contains(7L) && byBucket("head").contains(8L))
+  }
+
   test("pmiCollocations: hand-computed PMI; collocated pair beats frequent-but-independent (T25)") {
     // "new york" always collocates; "the" is everywhere (so "the x" pairs
     // have high counts but low PMI); pairs under minCount drop
