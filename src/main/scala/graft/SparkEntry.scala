@@ -1044,6 +1044,22 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // D6c: INCREMENTAL components — the pair set split deterministically
+    // into an "old" batch (labeled from scratch) and a "new" batch folded
+    // in via label contraction; the merge must bit-match the from-scratch
+    // recompute over the full union (the d6 oracle). Pairs persist once:
+    // the result frame is small and feeds two filters + two loops.
+    "d6c_components_incremental" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.1)
+        .select("id_1", "id_2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val isNew = (col("id_1") + col("id_2")) % 3 === 0
+      Dedup.connectedComponentsIncremental(
+        Dedup.connectedComponents(pairs.filter(!isNew)), pairs.filter(isNew))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // D7: benchmark decontamination — for each held-out (test) document,
     // the train documents containing >= 50% of its trigram shingles
     // (containment, not Jaccard: a short benchmark question buried in a
@@ -2195,6 +2211,30 @@ object SparkEntry {
             .as("med_price"))
         .orderBy("l_returnflag")),
 
+    // G7c: approx_percentile under a HARD rank gate (the e8d pattern for
+    // quantile sketches): the sketch's median must sit within the
+    // documented rank tolerance eps = 1/accuracy of the true median rank.
+    // Ties make VALUE tolerance meaningless (l_quantity has ~50 distinct
+    // values), so the gate is the tie-aware rank-interval test: the
+    // target-rank window [n(0.5-eps), n(0.5+eps)] must intersect
+    // [count_lt(apx), count_le(apx)]. Oracle asserts TRUE per group.
+    "g7c_approx_quantile_gate" -> ((s, d) => {
+      val acc = 1000
+      val eps = 1.0 / acc
+      val li = Tables.lineitem(s, d).select("l_returnflag", "l_quantity")
+      val ap = li.groupBy("l_returnflag")
+        .agg(expr(s"approx_percentile(l_quantity, 0.5, $acc)").as("_apx"))
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < col("_apx"), 1L).otherwise(0L)).as("_lt"),
+          sum(when(col("l_quantity") <= col("_apx"), 1L).otherwise(0L)).as("_le"))
+        .select(col("l_returnflag"), col("n"),
+          (col("_lt") <= (lit(0.5) + lit(eps)) * col("n") &&
+            col("_le") >= (lit(0.5) - lit(eps)) * col("n")).as("within_tol"))
+        .orderBy("l_returnflag")
+    }),
+
     // G7: grouped exact percentiles (linear-interpolating, matches
     // DuckDB quantile_cont) — the quantile surface beyond median
     "g7_percentiles" -> ((s, d) =>
@@ -3021,6 +3061,19 @@ object SparkEntry {
       "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' || " +
       "regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM documents)"
 
+  /** The d6 components relation (transitive closure over the bigram pair
+    * set, canonical = min id) — shared verbatim by the from-scratch row
+    * (d6) and the incremental-fold row (d6c), whose whole contract is
+    * producing this exact relation.
+    */
+  private lazy val d6OracleSql: String =
+    s"WITH RECURSIVE pairs AS ($bigramJaccardSql), " +
+      "bidir AS (SELECT id_1, id_2 FROM pairs UNION SELECT id_2, id_1 FROM pairs), " +
+      "nodes AS (SELECT DISTINCT id_1 AS id FROM bidir), " +
+      "reach(id, r) AS (SELECT id, id FROM nodes " +
+      "UNION SELECT b.id_1, r.r FROM reach r JOIN bidir b ON b.id_2 = r.id) " +
+      "SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id ORDER BY doc_id"
+
   /** The s5k relation's oracle — shared verbatim by the operator row
     * (s5k) and the SQL-text row (s5l): one canonical DuckDB statement,
     * two engine-side renderings.
@@ -3666,13 +3719,11 @@ object SparkEntry {
     "d7d_decon_compact" -> d7OracleSql,
 
     // components over the same pairs via transitive closure (recursive CTE)
-    "d6_components" ->
-      (s"WITH RECURSIVE pairs AS ($bigramJaccardSql), " +
-        "bidir AS (SELECT id_1, id_2 FROM pairs UNION SELECT id_2, id_1 FROM pairs), " +
-        "nodes AS (SELECT DISTINCT id_1 AS id FROM bidir), " +
-        "reach(id, r) AS (SELECT id, id FROM nodes " +
-        "UNION SELECT b.id_1, r.r FROM reach r JOIN bidir b ON b.id_2 = r.id) " +
-        "SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id ORDER BY doc_id"),
+    "d6_components" -> d6OracleSql,
+
+    // the incremental fold must reproduce the FROM-SCRATCH components over
+    // the full pair union — the label-contraction identity, driver-gated
+    "d6c_components_incremental" -> d6OracleSql,
 
     "d5_embed_neardup" ->
       ("SELECT a.vec_id AS id_1, b.vec_id AS id_2, " +
@@ -4409,6 +4460,13 @@ object SparkEntry {
         "round(quantile_cont(l_quantity::DOUBLE, 0.5), 4) AS med_qty, " +
         "round(quantile_cont(l_extendedprice::DOUBLE, 0.5), 4) AS med_price " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    // the sketch gate: exact group counts + TRUE — the Spark side computes
+    // within_tol from the GK summary's rank interval, so a sketch outside
+    // its documented eps (or a wrong group set) breaks the hash compare
+    "g7c_approx_quantile_gate" ->
+      ("SELECT l_returnflag, count(*) AS n, TRUE AS within_tol " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
 
     "g7_percentiles" ->
       ("SELECT l_returnflag, " +

@@ -718,6 +718,35 @@ object Dedup {
     * `localEdgeLimit` passes through to [[connectedComponents]] (0 forces
     * the distributed label loop).
     */
+  /** D6c — INCREMENTAL connected components: fold a batch of NEW pairs
+    * into existing (id, component) labels without re-walking the full
+    * historical pair set. The saved labels are CONTRACTION edges — each
+    * (id, component) is an edge into the cluster's canonical node, and
+    * contraction preserves connectivity — so components over
+    * (label edges ∪ new pairs) equal components over
+    * (old pairs ∪ new pairs), with the same min-id canonical. This is how
+    * a daily dedup pipeline maintains cluster membership: the label table
+    * (one row per clustered id) replaces the pair history (quadratic in
+    * cluster sizes), and each ingest folds in only the index-probe pairs
+    * the new batch generated ([[minhashNearDupPairsFromIndex]] /
+    * [[minhashIncrementalFromIndex]]'s matched candidates).
+    *
+    * The self-labeled rows (id = component, the canonicals) contribute
+    * self-loops that the component loop ignores; singleton ids that gain
+    * their first pair enter through the new-pair side. Output contract is
+    * [[connectedComponents]]'s: every id in any input edge, labeled with
+    * its cluster's min id (driver-gated: d6c must bit-match a from-scratch
+    * recompute over the full pair union).
+    */
+  def connectedComponentsIncremental(labels: DataFrame, newPairs: DataFrame,
+                                     maxIter: Int = 20,
+                                     labelPartitions: Int = 0,
+                                     localEdgeLimit: Long = 1L << 18): DataFrame =
+    connectedComponents(
+      labels.select(col("id").as("id_1"), col("component").as("id_2"))
+        .unionByName(newPairs.select("id_1", "id_2")),
+      maxIter, labelPartitions, localEdgeLimit)
+
   def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
                     localEdgeLimit: Long = 1L << 18): DataFrame = {
     val losers = connectedComponents(pairs, localEdgeLimit = localEdgeLimit)

@@ -619,6 +619,32 @@ class DedupSpec extends SparkTestBase {
     assert((cachedIds -- baseline).isEmpty, "no lingering cache after caller release")
   }
 
+  test("connectedComponentsIncremental: label-contraction fold equals from-scratch (D6c)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.1)
+      .select("id_1", "id_2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val full = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      // fold in several disjoint splits — the identity must hold for any
+      // partition of the edge set, including one that bridges old clusters
+      for (m <- Seq(2L, 3L, 5L)) {
+        val isNew = (col("id_1") + col("id_2")) % m === 0
+        val labels = Dedup.connectedComponents(pairs.filter(!isNew))
+        val merged = Dedup.connectedComponentsIncremental(labels, pairs.filter(isNew))
+          .as[(Long, Long)].collect().toMap
+        assert(merged == full, s"fold (mod $m) must equal from-scratch")
+      }
+      // new pairs introducing entirely new ids (no old label) still enter
+      val extra = Seq((900001L, 900002L)).toDF("id_1", "id_2")
+      val withExtra = Dedup.connectedComponentsIncremental(
+        Dedup.connectedComponents(pairs), extra).as[(Long, Long)].collect().toMap
+      assert(withExtra(900002L) == 900001L && withExtra(900001L) == 900001L)
+      assert((withExtra - 900001L - 900002L) == full)
+    } finally { pairs.unpersist(); () }
+  }
+
   test("minhashNearDupPairsFromIndex bit-matches the one-shot self-join (S5j2 input)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val oneShot = Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)
