@@ -204,6 +204,61 @@ class PropertySpec extends SparkTestBase {
     }, samples = 6)
   }
 
+  test("tokenBudgetSelect equals the local greedy takeWhile for ANY scores/tokens (S5i)") {
+    import graft.operators.Sampling
+    check("token-budget-greedy", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(-50.0, 50.0), Gen.choose(0L, 30L))),
+      Gen.choose(0L, 300L)) { (xs, budget) =>
+      val rows = xs.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      val df = rows.toDF("id", "score", "n_tokens")
+      var cum = 0L
+      val expected = rows.sortBy(r => (-r._2, r._1)).takeWhile { r =>
+        cum += r._3; cum <= budget
+      }.map(_._1).toSet
+      val got = Sampling.tokenBudgetSelect(df.repartition(5), "id", "score",
+        "n_tokens", budget).select("id").as[Long].collect().toSet
+      got == expected
+    }, samples = 5)
+  }
+
+  test("incremental component fold equals from-scratch for ANY edges and ANY split (D6c)") {
+    import graft.operators.Dedup
+    val edge = Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)).suchThat(e => e._1 != e._2)
+    check("components-incremental", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(edge, Gen.oneOf(true, false)))) { es =>
+      val pairs = es.map { case ((a, b), isNew) => (math.min(a, b), math.max(a, b), isNew) }
+      val all = pairs.map(p => (p._1, p._2)).toDF("id_1", "id_2")
+      val oldE = pairs.filter(!_._3).map(p => (p._1, p._2))
+      val newE = pairs.filter(_._3).map(p => (p._1, p._2))
+      val full = Dedup.connectedComponents(all)
+        .as[(Long, Long)].collect().toMap
+      val labels =
+        if (oldE.isEmpty) Seq.empty[(Long, Long)].toDF("id", "component")
+        else Dedup.connectedComponents(oldE.toDF("id_1", "id_2"))
+      val newDf =
+        if (newE.isEmpty) Seq.empty[(Long, Long)].toDF("id_1", "id_2")
+        else newE.toDF("id_1", "id_2")
+      val merged = Dedup.connectedComponentsIncremental(labels, newDf)
+        .as[(Long, Long)].collect().toMap
+      merged == full
+    }, samples = 5)
+  }
+
+  test("pmiCollocations is invariant to document order and partitioning (T25)") {
+    import graft.operators.TermStats
+    val word = Gen.oneOf("a", "b", "c", "d", "xy")
+    check("pmi-permutation", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.nonEmptyListOf(word).map(_.mkString(" ")))) { texts =>
+      val a = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val b = texts.reverse.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text").repartition(4)
+      def run(d: org.apache.spark.sql.DataFrame) =
+        TermStats.pmiCollocations(d, "text", minCount = 1, topN = 100)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      run(a) == run(b)
+    }, samples = 4)
+  }
+
   test("agg-state merge over ANY batch partitioning bit-equals the full recompute (X10)") {
     check("state-merge-recompute", Prop.forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.choose(-1e6, 1e6), Gen.choose(0, 2)))) { xs =>
