@@ -273,18 +273,57 @@ object Dedup {
     * the fixed-ceiling ([[ngramJaccardPairsSparse]]) and budget-derived
     * ([[ngramJaccardPairsSparseAuto]]) entry points so the candidate
     * semantics can never diverge between them.
+    *
+    * Only shingles with df in [2, maxDf] feed candidate generation: a
+    * df-1 shingle's self-join yields no pair (killed by id_1 < id_2), so
+    * excluding it up front is correctness-neutral and shrinks the rare
+    * frame by the (heavy-tailed) unique-shingle mass.
+    *
+    * `broadcastRareKeys`: when the caller KNOWS the qualifying key set is
+    * small (the Auto variant reads it off the df histogram), the rare-key
+    * frame broadcasts and the posting list is pruned by a NARROW filter —
+    * the corpus-sized postings exchange disappears and only the
+    * cost-bounded rare postings shuffle for the self-join. Measured at
+    * 100×: 1.9 GB shuffle + 1.8 GB spill → both gone (BENCH_SCALE.md).
+    * The plain path stays for the fixed-cap form, where no key-count
+    * evidence exists and a blind broadcast could OOM the driver on a
+    * corpus whose every shingle is rare.
     */
   private def sparseJaccardFromSets(sets: DataFrame, idCol: String,
-                                    threshold: Double, maxDf: Int): DataFrame = {
+                                    threshold: Double, maxDf: Int,
+                                    broadcastRareKeys: Boolean = false,
+                                    pruneVerify: Boolean = false): DataFrame = {
     val inv = sets.select(col(idCol).as("id"), explode(col("shs")).as("sk"))
-    val rare = inv.join(
-      inv.groupBy("sk").agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf).select("sk"),
-      "sk")
-    val candidates = rare.select(col("id").as("id_1"), col("sk"))
+    val rareKeys = inv.groupBy("sk").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf).select("sk")
+    val rare = inv.join(if (broadcastRareKeys) broadcast(rareKeys) else rareKeys, "sk")
+    val rawCandidates = rare.select(col("id").as("id_1"), col("sk"))
       .join(rare.select(col("id").as("id_2"), col("sk")), "sk")
       .filter(col("id_1") < col("id_2"))
       .select("id_1", "id_2").distinct()
-    verifyJaccard(candidates, sets, idCol, threshold)
+    // pruneVerify (the Auto path, where |candidates| ≤ budgetPairs by
+    // construction): MATERIALIZE the bounded candidate set once (without
+    // the cache boundary the prune's broadcast subtree re-runs the whole
+    // candidate pipeline — measured 2× the shuffle), then semi-prune the
+    // sets table to candidate ids via a BROADCAST semi join (ids only —
+    // a few hundred KB) before the verify joins, so the corpus-sized sets
+    // frame never crosses an exchange. The candidate persist is
+    // budget-bounded and travels with the result (the caller's loan, as
+    // with tokenBudgetSelect's prefix).
+    val candidates =
+      if (!pruneVerify) rawCandidates
+      else {
+        val c = rawCandidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        c
+      }
+    val verifySets =
+      if (!pruneVerify) sets
+      else sets.join(
+        broadcast(candidates.select(col("id_1").as("_vid"))
+          .union(candidates.select(col("id_2").as("_vid"))).distinct()),
+        sets(idCol) === col("_vid"), "left_semi")
+    verifyJaccard(candidates, verifySets, idCol, threshold)
   }
 
   /** D4c — document-frequency distribution diagnostic for the sparse
@@ -346,17 +385,32 @@ object Dedup {
     * pipeline (one extra tiny aggregate, no re-shingling); the one-row
     * ceiling collect is the bounded driver step (the s5i-total pattern).
     */
+  /** Rare-key frames below this many keys broadcast (8-byte keys ⇒ ≤32 MB
+    * of driver/executor footprint) — the histogram gives the exact count,
+    * so the decision is evidence-based, never a blind hint.
+    */
+  private val BroadcastRareKeyLimit = 4L << 20
+
   def ngramJaccardPairsSparseAuto(df: DataFrame, idCol: String, textCol: String,
                                   n: Int, threshold: Double, budgetPairs: Long,
                                   releaseSets: Boolean = false): DataFrame = {
     require(budgetPairs >= 0, "ngramJaccardPairsSparseAuto: budget must be >= 0")
     withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
-      val row = dfHistogram(sets)
-        .filter(col("cum_pair_cost") <= budgetPairs)
-        .agg(max("df")).head()
-      val ceiling = if (row.isNullAt(0)) 2 else math.max(2L, row.getLong(0))
+      // one tiny collect serves BOTH derivations: the ceiling (largest df
+      // whose cumulative candidate cost fits the budget) and the count of
+      // qualifying keys (drives the broadcast-vs-shuffle pruning choice)
+      val hist = dfHistogram(sets)
+        .select("df", "n_shingles", "cum_pair_cost")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val ceiling = math.max(2L,
+        hist.filter(_._3 <= budgetPairs).map(_._1).maxOption.getOrElse(2L))
+      val rareKeyCount = hist.filter(t => t._1 >= 2 && t._1 <= ceiling).map(_._2).sum
       sparseJaccardFromSets(sets, idCol, threshold,
-        math.min(ceiling, Int.MaxValue.toLong).toInt)
+        math.min(ceiling, Int.MaxValue.toLong).toInt,
+        broadcastRareKeys = rareKeyCount <= BroadcastRareKeyLimit,
+        // |candidates| ≤ cum_pair_cost(ceiling) ≤ budgetPairs by
+        // construction, so a bounded budget licenses the verify prune
+        pruneVerify = budgetPairs <= BroadcastRareKeyLimit)
     }
   }
 
