@@ -62,7 +62,10 @@ object Text {
   /** BPE-ish token count: letter runs, digit runs, and single punctuation
     * marks each count as one token (a cheap stand-in for a real tokenizer's
     * token count, linear in text length). One catalyst definition
-    * ([[bpeTokensExpr]]) behind both the Column API and `graft_bpe_tokens`.
+    * ([[bpeTokensExpr]]) behind both the Column API and `graft_bpe_tokens`:
+    * the native [[TokenCount]] scan over Spark's own `Lower` —
+    * regex-equivalent semantics (spec- and property-gated against the
+    * regex form) at a fraction of the per-byte cost.
     */
   def bpeTokens(text: Column): Column = {
     import org.apache.spark.sql.{graftshim => shim}
@@ -70,6 +73,17 @@ object Text {
   }
 
   private[graft] def bpeTokensExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Lower
+    TokenCount(Lower(e))
+  }
+
+  /** The regex formulation [[TokenCount]] replaces — kept as the
+    * executable spec of the token semantics: TextSpec/PropertySpec assert
+    * the two agree on arbitrary Unicode input.
+    */
+  private[graft] def bpeTokensRegexExpr(
       e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpExtractAll, Size}

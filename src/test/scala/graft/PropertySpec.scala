@@ -204,6 +204,27 @@ class PropertySpec extends SparkTestBase {
     }, samples = 6)
   }
 
+  test("native TokenCount equals the regex tokenizer for ANY Unicode input (T3)") {
+    import graft.functions.Text
+    import org.apache.spark.sql.{graftshim => shim}
+    // mix ASCII, Unicode BMP (incl. exotic whitespace, combining marks),
+    // and supplementary-plane code points (surrogate pairs)
+    val anyChar = Gen.frequency(
+      6 -> Gen.asciiPrintableChar.map(_.toString),
+      2 -> Gen.oneOf("é", "ß", "Σ", "İ", " ", " ", "ñ", "中", "́"),
+      1 -> Gen.oneOf("😀", "𝕏", "👍"),
+      1 -> Gen.oneOf(" ", "\t", "\n", "", "\f", "\r"))
+    check("tokencount-vs-regex", Prop.forAll(
+      Gen.listOf(anyChar).map(_.mkString)) { s =>
+      val df = Seq(Tuple1(s)).toDF("t")
+      val got = df.select(
+        shim.toColumn(Text.bpeTokensExpr(shim.toExpression(col("t")))).as("a"),
+        shim.toColumn(Text.bpeTokensRegexExpr(shim.toExpression(col("t")))).as("b"))
+        .head()
+      got.getInt(0) == got.getInt(1)
+    }, samples = 30)
+  }
+
   test("tokenBudgetSelect equals the local greedy takeWhile for ANY scores/tokens (S5i)") {
     import graft.operators.Sampling
     check("token-budget-greedy", Prop.forAll(
