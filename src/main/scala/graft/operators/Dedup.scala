@@ -292,7 +292,9 @@ object Dedup {
   private def sparseJaccardFromSets(sets: DataFrame, idCol: String,
                                     threshold: Double, maxDf: Int,
                                     broadcastRareKeys: Boolean = false,
-                                    pruneVerify: Boolean = false): DataFrame = {
+                                    pruneVerify: Boolean = false,
+                                    candidateCache: Option[DataFrame => Unit] = None)
+                                   : DataFrame = {
     val inv = sets.select(col(idCol).as("id"), explode(col("shs")).as("sk"))
     val rareKeys = inv.groupBy("sk").agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 && col("_df") <= maxDf).select("sk")
@@ -315,6 +317,7 @@ object Dedup {
       else {
         val c = rawCandidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         c.count()
+        candidateCache.foreach(_(c)) // hand the persist to the caller's loan
         c
       }
     val verifySets =
@@ -395,7 +398,11 @@ object Dedup {
                                   n: Int, threshold: Double, budgetPairs: Long,
                                   releaseSets: Boolean = false): DataFrame = {
     require(budgetPairs >= 0, "ngramJaccardPairsSparseAuto: budget must be >= 0")
-    withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
+    // the pruneVerify candidate persist follows the same loan as the sets:
+    // with releaseSets the (already materialized) result cannot recompute
+    // it, so it is dropped here rather than lingering for the session
+    var candCache: Option[DataFrame] = None
+    val res = withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
       // one tiny collect serves BOTH derivations: the ceiling (largest df
       // whose cumulative candidate cost fits the budget) and the count of
       // qualifying keys (drives the broadcast-vs-shuffle pruning choice)
@@ -410,8 +417,11 @@ object Dedup {
         broadcastRareKeys = rareKeyCount <= BroadcastRareKeyLimit,
         // |candidates| ≤ cum_pair_cost(ceiling) ≤ budgetPairs by
         // construction, so a bounded budget licenses the verify prune
-        pruneVerify = budgetPairs <= BroadcastRareKeyLimit)
+        pruneVerify = budgetPairs <= BroadcastRareKeyLimit,
+        candidateCache = Some(c => candCache = Some(c)))
     }
+    if (releaseSets) candCache.foreach(_.unpersist())
+    res
   }
 
   /** Incremental ingest dedup — the daily-batch form of [[exact]]: keep

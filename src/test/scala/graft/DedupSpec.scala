@@ -657,6 +657,23 @@ class DedupSpec extends SparkTestBase {
       "index self-join must reproduce the one-shot banding relation exactly")
   }
 
+  test("sparse-auto releaseSets drops BOTH the sets and the candidate caches (D4d loan)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").repartition(9)
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val res = Dedup.ngramJaccardPairsSparseAuto(docs, "doc_id", "text", 3, 0.2,
+      budgetPairs = 10000L, releaseSets = true)
+    val out = res.select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(out.nonEmpty)
+    // only the materialized RESULT may remain cached — the sets persist
+    // and the pruneVerify candidate persist were both released
+    val extra = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    assert(extra.size == 1,
+      s"exactly the result cache may remain, found ${extra.size} new entries")
+    res.unpersist(blocking = true)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- baseline).isEmpty,
+      "no cache residue after the caller releases the result")
+  }
+
   test("shingleDfStats: histogram accounts for every posting; cost columns are exact (D4c)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val hist = Dedup.shingleDfStats(docs, "doc_id", "text", 3)
