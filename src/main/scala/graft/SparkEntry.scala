@@ -1192,6 +1192,17 @@ object SparkEntry {
         0.45, dim = 64, bands = 32, bitsPerBand = 4, ordinal = true)
         .orderBy("id_1", "id_2")),
 
+    // D5e: the LSH band-bucket diagnostic (j6/d4c pattern) — per band:
+    // bucket count, largest bucket, and the candidate evaluations the
+    // band contributes. Σ pair_cost vs n(n-1)/2 is the "is LSH actually
+    // pruning here" answer BEFORE the join runs (measured: 85% admission
+    // at cosine 0.45 on this corpus — the exact blocked path is the right
+    // tool at low thresholds; the bands prune properly at ≳0.8)
+    "d5e_lsh_band_stats" -> ((s, d) =>
+      Similarity.lshBandStats(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, bands = 32, bitsPerBand = 4, ordinal = true)
+        .orderBy("band")),
+
     // D5c: incremental EMBEDDING near-dup ingest — new vectors (vec_id %
     // 11 = 0) kept only where no corpus vector reaches cosine >= 0.45;
     // ordinal-banded corpus index probed by batch band keys only (the d5b
@@ -3140,6 +3151,21 @@ object SparkEntry {
         "JOIN embeddings e2 ON c.id_2 = e2.vec_id " +
         "WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) >= 0.45 " +
         "ORDER BY id_1, id_2"
+    },
+
+    // the same 32×4-bit ordinal bands reduced to per-band bucket stats —
+    // bucket structure (and so every count) must match the Spark side's
+    "d5e_lsh_band_stats" -> {
+      val bandSelects = (0 until 32).map { b =>
+        s"SELECT vec_id, $b AS band, " +
+          ordinalSketchSql("embedding", dim = 64, bits = 4, seed = 1000L + b) +
+          " AS bkey FROM embeddings"
+      }.mkString(" UNION ALL ")
+      s"WITH bands AS ($bandSelects), " +
+        "bs AS (SELECT band, bkey, count(*) AS b FROM bands GROUP BY band, bkey) " +
+        "SELECT band, count(*) AS n_buckets, max(b) AS max_bucket, " +
+        "(sum(b * (b - 1) // 2))::BIGINT AS pair_cost " +
+        "FROM bs GROUP BY band ORDER BY band"
     },
 
     // d5b's banded-ordinal recipe in the cross-corpus probe shape, then

@@ -177,6 +177,30 @@ object Similarity {
       .filter(col("id_1") < col("id_2"))
       .select("id_1", "id_2").distinct()
 
+  /** D5e — band-bucket DIAGNOSTIC for the LSH candidate join (the
+    * j6/d4c pattern: measure before you choose a physical plan): per
+    * band, the bucket count, the largest bucket, and the exact candidate
+    * evaluations the band contributes (Σ b·(b−1)/2 over its buckets).
+    * Σ pair_cost across bands UPPER-bounds the LSH join's work; compare
+    * it against n·(n−1)/2 — when the ratio approaches 1 the sketches are
+    * NOT discriminating at this threshold/parameterization (measured on
+    * the fixture at cosine 0.45: 85% of all pairs collide — LSH is
+    * quadratic-with-extra-steps there, and [[graft.operators.Dedup.embeddingNearDups]]'s
+    * blocked-exact plan is the right tool; at cosine ≳ 0.8 the same
+    * bands prune properly). One map-side-combined count over the banded
+    * sketch rows — the diagnostic costs one narrow aggregate, never a
+    * join.
+    */
+  def lshBandStats(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   bands: Int = 16, bitsPerBand: Int = 8,
+                   ordinal: Boolean = false): DataFrame =
+    bandRows(df, idCol, "id", vecCol, dim, bands, bitsPerBand, ordinal)
+      .groupBy("band", "bkey").agg(count(lit(1)).as("_b"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        max("_b").as("max_bucket"),
+        expr("sum(_b * (_b - 1) DIV 2)").as("pair_cost"))
+
   /** Cross-corpus variant: candidate (id_1 ∈ a, id_2 ∈ b) pairs whose
     * sketches collide in some band — the probe shape of incremental
     * embedding ingest ([[graft.operators.Dedup.embeddingIncremental]]):

