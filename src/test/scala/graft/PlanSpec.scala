@@ -543,6 +543,16 @@ class PlanSpec extends SparkTestBase {
       s"funnel counts must partial-aggregate before the exchange:\n$p")
   }
 
+  test("fuzzy near-dup candidates join on the LENGTH-SLICED band key (D9)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 40))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banding must stay an equi-join:\n$p")
+    // the 100×-measured fix: the candidate join key carries the length
+    // bucket, so skewed sketch buckets fragment before pairs materialize
+    assert(p.contains("_lb"), s"candidate join must include the length bucket:\n$p")
+  }
+
   test("indexed split's pair generation probes ONLY the saved index — no corpus scan (S5j2)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val corpusPath = "target/tmp/planspec_s5j2_corpus"
