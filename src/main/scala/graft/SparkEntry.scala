@@ -2152,6 +2152,13 @@ object SparkEntry {
           "GROUP BY event_type ORDER BY event_type")
     }),
 
+    // S5n: deterministic fixed-size sample — exactly k rows, the k
+    // smallest id-hashes (stable eval-set selection; TakeOrderedAndProject
+    // plan, never a global sort)
+    "s5n_fixed_sample" -> ((s, d) =>
+      Sampling.fixedSample(Tables.documents(s, d), "doc_id", k = 100)
+        .select("doc_id", "source").orderBy("doc_id")),
+
     // S5m: TEMPERATURE-scaled mixture — shares ∝ (n_g/N)^(1/T), T = 2
     // (the multilingual up-weight-the-tail rule). The fixture's sources
     // are uniform (temperature of a flat distribution is the identity),
@@ -4150,6 +4157,13 @@ object SparkEntry {
     // the SQL-text twin states the identical relation (registered
     // graft_bpe_tokens == the oracle's regex tokenizer)
     "s5l_sql_token_budget" -> s5kOracleSql,
+
+    // the same k smallest md5-derived hashes, same id tiebreak
+    "s5n_fixed_sample" ->
+      ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
+        "('0x' || substr(md5(doc_id::VARCHAR || '_fx0'), 1, 15))::BIGINT AS h " +
+        "FROM documents ORDER BY h ASC, doc_id ASC LIMIT 100) " +
+        "ORDER BY doc_id"),
 
     // the temperature rule re-derived in SQL: share = round(pow(n/N, 1/T), 9)
     // (the 9-dp round collapses libm-vs-Math.pow ulp differences), then

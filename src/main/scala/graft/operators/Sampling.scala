@@ -352,6 +352,29 @@ object Sampling {
       .drop("_graft_run")
   }
 
+  /** S5n — deterministic FIXED-SIZE sample: exactly min(k, n) rows,
+    * chosen as the k smallest id-hashes — "give me a 10k-document eval
+    * set" with none of `rand()`'s instability and none of a rate-based
+    * sampler's size variance. Membership is a pure function of
+    * (id, seed): stable under retry, partitioning, and engine (the same
+    * md5 coin as every sampler here), and growing the corpus only evicts
+    * the largest-hash members (bounded churn, like consistent hashing).
+    *
+    * Scale shape: `TakeOrderedAndProject` — per-partition k-heaps, k rows
+    * per partition to the driver-side merge, never a global sort. For k
+    * beyond driver memory use [[deterministicSample]] (rate form) — the
+    * fixed-k contract is what wants the heap.
+    */
+  def fixedSample(df: DataFrame, idCol: String, k: Int,
+                  seed: Long = 0L): DataFrame = {
+    require(k >= 0, "fixedSample: k must be >= 0")
+    val h = Text.tokenHash60(concat(col(idCol).cast("string"), lit(s"_fx$seed")))
+    df.withColumn("_graft_h", h)
+      .orderBy(col("_graft_h").asc, col(idCol).asc)
+      .limit(k)
+      .drop("_graft_h")
+  }
+
   /** Stratified variant: per-stratum keep fractions (e.g. per-language
     * corpus balancing). Strata absent from the map are dropped.
     */

@@ -194,6 +194,30 @@ class SamplingSpec extends SparkTestBase {
     assert(split.values.toSet == Set("train", "val", "test"))
   }
 
+  test("fixedSample: exactly k, deterministic, bounded churn under growth (S5n)") {
+    val a = Sampling.fixedSample(docs, "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.size == 50)
+    val b = Sampling.fixedSample(docs.repartition(7), "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(b == a, "membership independent of partitioning")
+    // k >= n keeps everything; k = 0 nothing
+    assert(Sampling.fixedSample(docs, "doc_id", Int.MaxValue).count() == docs.count())
+    assert(Sampling.fixedSample(docs, "doc_id", 0).count() == 0)
+    // consistent-hashing property: a grown corpus only EVICTS members
+    // (new small hashes push out the largest), never reshuffles wholesale
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val fromHalf = Sampling.fixedSample(half, "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert((a.filter(_ % 2 == 0) -- fromHalf).isEmpty,
+      "every sampled even id survives when odd ids are removed... inverse: " +
+        "the half-corpus sample contains all full-corpus members from that half")
+    // the plan is a per-partition heap, not a global sort
+    val plan = Sampling.fixedSample(docs, "doc_id", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("temperatureSample: smallest group is share-limiting and keeps all; deterministic (S5m)") {
     import org.apache.spark.sql.functions._
     // skewed groups: g0 = 40 rows, g1 = 10 rows
