@@ -1047,17 +1047,24 @@ object SparkEntry {
     // D6c: INCREMENTAL components — the pair set split deterministically
     // into an "old" batch (labeled from scratch) and a "new" batch folded
     // in via label contraction; the merge must bit-match the from-scratch
-    // recompute over the full union (the d6 oracle). Pairs persist once:
-    // the result frame is small and feeds two filters + two loops.
+    // recompute over the full union (the d6 oracle). Pairs persist once
+    // (they feed two filters + two loops), then the loan convention: the
+    // small label result is materialized into its own persist and the
+    // pair cache dropped, so the long-lived bench/verify session keeps no
+    // pair-set residue.
     "d6c_components_incremental" -> ((s, d) => {
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.1)
         .select("id_1", "id_2")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val isNew = (col("id_1") + col("id_2")) % 3 === 0
-      Dedup.connectedComponentsIncremental(
+      val res = Dedup.connectedComponentsIncremental(
         Dedup.connectedComponents(pairs.filter(!isNew)), pairs.filter(isNew))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      pairs.unpersist()
+      res
     }),
 
     // D7: benchmark decontamination — for each held-out (test) document,

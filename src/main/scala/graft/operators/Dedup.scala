@@ -388,19 +388,21 @@ object Dedup {
     * pipeline (one extra tiny aggregate, no re-shingling); the one-row
     * ceiling collect is the bounded driver step (the s5i-total pattern).
     */
-  /** Rare-key frames below this many keys broadcast (8-byte keys ⇒ ≤32 MB
-    * of driver/executor footprint) — the histogram gives the exact count,
-    * so the decision is evidence-based, never a blind hint.
+  /** Rare-key frames below this many keys broadcast. The real footprint is
+    * the broadcast HashedRelation, not the raw 8-byte keys: per-row Spark
+    * pays key + UnsafeRow + map slot (~64 bytes measured order), so 512K
+    * keys ≈ 32 MB of driver/executor footprint. The histogram gives the
+    * exact count, so the decision is evidence-based, never a blind hint.
     */
-  private val BroadcastRareKeyLimit = 4L << 20
+  private val BroadcastRareKeyLimit = 1L << 19
 
   def ngramJaccardPairsSparseAuto(df: DataFrame, idCol: String, textCol: String,
                                   n: Int, threshold: Double, budgetPairs: Long,
                                   releaseSets: Boolean = false): DataFrame = {
     require(budgetPairs >= 0, "ngramJaccardPairsSparseAuto: budget must be >= 0")
     // the pruneVerify candidate persist follows the same loan as the sets:
-    // with releaseSets the (already materialized) result cannot recompute
-    // it, so it is dropped here rather than lingering for the session
+    // it is internal (no caller handle), so it never outlives this call —
+    // both paths below drop it once the result can no longer recompute it
     var candCache: Option[DataFrame] = None
     val res = withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
       // one tiny collect serves BOTH derivations: the ceiling (largest df
@@ -420,8 +422,22 @@ object Dedup {
         pruneVerify = budgetPairs <= BroadcastRareKeyLimit,
         candidateCache = Some(c => candCache = Some(c)))
     }
-    if (releaseSets) candCache.foreach(_.unpersist())
-    res
+    candCache match {
+      // releaseSets path: the result was already materialized inside the
+      // loan, so the candidate cache can drop immediately
+      case Some(c) if releaseSets => c.unpersist(); res
+      // default path: the candidate persist has no caller-visible handle,
+      // so it must not outlive this call — materialize the (budget-bounded,
+      // small) result into its own persist and drop the candidates. The
+      // caller owns the returned frame's persist; the SETS cache keeps the
+      // documented default-trade lifetime (LRU / clearCache).
+      case Some(c) =>
+        val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        c.unpersist()
+        out
+      case None => res
+    }
   }
 
   /** Incremental ingest dedup — the daily-batch form of [[exact]]: keep

@@ -368,6 +368,8 @@ object Sampling {
   def fixedSample(df: DataFrame, idCol: String, k: Int,
                   seed: Long = 0L): DataFrame = {
     require(k >= 0, "fixedSample: k must be >= 0")
+    require(!df.columns.contains("_graft_h"),
+      "fixedSample: reserved column _graft_h present")
     val h = Text.tokenHash60(concat(col(idCol).cast("string"), lit(s"_fx$seed")))
     df.withColumn("_graft_h", h)
       .orderBy(col("_graft_h").asc, col(idCol).asc)
