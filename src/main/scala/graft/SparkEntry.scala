@@ -1183,6 +1183,24 @@ object SparkEntry {
       Dedup.fuzzyNearDups(Tables.documents(s, d), "doc_id", "text", maxDist = 40)
         .orderBy("id_1", "id_2")),
 
+    // D9c: the fuzzy banding's cell-size diagnostic (the d4c pattern) —
+    // per (chunk, ckey, lenBucket) cell-size stratum: cell count, the
+    // within-cell candidate evaluations it costs, and the running total
+    // the d9b cap derivation reads
+    "d9c_cell_stats" -> ((s, d) =>
+      Dedup.fuzzyCellStats(Tables.documents(s, d), "doc_id", "text", maxDist = 40)
+        .orderBy("cell_size")),
+
+    // D9b: fuzzy dedup with admission CAPPED by a candidate-pair budget —
+    // the d4d pattern applied to the fuzzy family; the oracle re-derives
+    // the same cap from the same histogram in SQL. Budget 3000 binds at
+    // every SF (cap 20 at sf0.001, 23 at sf0.01, 3 at sf0.1), so the
+    // over-cap pruning path — not just the derivation — is exercised
+    "d9b_fuzzy_budget" -> ((s, d) =>
+      Dedup.fuzzyNearDupsBudget(Tables.documents(s, d), "doc_id", "text",
+        maxDist = 40, budgetPairs = 3000L)
+        .orderBy("id_1", "id_2")),
+
     // D5: embedding-cosine near-dup pairs (exact all-pairs, codegen'd cosine)
     "d5_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
@@ -2837,6 +2855,23 @@ object SparkEntry {
       s"sh AS (SELECT doc_id, ($bitTerms)::BIGINT AS simhash FROM hs)"
   }
 
+  /** The fuzzy family's banded-cell CTE chain (d9b/d9c): [[simhashCte]]
+    * extended with text length, the 4×15-bit chunk rows, the home length
+    * bucket (width = maxDist+1 = 41 at the d9 parameterization), and the
+    * (chunk, ckey, hb) cell sizes — the one SQL definition both the
+    * histogram and the capped-admission oracles read, mirroring
+    * `Dedup.fuzzyChunked`.
+    */
+  private val fuzzyCellsCte: String =
+    s"$simhashCte, " +
+      "shl AS (SELECT s.doc_id, s.simhash, length(d.text) AS len " +
+      "FROM sh s JOIN documents d ON s.doc_id = d.doc_id), " +
+      "ch AS (SELECT doc_id, simhash, len, c.chunk AS chunk, " +
+      "(simhash >> (c.chunk * 15)) & 32767 AS ckey, len // 41 AS hb " +
+      "FROM shl, (VALUES (0), (1), (2), (3)) c(chunk)), " +
+      "cells AS (SELECT chunk, ckey, hb, count(*) AS cell_size " +
+      "FROM ch GROUP BY chunk, ckey, hb)"
+
   /** DuckDB expression snippets for the text gates — single definitions
     * shared by the t1/t2/t8 oracles and the q_pipeline_chain composition
     * (`t` = a text-typed column reference).
@@ -3343,6 +3378,39 @@ object SparkEntry {
         "cand AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2 " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3) " +
+        "SELECT c.id_1, c.id_2, levenshtein(d1.text, d2.text)::BIGINT AS edit_dist " +
+        "FROM cand c JOIN documents d1 ON c.id_1 = d1.doc_id " +
+        "JOIN documents d2 ON c.id_2 = d2.doc_id " +
+        "WHERE levenshtein(d1.text, d2.text) <= 40 ORDER BY id_1, id_2"),
+
+    // the fuzzy family's (chunk, ckey, lenBucket) cell histogram — the
+    // frame d9b's cap derivation reads; cell_size*(cell_size-1) is even
+    // so // 2 is exact integer arithmetic in both engines
+    "d9c_cell_stats" ->
+      (s"WITH $fuzzyCellsCte, " +
+        "hist AS (SELECT cell_size, count(*)::BIGINT AS n_cells FROM cells GROUP BY cell_size), " +
+        "c AS (SELECT cell_size, n_cells, " +
+        "(n_cells * (cell_size * (cell_size - 1) // 2))::BIGINT AS pair_cost FROM hist) " +
+        "SELECT cell_size, n_cells, pair_cost, " +
+        "(sum(pair_cost) OVER (ORDER BY cell_size))::BIGINT AS cum_pair_cost " +
+        "FROM c ORDER BY cell_size"),
+
+    // d9's pipeline with the admission cap DERIVED in SQL from the same
+    // cell histogram + budget the Spark side uses — gates the derivation
+    // arithmetic AND the capped candidate join, not just the verified set.
+    // abs(hb diff) <= 1 in SQL == Spark's adjacent-bucket replication
+    "d9b_fuzzy_budget" ->
+      (s"WITH $fuzzyCellsCte, " +
+        "hist AS (SELECT cell_size, count(*) AS n FROM cells GROUP BY cell_size), " +
+        "cum AS (SELECT cell_size, sum(n * (cell_size * (cell_size - 1) // 2)) " +
+        "OVER (ORDER BY cell_size) AS c FROM hist), " +
+        "cap AS (SELECT greatest(coalesce((SELECT max(cell_size) FROM cum WHERE c <= 3000), 2), 2) AS cap), " +
+        "adm AS (SELECT ch.* FROM ch JOIN cells USING (chunk, ckey, hb) " +
+        "WHERE cells.cell_size <= (SELECT cap FROM cap)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2 " +
+        "FROM adm a JOIN adm b ON a.chunk = b.chunk AND a.ckey = b.ckey " +
+        "AND abs(a.hb - b.hb) <= 1 AND a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 AND abs(a.len - b.len) <= 40) " +
         "SELECT c.id_1, c.id_2, levenshtein(d1.text, d2.text)::BIGINT AS edit_dist " +
         "FROM cand c JOIN documents d1 ON c.id_1 = d1.doc_id " +
         "JOIN documents d2 ON c.id_2 = d2.doc_id " +

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{ArrayOps, Text, Vectors}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -943,22 +944,44 @@ object Dedup {
     // verify; the earlier narrow length POST-filter still materialized
     // every pair first). Join payloads stay 32 bytes (id, sketch, len);
     // texts ship only for pairs that already passed hamming + length.
+    fuzzyVerify(df, idCol, textCol, maxDist, maxHamming,
+      fuzzyChunked(df, idCol, textCol, maxDist))
+  }
+
+  /** The ONE definition of the fuzzy family's banded sketch rows —
+    * (id, simhash, _len, chunk, ckey, _hb) where `_hb = floor(len / w)`
+    * is the row's HOME length bucket (width w = maxDist+1) — shared by
+    * the pair join, the cell diagnostic, and the budget-capped variant so
+    * the cell scheme can never drift between them.
+    */
+  private def fuzzyChunked(df: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int): DataFrame = {
     val w = maxDist + 1
-    val sh = simhashWithLen(df, idCol, textCol)
-    val chunked = sh.select(
+    simhashWithLen(df, idCol, textCol).select(
       col(idCol), col("simhash"), col("_len"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
           shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL)).as("ckey"))
       }: _*)).as("cd"))
-      .select(col(idCol), col("simhash"), col("_len"), col("cd.chunk"), col("cd.ckey"))
+      .select(col(idCol), col("simhash"), col("_len"), col("cd.chunk"), col("cd.ckey"),
+        floor(col("_len") / w).as("_hb"))
+  }
+
+  /** The fuzzy family's candidate join + levenshtein verify over a given
+    * (possibly admission-filtered) chunked frame: length-sliced banding
+    * (rSide replicated into adjacent buckets — any |Δlen| ≤ maxDist pair
+    * meets in ≥1 bucket), hamming + length prune BEFORE the distinct,
+    * texts joined on only for surviving candidates, banded
+    * `levenshtein(l, r, maxDist)` with early bailout.
+    */
+  private def fuzzyVerify(df: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int, maxHamming: Int,
+                          chunked: DataFrame): DataFrame = {
     val lSide = chunked.select(col(idCol).as("id_1"), col("simhash").as("sh_1"),
-      col("_len").as("_l1"), col("chunk"), col("ckey"),
-      floor(col("_len") / w).as("_lb"))
+      col("_len").as("_l1"), col("chunk"), col("ckey"), col("_hb").as("_lb"))
     val rSide = chunked.select(col(idCol).as("id_2"), col("simhash").as("sh_2"),
       col("_len").as("_l2"), col("chunk"), col("ckey"),
-      explode(array(floor(col("_len") / w) - 1, floor(col("_len") / w),
-        floor(col("_len") / w) + 1)).as("_lb"))
+      explode(array(col("_hb") - 1, col("_hb"), col("_hb") + 1)).as("_lb"))
     val cand = lSide.join(rSide, Seq("chunk", "ckey", "_lb"))
       .filter(col("id_1") < col("id_2") &&
         bit_count(col("sh_1").bitwiseXOR(col("sh_2"))) <= maxHamming &&
@@ -970,6 +993,98 @@ object Dedup {
       .select(col("id_1"), col("id_2"),
         levenshtein(col("_t1"), col("_t2"), maxDist).cast("long").as("edit_dist"))
       .filter(col("edit_dist") >= 0L)
+  }
+
+  /** D9c — cell-size DIAGNOSTIC for the fuzzy banding join (the d4c
+    * pattern applied to the fuzzy family): histogram of (chunk, ckey,
+    * lenBucket) cell sizes with the candidate evaluations each size
+    * stratum costs within its cells (`n_cells · c(c−1)/2`) and the
+    * running total by ascending size — the frame the budget-capped
+    * variant's cap derivation reads. One narrow aggregate over 32-byte
+    * banded rows; never a join.
+    *
+    * The priced quantity is the WITHIN-cell quadratic term — the thing
+    * that diverges on a low-entropy corpus (clustered sketches ⇒ one
+    * huge cell). Adjacent-slice cross terms (a row also meets the two
+    * neighboring length buckets of its sketch bucket) are not priced:
+    * once every admitted cell is ≤ cap they are bounded by
+    * 2·cap·|admitted rows| — linear, not quadratic — so the within-cell
+    * sum is the right budget handle.
+    */
+  def fuzzyCellStats(df: DataFrame, idCol: String, textCol: String,
+                     maxDist: Int): DataFrame = {
+    val cells = fuzzyChunked(df, idCol, textCol, maxDist)
+      .groupBy("chunk", "ckey", "_hb").agg(count(lit(1)).as("cell_size"))
+    val hist = cells.groupBy("cell_size").agg(count(lit(1)).as("n_cells"))
+      // c·(c−1) is even, so DIV 2 is exact long arithmetic
+      .withColumn("pair_cost", expr("n_cells * (cell_size * (cell_size - 1) DIV 2)"))
+    val wCum = Window.orderBy("cell_size") // tiny frame: ≤ |distinct sizes| rows
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum_pair_cost", sum("pair_cost").over(wCum))
+  }
+
+  /** Over-cap cell frames below this many cells broadcast for the
+    * admission anti join (3 small ints/longs per row; the histogram gives
+    * the exact count, so the decision is evidence-based). Above it the
+    * anti join shuffles — same result, no driver pressure.
+    */
+  private val BroadcastOverCapCellLimit = 1L << 19
+
+  /** D9b — [[fuzzyNearDups]] with candidate admission CAPPED by a pair
+    * budget (the d4d pattern applied to the fuzzy family): one aggregate
+    * prices the (chunk, ckey, lenBucket) cell sizes ([[fuzzyCellStats]]),
+    * the cap is derived as the largest cell size whose cumulative
+    * within-cell candidate cost stays inside `budgetPairs` (floored at 2 —
+    * below 2 a cell generates nothing and the operator would go sterile),
+    * and rows whose HOME cell exceeds the cap are excluded from the join
+    * on BOTH sides. This is what keeps the fuzzy path's shuffle and task
+    * memory flat as the corpus grows: a fixed cap admits linearly more
+    * candidates at 10× data; a fixed PAIR budget adapts the cap downward
+    * so candidate volume — the thing the 100× probe measured spilling —
+    * stays bounded (within-cell meets ≤ budget by construction; adjacent
+    * cross meets ≤ 2·cap·|admitted rows|, linear).
+    *
+    * Recall contract (document with the corpus, as d4d documents its
+    * 290-vs-2,560 trade): only candidate GENERATION is restricted —
+    * verification is exact on survivors — so a true pair (edit distance
+    * ≤ maxDist) is lost iff EVERY chunk where its sketches agree lands
+    * both ids in (or one id in) an over-cap cell. Over-cap cells are
+    * precisely the degenerate near-identical clusters; within such a
+    * cluster pairs are lost, while pairs bridging a normal cell in ANY of
+    * the 4 chunks survive. The oracle re-derives the same cap from the
+    * same histogram in SQL, so the derivation arithmetic itself is gated.
+    *
+    * The chunked frame persists for the duration of the call (histogram +
+    * join both read it); `release = false` keeps it for session reuse,
+    * `release = true` materializes the (budget-bounded) result and drops
+    * it — the loan contract of [[withPersistedSets]].
+    */
+  def fuzzyNearDupsBudget(df: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int, budgetPairs: Long, maxHamming: Int = 3,
+                          release: Boolean = false): DataFrame = {
+    require(maxDist >= 0, "fuzzyNearDupsBudget: maxDist must be >= 0")
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only for maxHamming <= 3")
+    require(budgetPairs >= 0, "fuzzyNearDupsBudget: budget must be >= 0")
+    withPersistedSets(fuzzyChunked(df, idCol, textCol, maxDist), release) { chunked =>
+      val cells = chunked.groupBy("chunk", "ckey", "_hb")
+        .agg(count(lit(1)).as("cell_size"))
+      val hist = cells.groupBy("cell_size").agg(count(lit(1)).as("n_cells"))
+        .withColumn("pair_cost", expr("n_cells * (cell_size * (cell_size - 1) DIV 2)"))
+        .withColumn("cum_pair_cost", sum("pair_cost").over(
+          Window.orderBy("cell_size")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("cell_size", "n_cells", "cum_pair_cost")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val cap = math.max(2L,
+        hist.filter(_._3 <= budgetPairs).map(_._1).maxOption.getOrElse(2L))
+      val nOverCap = hist.filter(_._1 > cap).map(_._2).sum
+      val overCap = cells.filter(col("cell_size") > cap)
+        .select("chunk", "ckey", "_hb")
+      val blacklist = if (nOverCap <= BroadcastOverCapCellLimit)
+        broadcast(overCap) else overCap
+      val admitted = chunked.join(blacklist, Seq("chunk", "ckey", "_hb"), "left_anti")
+      fuzzyVerify(df, idCol, textCol, maxDist, maxHamming, admitted)
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs, EXACT threshold join on the

@@ -281,6 +281,45 @@ class DedupSpec extends SparkTestBase {
     assert(cand.contains((1L, 3L)), "reordered doc collides in token space")
   }
 
+  test("fuzzyCellStats: every chunk row lands in exactly one home cell (D9c)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val stats = Dedup.fuzzyCellStats(docs, "doc_id", "text", maxDist = 40)
+      .select("cell_size", "n_cells", "pair_cost", "cum_pair_cost")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val rows = stats.map(s => s._1 * s._2).sum
+    assert(rows == 4L * docs.count(), "4 chunk rows per doc, one home cell each")
+    stats.foreach { case (c, n, cost, _) =>
+      assert(cost == n * (c * (c - 1) / 2), "within-cell pricing is n·c(c−1)/2")
+    }
+    assert(stats.map(_._4).toSeq == stats.scanLeft(0L)(_ + _._3).tail.toSeq,
+      "cum_pair_cost is the running total by ascending cell size")
+  }
+
+  test("fuzzyNearDupsBudget: unbounded budget reproduces fuzzyNearDups bit-for-bit (D9b)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 40)
+      .as[(Long, Long, Long)].collect().toSet
+    val unbounded = Dedup.fuzzyNearDupsBudget(docs, "doc_id", "text",
+      maxDist = 40, budgetPairs = Long.MaxValue)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(unbounded == full, "no cell over an unbounded cap ⇒ identical result")
+  }
+
+  test("fuzzyNearDupsBudget: a binding budget prunes a subset, keeps exact distances (D9b)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 40)
+      .as[(Long, Long, Long)].collect()
+      .map(t => ((t._1, t._2), t._3)).toMap
+    val capped = Dedup.fuzzyNearDupsBudget(docs, "doc_id", "text",
+      maxDist = 40, budgetPairs = 3000L, release = true)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.nonEmpty, "budget 3000 must stay productive on the fixture")
+    capped.foreach { case (a, b, dist) =>
+      assert(full.get((a, b)).contains(dist),
+        s"capped survivor ($a,$b) must carry the exact full-run distance")
+    }
+  }
+
   test("exactIncrementalBloom: empty batch and empty corpus edges") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
