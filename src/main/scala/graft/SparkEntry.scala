@@ -1228,6 +1228,25 @@ object SparkEntry {
         dim = 64, bands = 32, bitsPerBand = 4, ordinal = true)
         .orderBy("band")),
 
+    // D5f: the AUTO plan choice closing the d5e loop — 32×4 banding at
+    // cosine 0.45 prices Σ b(b−1)/2 ≈ 2.1 × all-pairs (the bands admit
+    // MORE work than brute force), so the operator must take the
+    // blocked-exact branch; the oracle re-derives the same integer
+    // comparison from the same counts, so the CHOICE is gated, not
+    // assumed
+    "d5f_embed_auto" -> ((s, d) =>
+      Dedup.embedNearDupAuto(Tables.embeddings(s, d), "vec_id", "embedding",
+        0.45, dim = 64, bands = 32, bitsPerBand = 4, ordinal = true)
+        .orderBy("id_1", "id_2")),
+
+    // D5g: the same auto entry under 16×8 banding — admission ≈ 0.078 of
+    // all-pairs (under the 1/10 gate), so the LSH branch must fire; the
+    // result is the banded-candidate + exact-verify set (S-curve recall)
+    "d5g_embed_auto_lsh" -> ((s, d) =>
+      Dedup.embedNearDupAuto(Tables.embeddings(s, d), "vec_id", "embedding",
+        0.45, dim = 64, bands = 16, bitsPerBand = 8, ordinal = true)
+        .orderBy("id_1", "id_2")),
+
     // D5c: incremental EMBEDDING near-dup ingest — new vectors (vec_id %
     // 11 = 0) kept only where no corpus vector reaches cosine >= 0.45;
     // ordinal-banded corpus index probed by batch band keys only (the d5b
@@ -2959,6 +2978,39 @@ object SparkEntry {
     * parameters, like a seed; the sketch/bucketing/ranking computation
     * itself is expressed independently in SQL). DuckDB lists are 1-based.
     */
+  /** The d5f/d5g gated-choice oracle: re-derives embedNearDupAuto's plan
+    * decision in SQL — the banded bucket pricing, the integer admission
+    * comparison (× 10 = the default 1/admissionDenom gate), and BOTH
+    * branch pipelines, with the unchosen branch filtered out by the gate —
+    * so the CHOICE arithmetic is what the hash compare verifies.
+    */
+  private def embedAutoOracleSql(bands: Int, bits: Int): String = {
+    val bandSelects = (0 until bands).map { b =>
+      s"SELECT vec_id, $b AS band, " +
+        ordinalSketchSql("embedding", dim = 64, bits = bits, seed = 1000L + b) +
+        " AS bkey FROM embeddings"
+    }.mkString(" UNION ALL ")
+    s"WITH bands AS ($bandSelects), " +
+      "gate AS (SELECT (SELECT sum(b * (b - 1) // 2) FROM " +
+      "(SELECT count(*) AS b FROM bands GROUP BY band, bkey)) * 10 <= " +
+      "(SELECT count(*) * (count(*) - 1) // 2 FROM embeddings) AS use_lsh), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2 " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+      "AND a.vec_id < b.vec_id), " +
+      "lshres AS (SELECT c.id_1, c.id_2, " +
+      "round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) AS cosine " +
+      "FROM cand c JOIN embeddings e1 ON c.id_1 = e1.vec_id " +
+      "JOIN embeddings e2 ON c.id_2 = e2.vec_id " +
+      "WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) >= 0.45), " +
+      "exres AS (SELECT a.vec_id AS id_1, b.vec_id AS id_2, " +
+      "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine " +
+      "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+      "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45) " +
+      "SELECT * FROM lshres WHERE (SELECT use_lsh FROM gate) " +
+      "UNION ALL SELECT * FROM exres WHERE NOT (SELECT use_lsh FROM gate) " +
+      "ORDER BY id_1, id_2"
+  }
+
   private def ordinalSketchSql(vecExpr: String, dim: Int, bits: Int, seed: Long): String =
     Similarity.ordinalIndexPairs(dim, bits, seed).zipWithIndex.map { case ((a, b), h) =>
       s"(CASE WHEN $vecExpr[${a + 1}] > $vecExpr[${b + 1}] THEN ${1L << h} ELSE 0 END)"
@@ -3216,6 +3268,13 @@ object SparkEntry {
         "(sum(b * (b - 1) // 2))::BIGINT AS pair_cost " +
         "FROM bs GROUP BY band ORDER BY band"
     },
+
+    // the auto entry's gated plan choice: 32×4 prices over the admission
+    // gate → the exact branch's all-pairs result must be what comes back
+    "d5f_embed_auto" -> embedAutoOracleSql(bands = 32, bits = 4),
+
+    // 16×8 prices under the gate → the LSH branch's banded-candidate set
+    "d5g_embed_auto_lsh" -> embedAutoOracleSql(bands = 16, bits = 8),
 
     // d5b's banded-ordinal recipe in the cross-corpus probe shape, then
     // the surviving batch rows (exact-cosine verified matches anti-join)

@@ -1550,6 +1550,45 @@ object Dedup {
     newVecs.join(matched, newVecs(idCol) === matched("id_1"), "left_anti")
   }
 
+  /** D5f — embedding near-dup with the physical plan CHOSEN from the
+    * measured band-bucket structure (the d4c→d4d pattern closing the d5e
+    * diagnostic loop): run [[Similarity.lshBandStats]] — one narrow
+    * aggregate, never a join — and compare its priced candidate
+    * evaluations Σ b(b−1)/2 (summed over bands: an upper bound that
+    * counts a cross-band duplicate once per band) against all-pairs
+    * n(n−1)/2. If the bands admit more than `1/admissionDenom` of all
+    * pairs they are NOT discriminating at this parameterization — LSH
+    * there is quadratic-with-extra-steps plus a 28 GB candidate spill
+    * (measured at 10×, cosine 0.45 under 32×4 banding) — so the operator
+    * takes [[embeddingNearDups]]'s blocked-exact plan (flat per-task
+    * memory, zero spill at the same probe). Below the ratio the banded
+    * [[embeddingNearDupsLSH]] path wins (sub-quadratic candidates, the
+    * documented S-curve recall).
+    *
+    * The decision is integer arithmetic (`pairCost · admissionDenom ≤
+    * allPairs`, BigInt — no float ties), so an oracle can re-derive the
+    * same choice from the same counts; recall follows the chosen branch:
+    * full for exact, the band S-curve for LSH.
+    */
+  def embedNearDupAuto(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, dim: Int,
+                       bands: Int = 16, bitsPerBand: Int = 8,
+                       ordinal: Boolean = false,
+                       admissionDenom: Long = 10L): DataFrame = {
+    require(admissionDenom >= 1, "embedNearDupAuto: admissionDenom must be >= 1")
+    val pairCost = Similarity.lshBandStats(df, idCol, vecCol, dim, bands, bitsPerBand, ordinal)
+      .agg(sum("pair_cost")).head.getAs[Any](0) match {
+        case null => 0L
+        case l: Long => l
+      }
+    val n = df.count()
+    val allPairs = BigInt(n) * BigInt(n - 1) / 2
+    if (BigInt(pairCost) * BigInt(admissionDenom) <= allPairs)
+      embeddingNearDupsLSH(df, idCol, vecCol, threshold, dim, bands, bitsPerBand, ordinal)
+    else
+      embeddingNearDups(df, idCol, vecCol, threshold)
+  }
+
   /** High-threshold variant: banded sign-sketch LSH candidates
     * ([[Similarity.lshCandidates]]) + exact cosine verification. Sub-
     * quadratic candidate generation; recall follows the sign-LSH S-curve

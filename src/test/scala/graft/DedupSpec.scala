@@ -281,6 +281,29 @@ class DedupSpec extends SparkTestBase {
     assert(cand.contains((1L, 3L)), "reordered doc collides in token space")
   }
 
+  test("embedNearDupAuto picks the branch the measured admission dictates (D5f/D5g)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_1", "id_2", "cosine").as[(Long, Long, Double)].collect().toSet
+    // 32×4 bands price above the 1/10 admission gate → the blocked-exact
+    // branch (full recall) must come back bit-for-bit
+    val auto = rows(Dedup.embedNearDupAuto(emb, "vec_id", "embedding", 0.45,
+      dim = 64, bands = 32, bitsPerBand = 4, ordinal = true))
+    val exact = rows(Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.45))
+    assert(auto == exact, "over-gate admission must take the exact branch")
+    // 16×8 bands price under the gate → the LSH branch (S-curve recall)
+    val autoLsh = rows(Dedup.embedNearDupAuto(emb, "vec_id", "embedding", 0.45,
+      dim = 64, bands = 16, bitsPerBand = 8, ordinal = true))
+    val lsh = rows(Dedup.embeddingNearDupsLSH(emb, "vec_id", "embedding", 0.45,
+      dim = 64, bands = 16, bitsPerBand = 8, ordinal = true))
+    assert(autoLsh == lsh, "under-gate admission must take the LSH branch")
+    assert(lsh.subsetOf(exact) && lsh != exact,
+      "the two branches are genuinely different plans on this fixture")
+    // degenerate frames choose without crashing
+    assert(Dedup.embedNearDupAuto(emb.limit(1), "vec_id", "embedding", 0.45,
+      dim = 64, bands = 4, bitsPerBand = 4, ordinal = true).count() == 0)
+  }
+
   test("fuzzyCellStats: every chunk row lands in exactly one home cell (D9c)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val stats = Dedup.fuzzyCellStats(docs, "doc_id", "text", maxDist = 40)
