@@ -180,6 +180,27 @@ object Bench {
         System.err.println(s"[bench] could not write $p: ${e.getMessage}")
       }
     }
+    // Companion summary STAMPED FROM THE ARTIFACT ITSELF, meant to be
+    // pasted verbatim into the commit body of any BENCH_DETAIL refresh —
+    // two rounds running, a commit message claimed "zero noisy" while the
+    // artifact it described flagged rows (r11 c22e238, r12 a53676d). A
+    // message derived from this line cannot drift from the capture.
+    if (only.isEmpty) {
+      val noisyKeys = results.collect {
+        case (k, _, b2lo, b2hi, mn, mx, None)
+          if b2lo > 0 && b2hi / b2lo > 1.5 && b2hi - b2lo > 0.1 =>
+          f"$k [$mn%.2f, $mx%.2f]"
+      }
+      val summary = f"bench: ${results.size} queries, total $total%.1f s, " +
+        s"failed $nFailed, noisy: " +
+        (if (noisyKeys.isEmpty) "none" else noisyKeys.mkString("; ")) + "\n"
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/bench_summary.txt"), summary.getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write summary: ${e.getMessage}")
+      }
+      System.err.println("[bench] " + summary.trim)
+    }
     spark.stop()
   }
 }
