@@ -2789,6 +2789,56 @@ object SparkEntry {
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
+    // D2e: the d2c index PROBE stated as PURE SQL TEXT (the s5l/x12c
+    // pattern extended to the index lifecycle): the staged minhash index
+    // registers as views (graft_minhash_sets / graft_minhash_bands), and
+    // the whole probe — batch shingling, the 64-perm signature, 32×2
+    // banding, the band-key equi-join, exact-Jaccard verify with the
+    // registered graft_sorted_intersect_size kernel, the anti join — is
+    // one SQL statement a front-end user could run against the same
+    // materialized index the Scala API probes. Shares d2c's staged dir
+    // (same stage key) and must bit-match d2b (same oracle). Spark plans
+    // the same shape: index-scan joins, never a corpus re-shingle.
+    "d2e_index_probe_sql" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val idxDir =
+        s"${scratchDir(d)}/d2c_minhash_index_${stageKey(srcFile, "n3b32r2")}"
+      if (!new java.io.File(s"$idxDir/bands/_SUCCESS").exists()) {
+        Dedup.writeMinhashIndex(
+          Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 9 =!= 0), "doc_id", "text"),
+          idxDir, "doc_id", shards = 4)
+      }
+      Tables.registerAll(s, d)
+      val idx = Dedup.readMinhashIndex(s, idxDir)
+      idx.sets.createOrReplaceTempView("graft_minhash_sets")
+      idx.bands.createOrReplaceTempView("graft_minhash_bands")
+      s.sql(
+        "WITH batch AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 9 = 0), " +
+          "words AS (SELECT doc_id, n_chars, split(lower(trim(text)), '\\\\s+') AS w FROM batch), " +
+          "bsets AS (SELECT doc_id, n_chars, CASE WHEN size(w) - 2 > 0 THEN " +
+          "array_sort(transform(array_distinct(transform(sequence(0, size(w) - 3), " +
+          "i -> concat_ws(' ', element_at(w, CAST(i + 1 AS INT)), " +
+          "element_at(w, CAST(i + 2 AS INT)), element_at(w, CAST(i + 3 AS INT))))), " +
+          "s -> xxhash64(s))) ELSE CAST(array() AS ARRAY<BIGINT>) END AS shs FROM words), " +
+          "bsigs AS (SELECT doc_id, size(shs) AS n_sh, shs, " +
+          "transform(sequence(0, 63), p -> array_min(transform(shs, h -> xxhash64(p, h)))) AS sigs " +
+          "FROM bsets), " +
+          "bbands AS (SELECT doc_id, band, hash(slice(sigs, band * 2 + 1, 2)) AS bkey " +
+          "FROM bsigs LATERAL VIEW explode(sequence(0, 31)) t AS band), " +
+          "cand AS (SELECT DISTINCT b.doc_id AS id_1, i.doc_id AS id_2 " +
+          "FROM bbands b JOIN graft_minhash_bands i ON b.band = i.band AND b.bkey = i.bkey), " +
+          "scored AS (SELECT c.id_1, " +
+          "CAST(graft_sorted_intersect_size(l.shs, r.shs) AS DOUBLE) AS inter, " +
+          "CAST(l.n_sh + r.n_sh AS DOUBLE) AS sz FROM cand c " +
+          "JOIN bsigs l ON c.id_1 = l.doc_id " +
+          "JOIN graft_minhash_sets r ON c.id_2 = r.doc_id), " +
+          "matched AS (SELECT DISTINCT id_1 FROM scored " +
+          "WHERE round(CASE WHEN sz - inter > 0 THEN inter / (sz - inter) ELSE 0.0 END, 6) >= 0.5) " +
+          "SELECT b.doc_id, b.n_chars FROM batch b " +
+          "LEFT ANTI JOIN matched m ON b.doc_id = m.id_1 ORDER BY doc_id")
+    }),
+
     // D8c: d8 replayed from the materialized fingerprint index — the
     // exact-ingest analogue of d2c (same oracle as d8)
     "d8c_index_replay" -> ((s, d) => {
@@ -4975,6 +5025,10 @@ object SparkEntry {
     // sets are the same relations whether derived inline or loaded from
     // the sharded parquet index
     "d2c_index_replay" -> d2bOracleSql,
+
+    // the SQL-text probe must reproduce the SAME relation as the typed
+    // probe and the one-shot incremental form — one oracle for all three
+    "d2e_index_probe_sql" -> d2bOracleSql,
 
     // the lifecycle gate: day-3 probe of the build→probe→update index must
     // equal the brute-force from-scratch relation over day-1 ∪ survivors
