@@ -1665,6 +1665,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // M2h: REAL animated-GIF video decode — the second zero-codec video
+    // container next to RIFF/AVI, read and written by the JDK's own
+    // ImageIO. Palettized gray frames are lossless, so width/height/
+    // frames/duration AND the per-frame pixel sum are all closed-form in
+    // the id (single channel; the DIB fixture's sum is 3× per pixel)
+    "m2h_gif_decode" -> ((s, d) => {
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val gif = Multimodal.encodeGifBatches(s, ids, "doc_id")
+      Multimodal.decodeVideoBatches(s, gif, "doc_id").toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_frames"),
+          col("duration_ms"), col("px_sum"))
+        .orderBy("doc_id")
+    }),
+
     // V1: per-label embedding centroids (class prototypes) — map-side
     // partial aggregation of per-coordinate means, long-format output
     "v1_label_centroids" -> ((s, d) =>
@@ -5004,6 +5019,23 @@ object SparkEntry {
         "(2 + doc_id % 5)::BIGINT AS n_frames, " +
         "(((2 + doc_id % 5) * 20000 * (1 + doc_id % 3)) // 1000)::BIGINT AS duration_ms, " +
         "TRUE AS px_ok FROM documents WHERE doc_id < 100 ORDER BY doc_id"),
+
+    // GIF sibling: lossless palettized frames, so the pixel sum is the
+    // raw formula (one channel) and the duration comes from the per-frame
+    // delay metadata — frames × 20 ms × (1 + id % 3)
+    "m2h_gif_decode" ->
+      ("WITH px AS (SELECT d.doc_id, " +
+        "sum((x.range * 7 + y.range * 13 + f.range * 31 + d.doc_id) % 256) AS s " +
+        "FROM documents d CROSS JOIN range(0, 8) x CROSS JOIN range(0, 6) y " +
+        "CROSS JOIN range(0, 7) f " +
+        "WHERE d.doc_id < 100 AND x.range < 1 + d.doc_id % 8 " +
+        "AND y.range < 1 + d.doc_id % 6 AND f.range < 2 + d.doc_id % 5 " +
+        "GROUP BY d.doc_id) " +
+        "SELECT doc_id, (1 + doc_id % 8)::BIGINT AS width, " +
+        "(1 + doc_id % 6)::BIGINT AS height, " +
+        "(2 + doc_id % 5)::BIGINT AS n_frames, " +
+        "((2 + doc_id % 5) * 20 * (1 + doc_id % 3))::BIGINT AS duration_ms, " +
+        "s::BIGINT AS px_sum FROM px ORDER BY doc_id"),
 
     // the same SQL text shape the Spark side runs via spark.sql
     "q_sql_surface" ->

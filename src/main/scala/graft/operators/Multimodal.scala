@@ -17,14 +17,18 @@ import org.apache.spark.sql.functions._
   * + PCM bodies): [[decodeBatches]] reads channels / sample rate / frame
   * count / true duration; [[decodeAudioBatches]] additionally sums every
   * PCM sample (oracle rows `m2c_audio_decode` WAV / `m2d_aiff_decode`
-  * AIFF). VIDEO decodes for REAL when the payload is an UNCOMPRESSED AVI
-  * — the container is plain RIFF bookkeeping, parsed by a hand-written
-  * walker with zero codec libraries ([[tryDecodeAvi]] headers,
-  * [[decodeVideoBatches]] frame bytes; oracle row `m2e_video_decode`).
-  * Only CODEC-compressed video remains out of reach (`stubDecode` —
-  * deterministic fake metadata from a payload hash; no codec libraries in
-  * this container), and a non-media payload tagged image/audio/video
-  * falls back to the same stub.
+  * AIFF). VIDEO decodes for REAL in two containers: an UNCOMPRESSED AVI
+  * — plain RIFF bookkeeping, parsed by a hand-written walker with zero
+  * codec libraries ([[tryDecodeAvi]] headers, [[decodeVideoBatches]]
+  * frame bytes; oracle row `m2e_video_decode`), MJPEG-AVI's per-frame
+  * JPEGs through ImageIO (`m2f_mjpeg_decode`) — and an ANIMATED GIF via
+  * ImageIO's own multi-frame reader ([[tryDecodeGif]] headers + delay
+  * metadata, frame rasters in [[decodeVideoBatches]]; oracle row
+  * `m2h_gif_decode`). Only CODEC-compressed video in other containers
+  * remains out of reach (`stubDecode` — deterministic fake metadata from
+  * a payload hash; no codec libraries in this container), and a
+  * non-media payload tagged image/audio/video falls back to the same
+  * stub.
   *
   * Scale notes: payloads never shuffle — decode/feature-extract are narrow
   * `mapPartitions` (one decoder init per partition, not per row, which is
@@ -185,7 +189,7 @@ object Multimodal {
             case "image" => tryDecodeImage(payload).map(img =>
               MediaMeta(img.getWidth, img.getHeight, 1, 0L))
             case "audio" => tryDecodeWav(payload)
-            case "video" => tryDecodeAvi(payload)
+            case "video" => tryDecodeAvi(payload).orElse(tryDecodeGif(payload))
             case _ => None
           }
           MediaRow(id, mt, payload.length.toLong, sha, real.getOrElse(stubDecode(sha, mt)))
@@ -668,6 +672,134 @@ object Multimodal {
       .withColumn("media_type", lit("video"))
   }
 
+  /** Deterministic ANIMATED-GIF fixture generator — the pure-JDK sibling
+    * of [[encodeAviBatches]] proving the video path generalizes past
+    * RIFF: same per-id geometry family ((1 + id % 8) × (1 + id % 6),
+    * 2 + id % 5 frames, frame period 20·(1 + id % 3) ms stored as the
+    * GraphicControlExtension delayTime in centiseconds) and the same
+    * closed-form raster v = (x·7 + y·13 + f·31 + id) mod 256, written as
+    * indices into an explicit 256-entry gray palette. GIF is LOSSLESS for
+    * palettized content, so decode must return the exact formula values —
+    * px_sum stays a pure closed form (single-channel here; the DIB sum is
+    * 3× it). Written with `javax.imageio`'s own GIF writer
+    * (`writeToSequence` + per-frame metadata), read back by the same
+    * registry — encoder and decoder share nothing but the format.
+    */
+  def encodeGifBatches(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        // per-partition writer init (the batch-shape contract); palette
+        // index i = gray value i, so raster bytes ARE the formula values
+        val grays = Array.tabulate(256)(_.toByte)
+        val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+        ids.map { id =>
+          val w = (1 + id % 8).toInt
+          val h = (1 + id % 6).toInt
+          val frames = (2 + id % 5).toInt
+          val delayCs = (2 * (1 + id % 3)).toInt // centiseconds = 20ms·(1+id%3)
+          val bos = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          // sequential scan order: the JDK writer's default INTERLACED
+          // output corrupts sub-8-row rasters (measured: a 2×2 frame
+          // round-trips with its second row zeroed), and interlace buys
+          // nothing for generated fixtures
+          val param = writer.getDefaultWriteParam
+          param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < frames) {
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  raster.setSample(x, y, 0, ((x * 7 + y * 13 + f * 31 + id) % 256).toInt)
+                  x += 1
+                }
+                y += 1
+              }
+              val meta = writer.getDefaultImageMetadata(
+                new javax.imageio.ImageTypeSpecifier(img), param)
+              val fmt = "javax_imageio_gif_image_1.0"
+              val root = meta.getAsTree(fmt)
+                .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              val gce = {
+                val existing = root.getElementsByTagName("GraphicControlExtension")
+                if (existing.getLength > 0)
+                  existing.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                else {
+                  val n = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+                  root.appendChild(n); n
+                }
+              }
+              gce.setAttribute("disposalMethod", "none")
+              gce.setAttribute("userInputFlag", "FALSE")
+              gce.setAttribute("transparentColorFlag", "FALSE")
+              gce.setAttribute("transparentColorIndex", "0")
+              gce.setAttribute("delayTime", delayCs.toString)
+              meta.setFromTree(fmt, root)
+              writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), param)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally { writer.dispose(); ios.close() }
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF(idCol, "payload")
+      .withColumn("media_type", lit("video"))
+  }
+
+  /** Animated-GIF sniff — "GIF87a"/"GIF89a" at 0. Same bytes
+    * [[looksLikeImage]] accepts (a GIF *is* an image container); the
+    * video path additionally walks every frame and the per-frame delay
+    * metadata, which ImageIO exposes and plain `ImageIO.read` does not.
+    */
+  private[graft] def looksLikeGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+  /** REAL animated-GIF video decode via the JDK (`javax.imageio` — the
+    * second zero-codec-library video container next to RIFF/AVI): frame
+    * count from the reader's image sequence, geometry from frame 0, true
+    * duration_ms = Σ per-frame GraphicControlExtension delayTime × 10
+    * (GIF stores centiseconds). None when the payload is not a decodable
+    * GIF — total, like [[tryDecodeAvi]].
+    */
+  private[graft] def tryDecodeGif(payload: Array[Byte]): Option[MediaMeta] =
+    if (!looksLikeGif(payload)) None
+    else {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+        val n = reader.getNumImages(true)
+        if (n < 1) None
+        else Some(MediaMeta(reader.getWidth(0), reader.getHeight(0), n,
+          (0 until n).map(f => gifFrameDelayCs(reader, f)).sum * 10L))
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally reader.dispose()
+    }
+
+  /** Per-frame delay in centiseconds from the frame's native GIF metadata
+    * tree (`GraphicControlExtension/@delayTime`); 0 when the frame has no
+    * GCE — the spec's "as fast as possible".
+    */
+  private def gifFrameDelayCs(reader: javax.imageio.ImageReader, frame: Int): Long = {
+    val root = reader.getImageMetadata(frame)
+      .getAsTree("javax_imageio_gif_image_1.0")
+      .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val gce = root.getElementsByTagName("GraphicControlExtension")
+    if (gce.getLength == 0) 0L
+    else gce.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      .getAttribute("delayTime").toLong
+  }
+
   case class VideoFrames(doc_id: Long, width: Int, height: Int, n_frames: Long,
                          duration_ms: Long, px_sum: Long)
 
@@ -707,8 +839,11 @@ object Multimodal {
     * codec fall back to the byte sum (an integrity statistic, not a pixel
     * decode — that narrower honest boundary is documented at
     * [[stubDecode]]). The statistic proves the decoder walked (and for
-    * DIB/MJPEG, decoded) every frame chunk, not just the header. Throws on
-    * a payload that is not a parseable AVI — this path is for known-video
+    * DIB/MJPEG, decoded) every frame chunk, not just the header. ANIMATED
+    * GIF payloads (sniffed by [[looksLikeGif]]) take the ImageIO frame
+    * walk instead — every frame decoded and luminance-summed, duration
+    * from the per-frame delay metadata. Throws on a payload that is
+    * neither a parseable AVI nor a GIF — this path is for known-video
     * columns, [[decodeBatches]] is the total/fallback form.
     */
   def decodeVideoBatches(spark: SparkSession, withPayload: DataFrame,
@@ -718,33 +853,61 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          val meta = tryDecodeAvi(payload).getOrElse(
-            throw new IllegalArgumentException(
-              s"decodeVideoBatches: id=$id is not a parseable AVI"))
-          var pxSum = 0L
-          var nChunks = 0L
-          walkRiff(payload, 12, payload.length) { (cc, off, size) =>
-            if (cc == "00db" || cc == "00dc") {
-              nChunks += 1
-              if (cc == "00dc" && looksLikeJpeg(payload, off, size)) {
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(payload, off, size))
-                require(img != null,
-                  s"decodeVideoBatches: id=$id frame $nChunks sniffs as JPEG but does not decode")
-                pxSum += lumSum(img)
-              } else {
-                var i = off
-                val end = off + size
-                while (i < end) { pxSum += (payload(i) & 0xFF); i += 1 }
-              }
-            }
-          }
-          require(nChunks == meta.n_frames,
-            s"decodeVideoBatches: id=$id movi has $nChunks frame chunks, avih says ${meta.n_frames}")
-          VideoFrames(id, meta.width, meta.height, meta.n_frames,
-            meta.duration_ms, pxSum)
+          if (looksLikeGif(payload)) decodeGifRow(id, payload)
+          else decodeAviRow(id, payload)
         }
       }
+  }
+
+  /** The GIF arm of [[decodeVideoBatches]]: header metadata via
+    * [[tryDecodeGif]] plus every frame ImageIO-decoded and
+    * luminance-summed — the same decode-proof statistic as the MJPEG arm.
+    */
+  private def decodeGifRow(id: Long, payload: Array[Byte]): VideoFrames = {
+    val meta = tryDecodeGif(payload).getOrElse(
+      throw new IllegalArgumentException(
+        s"decodeVideoBatches: id=$id is not a parseable GIF"))
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload)))
+      var pxSum = 0L
+      var f = 0
+      while (f < meta.n_frames) { pxSum += lumSum(reader.read(f)); f += 1 }
+      VideoFrames(id, meta.width, meta.height, meta.n_frames,
+        meta.duration_ms, pxSum)
+    } finally reader.dispose()
+  }
+
+  /** The AVI arm of [[decodeVideoBatches]] — unchanged RIFF walk:
+    * '00db' byte sums, MJPEG '00dc' ImageIO decode + luminance sum.
+    */
+  private def decodeAviRow(id: Long, payload: Array[Byte]): VideoFrames = {
+    val meta = tryDecodeAvi(payload).getOrElse(
+      throw new IllegalArgumentException(
+        s"decodeVideoBatches: id=$id is not a parseable AVI"))
+    var pxSum = 0L
+    var nChunks = 0L
+    walkRiff(payload, 12, payload.length) { (cc, off, size) =>
+      if (cc == "00db" || cc == "00dc") {
+        nChunks += 1
+        if (cc == "00dc" && looksLikeJpeg(payload, off, size)) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload, off, size))
+          require(img != null,
+            s"decodeVideoBatches: id=$id frame $nChunks sniffs as JPEG but does not decode")
+          pxSum += lumSum(img)
+        } else {
+          var i = off
+          val end = off + size
+          while (i < end) { pxSum += (payload(i) & 0xFF); i += 1 }
+        }
+      }
+    }
+    require(nChunks == meta.n_frames,
+      s"decodeVideoBatches: id=$id movi has $nChunks frame chunks, avih says ${meta.n_frames}")
+    VideoFrames(id, meta.width, meta.height, meta.n_frames,
+      meta.duration_ms, pxSum)
   }
 
   case class ImagePixels(doc_id: Long, width: Int, height: Int, px_sum: Long)

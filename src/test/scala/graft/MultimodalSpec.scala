@@ -250,6 +250,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.tryDecodeAvi("RIFF1234AVI garbage body here".getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("real animated-GIF round-trip: frames, delay metadata, and exact palettized pixels (M2h)") {
+    val ids = (0L until 20L).toDF("doc_id")
+    val gif = Multimodal.encodeGifBatches(spark, ids, "doc_id")
+    val metas = Multimodal.decodeBatches(spark, gif, "doc_id")
+      .collect().map(r => r.doc_id -> r.meta).toMap
+    val pxs = Multimodal.decodeVideoBatches(spark, gif, "doc_id")
+      .collect().map(v => v.doc_id -> v).toMap
+    (0L until 20L).foreach { id =>
+      val w = (1 + id % 8).toInt
+      val h = (1 + id % 6).toInt
+      val frames = (2 + id % 5).toInt
+      val durMs = frames.toLong * 20L * (1 + id % 3)
+      val expSum = (for {
+        f <- 0 until frames; y <- 0 until h; x <- 0 until w
+      } yield (x * 7 + y * 13 + f * 31 + id) % 256).sum
+      val m = metas(id)
+      assert((m.width, m.height, m.n_frames, m.duration_ms) ==
+        ((w, h, frames, durMs)), s"decodeBatches GIF header for id=$id")
+      val p = pxs(id)
+      assert((p.width, p.height, p.n_frames, p.duration_ms, p.px_sum) ==
+        ((w, h, frames.toLong, durMs, expSum)),
+        s"decodeVideoBatches GIF frames for id=$id — lossless palette round trip")
+    }
+    // sniff accepts GIF8 only; a garbage body decodes to None (total), so
+    // decodeBatches falls back to the stub rather than failing the job
+    assert(Multimodal.looksLikeGif("GIF89a-and-garbage".getBytes("ISO-8859-1")))
+    assert(!Multimodal.looksLikeGif("JIF89a".getBytes("ISO-8859-1")))
+    assert(Multimodal.tryDecodeGif("GIF89a then nothing real".getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("real MJPEG-AVI decode: per-chunk ImageIO decode bit-matches the encode-time round trip (M2f)") {
     val ids = (0L until 20L).toDF("doc_id")
     val avi = Multimodal.encodeMjpegAviBatches(spark, ids, "doc_id")
