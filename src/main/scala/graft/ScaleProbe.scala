@@ -22,6 +22,85 @@ import java.util.concurrent.atomic.AtomicLong
   */
 object ScaleProbe {
 
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  import graft.operators.{Dedup, Multimodal}
+
+  /** Probe-only query variants — plan shapes the scale probes need that
+    * the oracle surface deliberately does not carry (forcing an internal
+    * fallback path, or scaling a fixture knob the committed oracle pins):
+    *   - `p_d6*_distributed`: the components family with
+    *     `localEdgeLimit = 0`, forcing the DISTRIBUTED pointer-jumping
+    *     path even when the edge list would take the size-gated local
+    *     union-find — what a 100 TB corpus would always run.
+    *   - `p_m2{b,e}_1k`: the decode fixtures at 10× the payload COUNT
+    *     (doc_id < 1000 vs the oracle rows' < 100) — measures that corpus
+    *     growth only adds partitions/wall, never per-task decode memory.
+    * These run ONLY through ScaleProbe; correctness for the underlying
+    * operators is gated by their oracle rows.
+    */
+  private val probeOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_d6_distributed" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.1),
+        localEdgeLimit = 0L)
+        .withColumnRenamed("id", "doc_id")),
+    "p_d6b_distributed" -> ((s, d) =>
+      Dedup.keepCanonical(Tables.documents(s, d), "doc_id",
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.1),
+        localEdgeLimit = 0L)),
+    "p_d6c_distributed" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.1)
+        .select("id_1", "id_2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val isNew = (col("id_1") + col("id_2")) % 3 === 0
+      val res = Dedup.connectedComponentsIncremental(
+        Dedup.connectedComponents(pairs.filter(!isNew), localEdgeLimit = 0L),
+        pairs.filter(isNew), localEdgeLimit = 0L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      pairs.unpersist()
+      res
+    }),
+    // the 100×-capable components probes: pairs from the SUBQUADRATIC
+    // minhash banding (j ≥ 0.5, the d2 recipe) — the oracle d6 rows build
+    // pairs with the exact-blocked quadratic (fine at bench SF, the
+    // documented reference point), which no 100× corpus would run; what
+    // these measure is the label machinery itself at scale
+    "p_d6_mh_distributed" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", 0.5),
+        localEdgeLimit = 0L)
+        .withColumnRenamed("id", "doc_id")),
+    "p_d6c_mh_distributed" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", 0.5)
+        .select("id_1", "id_2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val isNew = (col("id_1") + col("id_2")) % 3 === 0
+      val res = Dedup.connectedComponentsIncremental(
+        Dedup.connectedComponents(pairs.filter(!isNew), localEdgeLimit = 0L),
+        pairs.filter(isNew), localEdgeLimit = 0L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      pairs.unpersist()
+      res
+    }),
+    "p_m2b_1k" -> ((s, d) => {
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 1000)
+      val png = Multimodal.encodePngBatches(s, ids, "doc_id")
+      Multimodal.decodeImageBatches(s, png, "doc_id").toDF()
+    }),
+    "p_m2e_1k" -> ((s, d) => {
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 1000)
+      val avi = Multimodal.encodeAviBatches(s, ids, "doc_id")
+      Multimodal.decodeVideoBatches(s, avi, "doc_id").toDF()
+    }),
+    "p_m2h_1k" -> ((s, d) => {
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 1000)
+      val gif = Multimodal.encodeGifBatches(s, ids, "doc_id")
+      Multimodal.decodeVideoBatches(s, gif, "doc_id").toDF()
+    }))
+
   private final class MetricsListener extends SparkListener {
     val peakTaskMem = new AtomicLong(0)
     val memSpill = new AtomicLong(0)
@@ -89,7 +168,8 @@ object ScaleProbe {
     java.nio.file.Files.createDirectories(out.getParent)
 
     names.foreach { name =>
-      val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
+      val fn = probeOnly.getOrElse(name,
+        SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name")))
       var rowCount = -1L
       val times = (1 to runs).map { _ =>
         System.gc()

@@ -1261,6 +1261,33 @@ object SparkEntry {
         .select("vec_id", "label").orderBy("vec_id")
     }),
 
+    // D5h: the ingest probe's AUTO plan choice (the d5f gate in cross
+    // form) — 32×4 banding prices its cross-admission over the 1/10 gate
+    // at every SF (the cosine-0.45 background regime: the probe join
+    // would evaluate MORE than batch×corpus), so the bounded-broadcast
+    // exact scan must fire; the oracle re-derives the bucket pricing,
+    // the gate, and both branch pipelines in SQL
+    "d5h_embed_incr_auto" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.embeddingIncrementalAuto(
+        emb.filter(col("vec_id") % 11 === 0), emb.filter(col("vec_id") % 11 =!= 0),
+        "vec_id", "embedding", 0.45, dim = 64, bands = 32, bitsPerBand = 4,
+        ordinal = true)
+        .select("vec_id", "label").orderBy("vec_id")
+    }),
+
+    // D5i: the same auto entry under 16×8 banding — cross-admission under
+    // the gate, so the banded LSH probe must fire (S-curve recall: kept =
+    // batch rows with no RECALLED corpus match)
+    "d5i_embed_incr_auto_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.embeddingIncrementalAuto(
+        emb.filter(col("vec_id") % 11 === 0), emb.filter(col("vec_id") % 11 =!= 0),
+        "vec_id", "embedding", 0.45, dim = 64, bands = 16, bitsPerBand = 8,
+        ordinal = true)
+        .select("vec_id", "label").orderBy("vec_id")
+    }),
+
     // SIM: brute-force cosine top-k (exact ANN baseline)
     "sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -3076,6 +3103,42 @@ object SparkEntry {
       "ORDER BY id_1, id_2"
   }
 
+  /** The d5h/d5i gated-choice ingest oracle — [[embedAutoOracleSql]]'s
+    * cross-corpus form: bucket counts per side, Σ n_batch·n_corpus vs
+    * batch×corpus under the ×10 integer gate, both branch match-sets
+    * (banded-candidate verify vs exact cross scan) gated on the choice,
+    * surviving batch rows out.
+    */
+  private def embedIncrAutoOracleSql(bands: Int, bits: Int): String = {
+    val bandSelects = (0 until bands).map { b =>
+      s"SELECT vec_id, $b AS band, " +
+        ordinalSketchSql("embedding", dim = 64, bits = bits, seed = 1000L + b) +
+        " AS bkey FROM embeddings"
+    }.mkString(" UNION ALL ")
+    s"WITH bands AS ($bandSelects), " +
+      "nb AS (SELECT * FROM bands WHERE vec_id % 11 = 0), " +
+      "cb AS (SELECT * FROM bands WHERE vec_id % 11 != 0), " +
+      "gate AS (SELECT coalesce((SELECT sum(x.n * y.n) FROM " +
+      "(SELECT band, bkey, count(*) AS n FROM nb GROUP BY band, bkey) x " +
+      "JOIN (SELECT band, bkey, count(*) AS n FROM cb GROUP BY band, bkey) y " +
+      "USING (band, bkey)), 0) * 10 <= " +
+      "(SELECT count(*) FILTER (vec_id % 11 = 0) * count(*) FILTER (vec_id % 11 != 0) " +
+      "FROM embeddings) AS use_lsh), " +
+      "cand AS (SELECT DISTINCT n.vec_id AS id_1, c.vec_id AS id_2 " +
+      "FROM nb n JOIN cb c ON n.band = c.band AND n.bkey = c.bkey), " +
+      "mlsh AS (SELECT DISTINCT c.id_1 FROM cand c " +
+      "JOIN embeddings e1 ON c.id_1 = e1.vec_id " +
+      "JOIN embeddings e2 ON c.id_2 = e2.vec_id " +
+      "WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) >= 0.45), " +
+      "mex AS (SELECT DISTINCT a.vec_id AS id_1 FROM embeddings a " +
+      "JOIN embeddings b ON a.vec_id % 11 = 0 AND b.vec_id % 11 != 0 " +
+      "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45), " +
+      "m AS (SELECT id_1 FROM mlsh WHERE (SELECT use_lsh FROM gate) " +
+      "UNION ALL SELECT id_1 FROM mex WHERE NOT (SELECT use_lsh FROM gate)) " +
+      "SELECT vec_id, label FROM embeddings WHERE vec_id % 11 = 0 " +
+      "AND vec_id NOT IN (SELECT id_1 FROM m) ORDER BY vec_id"
+  }
+
   private def ordinalSketchSql(vecExpr: String, dim: Int, bits: Int, seed: Long): String =
     Similarity.ordinalIndexPairs(dim, bits, seed).zipWithIndex.map { case ((a, b), h) =>
       s"(CASE WHEN $vecExpr[${a + 1}] > $vecExpr[${b + 1}] THEN ${1L << h} ELSE 0 END)"
@@ -3344,6 +3407,11 @@ object SparkEntry {
     // d5b's banded-ordinal recipe in the cross-corpus probe shape, then
     // the surviving batch rows (exact-cosine verified matches anti-join)
     "d5c_embed_incremental" -> d5cOracleSql,
+
+    // the ingest auto gate: 32×4 prices over → exact cross branch; 16×8
+    // prices under → the banded probe branch — choice arithmetic gated
+    "d5h_embed_incr_auto" -> embedIncrAutoOracleSql(bands = 32, bits = 4),
+    "d5i_embed_incr_auto_lsh" -> embedIncrAutoOracleSql(bands = 16, bits = 8),
 
     // the index replay must reproduce d5c exactly — sketch bands + vectors
     // are the same relations whether derived inline or loaded from parquet

@@ -201,6 +201,18 @@ object Similarity {
         max("_b").as("max_bucket"),
         expr("sum(_b * (_b - 1) DIV 2)").as("pair_cost"))
 
+  /** Per-(band, bucket) sketch-row counts — the cross-corpus pricing
+    * input ([[lshBandStats]]'s self-join form reduces these to per-band
+    * cost; the incremental-ingest gate joins two of these frames on the
+    * tiny bucket key space — ≤ bands·2^bits rows per side — and sums
+    * n_batch·n_corpus to price the probe join before running it).
+    */
+  def lshBucketCounts(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                      bands: Int = 16, bitsPerBand: Int = 8,
+                      ordinal: Boolean = false): DataFrame =
+    bandRows(df, idCol, "id", vecCol, dim, bands, bitsPerBand, ordinal)
+      .groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+
   /** Cross-corpus variant: candidate (id_1 ∈ a, id_2 ∈ b) pairs whose
     * sketches collide in some band — the probe shape of incremental
     * embedding ingest ([[graft.operators.Dedup.embeddingIncremental]]):

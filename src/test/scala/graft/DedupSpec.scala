@@ -304,6 +304,29 @@ class DedupSpec extends SparkTestBase {
       dim = 64, bands = 4, bitsPerBand = 4, ordinal = true).count() == 0)
   }
 
+  test("embeddingIncrementalAuto picks the branch the cross-admission dictates (D5h/D5i)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val batch = emb.filter(col("vec_id") % 11 === 0)
+    val corp = emb.filter(col("vec_id") % 11 =!= 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+    // 32×4: cross-admission over the gate → the bounded-broadcast exact
+    // scan; its result is definitionally the exact kept-set
+    val auto = ids(Dedup.embeddingIncrementalAuto(batch, corp, "vec_id", "embedding",
+      0.45, dim = 64, bands = 32, bitsPerBand = 4, ordinal = true))
+    val exact = ids(Dedup.embeddingIncrementalExact(batch, corp, "vec_id", "embedding", 0.45))
+    assert(auto == exact, "over-gate cross-admission must take the exact branch")
+    // 16×8: under the gate → the banded probe (S-curve recall)
+    val autoLsh = ids(Dedup.embeddingIncrementalAuto(batch, corp, "vec_id", "embedding",
+      0.45, dim = 64, bands = 16, bitsPerBand = 8, ordinal = true))
+    val lsh = ids(Dedup.embeddingIncremental(batch, corp, "vec_id", "embedding",
+      0.45, dim = 64, bands = 16, bitsPerBand = 8, ordinal = true))
+    assert(autoLsh == lsh, "under-gate cross-admission must take the banded probe")
+    // the exact scan is the recall ceiling: every exact-kept id survives
+    // the (possibly recall-lossy) banded probe too
+    assert(exact.subsetOf(lsh))
+  }
+
   test("fuzzyCellStats: every chunk row lands in exactly one home cell (D9c)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val stats = Dedup.fuzzyCellStats(docs, "doc_id", "text", maxDist = 40)
