@@ -266,6 +266,39 @@ class PlanSpec extends SparkTestBase {
       s"the corpus index must be probed by equi-join, never all-pairs:\n$p")
   }
 
+  test("budget-capped fuzzy admission: hash-keyed equi-plans only, anti-joined blacklist (D9b)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(Dedup.fuzzyNearDupsBudget(docs, "doc_id", "text",
+      maxDist = 40, budgetPairs = 3000L))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"capped candidates must come from the (chunk, ckey, lenBucket) equi-join:\n$p")
+  }
+
+  test("embedNearDupAuto: both chosen branches stay equi-join/blocked — never a nested loop (D5f/D5g)") {
+    val emb = Tables.embeddings(spark, sf)
+    // over the gate → blocked-exact; under → banded LSH; neither may
+    // degenerate into an unbounded broadcast loop
+    Seq((32, 4), (16, 8)).foreach { case (bands, bits) =>
+      val p = plan(Dedup.embedNearDupAuto(emb, "vec_id", "embedding", 0.45,
+        dim = 64, bands = bands, bitsPerBand = bits, ordinal = true))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"auto branch at ${bands}x$bits must be blocked or banded:\n$p")
+    }
+  }
+
+  test("exact ingest scan IS the deliberate bounded-broadcast nested loop (D5h)") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(Dedup.embeddingIncrementalExact(
+      emb.filter(col("vec_id") % 11 === 0), emb.filter(col("vec_id") % 11 =!= 0),
+      "vec_id", "embedding", 0.45))
+    // the batch side broadcasts (bounded by contract); the corpus streams
+    // past it once — this is the ONE place the nested loop is the design
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BroadcastExchange"),
+      s"expected the bounded-broadcast scan shape:\n$p")
+    // the matched-id reduction partial-aggregates before its exchange
+    assert(p.contains("HashAggregate"), s"expected partial-agged distinct in:\n$p")
+  }
+
   test("index replay probes ONLY the saved index — the corpus source is never scanned (D2c)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val corpusPath = "target/tmp/planspec_d2c_corpus"
