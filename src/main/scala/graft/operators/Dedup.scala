@@ -1668,6 +1668,12 @@ object Dedup {
     * 1-(1-p^r)^L with p = 1 - acos(cos)/π — pick bands/bits for the target
     * threshold (e.g. 16×8 gives recall ≈ 0.98 at cosine 0.9, and
     * essentially 0 admission of the ~0.2-background pairs).
+    *
+    * At thresholds near the cosine background the bands stop pruning and
+    * this path degenerates (28 GB candidate spill measured at 10×,
+    * cosine 0.45 under 32×4) — callers who don't know their regime should
+    * use [[embedNearDupAuto]], which measures the admission first and
+    * falls back to the blocked-exact plan.
     */
   def embeddingNearDupsLSH(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, dim: Int,
