@@ -1078,6 +1078,19 @@ object SparkEntry {
         .orderBy("test_id", "train_id")
     }),
 
+    // D7e: EXACT 13-gram decontamination — the published-eval gate (flag
+    // train docs sharing ANY verbatim 13-gram with the benchmark split);
+    // benchmark gram keys fold into a broadcast bloom pruning the train
+    // gram stream before its exchange, survivors exact-verify by semi
+    // join (bloom false positives die there — result exact)
+    "d7e_exact_ngram_decon" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminationExactNgram(
+        docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", n = 13)
+        .orderBy("train_id")
+    }),
+
     // D7b: decontamination replayed from the MATERIALIZED containment
     // index — train shingle sets + df-capped inverted index sharded to
     // parquet once, every benchmark screen probes the loaded frames (the
@@ -3255,6 +3268,19 @@ object SparkEntry {
       "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' || " +
       "regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM " + src
 
+  /** [[trigramGramsSqlOver]] generalized to any gram width — the d7e
+    * exact-13-gram oracle's builder, mirroring `Dedup.shingleSets(n)`:
+    * distinct space-joined word n-grams (raw strings here; Spark counts
+    * 64-bit shingle keys — identical modulo hash collisions, as
+    * everywhere).
+    */
+  private def ngramGramsSqlOver(src: String, n: Int): String = {
+    val w = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    val terms = (0 until n).map(j => s"$w[i+$j]").mkString(" || ' ' || ")
+    s"SELECT doc_id, list_distinct(list_transform(range(1, len($w) - ${n - 2}), " +
+      s"i -> $terms)) AS grams FROM $src"
+  }
+
   /** Containment CTE chain over pre-built `tsh` (train) / `xsh` (test) gram
     * relations: yields `contam(test_id, train_id, containment)` — shared by
     * the d7 oracle and the curation-chain oracle. Mirrors
@@ -4000,6 +4026,16 @@ object SparkEntry {
     "d4_ngram_jaccard" -> (bigramJaccardSql + " ORDER BY id_1, id_2"),
 
     "d7_decontaminate" -> d7OracleSql,
+
+    // the exact-13-gram gate recomputed over raw gram strings (Spark
+    // counts 64-bit shingle keys — identical modulo hash collisions)
+    "d7e_exact_ngram_decon" ->
+      (s"WITH tsh AS (${ngramGramsSqlOver("documents WHERE doc_id % 4 != 0", 13)}), " +
+        s"xsh AS (${ngramGramsSqlOver("documents WHERE doc_id % 4 = 0", 13)}), " +
+        "bg AS (SELECT DISTINCT unnest(grams) AS g FROM xsh), " +
+        "tg AS (SELECT doc_id, unnest(grams) AS g FROM tsh) " +
+        "SELECT tg.doc_id AS train_id, count(*)::BIGINT AS n_hit_grams " +
+        "FROM tg JOIN bg USING (g) GROUP BY tg.doc_id ORDER BY train_id"),
 
     // the index replay must reproduce d7 exactly — sets + df-capped
     // inverted index are the same relations whether derived inline or

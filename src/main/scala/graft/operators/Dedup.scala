@@ -1562,6 +1562,66 @@ object Dedup {
         .select("test_id", "train_id", "containment")
     }
 
+  /** D7e — EXACT n-gram overlap decontamination, the published-eval
+    * convention (flag a train document sharing ANY word n-gram, n ≈ 13,
+    * with the benchmark set) next to [[decontaminationPairs]]'s
+    * containment-ratio form: containment asks "how much of the test doc
+    * leaks", this asks the stricter binary "does any verbatim n-gram
+    * leak", which is the gate eval papers actually publish.
+    *
+    * Scale shape (the d8b recipe applied to grams instead of
+    * fingerprints): the (small) benchmark side reduces to its distinct
+    * 8-byte gram keys once; those fold into a bloom filter sized from the
+    * observed count at `fpp` (capped at `maxNumBits` — past the cap fpp
+    * degrades, correctness never does) and the bloom — a literal, not a
+    * join — prunes the TRAIN gram stream at scan speed, so the corpus-
+    * wide exchange carries ~fpp×|train grams| + true hits instead of
+    * every gram in the corpus. Survivors exact-verify by semi join
+    * against the real key set: bloom false positives die there, making
+    * the result exact. Output (train_id, n_hit_grams) — the hit count
+    * ranks leaks for triage; threshold at ≥ 1 for the published gate.
+    *
+    * `release` follows the loan contract: the benchmark gram-key persist
+    * (read twice — bloom build + verify join) is dropped after the
+    * (small) result materializes.
+    */
+  def decontaminationExactNgram(train: DataFrame, bench: DataFrame,
+                                idCol: String, textCol: String, n: Int = 13,
+                                fpp: Double = 0.01,
+                                maxNumBits: Long = 1L << 26,
+                                release: Boolean = false): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, "decontaminationExactNgram: fpp must be in (0,1)")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.{graftshim => shim}
+    val bg = shingleSets(bench, idCol, textCol, n)
+      .select(explode(col("shs")).as("gk")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gramCount = math.max(1L, bg.count()) // also materializes the persist
+    val optimalBits = math.ceil(-gramCount * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val numBits = math.min(math.max(optimalBits, 64L), maxNumBits)
+    val gkExpr = shim.toExpression(col("gk"))
+    val bloomAgg = new BloomFilterAggregate(gkExpr, Literal(gramCount), Literal(numBits))
+    val bloomBytes = bg.select(shim.toColumn(bloomAgg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightMatch = shim.toColumn(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType), gkExpr))
+    val res = shingleSets(train, idCol, textCol, n)
+      .select(col(idCol), explode(col("shs")).as("gk"))
+      .filter(mightMatch)
+      .join(bg, Seq("gk"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .select(col(idCol).as("train_id"), col("n_hit_grams"))
+    if (!release) res
+    else {
+      val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      bg.unpersist()
+      out
+    }
+  }
+
   /** The embedding-ingest probe structure: `vecs` = (id, vector) for exact
     * cosine verification, `bands` = the sketch-band index (id, band, bkey).
     */

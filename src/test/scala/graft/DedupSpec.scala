@@ -304,6 +304,30 @@ class DedupSpec extends SparkTestBase {
       dim = 64, bands = 4, bitsPerBand = 4, ordinal = true).count() == 0)
   }
 
+  test("decontaminationExactNgram flags any verbatim n-gram overlap, exactly (D7e)") {
+    val words = (1 to 30).map(i => s"w$i")
+    val benchText = words.take(15).mkString(" ")
+    val train = Seq(
+      // shares the full 13-gram window w1..w13 and w2..w14, w3..w15 → 3 hits
+      (1L, words.take(20).mkString(" ")),
+      // shares 12 consecutive words only — under the 13-gram bar, clean
+      (2L, (words.take(12) ++ Seq("zzz") ++ words.slice(20, 27)).mkString(" ")),
+      (3L, "an entirely different document about nothing shared at all " +
+        "padded out to be long enough for thirteen gram windows to exist ok")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val hits = Dedup.decontaminationExactNgram(train, bench, "doc_id", "text", n = 13)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 3L),
+      s"only doc 1 leaks, with exactly 3 distinct shared 13-grams: $hits")
+    // tight-fpp bloom changes bits, never the (exact) result; release
+    // path drops the benchmark-gram persist after materializing
+    val tight = Dedup.decontaminationExactNgram(train, bench, "doc_id", "text",
+      n = 13, fpp = 0.3, release = true)
+      .as[(Long, Long)].collect().toMap
+    assert(tight == hits, "bloom fpp affects pruning, not the verified result")
+  }
+
   test("embeddingIncrementalAuto picks the branch the cross-admission dictates (D5h/D5i)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val batch = emb.filter(col("vec_id") % 11 === 0)
