@@ -2257,6 +2257,22 @@ object SparkEntry {
       Sampling.fixedSample(Tables.documents(s, d), "doc_id", k = 100)
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // S5o: deterministic EPOCH REPLICATION — fractional per-source repeat
+    // factors (the upsampling half of a mixing recipe): 2.5× exercises
+    // whole+fractional, 1.0× the identity, 0.25× pure-fractional; the
+    // oracle re-derives the coin arithmetic and the epoch fan-out
+    "s5o_epoch_replicate" -> ((s, d) =>
+      Sampling.epochReplicate(Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
+        .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")),
+
+    // X13: cross-source duplicate overlap matrix — distinct shared
+    // fingerprints per source pair (diagonal = per-source distinct count);
+    // the pre-weighting triage view of a mixing recipe
+    "x13_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlapMatrix(Tables.documents(s, d), "text", "source")
+        .orderBy("src_a", "src_b")),
+
     // S5m: TEMPERATURE-scaled mixture — shares ∝ (n_g/N)^(1/T), T = 2
     // (the multilingual up-weight-the-tail rule). The fixture's sources
     // are uniform (temperature of a flat distribution is the identity),
@@ -4466,6 +4482,25 @@ object SparkEntry {
         "('0x' || substr(md5(doc_id::VARCHAR || '_fx0'), 1, 15))::BIGINT AS h " +
         "FROM documents ORDER BY h ASC, doc_id ASC LIMIT 100) " +
         "ORDER BY doc_id"),
+
+    // the replication arithmetic re-derived: copies = whole + (coin <
+    // frac·2^60), epochs = the 0-based fan-out below that count
+    "s5o_epoch_replicate" ->
+      (s"WITH n AS (SELECT doc_id, source, CASE source " +
+        s"WHEN 'src0' THEN 2 + (('0x' || substr(md5(doc_id::VARCHAR || '_ep0'), 1, 15))::BIGINT < ${(BigDecimal(0.5) * BigDecimal(1L << 60)).toLong})::BIGINT " +
+        "WHEN 'src1' THEN 1 " +
+        s"WHEN 'src2' THEN 0 + (('0x' || substr(md5(doc_id::VARCHAR || '_ep0'), 1, 15))::BIGINT < ${(BigDecimal(0.25) * BigDecimal(1L << 60)).toLong})::BIGINT " +
+        "ELSE 0 END AS copies FROM documents) " +
+        "SELECT doc_id, source, r.range AS epoch FROM n, range(0, 3) r " +
+        "WHERE r.range < n.copies ORDER BY doc_id, epoch"),
+
+    // the overlap matrix over the same normalized fingerprint as d1/d8
+    "x13_source_overlap" ->
+      ("WITH fs AS (SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp, " +
+        "source AS src FROM documents) " +
+        "SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS n_shared " +
+        "FROM fs a JOIN fs b ON a.fp = b.fp AND a.src <= b.src " +
+        "GROUP BY a.src, b.src ORDER BY src_a, src_b"),
 
     // the temperature rule re-derived in SQL: share = round(pow(n/N, 1/T), 9)
     // (the 9-dp round collapses libm-vs-Math.pow ulp differences), then

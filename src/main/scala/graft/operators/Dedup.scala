@@ -441,6 +441,30 @@ object Dedup {
     }
   }
 
+  /** X13 — cross-source duplicate OVERLAP MATRIX: for every source pair
+    * (a ≤ b), how many distinct normalized fingerprints appear in BOTH —
+    * the "which sources duplicate each other" triage view a mixing recipe
+    * needs before weighting (upweighting two 40%-overlapping crawls
+    * double-counts their shared mass). Diagonal rows (a = a) are each
+    * source's distinct-fingerprint count, so off-diagonal cells read
+    * directly as overlap fractions of either side.
+    *
+    * Scale shape: the corpus reduces ONCE to distinct 16-byte
+    * (fingerprint, source) pairs — everything after runs on that reduced
+    * relation; the fingerprint self-join fans out at most #sources rows
+    * per fingerprint (sources are few by construction), and the result is
+    * #sources² rows. Text never shuffles.
+    */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String,
+                          groupCol: String): DataFrame = {
+    val fs = df.select(Text.fingerprint(col(textCol)).as("fp"),
+      col(groupCol).as("src")).distinct()
+    val a = fs.select(col("fp"), col("src").as("src_a"))
+    val b = fs.select(col("fp"), col("src").as("src_b"))
+    a.join(b, "fp").filter(col("src_a") <= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Incremental ingest dedup — the daily-batch form of [[exact]]: keep
     * only NEW documents whose normalized fingerprint does not already
     * exist in the corpus. The anti join ships 16-byte fingerprints only;

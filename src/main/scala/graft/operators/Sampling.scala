@@ -377,6 +377,41 @@ object Sampling {
       .drop("_graft_h")
   }
 
+  /** S5o — deterministic EPOCH REPLICATION: per-group FRACTIONAL repeat
+    * factors, the upsampling half of a mixing recipe ("repeat the
+    * high-quality source 2.5×") that the samplers' keep-fractions can't
+    * express. Factor f ⇒ every row appears ⌊f⌋ times plus one more with
+    * probability frac(f), decided by the same md5 coin as every sampler
+    * here — so the realized mixture is a pure function of (id, seed),
+    * stable under retry, partitioning, and engine. Output gains a
+    * 0-based `epoch` column so replicas are DISTINCT rows downstream
+    * (dedup-by-id after this operator would silently undo the recipe —
+    * key on (id, epoch)). Groups absent from the map are dropped: the
+    * recipe is explicit, as in [[stratifiedSample]].
+    *
+    * Scale shape: one narrow pass — the factor lookup is a literal CASE
+    * chain, the replication an explode over a ≤⌈f⌉-element sequence; no
+    * shuffle, no join. Expected output ≈ Σ_g f_g·n_g rows.
+    */
+  def epochReplicate(df: DataFrame, idCol: String, groupCol: String,
+                     factors: Map[String, Double], seed: Long = 0L): DataFrame = {
+    require(factors.nonEmpty, "epochReplicate: empty factors")
+    require(factors.values.forall(_ >= 0.0), "epochReplicate: factors must be >= 0")
+    val reserved = Set("epoch", "_graft_n")
+    require(!df.columns.exists(reserved), "epochReplicate: reserved column present")
+    val h = Text.tokenHash60(concat(col(idCol).cast("string"), lit(s"_ep$seed")))
+    val copies = factors.foldLeft(lit(-1L)) { case (acc, (g, f)) =>
+      val whole = f.toLong
+      val thr = ((BigDecimal(f) - whole) * BigDecimal(HashSpace)).toLong
+      when(col(groupCol) === g,
+        lit(whole) + when(h < thr, 1L).otherwise(0L)).otherwise(acc)
+    }
+    df.withColumn("_graft_n", copies)
+      .filter(col("_graft_n") >= 1) // absent groups (-1) and 0-copy rows drop
+      .withColumn("epoch", explode(sequence(lit(0L), col("_graft_n") - 1)))
+      .drop("_graft_n")
+  }
+
   /** Stratified variant: per-stratum keep fractions (e.g. per-language
     * corpus balancing). Strata absent from the map are dropped.
     */

@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.Sampling
+import graft.operators.{Dedup, Sampling}
+import org.apache.spark.sql.functions.lit
 
 /** Reproducible hash-based sampling. */
 class SamplingSpec extends SparkTestBase {
@@ -361,5 +362,49 @@ class SamplingSpec extends SparkTestBase {
         grp.withColumn("n_tokens", when($"doc_id" === 7, lit(-3L)).otherwise($"n_tokens")),
         "doc_id", "g", "score", "n_tokens", Map("a" -> 100L)).collect()
     }
+  }
+
+  test("epochReplicate: fractional per-group repeat factors, deterministic (S5o)") {
+    val df = (1L to 100L).map(i => (i, if (i <= 40) "a" else if (i <= 80) "b" else "c"))
+      .toDF("doc_id", "g")
+    val out = Sampling.epochReplicate(df, "doc_id", "g",
+      Map("a" -> 2.5, "b" -> 1.0, "c" -> 0.0))
+      .select("doc_id", "g", "epoch").as[(Long, String, Long)].collect()
+    // b: exactly once, epoch 0; c and absent groups: dropped
+    assert(out.filter(_._2 == "b").map(r => (r._1, r._3)).sorted.toSeq ==
+      (41L to 80L).map(i => (i, 0L)), "factor 1.0 is the identity")
+    assert(!out.exists(_._2 == "c"), "factor 0.0 drops the group")
+    // a: every row 2 or 3 times with contiguous 0-based epochs
+    val byDoc = out.filter(_._2 == "a").groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq)
+    assert(byDoc.keySet == (1L to 40L).toSet, "whole part keeps every row")
+    byDoc.foreach { case (id, eps) =>
+      assert(eps == (0L until eps.size), s"contiguous epochs for $id: $eps")
+      assert(eps.size == 2 || eps.size == 3, s"2.5x gives 2 or 3 copies: $id -> $eps")
+    }
+    val extra = byDoc.count(_._2.size == 3)
+    assert(extra > 5 && extra < 35, s"~half of the a-rows take the fractional copy: $extra")
+    // deterministic: the realized mixture is a pure function of (id, seed)
+    val again = Sampling.epochReplicate(df, "doc_id", "g",
+      Map("a" -> 2.5, "b" -> 1.0, "c" -> 0.0))
+      .select("doc_id", "g", "epoch").as[(Long, String, Long)].collect()
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+    // reserved column guard
+    intercept[IllegalArgumentException] {
+      Sampling.epochReplicate(df.withColumn("epoch", lit(1)), "doc_id", "g", Map("a" -> 1.0))
+    }
+  }
+
+  test("sourceOverlapMatrix: shared-fingerprint counts per source pair (X13)") {
+    val df = Seq(
+      (1L, "Alpha beta!", "s1"), (2L, "alpha beta", "s2"), // cross-source dup (normalized)
+      (3L, "gamma", "s1"), (4L, "gamma", "s1"),            // within-source dup: ONE fp
+      (5L, "delta", "s2"), (6L, "epsilon", "s3")
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlapMatrix(df, "text", "source")
+      .as[(String, String, Long)].collect().toSet
+    assert(m == Set(
+      ("s1", "s1", 2L), ("s2", "s2", 2L), ("s3", "s3", 1L),  // diagonal = distinct fps
+      ("s1", "s2", 1L)),                                      // the normalized cross dup
+      s"unexpected matrix: $m")
   }
 }
