@@ -2136,6 +2136,29 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // X10c: mergeable approx-distinct sketch state — three "daily"
+    // batches build per-key HLL sketches, the union folds them
+    // (register-wise max — associative, so the merged state IS the
+    // whole-corpus sketch), and the estimate hard-gates against the
+    // exact distinct count with the e8d tolerance pattern (3·rsd + an
+    // absolute floor; rsd = 1.04/√2^12 ≈ 1.6% at the default lgK)
+    "x10c_distinct_sketch_state" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val keys = Seq("l_returnflag")
+      val batches = Seq(0, 1, 2).map(r =>
+        Agg.buildDistinctSketchState(li.filter(pmod(col("l_orderkey"), lit(3)) === r),
+          keys, "l_orderkey"))
+      val est = Agg.estimateDistinctState(
+        Agg.mergeDistinctSketchState(batches, keys), keys)
+      val rsd = 1.04 / math.sqrt(1 << 12)
+      est.join(li.groupBy("l_returnflag")
+          .agg(count_distinct(col("l_orderkey")).as("n_exact")), "l_returnflag")
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("approx_distinct") - col("n_exact"))
+            <= greatest(lit(3 * rsd) * col("n_exact"), lit(4.0))).as("within_tol"))
+        .orderBy("l_returnflag")
+    }),
+
     // X8b: the same diff over CATALOG-BUCKETED snapshots — the
     // exchange-free form for repeatedly-diffed corpora. Both snapshots are
     // staged once per session as bucketed tables
@@ -4887,6 +4910,14 @@ object SparkEntry {
     "e8_window_distinct" ->
       ("SELECT epoch_us(ts) // 3600000000 AS bucket, count(DISTINCT user_id) AS n_users, " +
         "count(*) AS n_events FROM events GROUP BY 1 ORDER BY bucket"),
+
+    // the e8d gate applied to the batch sketch-state lifecycle: the Spark
+    // side computes within_tol from the MERGED DataSketches HLL estimate,
+    // so a drifting sketch, a broken union, or a wrong key set breaks the
+    // hash compare
+    "x10c_distinct_sketch_state" ->
+      ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, " +
+        "TRUE AS within_tol FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
 
     // the e8d tolerance gate (VERDICT r11 #3): exact counts + a TRUE
     // within_tol column — the Spark side computes within_tol from the HLL

@@ -210,4 +210,45 @@ object Agg {
       col("state_min").as("min"),
       col("state_max").as("max"),
       (round(col("state_sum").cast("double") / col("state_n"), 4) + lit(0.0)).as("avg")): _*)
+
+  /** X10c — mergeable APPROX-DISTINCT state: the [[buildAggState]] monoid's
+    * sketch sibling for the one aggregate the exact state CAN'T carry —
+    * count-distinct, whose exact mergeable state is the value set itself
+    * (unbounded). Per-key Apache DataSketches HLL sketches via Spark's own
+    * `hll_sketch_agg`; the state column is the sketch's binary image, a
+    * FIXED-size register array (4 KB at the default lgK = 12), so per-key
+    * state is bounded no matter how many distinct values flow through —
+    * the property that lets "distinct users per day, merged across a year"
+    * run as state-plus-delta instead of a year-long rescan. Merge
+    * ([[mergeDistinctSketchState]]) is `hll_union_agg` — register-wise
+    * max, associative and commutative, so batch states fold exactly like
+    * the exact monoid and a union of daily sketches carries the SAME
+    * registers as the whole-corpus sketch (estimate-identical,
+    * spec-pinned; the union's serialized image re-codes HLL_4 → HLL_8,
+    * so state bytes are canonical only per write path). Estimate error follows the
+    * published HLL bound rsd ≈ 1.04/√2^lgK (~1.6% at lgK 12); the x10c
+    * driver row hard-gates |estimate − exact| like e8d. The binary state
+    * column round-trips parquet unchanged, so the x10b shard/append/
+    * compact lifecycle applies as-is (compact with
+    * [[mergeDistinctSketchState]] as the fold).
+    */
+  def buildDistinctSketchState(df: DataFrame, keys: Seq[String], v: String,
+                               lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(v), lit(lgK)).as("state_hll"))
+
+  def mergeDistinctSketchState(states: Seq[DataFrame],
+                               keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeDistinctSketchState: no states to merge")
+    // lgK travels inside the sketch image; mixed-lgK unions are refused
+    // (allowDifferentLgConfigK stays false) — a recipe drift between a
+    // saved state and a new batch must fail loudly, not degrade silently
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("state_hll"), lit(false)).as("state_hll"))
+  }
+
+  def estimateDistinctState(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) :+
+      hll_sketch_estimate(col("state_hll")).as("approx_distinct"): _*)
 }

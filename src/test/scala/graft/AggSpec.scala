@@ -199,4 +199,45 @@ class AggSpec extends SparkTestBase {
       .orderBy("k").collect()
     assert(st(0).getLong(1) == 1L && st(0).getDouble(2) == 1.0)
   }
+
+  test("distinct-sketch state: daily-union equals the whole-corpus sketch, survives parquet (X10c)") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i, i % 700, if (i % 2 == 0) "a" else "b"))
+      .toDF("row_id", "v", "g")
+    // the union of batch sketches must carry the SAME REGISTERS as the
+    // one-pass sketch - hll_union_agg is a register-wise max, the monoid
+    // property the state-plus-delta lifecycle rests on. The serialized
+    // image is NOT byte-comparable (the union emits an HLL_8-coded image
+    // where the direct sketch is HLL_4 - same registers, wider encoding),
+    // so the pin is the ESTIMATE, a pure function of the registers:
+    // merged and one-pass must agree exactly (a long)
+    val batches = Seq(0L, 1L, 2L).map(r =>
+      Agg.buildDistinctSketchState(df.filter(col("row_id") % 3 === r), Seq("g"), "v"))
+    val merged = Agg.mergeDistinctSketchState(batches, Seq("g"))
+    val single = Agg.buildDistinctSketchState(df, Seq("g"), "v")
+    def estimates(st: org.apache.spark.sql.DataFrame) =
+      Agg.estimateDistinctState(st, Seq("g")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estimates(merged) == estimates(single),
+      "union of daily sketches must estimate exactly like the whole-corpus sketch")
+    def images(st: org.apache.spark.sql.DataFrame) = st.collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("state_hll").toSeq).toMap
+    // the estimate respects the published rsd bound against the exact count
+    val est = estimates(merged)
+    Seq("a", "b").foreach { g =>
+      val exact = df.filter(col("g") === g).select("v").distinct().count()
+      assert(math.abs(est(g) - exact) <= math.max(3 * 1.04 / math.sqrt(1 << 12) * exact, 4.0),
+        s"estimate for $g: ${est(g)} vs exact $exact")
+    }
+    // the binary state round-trips parquet unchanged (the x10b lifecycle
+    // applies as-is)
+    val dir = "target/tmp/aggspec_x10c_state"
+    merged.write.mode("overwrite").parquet(dir)
+    assert(images(spark.read.parquet(dir)) == images(merged))
+    // recipe drift (mixed lgK) must fail loudly, never degrade silently
+    val other = Agg.buildDistinctSketchState(df, Seq("g"), "v", lgK = 10)
+    intercept[Exception] {
+      Agg.mergeDistinctSketchState(Seq(single, other), Seq("g")).collect()
+    }
+  }
 }
