@@ -1195,6 +1195,18 @@ object SparkEntry {
       Dedup.fuzzyNearDups(Tables.documents(s, d), "doc_id", "text", maxDist = 40)
         .orderBy("id_1", "id_2")),
 
+    // D9d: incremental FUZZY ingest — the fourth incremental mode (after
+    // exact/MinHash/embedding): batch docs kept only where no corpus doc
+    // sits within edit distance 40; banded cross join, first-agreeing-
+    // chunk dedup, banded levenshtein verify, matched-ids anti join
+    "d9d_fuzzy_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.fuzzyIncremental(
+        docs.filter(col("doc_id") % 9 === 0), docs.filter(col("doc_id") % 9 =!= 0),
+        "doc_id", "text", maxDist = 40)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
     // D9c: the fuzzy banding's cell-size diagnostic (the d4c pattern) —
     // per (chunk, ckey, lenBucket) cell-size stratum: cell count, the
     // within-cell candidate evaluations it costs, and the running total
@@ -3638,6 +3650,20 @@ object SparkEntry {
         "FROM cand c JOIN documents d1 ON c.id_1 = d1.doc_id " +
         "JOIN documents d2 ON c.id_2 = d2.doc_id " +
         "WHERE levenshtein(d1.text, d2.text) <= 40 ORDER BY id_1, id_2"),
+
+    // the cross-corpus fuzzy gate: hamming-pruned candidates (pigeonhole-
+    // complete at <= 3, as in the d9 oracle) re-verified by levenshtein,
+    // then the surviving batch rows
+    "d9d_fuzzy_incremental" ->
+      (s"WITH $simhashCte, " +
+        "m AS (SELECT DISTINCT a.doc_id AS id_1 " +
+        "FROM sh a JOIN sh b ON a.doc_id % 9 = 0 AND b.doc_id % 9 != 0 " +
+        "JOIN documents d1 ON a.doc_id = d1.doc_id " +
+        "JOIN documents d2 ON b.doc_id = d2.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 " +
+        "AND levenshtein(d1.text, d2.text) <= 40) " +
+        "SELECT doc_id, n_chars FROM documents WHERE doc_id % 9 = 0 " +
+        "AND doc_id NOT IN (SELECT id_1 FROM m) ORDER BY doc_id"),
 
     // the fuzzy family's (chunk, ckey, lenBucket) cell histogram — the
     // frame d9b's cap derivation reads; cell_size*(cell_size-1) is even

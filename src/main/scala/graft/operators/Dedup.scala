@@ -978,6 +978,49 @@ object Dedup {
       fuzzyChunked(df, idCol, textCol, maxDist), chunkDedup = true)
   }
 
+  /** D9d — incremental FUZZY ingest, completing the incremental family's
+    * fourth mode (exact: [[exactIncremental]], MinHash:
+    * [[minhashIncremental]], embedding: [[embeddingIncremental]], and now
+    * edit distance): keep only batch documents with NO corpus document
+    * within Levenshtein ≤ `maxDist` — the typo-level variant of the
+    * daily-ingest near-dup filter. Cross form of [[fuzzyNearDups]]'
+    * length-sliced banding: the batch side sits in its home length
+    * bucket, the corpus side replicates ±1 (any |Δlen| ≤ maxDist pair
+    * still meets — same pigeonhole recall at hamming ≤ 3), candidates
+    * carry the first-agreeing-chunk dedup (exactly-once by construction,
+    * no candidate distinct), texts join once per survivor, the banded
+    * `levenshtein(l, r, maxDist)` verifies, and matched batch ids (a
+    * ≤|batch| set after map-side partial dedup) anti-join the batch.
+    */
+  def fuzzyIncremental(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+                       textCol: String, maxDist: Int,
+                       maxHamming: Int = 3): DataFrame = {
+    require(maxDist >= 0, "fuzzyIncremental: maxDist must be >= 0")
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only for maxHamming <= 3")
+    val lSide = fuzzyChunked(newDocs, idCol, textCol, maxDist)
+      .select(col(idCol).as("id_1"), col("simhash").as("sh_1"),
+        col("_len").as("_l1"), col("chunk"), col("ckey"), col("_hb").as("_lb"))
+    val rSide = fuzzyChunked(corpus, idCol, textCol, maxDist)
+      .select(col(idCol).as("id_2"), col("simhash").as("sh_2"),
+        col("_len").as("_l2"), col("chunk"), col("ckey"),
+        explode(array(col("_hb") - 1, col("_hb"), col("_hb") + 1)).as("_lb"))
+    val earlierChunkAgrees = (0 until 3).map { c =>
+      (col("chunk") > c) &&
+        (shiftrightunsigned(col("sh_1"), c * 15).bitwiseAND(lit(0x7FFFL)) ===
+          shiftrightunsigned(col("sh_2"), c * 15).bitwiseAND(lit(0x7FFFL)))
+    }.reduce(_ || _)
+    val cand = lSide.join(rSide, Seq("chunk", "ckey", "_lb"))
+      .filter(bit_count(col("sh_1").bitwiseXOR(col("sh_2"))) <= maxHamming &&
+        abs(col("_l1") - col("_l2")) <= maxDist && !earlierChunkAgrees)
+      .select("id_1", "id_2")
+    val t1 = newDocs.select(col(idCol).as("id_1"), col(textCol).as("_t1"))
+    val t2 = corpus.select(col(idCol).as("id_2"), col(textCol).as("_t2"))
+    val matched = cand.join(t1, "id_1").join(t2, "id_2")
+      .filter(levenshtein(col("_t1"), col("_t2"), maxDist) >= 0)
+      .select("id_1").distinct()
+    newDocs.join(matched, newDocs(idCol) === matched("id_1"), "left_anti")
+  }
+
   /** The ONE definition of the fuzzy family's banded sketch rows —
     * (id, simhash, _len, chunk, ckey, _hb) where `_hb = floor(len / w)`
     * is the row's HOME length bucket (width w = maxDist+1) — shared by

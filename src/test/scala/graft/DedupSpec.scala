@@ -304,6 +304,27 @@ class DedupSpec extends SparkTestBase {
       dim = 64, bands = 4, bitsPerBand = 4, ordinal = true).count() == 0)
   }
 
+  test("fuzzyIncremental keeps only batch docs with no typo-level corpus dup (D9d)") {
+    val base = "the quick brown fox jumps over the lazy dog near a quiet river bank today"
+    val corpus = Seq((10L, base),
+      (11L, "completely unrelated corpus content about distributed query planning")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base.replaceFirst("over the lazy", "over lazy")), // 4-char edit of corpus 10 → filtered
+      (2L, base.split(" ").reverse.mkString(" ")),           // same token set (sketch collides), edit-far → kept
+      (3L, "an entirely different new document about training data pipelines")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.fuzzyIncremental(batch, corpus, "doc_id", "text", maxDist = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L),
+      s"only the character-edit dup is filtered; the reordering passes the edit gate: $kept")
+    // empty corpus keeps everything; empty batch survives
+    assert(Dedup.fuzzyIncremental(batch, corpus.filter(col("doc_id") < 0),
+      "doc_id", "text", 5).count() == 3)
+    assert(Dedup.fuzzyIncremental(batch.filter(col("doc_id") < 0), corpus,
+      "doc_id", "text", 5).count() == 0)
+  }
+
   test("decontaminationExactNgram flags any verbatim n-gram overlap, exactly (D7e)") {
     val words = (1 to 30).map(i => s"w$i")
     val benchText = words.take(15).mkString(" ")
