@@ -266,6 +266,22 @@ class PlanSpec extends SparkTestBase {
       s"the corpus index must be probed by equi-join, never all-pairs:\n$p")
   }
 
+  test("epochReplicate is narrow — a literal CASE and an explode, zero exchanges (S5o)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(Sampling.epochReplicate(docs, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 1.0)))
+    assert(!p.contains("Exchange"), s"replication must not shuffle:\n$p")
+  }
+
+  test("fuzzy ingest: banded equi-join + partial-agged matched ids, no nested loop (D9d)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(Dedup.fuzzyIncremental(
+      docs.filter(col("doc_id") % 9 === 0), docs.filter(col("doc_id") % 9 =!= 0),
+      "doc_id", "text", maxDist = 40))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross candidates must come from the banded equi-join:\n$p")
+  }
+
   test("budget-capped fuzzy admission: hash-keyed equi-plans only, anti-joined blacklist (D9b)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(Dedup.fuzzyNearDupsBudget(docs, "doc_id", "text",
