@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.Text
+import graft.functions.{Text, Vectors}
 import graft.operators._
 import graft.sources.{CsvSource, JsonlSource, ParquetSink}
 import graft.streaming.StreamOps
@@ -1230,6 +1230,15 @@ object SparkEntry {
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
         .orderBy("id_1", "id_2")),
 
+    // D10: SemDeDup — k-means cells (the sim_ivf_trained training,
+    // deterministic seeding so the oracle replays it), within-cell
+    // cosine >= 0.4 pairs, keep min-id per connected cluster; the
+    // paraphrase-level dedup the lexical family cannot see
+    "d10_semdedup" -> ((s, d) =>
+      Dedup.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, k = 8, threshold = 0.4)
+        .select("vec_id", "label").orderBy("vec_id")),
+
     // D5b: banded-LSH candidates + exact cosine verify — the scale path.
     // Ordinal (WTA-style) sketches: bit = vec[a] > vec[b] on md5-derived
     // index pairs — same collision S-curve as sign-LSH (recall ≈ 0.998 at
@@ -1491,6 +1500,27 @@ object SparkEntry {
     "t17_bm25" -> ((s, d) =>
       TermStats.bm25(Tables.documents(s, d), "doc_id", "text", Bm25Terms)
         .orderBy("doc_id")),
+
+    // H1: hybrid retrieval — BM25 top-20 (t17's terms, zero-score docs
+    // excluded) and cosine-to-query top-20 (query = embedding of vec_id 0)
+    // fused by reciprocal rank (k0 = 60): only RANKS enter the fused
+    // score, so the two scales need no calibration; each list is a
+    // TakeOrdered reduction, the fusion runs on ≤ 40 candidate rows
+    "h1_hybrid_rrf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val bm = Retrieval.topKRanked(
+        TermStats.bm25(Tables.documents(s, d), "doc_id", "text", Bm25Terms)
+          .filter(col("bm25") > 0), "doc_id", "bm25", 20)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("_q"))
+      val cosScores = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(Vectors.cosine(col("embedding"), col("_q")), 6).as("cosine"))
+      Retrieval.rrfFuse(
+        Seq(bm, Retrieval.topKRanked(cosScores, "doc_id", "cosine", 20)),
+        "doc_id", k0 = 60, topK = 10)
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
 
     // T13: Gopher quality rules — the published pre-training gate's seven
     // signals plus the combined pass verdict, all integer-count + one-
@@ -1821,6 +1851,16 @@ object SparkEntry {
     "d6b_keep_canonical" -> ((s, d) =>
       Dedup.keepCanonical(Tables.documents(s, d), "doc_id",
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.1))
+        .select("doc_id", "n_chars").orderBy("doc_id")),
+
+    // D6d: the QUALITY keep rule — same pair relation as d6b, but each
+    // cluster keeps its LONGEST member (n_chars, ties → min doc_id): the
+    // keep-best-exemplar rule production dedup ships, vs d6b's
+    // keep-first-crawled
+    "d6d_keep_best" -> ((s, d) =>
+      Dedup.keepBest(Tables.documents(s, d), "doc_id",
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.1),
+        "n_chars")
         .select("doc_id", "n_chars").orderBy("doc_id")),
 
     // T7: vocabulary build — token histogram, deterministic top-100
@@ -4132,6 +4172,23 @@ object SparkEntry {
         "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35 " +
         "ORDER BY id_1, id_2"),
 
+    // the sim_ivf_trained k-means replay (a2 = trained cell assignment),
+    // then within-cell cosine pairs and d6b's component/min-id keep
+    "d10_semdedup" ->
+      (kmeansCtesSql(dim = 64, k = 8, seed = "kmeans")
+        .replaceFirst("^WITH ", "WITH RECURSIVE ") + ", " +
+        "pairs AS (SELECT a.vec_id AS id_1, b.vec_id AS id_2 FROM a2 a " +
+        "JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4), " +
+        "bidir AS (SELECT id_1, id_2 FROM pairs UNION SELECT id_2, id_1 FROM pairs), " +
+        "nodes AS (SELECT DISTINCT id_1 AS id FROM bidir), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT b.id_1, r.r FROM reach r JOIN bidir b ON b.id_2 = r.id), " +
+        "losers AS (SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id) " +
+        "WHERE id != component) " +
+        "SELECT vec_id, label FROM embeddings " +
+        "WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id"),
+
     "sim_ivf_topk" -> {
       // float-quantized 4dp centroids — the exact values the Spark side
       // computes (see Similarity.labelCentroidVectors)
@@ -4381,6 +4438,26 @@ object SparkEntry {
         "UNION SELECT b.id_1, r.r FROM reach r JOIN bidir b ON b.id_2 = r.id), " +
         "losers AS (SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id) " +
         "WHERE id != component) " +
+        "SELECT doc_id, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id"),
+
+    // d6b's components, then the keep-best rule: max n_chars per
+    // component, min id among the max-scored — the exact two-aggregate
+    // tie semantics of Dedup.keepBest
+    "d6d_keep_best" ->
+      (s"WITH RECURSIVE pairs AS ($bigramJaccardSql), " +
+        "bidir AS (SELECT id_1, id_2 FROM pairs UNION SELECT id_2, id_1 FROM pairs), " +
+        "nodes AS (SELECT DISTINCT id_1 AS id FROM bidir), " +
+        "reach(id, r) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT b.id_1, r.r FROM reach r JOIN bidir b ON b.id_2 = r.id), " +
+        "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id), " +
+        "scored AS (SELECT c.id, c.component, d.n_chars FROM comp c " +
+        "JOIN documents d ON d.doc_id = c.id), " +
+        "best AS (SELECT component, max(n_chars) AS s FROM scored GROUP BY component), " +
+        "win AS (SELECT s.component, min(s.id) AS win FROM scored s " +
+        "JOIN best b ON b.component = s.component AND s.n_chars = b.s GROUP BY s.component), " +
+        "losers AS (SELECT c.id FROM comp c JOIN win w ON w.component = c.component " +
+        "WHERE c.id != w.win) " +
         "SELECT doc_id, n_chars FROM documents " +
         "WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id"),
 
@@ -5026,6 +5103,23 @@ object SparkEntry {
         "FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_start_us"),
 
     "t17_bm25" -> bm25OracleSql(Bm25Terms, k1 = 1.2, b = 0.75),
+
+    // t17's BM25 as one candidate list, cosine-to-vec_id-0 as the other;
+    // rank over each LIMITed list, fuse 1/(rank+60), fused top-10
+    "h1_hybrid_rrf" ->
+      ("WITH bm AS (" + bm25OracleSql(Bm25Terms, k1 = 1.2, b = 0.75) + "), " +
+        "bmtop AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM " +
+        "(SELECT doc_id, bm25 FROM bm WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 20)), " +
+        "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "cs AS (SELECT vec_id AS doc_id, " +
+        "round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]), 6) AS cosine " +
+        "FROM embeddings CROSS JOIN qv WHERE vec_id != 0), " +
+        "cstop AS (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank FROM " +
+        "(SELECT doc_id, cosine FROM cs ORDER BY cosine DESC, doc_id LIMIT 20)), " +
+        "u AS (SELECT doc_id, rank FROM bmtop UNION ALL SELECT doc_id, rank FROM cstop), " +
+        "f AS (SELECT doc_id, round(sum(1.0::DOUBLE / (rank + 60)), 6) AS rrf, " +
+        "count(*) AS n_lists FROM u GROUP BY doc_id) " +
+        "SELECT doc_id, rrf, n_lists FROM f ORDER BY rrf DESC, doc_id LIMIT 10"),
 
     // duplicated window = exact 5-token sequence in >= 2 distinct docs
     // (the oracle groups the window STRINGS; Spark groups their xxhash64 —

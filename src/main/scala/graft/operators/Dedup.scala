@@ -859,6 +859,40 @@ object Dedup {
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 
+  /** D6d — [[keepCanonical]] with a QUALITY keep rule: within each
+    * duplicate cluster keep the member with the HIGHEST `scoreCol` (ties →
+    * smallest id), not the smallest id. This is the keep rule production
+    * dedup actually ships — near-duplicate clusters mix a full article
+    * with its truncated or boilerplate-wrapped copies, and min-id keeps
+    * whichever was crawled first; score-keep retains the best exemplar
+    * (longest text, highest quality score) per cluster.
+    *
+    * Scale shape: [[connectedComponents]] labels only ids that appear in
+    * `pairs` (untouched rows never enter the label relation); the winner
+    * per component is ONE `max_by(id, (score, −id))` partial-agged
+    * aggregate over the labeled rows — the A8 argmax shape, no window —
+    * and survivors emerge from a single left_anti hash join. Everything
+    * after the caller-supplied pair generation runs at matched-rows
+    * scale, not corpus scale.
+    */
+  def keepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+               scoreCol: String,
+               localEdgeLimit: Long = 1L << 18): DataFrame = {
+    val labels = connectedComponents(pairs, localEdgeLimit = localEdgeLimit)
+    val scored = labels
+      .join(df.select(col(idCol).as("id"), col(scoreCol).as("_s")), "id")
+    // argmax with mixed ordering (score DESC, id ASC): a single
+    // max_by struct cannot invert just the id leg for arbitrary id types,
+    // so: max(score) per component, equi-join back, min(id) among the
+    // max-scored — two narrow partial-agged aggregates, no window.
+    val best = scored.groupBy(col("component")).agg(max(col("_s")).as("_s"))
+    val winners = scored.join(best, Seq("component", "_s"))
+      .groupBy(col("component")).agg(min(col("id")).as("_win"))
+    val losers = labels.join(winners, "component")
+      .filter(col("id") =!= col("_win")).select("id")
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
   /** 60-bit SimHash over whitespace tokens: bit i of the sketch is the sign
     * of Σ_tokens (bit i of tokenHash(token) ? +1 : -1). Near-dup docs differ
     * in few bits (small Hamming distance). Computed per-row with array
@@ -1215,6 +1249,42 @@ object Dedup {
       .withColumn("cosine", round(Vectors.cosine(col(s"s_1.$vecCol"), col(s"s_2.$vecCol")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_1", "id_2", "cosine")
+  }
+
+  /** D10 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * dedup via k-means cells. Embeddings are clustered into `k` coarse
+    * cells ([[Similarity.kmeansAssign]] — deterministic seeding, so the
+    * oracle replays the training); cosine pairs at ≥ `threshold` are
+    * generated ONLY within a cell; each within-cell duplicate cluster
+    * (connected components — cells are disjoint, so components never
+    * cross them) keeps its smallest id. Returns the surviving rows.
+    *
+    * This is the semantic complement to the lexical family: d2/d4 catch
+    * shared n-grams, d9 catches edit distance, SemDeDup catches
+    * PARAPHRASES — same meaning, disjoint token sets — which is why
+    * large-corpus curation runs it after exact/fuzzy dedup.
+    *
+    * Scale shape: the paper's own design IS the scale argument — the
+    * quadratic is bounded per cell (Σ_c n_c(n_c−1)/2 candidates, priced
+    * exactly like d9c's cells by one groupBy(cell).count() before the
+    * join), and k grows with the corpus to hold cell sizes flat (the
+    * paper uses n_c ≈ 10⁴ at corpus scale, k ∝ N). The cell join is an
+    * equi-join on `cell` (PlanSpec: no cartesian); vectors travel into it
+    * once per member, not per pair. At 100 TB the kmeansAssign centroids
+    * are a broadcast (k×dim floats) and assignment is one narrow scan —
+    * the same shape [[Similarity.ivfTopK]] already measures at 100×.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               k: Int, threshold: Double, iters: Int = 2,
+               seed: String = "kmeans"): DataFrame = {
+    val cells = Similarity.kmeansAssign(df, idCol, vecCol, dim, k, iters, seed)
+    val l = cells.select(col("cell"), col(idCol).as("id_1"), col(vecCol).as("_v1"))
+    val r = cells.select(col("cell"), col(idCol).as("id_2"), col(vecCol).as("_v2"))
+    val pairs = l.join(r, "cell")
+      .filter(col("id_1") < col("id_2"))
+      .filter(round(Vectors.cosine(col("_v1"), col("_v2")), 6) >= threshold)
+      .select("id_1", "id_2")
+    keepCanonical(df, idCol, pairs)
   }
 
   /** Incremental EMBEDDING near-dup ingest — completes the incremental

@@ -181,6 +181,38 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(1L, 10L, 99L), "min per cluster + untouched singletons survive")
   }
 
+  test("keepBest keeps the max-score member, ties to min id (D6d)") {
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (10L, 0L), (99L, 7L))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 10L)).toDF("id_1", "id_2")
+    val kept = Dedup.keepBest(docs, "doc_id", pairs, "score")
+      .select("doc_id").as[Long].collect().toSet
+    // {1,2,3}: max score 9 held by 2 and 3 → min id 2 wins (NOT min-id 1,
+    // which d6b would keep); {4,10}: 4 wins on score; singleton 99 untouched
+    assert(kept == Set(2L, 4L, 99L), s"got $kept")
+  }
+
+  test("semDedup = keepCanonical over within-cell cosine pairs (D10)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val t = 0.4
+    val got = Dedup.semDedup(emb, "vec_id", "embedding", dim = 64, k = 8,
+      threshold = t).select("vec_id").as[Long].collect().toSet
+    // reference: the same k-means cells joined onto the EXACT all-pairs
+    // relation, pairs kept only when both sides share a cell
+    val cells = graft.operators.Similarity
+      .kmeansAssign(emb, "vec_id", "embedding", dim = 64, k = 8)
+      .select(col("vec_id"), col("cell"))
+    val all = Dedup.embeddingNearDups(emb, "vec_id", "embedding", t)
+    val within = all
+      .join(cells.select(col("vec_id").as("id_1"), col("cell").as("c1")), "id_1")
+      .join(cells.select(col("vec_id").as("id_2"), col("cell").as("c2")), "id_2")
+      .filter(col("c1") === col("c2")).select("id_1", "id_2")
+    val want = Dedup.keepCanonical(emb, "vec_id", within)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == want, "semDedup must equal the composed reference")
+    assert(got.size < emb.count(), "fixture must actually drop something")
+  }
+
   test("simhash: deterministic, 60-bit, near-dups differ in few bits (D3)") {
     val sh = Dedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

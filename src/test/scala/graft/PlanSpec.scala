@@ -634,6 +634,23 @@ class PlanSpec extends SparkTestBase {
       s"candidate generation must stay an inverted-index equi-join:\n$pairs")
   }
 
+  test("hybrid RRF: each candidate list is a TakeOrdered heap, never a global sort (H1)") {
+    val p = plan(SparkEntry.queries("h1_hybrid_rrf")(spark, sf))
+    // two candidate lists → two top-k reductions; the only nested-loop is
+    // the audited one-row query-vector broadcast
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      s"both candidate lists must plan as top-k heaps:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere in the fusion:\n$p")
+  }
+
+  test("semDedup's within-cell pair join stays an equi-join on cell (D10)") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(Dedup.semDedup(emb, "vec_id", "embedding", dim = 64, k = 4,
+      threshold = 0.4))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the cell join bounds the quadratic — it must never plan unblocked:\n$p")
+  }
+
   test("SQL-text token budget plans the keyed window — no global (empty-partition) window (S5l)") {
     Tables.registerAll(spark, sf)
     graft.plans.GraftExtensions.registerFunctions(spark)
