@@ -99,7 +99,25 @@ object ScaleProbe {
       val ids = Tables.documents(s, d).filter(col("doc_id") < 1000)
       val gif = Multimodal.encodeGifBatches(s, ids, "doc_id")
       Multimodal.decodeVideoBatches(s, gif, "doc_id").toDF()
-    }))
+    }),
+    // d10 at scale: k grows with the corpus (cells ≈ 64 vectors) — the
+    // paper's own recipe (k ∝ N) and the operator's 100 TB contract; the
+    // oracle row deliberately pins k=8 (sf-stable, DuckDB-replayable),
+    // which at 100× would be the documented quadratic reference point
+    "p_d10_scaled_k" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val k = math.max(8L, emb.count() / 64L).toInt
+      Dedup.semDedup(emb, "vec_id", "embedding", dim = 64, k = k,
+        threshold = 0.4)
+    }),
+    "p_h1_rrf" -> ((s, d) => SparkEntry.queries("h1_hybrid_rrf")(s, d)),
+    // keep-best at 100×: pairs from the subquadratic minhash banding (the
+    // p_d6_mh rationale) — measures the score-keep label machinery, not
+    // the oracle row's exact-blocked pair generation
+    "p_d6d_mh_distributed" -> ((s, d) =>
+      Dedup.keepBest(Tables.documents(s, d), "doc_id",
+        Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", 0.5),
+        "n_chars", localEdgeLimit = 0L)))
 
   private final class MetricsListener extends SparkListener {
     val peakTaskMem = new AtomicLong(0)
