@@ -428,6 +428,66 @@ object Similarity {
     -array_max(scored).getField("nc")
   }
 
+  /** Cells ≤ this many assign via the inline k-branch argmax expression
+    * (one narrow projection, zero joins — the right plan for IVF-size k).
+    * Above it, the SAME argmax runs as a broadcast-join +
+    * `max(struct(cos, −cell))` partial aggregate (the [[assignNearestCentroid]]
+    * shape): the inline expression's size is O(k·dim) literals PER
+    * OPERATOR, and at SemDeDup-scale k (7.8k cells, the d10 100× probe) it
+    * OOMs the JVM before a single row is scored, while the join form
+    * broadcasts only the k×dim centroid table and exchanges map-side-
+    * reduced (id, best) pairs.
+    */
+  private val InlineAssignCells = 256
+
+  /** (id, `outCol`) for every row of `df` — argmax of round(cosine, 6)
+    * over `cents`, ties to the lowest cell, matching [[assignCellExpr]]'s
+    * (cosine, −cell) ordering (parity spec-pinned).
+    *
+    * The argmax aggregates a PACKED LONG, not a struct: `max(struct)` has
+    * no mutable buffer so Spark plans a SortAggregate — a full sort of
+    * the n×k joined stream (measured at the d10 100× probe: 83 GB spill).
+    * Packing (cos6, cell) as `(round(cos·1e6) + 2e6)·2³² + (MaxInt − cell)`
+    * keeps the same total order (6dp-rounded cosines are ≥ 1e-6 apart, so
+    * the integer scaling never collapses two distinct values; ties fall
+    * to the smaller cell via the complemented low word) and `max(long)`
+    * hash-aggregates with map-side combine — the exchange carries one row
+    * per id, the joined stream is never sorted or materialized.
+    */
+  private[graft] def assignCellsJoin(df: DataFrame, idCol: String,
+                                         vecCol: String,
+                                         cents: Seq[(Int, Array[Float])],
+                                         outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cdf = cents.map { case (c, v) => (c, v.toSeq) }.toDF("_ac_cell", "_ac_cent")
+    val packed =
+      (round(round(Vectors.cosine(col(vecCol), col("_ac_cent")), 6) * 1e6)
+        .cast("long") + lit(2000000L)) * lit(1L << 32) +
+        (lit(Int.MaxValue.toLong) - col("_ac_cell"))
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cdf))
+      .groupBy(col(idCol))
+      .agg(max(packed).as("_pk"))
+      .select(col(idCol),
+        (lit(Int.MaxValue.toLong) - col("_pk").bitwiseAND(lit(0xFFFFFFFFL)))
+          .cast("int").as(outCol))
+  }
+
+  /** `df` + `outCol`, picking the inline-expression or broadcast-join
+    * argmax by [[InlineAssignCells]]; the join path costs one id-keyed
+    * hash join back onto `df` (the price of not building a k-branch
+    * expression), which Catalyst prunes to the columns the caller uses.
+    */
+  private def withAssignedCell(df: DataFrame, idCol: String, vecCol: String,
+                               cents: Seq[(Int, Array[Float])],
+                               outCol: String): DataFrame =
+    if (cents.size <= InlineAssignCells)
+      df.withColumn(outCol, assignCellExpr(vecCol, cents))
+    else df.join(assignCellsJoin(df, idCol, vecCol, cents, outCol),
+      Seq(idCol), "left") // left: a null vector keeps its row (null cell),
+                          // as the inline expression path does
+
   /** Deterministic Lloyd k-means over an embedding column — the IVF coarse
     * quantizer TRAINER ([[ivfTopK]] consumes the resulting cell column).
     *
@@ -479,7 +539,7 @@ object Similarity {
       case (r, i) => (i, r.getSeq[Float](0).toArray)
     }
     for (_ <- 1 until iters) {
-      cents = df.withColumn("_cell", assignCellExpr(vecCol, cents))
+      cents = withAssignedCell(df, idCol, vecCol, cents, "_cell")
         .groupBy("_cell")
         .agg(array((0 until dim).map(i =>
           (round(avg(element_at(col(vecCol), i + 1)), roundTo) + lit(0.0)).cast("float")): _*)
@@ -508,7 +568,7 @@ object Similarity {
         }).sortBy(_._1)
       }
     }
-    df.withColumn("cell", assignCellExpr(vecCol, cents))
+    withAssignedCell(df, idCol, vecCol, cents, "cell")
   }
 
   /** IVF-flat approximate top-k: the corpus is partitioned into coarse
@@ -626,8 +686,8 @@ object Similarity {
     val cents = spark.read.parquet(s"$path/cents").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toIndexedSeq
     require(cents.nonEmpty, "updateIvfIndex: index has no centroids")
-    val assigned = newVecs.select(col(idCol), col(vecCol),
-      assignCellExpr(vecCol, cents).as("cell"))
+    val assigned = withAssignedCell(newVecs, idCol, vecCol, cents, "cell")
+      .select(col(idCol), col(vecCol), col("cell"))
     graft.sources.ParquetSink.appendSharded(assigned, s"$path/cells", idCol, shards)
   }
 

@@ -99,6 +99,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, "IVF recall must clearly beat random-sampling at ~3/10 budget")
   }
 
+  test("assignCellsJoin (large-k path) bit-matches the inline argmax expression") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // centroids from a trained run — including ties-by-rounded-cosine
+    // territory at 6dp; both paths must pick the lowest cell
+    // the 2-iter run's FINAL assignment uses the centroids a 1-iter run
+    // re-centers to — recompute those and replay them through the join path
+    val viaExpr = Similarity.kmeansAssign(emb, "vec_id", "embedding", dim = 64,
+      k = 8, iters = 2).select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val oneIter = Similarity.kmeansAssign(emb, "vec_id", "embedding", dim = 64,
+      k = 8, iters = 1)
+    val cents = Similarity.labelCentroidVectors(oneIter, "cell", "embedding", 64)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toIndexedSeq
+    val viaJoin = Similarity.assignCellsJoin(emb, "vec_id", "embedding",
+      cents, "cell").select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    // k=8 ≤ the inline threshold, so viaExpr came from the k-branch
+    // expression over these same centroids — equality pins path parity
+    assert(viaJoin == viaExpr, "broadcast-join argmax must equal the k-branch expression")
+  }
+
   test("kmeansAssign: deterministic cells in range; every member is nearest its own centroid") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.kmeansAssign(emb, "vec_id", "embedding", dim = 64, k = 4, iters = 2)
