@@ -230,6 +230,25 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Ops.applyChangeset(emptyDocs, emptyChanges, "doc_id").count() == 0)
   }
 
+  test("round-13 additions: empty inputs degrade to empty/zero, never throw") {
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_1", "id_2")
+    // keepBest with no pairs: everything survives (no clusters, no losers)
+    val docs = Seq((1L, 3L), (2L, 9L)).toDF("doc_id", "score")
+    assert(Dedup.keepBest(docs, "doc_id", emptyPairs, "score").count() == 2)
+    assert(Dedup.keepBest(emptyDocs.withColumn("score", lit(1L)),
+      "doc_id", emptyPairs, "score").count() == 0)
+    // semDedup over an empty corpus: empty, never throws (kmeans emits its
+    // typed-null cell column and the pair join finds nothing)
+    assert(Dedup.semDedup(emptyVecs, "vec_id", "embedding", dim = 4, k = 2,
+      threshold = 0.5).count() == 0)
+    // RRF over empty candidate lists: empty fusion; topKRanked keeps schema
+    val emptyScored = Seq.empty[(Long, Double)].toDF("id", "score")
+    val ranked = operators.Retrieval.topKRanked(emptyScored, "id", "score", 5)
+    assert(ranked.columns.toSeq == Seq("id", "rank") && ranked.count() == 0)
+    assert(operators.Retrieval.rrfFuse(Seq(ranked, ranked), "id").count() == 0)
+  }
+
   test("round-11 additions: empty inputs degrade to empty/zero, never throw") {
     // JSON extraction over an empty frame: no rows, lifted schema intact
     val emptyProps = Seq.empty[(Long, String)].toDF("id", "props")

@@ -292,4 +292,23 @@ class PropertySpec extends SparkTestBase {
       merged == full
     }, samples = 5)
   }
+
+  test("rrfFuse equals the hand-computed fusion for arbitrary candidate lists (H1)") {
+    import graft.operators.Retrieval
+    // lists of distinct ids; rank = 1-based position
+    val listGen = Gen.choose(1, 12).flatMap(n => Gen.pick(n, 0L to 20L)).map(_.toList)
+    check("rrf-hand-recompute", Prop.forAll(listGen, listGen) { (la, lb) =>
+      val dfs = Seq(la, lb).map(l =>
+        l.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }.toDF("id", "rank"))
+      val got = Retrieval.rrfFuse(dfs, "id", k0 = 60, topK = 100)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+      def contrib(l: List[Long], id: Long) =
+        l.indexOf(id) match { case -1 => None; case i => Some(1.0 / (i + 1 + 60)) }
+      val want = (la ++ lb).distinct.map { id =>
+        val cs = Seq(contrib(la, id), contrib(lb, id)).flatten
+        (id, math.round(cs.sum * 1e6) / 1e6, cs.size.toLong)
+      }.sortBy { case (id, s, _) => (-s, id) }
+      got == want
+    }, samples = 5)
+  }
 }
