@@ -1239,6 +1239,15 @@ object SparkEntry {
         dim = 64, k = 8, threshold = 0.4)
         .select("vec_id", "label").orderBy("vec_id")),
 
+    // D10b: the cell-pricing diagnostic (d4c/d9c pattern for the semantic
+    // family) — per cell-size stratum: cell count, within-cell pair cost,
+    // running total; says whether k fits the corpus BEFORE the quadratic
+    // runs (the lever is k, not an admission cap — dense cells are where
+    // the duplicates live)
+    "d10b_cell_stats" -> ((s, d) =>
+      Dedup.semDedupCellStats(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, k = 8).orderBy("cell_size")),
+
     // D5b: banded-LSH candidates + exact cosine verify — the scale path.
     // Ordinal (WTA-style) sketches: bit = vec[a] > vec[b] on md5-derived
     // index pairs — same collision S-curve as sign-LSH (recall ≈ 0.998 at
@@ -4188,6 +4197,17 @@ object SparkEntry {
         "WHERE id != component) " +
         "SELECT vec_id, label FROM embeddings " +
         "WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id"),
+
+    // same trained cells (a2), then the d9c histogram arithmetic
+    "d10b_cell_stats" ->
+      (kmeansCtesSql(dim = 64, k = 8, seed = "kmeans") + ", " +
+        "cs AS (SELECT cell, count(*)::BIGINT AS cell_size FROM a2 GROUP BY cell), " +
+        "hist AS (SELECT cell_size, count(*)::BIGINT AS n_cells FROM cs GROUP BY cell_size), " +
+        "c AS (SELECT cell_size, n_cells, " +
+        "(n_cells * (cell_size * (cell_size - 1) // 2))::BIGINT AS pair_cost FROM hist) " +
+        "SELECT cell_size, n_cells, pair_cost, " +
+        "(sum(pair_cost) OVER (ORDER BY cell_size))::BIGINT AS cum_pair_cost " +
+        "FROM c ORDER BY cell_size"),
 
     "sim_ivf_topk" -> {
       // float-quantized 4dp centroids — the exact values the Spark side

@@ -1274,6 +1274,32 @@ object Dedup {
     * are a broadcast (k×dim floats) and assignment is one narrow scan —
     * the same shape [[Similarity.ivfTopK]] already measures at 100×.
     */
+  /** D10b — cell-size DIAGNOSTIC for [[semDedup]] (the d4c/d9c pattern
+    * applied to the semantic family): histogram of k-means cell sizes
+    * with the within-cell pair cost each size stratum contributes
+    * (`n_cells · c(c−1)/2`) and the running total by ascending size —
+    * prices the cosine bill BEFORE the cell join runs. The decision it
+    * informs is the choice of `k`: SemDeDup's quadratic is Σ_c n_c(n_c−1)/2,
+    * so a k too small for the corpus shows up here as one fat stratum
+    * dominating `cum_pair_cost` — raise k (cells ≈ target size) and
+    * re-price; one aggregate each time, no pair generation. Unlike
+    * d4d/d9b there is no admission CAP to derive: dense cells are exactly
+    * where the duplicates live, so excluding them would drop the pairs
+    * the operator exists to find — the lever is k, not a cutoff.
+    */
+  def semDedupCellStats(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, k: Int, iters: Int = 2,
+                        seed: String = "kmeans"): DataFrame = {
+    val cells = Similarity.kmeansAssign(df, idCol, vecCol, dim, k, iters, seed)
+      .groupBy("cell").agg(count(lit(1)).as("cell_size"))
+    val hist = cells.groupBy("cell_size").agg(count(lit(1)).as("n_cells"))
+      // c·(c−1) is even, so DIV 2 is exact long arithmetic
+      .withColumn("pair_cost", expr("n_cells * (cell_size * (cell_size - 1) DIV 2)"))
+    val wCum = Window.orderBy("cell_size") // tiny frame: ≤ |distinct sizes| rows
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum_pair_cost", sum("pair_cost").over(wCum))
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                k: Int, threshold: Double, iters: Int = 2,
                seed: String = "kmeans"): DataFrame = {

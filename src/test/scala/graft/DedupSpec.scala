@@ -213,6 +213,20 @@ class DedupSpec extends SparkTestBase {
     assert(got.size < emb.count(), "fixture must actually drop something")
   }
 
+  test("semDedupCellStats: histogram accounts for every vector; costs exact (D10b)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val hist = Dedup.semDedupCellStats(emb, "vec_id", "embedding", dim = 64, k = 4)
+      .orderBy("cell_size").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(hist.map { case (cs, n, _, _) => cs * n }.sum == emb.count(),
+      "strata must partition the corpus")
+    var cum = 0L
+    hist.foreach { case (cs, n, cost, cumCost) =>
+      assert(cost == n * (cs * (cs - 1) / 2), s"cost at cell_size=$cs")
+      cum += cost
+      assert(cumCost == cum, s"cum at cell_size=$cs")
+    }
+  }
+
   test("simhash: deterministic, 60-bit, near-dups differ in few bits (D3)") {
     val sh = Dedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
