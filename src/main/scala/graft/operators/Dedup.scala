@@ -290,16 +290,68 @@ object Dedup {
     * evidence exists and a blind broadcast could OOM the driver on a
     * corpus whose every shingle is rare.
     */
-  private def sparseJaccardFromSets(sets: DataFrame, idCol: String,
+  private[graft] def sparseJaccardFromSets(sets: DataFrame, idCol: String,
                                     threshold: Double, maxDf: Int,
                                     broadcastRareKeys: Boolean = false,
                                     pruneVerify: Boolean = false,
-                                    candidateCache: Option[DataFrame => Unit] = None)
+                                    candidateCache: Option[DataFrame => Unit] = None,
+                                    rareKeysPrepared: Option[(DataFrame, Long)] = None)
                                    : DataFrame = {
     val inv = sets.select(col(idCol).as("id"), explode(col("shs")).as("sk"))
-    val rareKeys = inv.groupBy("sk").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") >= 2 && col("_df") <= maxDf).select("sk")
-    val rare = inv.join(if (broadcastRareKeys) broadcast(rareKeys) else rareKeys, "sk")
+    // `rareKeysPrepared` = (qualifying-keys frame, exact key count) from a
+    // caller that already paid the (shingle, df) aggregate — the Auto path
+    // persists that aggregate ONCE for (histogram, ceiling, this probe
+    // side); without it the corpus-wide distinct-key count would run twice
+    // (measured at 1000×: each pass sort-fallback-spills ~40 GB).
+    val rareKeys = rareKeysPrepared.map(_._1).getOrElse(
+      inv.groupBy("sk").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") >= 2 && col("_df") <= maxDf).select("sk"))
+    // rareKeys handed back for unpersist once candidates materialize (set
+    // only when the bloom path below persists its own copy)
+    var rareKeysCache: Option[DataFrame] = None
+    val rare =
+      if (broadcastRareKeys) inv.join(broadcast(rareKeys), "sk")
+      else if (!pruneVerify) inv.join(rareKeys, "sk")
+      else {
+        // The budget-gated path past the broadcast limit: a plain
+        // rare-postings join sort-merges the ENTIRE posting stream.
+        // d8b's answer applies verbatim: fold the rare keys into
+        // Catalyst's BloomFilterAggregate and probe the posting stream
+        // BEFORE its join exchange — only ~rare-mass + fpp·|inv| postings
+        // shuffle, and the equi-join keeps the result exact. Key count
+        // comes free from the prepared histogram; otherwise the keys
+        // frame persists so its aggregate runs once for (count, bloom,
+        // probe side) and drops when candidates materialize.
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.{graftshim => shim}
+        val (rk, nKeys) = rareKeysPrepared match {
+          case Some((f, n)) => (f, n)
+          case None =>
+            val f = rareKeys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val n = f.count() // also materializes the persist
+            rareKeysCache = Some(f)
+            (f, n)
+        }
+        // past ~16M keys the filter itself is tens of MB of task literal —
+        // fall back to the plain join rather than broadcast a monster
+        if (nKeys == 0L || nKeys > (1L << 24)) {
+          rareKeysCache.foreach(_.unpersist()); rareKeysCache = None
+          inv.join(rk, "sk")
+        } else {
+          val fpp = 0.01
+          val optimalBits = math.ceil(-nKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+          val numBits = math.max(optimalBits, 64L)
+          val bloomAgg = new BloomFilterAggregate(shim.toExpression(col("sk")),
+            Literal(nKeys), Literal(numBits))
+          val bloomBytes = rk.select(shim.toColumn(bloomAgg.toAggregateExpression()).as("bf"))
+            .head().getAs[Array[Byte]](0)
+          val mightMatch = shim.toColumn(BloomFilterMightContain(
+            Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+            shim.toExpression(col("sk"))))
+          inv.filter(mightMatch).join(rk, "sk")
+        }
+      }
     val rawCandidates = rare.select(col("id").as("id_1"), col("sk"))
       .join(rare.select(col("id").as("id_2"), col("sk")), "sk")
       .filter(col("id_1") < col("id_2"))
@@ -318,6 +370,9 @@ object Dedup {
       else {
         val c = rawCandidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         c.count()
+        // the rare-keys cache fed (count, bloom, probe); candidates are
+        // materialized past it now, so it owes nothing downstream
+        rareKeysCache.foreach(_.unpersist())
         candidateCache.foreach(_(c)) // hand the persist to the caller's loan
         c
       }
@@ -405,13 +460,30 @@ object Dedup {
     // it is internal (no caller handle), so it never outlives this call —
     // both paths below drop it once the result can no longer recompute it
     var candCache: Option[DataFrame] = None
+    // the (shingle, df) aggregate persisted ONCE for three consumers: the
+    // histogram collect (ceiling + key count), the rare-keys probe side,
+    // and the bloom build — without it the corpus-wide distinct-key count
+    // runs twice (measured at 1000×, 5M docs / ~500M distinct trigrams:
+    // each pass sort-fallback-spills ~40 GB; this is the d4 family's
+    // single biggest exchange and it must be paid exactly once)
+    var dfCache: Option[DataFrame] = None
     val res = withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
+      val skdf = sets.select(explode(col("shs")).as("sk"))
+        .groupBy("sk").agg(count(lit(1)).as("_df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dfCache = Some(skdf)
       // one tiny collect serves BOTH derivations: the ceiling (largest df
       // whose cumulative candidate cost fits the budget) and the count of
-      // qualifying keys (drives the broadcast-vs-shuffle pruning choice)
-      val hist = dfHistogram(sets)
-        .select("df", "n_shingles", "cum_pair_cost")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // qualifying keys (drives the broadcast-vs-shuffle pruning choice).
+      // Arithmetic identical to dfHistogram's — cum over ascending df.
+      val strata = skdf.groupBy(col("_df").as("df"))
+        .agg(count(lit(1)).as("n_shingles"))
+        .orderBy("df")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      var cum = 0L
+      val hist = strata.map { case (d0, n0) =>
+        cum += n0 * (d0 * (d0 - 1) / 2); (d0, n0, cum)
+      }
       val ceiling = math.max(2L,
         hist.filter(_._3 <= budgetPairs).map(_._1).maxOption.getOrElse(2L))
       val rareKeyCount = hist.filter(t => t._1 >= 2 && t._1 <= ceiling).map(_._2).sum
@@ -421,23 +493,41 @@ object Dedup {
         // |candidates| ≤ cum_pair_cost(ceiling) ≤ budgetPairs by
         // construction, so a bounded budget licenses the verify prune
         pruneVerify = budgetPairs <= BroadcastRareKeyLimit,
-        candidateCache = Some(c => candCache = Some(c)))
+        candidateCache = Some(c => candCache = Some(c)),
+        rareKeysPrepared = Some((
+          skdf.filter(col("_df") >= 2 && col("_df") <= ceiling).select("sk"),
+          rareKeyCount)))
     }
     candCache match {
       // releaseSets path: the result was already materialized inside the
-      // loan, so the candidate cache can drop immediately
-      case Some(c) if releaseSets => c.unpersist(); res
+      // loan, so the candidate and df caches can drop immediately
+      case Some(c) if releaseSets =>
+        c.unpersist(); dfCache.foreach(_.unpersist()); res
       // default path: the candidate persist has no caller-visible handle,
       // so it must not outlive this call — materialize the (budget-bounded,
-      // small) result into its own persist and drop the candidates. The
-      // caller owns the returned frame's persist; the SETS cache keeps the
-      // documented default-trade lifetime (LRU / clearCache).
+      // small) result into its own persist and drop the candidates + the
+      // df aggregate. The caller owns the returned frame's persist; the
+      // SETS cache keeps the documented default-trade lifetime (LRU /
+      // clearCache).
       case Some(c) =>
         val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         out.count()
         c.unpersist()
+        dfCache.foreach(_.unpersist())
         out
-      case None => res
+      // no candidate materialization happened (lazy big-budget path): the
+      // df cache must follow the result's life — materialize-and-drop the
+      // same way so it cannot leak past this call
+      case None =>
+        dfCache match {
+          case Some(k) if releaseSets => k.unpersist(); res
+          case Some(k) =>
+            val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            out.count()
+            k.unpersist()
+            out
+          case None => res
+        }
     }
   }
 

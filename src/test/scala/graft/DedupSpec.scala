@@ -213,6 +213,21 @@ class DedupSpec extends SparkTestBase {
     assert(got.size < emb.count(), "fixture must actually drop something")
   }
 
+  test("sparse-path rare join: bloom-pruned shuffle branch equals broadcast branch (D4d 1000× regime)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    def run(bcast: Boolean) =
+      Dedup.sparseJaccardFromSets(sets, "doc_id", 0.2, maxDf = 6,
+        broadcastRareKeys = bcast, pruneVerify = true)
+        .select("id_1", "id_2", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    // broadcastRareKeys=false + pruneVerify=true is the bloom branch (the
+    // past-the-broadcast-limit plan); the bloom is a superset filter and
+    // the equi-join stays, so results must be identical
+    assert(run(bcast = false) == run(bcast = true),
+      "bloom-pruned rare join must be result-identical to the broadcast form")
+  }
+
   test("semDedupCellStats: histogram accounts for every vector; costs exact (D10b)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val hist = Dedup.semDedupCellStats(emb, "vec_id", "embedding", dim = 64, k = 4)
