@@ -188,21 +188,73 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
                       bands: Int = 32, rowsPerBand: Int = 2,
-                      releaseSets: Boolean = false): DataFrame =
+                      releaseSets: Boolean = false): DataFrame = {
+    // candidate persist follows the Auto path's loan: internal, dropped
+    // once the result can no longer recompute it
+    var candCache: Option[DataFrame] = None
     // sets feed the signature pipeline AND both verify sides — persist the
     // reduced (8-byte-keys) form once (see [[withPersistedSets]] for the
     // releaseSets cache-hygiene contract).
-    withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
+    val res = withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
       // Band key = hash of the band's signature slice ([[bandKeys]] — the
       // one banding definition; sigArrayExpr keeps the tree O(1) in
       // perms). Any hash is candidate-correct: equal band tuples always
       // collide, spurious collisions die in the exact verify stage.
-      val candidates = bandKeys(sets, idCol, "id_1", bands, rowsPerBand)
+      val rawCand = bandKeys(sets, idCol, "id_1", bands, rowsPerBand)
         .join(bandKeys(sets, idCol, "id_2", bands, rowsPerBand), Seq("band", "bkey"))
         .filter(col("id_1") < col("id_2"))
         .select("id_1", "id_2").distinct()
-      verifyJaccard(candidates, sets, idCol, threshold)
+      // Materialize the candidates and bloom-prune BOTH verify sides to
+      // their ids BEFORE the verify exchanges: AQE does not broadcast the
+      // candidate frame (plan-audited at 100× — all SortMergeJoin), so
+      // without the prune each verify join SORTS the full array-carrying
+      // sets frame; at 1000× those two streams dominate the row's 31 GB
+      // spill while candidates touch ~12% of ids. Ids feed the bloom as
+      // xxhash64 (type-generic); false positives only ADMIT extra rows —
+      // the equi-joins keep the result exact (the d8b pattern).
+      val cand = rawCand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCand = cand.count()
+      candCache = Some(cand)
+      // size the filter by DISTINCT ids, not pairs: a dense candidate set
+      // shares ids heavily (5M pairs over ~600k ids at the 1000× probe),
+      // and the capacity drives the filter bytes every task carries. The
+      // distinct count is one cheap job over the persisted candidates.
+      val ids = cand.select(xxhash64(col("id_1")).as("_cid"))
+        .union(cand.select(xxhash64(col("id_2")).as("_cid")))
+      val nIds = if (nCand == 0L) 0L else ids.distinct().count()
+      // past ~16M distinct ids the filter is ~20 MB of task literal — fall
+      // back to the un-pruned verify rather than ship a monster
+      if (nIds == 0L || nIds > (1L << 24)) verifyJaccard(cand, sets, idCol, threshold)
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.{graftshim => shim}
+        val fpp = 0.01
+        val numBits = math.max(64L,
+          math.ceil(-nIds * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+        val bloomAgg = new BloomFilterAggregate(shim.toExpression(col("_cid")),
+          Literal(nIds), Literal(numBits))
+        val bloomBytes = ids.select(shim.toColumn(bloomAgg.toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val mightMatch = shim.toColumn(BloomFilterMightContain(
+          Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+          shim.toExpression(xxhash64(col(idCol)))))
+        verifyJaccard(cand, sets.filter(mightMatch), idCol, threshold)
+      }
     }
+    candCache match {
+      // releaseSets: the loan already materialized the result
+      case Some(c) if releaseSets => c.unpersist(); res
+      // default: no caller handle for the candidate persist — materialize
+      // the (threshold-filtered, small) result and drop the candidates
+      case Some(c) =>
+        val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        c.unpersist()
+        out
+      case None => res
+    }
+  }
 
   /** Exact word-n-gram Jaccard for ALL pairs above `threshold`, on the
     * block-partitioned all-pairs plan: every pair is evaluated exactly once
