@@ -1248,6 +1248,18 @@ object SparkEntry {
       Dedup.semDedupCellStats(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, k = 8).orderBy("cell_size")),
 
+    // D10c: incremental semantic ingest — quantizer trained on the corpus
+    // (vec_id % 11 != 0, the d5c split) and FROZEN; batch vectors keep
+    // only where no corpus vector in THEIR cell reaches cosine >= 0.4;
+    // completes the fifth incremental dedup mode
+    "d10c_semdedup_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.semDedupIncremental(
+        emb.filter(col("vec_id") % 11 === 0), emb.filter(col("vec_id") % 11 =!= 0),
+        "vec_id", "embedding", dim = 64, k = 8, threshold = 0.4)
+        .select("vec_id", "label").orderBy("vec_id")
+    }),
+
     // D5b: banded-LSH candidates + exact cosine verify — the scale path.
     // Ordinal (WTA-style) sketches: bit = vec[a] > vec[b] on md5-derived
     // index pairs — same collision S-curve as sign-LSH (recall ≈ 0.998 at
@@ -3269,7 +3281,8 @@ object SparkEntry {
     * oracle (`a2` = the final assignment, `cents` = its centroids) —
     * [[kmeansIvfSql]] probes them, the sim_ivf_stats oracle counts them.
     */
-  private def kmeansCtesSql(dim: Int, k: Int, seed: String): String = {
+  private def kmeansCtesSql(dim: Int, k: Int, seed: String,
+                            src: String = "embeddings"): String = {
     val centCols = (1 to dim).map(i =>
       s"CAST(CAST(round(avg(embedding[$i]), 4) + 0.0 AS FLOAT) AS DOUBLE)").mkString(", ")
     def cos(a: String, b: String) = s"round(list_cosine_similarity($a, $b), 6)"
@@ -3280,10 +3293,10 @@ object SparkEntry {
         s"FROM $from e CROSS JOIN $cents c) WHERE rn = 1"
     s"WITH c0 AS (SELECT cell, centroid FROM (SELECT embedding::DOUBLE[] AS centroid, " +
       s"row_number() OVER (ORDER BY md5('$seed:' || CAST(vec_id AS VARCHAR)), " +
-      s"CAST(vec_id AS VARCHAR)) - 1 AS cell FROM embeddings) WHERE cell < $k), " +
-      s"a1 AS (${assign("embeddings", "c0")}), " +
+      s"CAST(vec_id AS VARCHAR)) - 1 AS cell FROM $src) WHERE cell < $k), " +
+      s"a1 AS (${assign(src, "c0")}), " +
       s"c1 AS (SELECT cell, [$centCols] AS centroid FROM a1 GROUP BY cell), " +
-      s"a2 AS (${assign("embeddings", "c1")}), " +
+      s"a2 AS (${assign(src, "c1")}), " +
       s"cents AS (SELECT cell, [$centCols] AS centroid FROM a2 GROUP BY cell)"
   }
 
@@ -4197,6 +4210,22 @@ object SparkEntry {
         "WHERE id != component) " +
         "SELECT vec_id, label FROM embeddings " +
         "WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id"),
+
+    // the corpus-trained quantizer (a2/cents over vec_id % 11 != 0), the
+    // batch assigned to the FROZEN cents (cos DESC, cell ASC — the
+    // packed-argmax tie rule), then the within-cell probe + anti join
+    "d10c_semdedup_incremental" ->
+      (kmeansCtesSql(dim = 64, k = 8, seed = "kmeans",
+        src = "(SELECT * FROM embeddings WHERE vec_id % 11 <> 0)") + ", " +
+        "bq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 11 = 0), " +
+        "ba AS (SELECT vec_id, embedding, cell FROM (SELECT b.vec_id, b.embedding, c.cell, " +
+        "row_number() OVER (PARTITION BY b.vec_id ORDER BY " +
+        "round(list_cosine_similarity(b.embedding::DOUBLE[], c.centroid), 6) DESC, c.cell ASC) AS rn " +
+        "FROM bq b CROSS JOIN cents c) WHERE rn = 1), " +
+        "matched AS (SELECT DISTINCT ba.vec_id FROM ba JOIN a2 e ON e.cell = ba.cell " +
+        "WHERE round(list_cosine_similarity(ba.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) >= 0.4) " +
+        "SELECT vec_id, label FROM embeddings WHERE vec_id % 11 = 0 " +
+        "AND vec_id NOT IN (SELECT vec_id FROM matched) ORDER BY vec_id"),
 
     // same trained cells (a2), then the d9c histogram arithmetic
     "d10b_cell_stats" ->

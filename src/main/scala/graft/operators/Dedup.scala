@@ -1442,6 +1442,49 @@ object Dedup {
     hist.withColumn("cum_pair_cost", sum("pair_cost").over(wCum))
   }
 
+  /** D10c — incremental SemDeDup ingest, completing the incremental
+    * family's fifth mode (exact d8, MinHash d2b, embedding-LSH d5c,
+    * fuzzy d9d, semantic here): keep only new-batch vectors with no
+    * CORPUS vector at cosine ≥ `threshold` inside the batch vector's
+    * k-means cell. The quantizer is trained on the corpus
+    * ([[Similarity.kmeansAssign]]) and FROZEN — the batch assigns to the
+    * final cells' re-centered centroids ([[Similarity.labelCentroidVectors]],
+    * the faiss add() semantics [[Similarity.updateIvfIndex]] already
+    * uses) — so a daily ingest never retrains, and recall has IVF
+    * semantics: a duplicate hiding in a NEIGHBORING cell is missed
+    * (SemDeDup's own within-cell contract; raise k-probes by unioning
+    * cells if the corpus demands it, or rebuild periodically as with the
+    * IVF index).
+    *
+    * Scale shape: centroids are k×dim floats through the driver (the
+    * classical distributed-Lloyd boundary); batch assignment is the
+    * broadcast-join packed-long argmax (zero sorts); the probe join is an
+    * equi-join on `cell` — batch rows meet ONLY their own cell's members,
+    * Σ |batch_c|·|cell_c| cosines, never batch × corpus — and matched ids
+    * partial-agg to ≤ |batch| before the distinct exchange. At 100 TB the
+    * trained (cells, centroids) pair is the thing to keep materialized
+    * between batches, exactly as the IVF index rows do.
+    */
+  def semDedupIncremental(newVecs: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String, dim: Int, k: Int,
+                          threshold: Double, iters: Int = 2,
+                          seed: String = "kmeans"): DataFrame = {
+    val corpusCells = Similarity.kmeansAssign(corpus, idCol, vecCol, dim, k,
+      iters, seed)
+    val cents = Similarity.labelCentroidVectors(corpusCells, "cell", vecCol, dim)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toIndexedSeq
+    val assigned = Similarity.assignCellsJoin(newVecs, idCol, vecCol, cents, "cell")
+    val b = assigned
+      .join(newVecs.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("cell"), col(idCol).as("_bid"), col(vecCol).as("_bv"))
+    val c = corpusCells.select(col("cell"), col(vecCol).as("_cv"))
+    val matched = b.join(c, "cell")
+      .filter(round(Vectors.cosine(col("_bv"), col("_cv")), 6) >= threshold)
+      .select(col("_bid")).distinct()
+    newVecs.join(matched, newVecs(idCol) === matched("_bid"), "left_anti")
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                k: Int, threshold: Double, iters: Int = 2,
                seed: String = "kmeans"): DataFrame = {

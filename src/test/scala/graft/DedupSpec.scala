@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Text
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -199,7 +199,7 @@ class DedupSpec extends SparkTestBase {
       threshold = t).select("vec_id").as[Long].collect().toSet
     // reference: the same k-means cells joined onto the EXACT all-pairs
     // relation, pairs kept only when both sides share a cell
-    val cells = graft.operators.Similarity
+    val cells = Similarity
       .kmeansAssign(emb, "vec_id", "embedding", dim = 64, k = 8)
       .select(col("vec_id"), col("cell"))
     val all = Dedup.embeddingNearDups(emb, "vec_id", "embedding", t)
@@ -226,6 +226,37 @@ class DedupSpec extends SparkTestBase {
     // the equi-join stays, so results must be identical
     assert(run(bcast = false) == run(bcast = true),
       "bloom-pruned rare join must be result-identical to the broadcast form")
+  }
+
+  test("semDedupIncremental: kept = batch minus within-cell corpus dups (D10c)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val batch = emb.filter(col("vec_id") % 11 === 0)
+    val corpus = emb.filter(col("vec_id") % 11 =!= 0)
+    val t = 0.4
+    val kept = Dedup.semDedupIncremental(batch, corpus, "vec_id", "embedding",
+      dim = 64, k = 4, threshold = t).select("vec_id").as[Long].collect().toSet
+    // independent reference: frozen centroids from the trained corpus
+    // cells, batch assigned by driver-side argmax (cos DESC, cell ASC),
+    // dup check = any same-cell corpus vector at cosine >= t
+    val cc = Similarity.kmeansAssign(corpus, "vec_id", "embedding", dim = 64, k = 4)
+    val cents = Similarity.labelCentroidVectors(cc, "cell", "embedding", 64)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      math.round(dot / (na * nb) * 1e6) / 1e6
+    }
+    val corpusByCell = cc.select("cell", "embedding").as[(Int, Seq[Float])]
+      .collect().groupBy(_._1)
+    val want = batch.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().filter { case (_, v) =>
+        val cell = cents.map { case (cl, cv) => (cos(v, cv.toSeq), -cl) }
+          .max match { case (_, negCl) => -negCl }
+        !corpusByCell.getOrElse(cell, Array.empty).exists(e => cos(v, e._2) >= t)
+      }.map(_._1).toSet
+    assert(kept == want, "ingest must equal the driver-side reference")
+    assert(kept.size < batch.count(), "fixture must actually drop something")
   }
 
   test("semDedupCellStats: histogram accounts for every vector; costs exact (D10b)") {
