@@ -111,6 +111,15 @@ object ScaleProbe {
         threshold = 0.4)
     }),
     "p_h1_rrf" -> ((s, d) => SparkEntry.queries("h1_hybrid_rrf")(s, d)),
+    // d10c at scale: corpus-trained quantizer with k grown as in
+    // p_d10_scaled_k; the batch is the d5c-style 1/11 slice
+    "p_d10c_scaled_k" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 11 =!= 0)
+      val k = math.max(8L, corpus.count() / 64L).toInt
+      Dedup.semDedupIncremental(emb.filter(col("vec_id") % 11 === 0), corpus,
+        "vec_id", "embedding", dim = 64, k = k, threshold = 0.4)
+    }),
     // keep-best at 100×: pairs from the subquadratic minhash banding (the
     // p_d6_mh rationale) — measures the score-keep label machinery, not
     // the oracle row's exact-blocked pair generation
