@@ -188,10 +188,19 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
                       bands: Int = 32, rowsPerBand: Int = 2,
-                      releaseSets: Boolean = false): DataFrame = {
+                      releaseSets: Boolean = false,
+                      pruneVerifyMinRows: Long = 1L << 20): DataFrame = {
     // candidate persist follows the Auto path's loan: internal, dropped
     // once the result can no longer recompute it
     var candCache: Option[DataFrame] = None
+    // The verify prune below costs three extra driver-side jobs
+    // (candidate count, distinct-id count, bloom build) — worth it only
+    // when the verify joins would otherwise SORT a big array-carrying
+    // sets stream. Below ~1M docs the streams fit memory and the prune is
+    // pure overhead (measured at sf0.1: 0.93 → 1.89 s with it; at 1000×
+    // it cuts a quarter of the row's 31 GB spill). The corpus-count read
+    // is the [[Pairs.autoBlocks]] sizing precedent.
+    val pruneVerifySides = df.count() >= pruneVerifyMinRows
     // sets feed the signature pipeline AND both verify sides — persist the
     // reduced (8-byte-keys) form once (see [[withPersistedSets]] for the
     // releaseSets cache-hygiene contract).
@@ -204,42 +213,45 @@ object Dedup {
         .join(bandKeys(sets, idCol, "id_2", bands, rowsPerBand), Seq("band", "bkey"))
         .filter(col("id_1") < col("id_2"))
         .select("id_1", "id_2").distinct()
-      // Materialize the candidates and bloom-prune BOTH verify sides to
-      // their ids BEFORE the verify exchanges: AQE does not broadcast the
-      // candidate frame (plan-audited at 100× — all SortMergeJoin), so
-      // without the prune each verify join SORTS the full array-carrying
-      // sets frame; at 1000× those two streams dominate the row's 31 GB
-      // spill while candidates touch ~12% of ids. Ids feed the bloom as
-      // xxhash64 (type-generic); false positives only ADMIT extra rows —
-      // the equi-joins keep the result exact (the d8b pattern).
-      val cand = rawCand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nCand = cand.count()
-      candCache = Some(cand)
-      // size the filter by DISTINCT ids, not pairs: a dense candidate set
-      // shares ids heavily (5M pairs over ~600k ids at the 1000× probe),
-      // and the capacity drives the filter bytes every task carries. The
-      // distinct count is one cheap job over the persisted candidates.
-      val ids = cand.select(xxhash64(col("id_1")).as("_cid"))
-        .union(cand.select(xxhash64(col("id_2")).as("_cid")))
-      val nIds = if (nCand == 0L) 0L else ids.distinct().count()
-      // past ~16M distinct ids the filter is ~20 MB of task literal — fall
-      // back to the un-pruned verify rather than ship a monster
-      if (nIds == 0L || nIds > (1L << 24)) verifyJaccard(cand, sets, idCol, threshold)
+      if (!pruneVerifySides) verifyJaccard(rawCand, sets, idCol, threshold)
       else {
-        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-        import org.apache.spark.sql.{graftshim => shim}
-        val fpp = 0.01
-        val numBits = math.max(64L,
-          math.ceil(-nIds * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-        val bloomAgg = new BloomFilterAggregate(shim.toExpression(col("_cid")),
-          Literal(nIds), Literal(numBits))
-        val bloomBytes = ids.select(shim.toColumn(bloomAgg.toAggregateExpression()).as("bf"))
-          .head().getAs[Array[Byte]](0)
-        val mightMatch = shim.toColumn(BloomFilterMightContain(
-          Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
-          shim.toExpression(xxhash64(col(idCol)))))
-        verifyJaccard(cand, sets.filter(mightMatch), idCol, threshold)
+        // Materialize the candidates and bloom-prune BOTH verify sides to
+        // their ids BEFORE the verify exchanges: AQE does not broadcast the
+        // candidate frame (plan-audited at 100× — all SortMergeJoin), so
+        // without the prune each verify join SORTS the full array-carrying
+        // sets frame; at 1000× those two streams dominate the row's 31 GB
+        // spill while candidates touch ~12% of ids. Ids feed the bloom as
+        // xxhash64 (type-generic); false positives only ADMIT extra rows —
+        // the equi-joins keep the result exact (the d8b pattern).
+        val cand = rawCand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nCand = cand.count()
+        candCache = Some(cand)
+        // size the filter by DISTINCT ids, not pairs: a dense candidate set
+        // shares ids heavily (5M pairs over ~600k ids at the 1000× probe),
+        // and the capacity drives the filter bytes every task carries. The
+        // distinct count is one cheap job over the persisted candidates.
+        val ids = cand.select(xxhash64(col("id_1")).as("_cid"))
+          .union(cand.select(xxhash64(col("id_2")).as("_cid")))
+        val nIds = if (nCand == 0L) 0L else ids.distinct().count()
+        // past ~16M distinct ids the filter is ~20 MB of task literal — fall
+        // back to the un-pruned verify rather than ship a monster
+        if (nIds == 0L || nIds > (1L << 24)) verifyJaccard(cand, sets, idCol, threshold)
+        else {
+          import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+          import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+          import org.apache.spark.sql.{graftshim => shim}
+          val fpp = 0.01
+          val numBits = math.max(64L,
+            math.ceil(-nIds * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+          val bloomAgg = new BloomFilterAggregate(shim.toExpression(col("_cid")),
+            Literal(nIds), Literal(numBits))
+          val bloomBytes = ids.select(shim.toColumn(bloomAgg.toAggregateExpression()).as("bf"))
+            .head().getAs[Array[Byte]](0)
+          val mightMatch = shim.toColumn(BloomFilterMightContain(
+            Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+            shim.toExpression(xxhash64(col(idCol)))))
+          verifyJaccard(cand, sets.filter(mightMatch), idCol, threshold)
+        }
       }
     }
     candCache match {

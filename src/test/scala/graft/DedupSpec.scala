@@ -129,6 +129,18 @@ class DedupSpec extends SparkTestBase {
     assert(a == b, "signatures must be reproducible run-to-run")
   }
 
+  test("minhashNearDups: bloom-pruned verify branch equals the plain verify (D2 1000× regime)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(minRows: Long) = Dedup.minhashNearDups(docs, "doc_id", "text", 0.5,
+      pruneVerifyMinRows = minRows)
+      .select("id_1", "id_2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // minRows = 0 forces the materialize + distinct-id bloom prune that a
+    // >=1M-doc corpus takes; the bloom is a superset filter, so results
+    // must be identical to the plain lazy verify
+    assert(run(minRows = 0L) == run(minRows = Long.MaxValue),
+      "pruned verify must be result-identical to the plain verify")
+  }
+
   test("minhashNearDups: no false positives; full recall on high-jaccard pairs (D2)") {
     val got = Dedup.minhashNearDups(corpus, "doc_id", "text", 0.5, n = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
