@@ -1415,6 +1415,49 @@ object SparkEntry {
       Similarity.ivfIndexStats(s, idxDir)
     }),
 
+    // SIM-PROBE-SQL: the sim_ivf_index_replay probe stated as PURE SQL
+    // TEXT (the d2e pattern extended to the ANN index): the staged
+    // IvfIndex registers as views (graft_ivf_cells / graft_ivf_cents)
+    // and the whole probe — the k-row centroid ranking, the
+    // probes-nearest-cells filter, the cell equi-join, exact cosine
+    // scoring with the registered graft_cosine kernel, the per-query
+    // top-k window — is one SQL statement a front-end user could run
+    // against the same materialized index the Scala API probes. Shares
+    // the replay row's staged dir (same stage key) and must bit-match it
+    // (same oracle). Plan shape matches too: the 8-row cents view
+    // broadcasts into the rank, the cells join is an equi-join on cell.
+    "sim_probe_sql" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val idxDir = s"${scratchDir(d)}/sim_ivf_index_${stageKey(srcFile, "d64k8i2")}"
+      if (!new java.io.File(s"$idxDir/cents/_SUCCESS").exists()) {
+        Similarity.writeIvfIndex(
+          Similarity.buildIvfIndex(emb, "vec_id", "embedding", dim = 64, k = 8,
+            iters = 2),
+          idxDir, "vec_id", shards = 4)
+      }
+      Tables.registerAll(s, d)
+      val idx = Similarity.readIvfIndex(s, idxDir)
+      idx.cells.createOrReplaceTempView("graft_ivf_cells")
+      idx.cents.createOrReplaceTempView("graft_ivf_cents")
+      s.sql(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings " +
+          "WHERE vec_id < 10), " +
+          "cellrank AS (SELECT q.query_id, q.qe, c.cell, row_number() OVER (" +
+          "PARTITION BY q.query_id ORDER BY round(graft_cosine(q.qe, c.centroid), 6) DESC, " +
+          "c.cell ASC) AS crn FROM q CROSS JOIN graft_ivf_cents c), " +
+          "probed AS (SELECT query_id, qe, cell FROM cellrank WHERE crn <= 3), " +
+          "scored AS (SELECT p.query_id, e.vec_id AS neighbor_id, " +
+          "round(graft_cosine(p.qe, e.embedding), 6) AS cosine " +
+          "FROM probed p JOIN graft_ivf_cells e ON e.cell = p.cell " +
+          "AND e.vec_id != p.query_id), " +
+          "ranked AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (" +
+          "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank " +
+          "FROM scored) " +
+          "SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank " +
+          "FROM ranked WHERE rank <= 5 ORDER BY query_id, rank")
+    }),
+
     // SIM CLUSTER CAP: cluster-balanced curation (the SemDeDup recipe's
     // outer loop) — train the deterministic Lloyd quantizer, then keep at
     // most k vectors per cell by the engine-portable id-hash quota
@@ -4266,6 +4309,11 @@ object SparkEntry {
     // exactly — cells and centroids are the same relations whether derived
     // by the builder or loaded from the sharded parquet index
     "sim_ivf_index_replay" -> kmeansIvfSql(dim = 64, k = 8, probes = 3, topK = 5,
+      seed = "kmeans"),
+
+    // the SQL-text probe runs against the same materialized index as the
+    // replay row — one oracle covers both surfaces
+    "sim_probe_sql" -> kmeansIvfSql(dim = 64, k = 8, probes = 3, topK = 5,
       seed = "kmeans"),
 
     // the quota sampler's rank applied to the deterministic Lloyd

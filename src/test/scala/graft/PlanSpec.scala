@@ -424,6 +424,34 @@ class PlanSpec extends SparkTestBase {
       s"cell membership must equi-join:\n$p")
   }
 
+  test("SQL-text IVF probe plans like the Scala probe — index scan, equi-join cells (SIM-SQL)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idxPath = "target/tmp/planspec_ivf_sql_idx"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", dim = 64, k = 4, iters = 2),
+      idxPath, "vec_id", shards = 2)
+    val idx = Similarity.readIvfIndex(spark, idxPath)
+    idx.cells.createOrReplaceTempView("graft_ivf_cells")
+    idx.cents.createOrReplaceTempView("graft_ivf_cents")
+    emb.limit(5).createOrReplaceTempView("planspec_ivf_queries")
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    val p = plan(spark.sql(
+      "WITH cellrank AS (SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "round(graft_cosine(q.embedding, c.centroid), 6) DESC, c.cell ASC) AS crn " +
+        "FROM planspec_ivf_queries q CROSS JOIN graft_ivf_cents c), " +
+        "probed AS (SELECT query_id, qe, cell FROM cellrank WHERE crn <= 2) " +
+        "SELECT p.query_id, e.vec_id, round(graft_cosine(p.qe, e.embedding), 6) AS cosine " +
+        "FROM probed p JOIN graft_ivf_cells e ON e.cell = p.cell"))
+    // the k-row cents view broadcasts into the centroid rank; the corpus-
+    // sized cells view must reach the probe via the cell EQUI-join, never
+    // an unkeyed product
+    assert(!p.contains("CartesianProduct"),
+      s"cell membership must equi-join in the SQL surface too:\n$p")
+    assert(p.contains("planspec_ivf_sql_idx"),
+      s"the SQL probe must scan the saved index:\n$p")
+  }
+
   test("PNG encode/decode round-trip is narrow — no exchange anywhere (M2b)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 100)
     val p = plan(Multimodal.decodeImageBatches(spark,
