@@ -126,7 +126,30 @@ object ScaleProbe {
     "p_d6d_mh_distributed" -> ((s, d) =>
       Dedup.keepBest(Tables.documents(s, d), "doc_id",
         Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", 0.5),
-        "n_chars", localEdgeLimit = 0L)))
+        "n_chars", localEdgeLimit = 0L)),
+    // d2f at scale: the same heavy exact-duplicate load (25% of docs
+    // re-entered 8× → classes of size 9, a web-crawl-like dup rate) run
+    // through the plain LSH vs the collapse-first entry. Identical output
+    // relation (expand = true, DedupSpec-pinned); what differs is WHERE
+    // the class quadratic lands — the plain path pays it in all 32 bands
+    // of the self-join plus 8 redundant signature pipelines per class,
+    // the collapsed path pays one 16-byte-fp exchange and re-emits it
+    // only as output rows
+    "p_d2_dup_plain" -> ((s, d) =>
+      Dedup.minhashNearDups(dupInjected(s, d), "doc_id", "text", 0.5)),
+    "p_d2f_dup_collapsed" -> ((s, d) =>
+      Dedup.minhashNearDupsCollapsed(dupInjected(s, d), "doc_id", "text", 0.5)))
+
+  /** 25% of the corpus re-entered 8 more times under shifted ids: exact-dup
+    * classes of size 9 at a realistic crawl dup share (corpus grows 3×).
+    */
+  private def dupInjected(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(col("doc_id") % 4 === 0)
+    (1 to 8).foldLeft(docs)((acc, i) =>
+      acc.unionByName(base.withColumn("doc_id",
+        col("doc_id") + lit(i * 100000000L))))
+  }
 
   private final class MetricsListener extends SparkListener {
     val peakTaskMem = new AtomicLong(0)

@@ -997,6 +997,20 @@ object SparkEntry {
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", 0.5)
         .orderBy("id_1", "id_2")),
 
+    // D2f: collapse-before-LSH — the minhash entry for corpora carrying a
+    // real exact-duplicate load (30–50% on web text). Every 10th doc
+    // re-enters with a shifted id (a deterministic dup injection the
+    // oracle replays) and the collapsed pipeline must return the SAME
+    // relation the plain LSH yields on that union: within-class 1.0 pairs
+    // by construction, cross-class pairs through the representatives.
+    "d2f_collapsed_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dups = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.minhashNearDupsCollapsed(docs.unionByName(dups), "doc_id", "text", 0.5)
+        .orderBy("id_1", "id_2")
+    }),
+
     // D3: 60-bit md5-derived SimHash sketch per document (oracle-checkable)
     "d3_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
@@ -3475,12 +3489,14 @@ object SparkEntry {
     * fixed-cap, diagnostic, and derived-cap rows. Declared BEFORE its
     * consumers: object vals initialize in order.
     */
-  private val trigramShCte: String =
+  private def trigramShCteOver(rel: String): String =
     "sh AS (SELECT doc_id, list_distinct(list_transform(" +
       "range(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1), " +
       "i -> regexp_split_to_array(lower(trim(text)), '\\s+')[i] || ' ' || " +
       "regexp_split_to_array(lower(trim(text)), '\\s+')[i+1] || ' ' || " +
-      "regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM documents)"
+      s"regexp_split_to_array(lower(trim(text)), '\\s+')[i+2])) AS grams FROM $rel)"
+
+  private val trigramShCte: String = trigramShCteOver("documents")
 
   /** The d6 components relation (transitive closure over the bigram pair
     * set, canonical = min id) — shared verbatim by the from-scratch row
@@ -4192,6 +4208,21 @@ object SparkEntry {
         "min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1"),
 
     "d2_minhash_lsh" -> (trigramJaccardSql + " ORDER BY id_1, id_2"),
+
+    // the collapsed path's contract IS the plain relation over the
+    // dup-injected union — the oracle replays the injection and computes
+    // exact trigram Jaccard over it, blind to the collapse
+    "d2f_collapsed_minhash" ->
+      ("WITH dd AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0), " +
+        trigramShCteOver("dd") + ", " +
+        "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh) " +
+        "SELECT a.doc_id AS id_1, b.doc_id AS id_2, " +
+        "round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard " +
+        "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id " +
+        "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5 " +
+        "ORDER BY id_1, id_2"),
 
     "d4_ngram_jaccard" -> (bigramJaccardSql + " ORDER BY id_1, id_2"),
 

@@ -268,6 +268,86 @@ object Dedup {
     }
   }
 
+  /** D2f — [[minhashNearDups]] with EXACT-DUPLICATE PRE-COLLAPSE: group
+    * the corpus by its whitespace-normalized text, run the LSH pipeline
+    * over one REPRESENTATIVE per class (min id), then expand class
+    * members back into the pair relation. Result-identical to the plain
+    * LSH over the full corpus — identical normalized token sequences have
+    * identical shingle sets, so (a) every within-class pair scores
+    * Jaccard exactly 1.0 (emitted directly; classes whose text has < n
+    * words have the EMPTY shingle set, which [[verifyJaccard]] scores 0 —
+    * excluded, matching the plain path), and (b) any cross-class pair's
+    * Jaccard equals its representatives' Jaccard (attached by two
+    * equi-joins on the rep ids).
+    *
+    * WHY this is the production entry for real corpora: web-scale text is
+    * 30–50% exact duplicates, and an exact-dup class of size g is the
+    * degenerate LSH regime — all `bands` band keys agree for every
+    * member, so the band self-join pays g(g−1)/2 candidate pairs PER BAND
+    * (g²·bands/2 join rows) and the signature pipeline pays g × (64
+    * minhash permutations × |shingles|) for texts that hash identically.
+    * Collapsing first makes both costs per-UNIQUE-text: the classes are
+    * found by one (16-byte md5, id) shuffle — no text moves — and the
+    * quadratic reappears only as output cardinality (the within-class
+    * pairs genuinely are the answer), as two narrow equi-joins with no
+    * verify work and no band multiplication. `expand = false` returns
+    * just the representative pairs — the form a dedup pipeline actually
+    * consumes (members join their rep's fate), and the one that keeps the
+    * output linear when classes are huge.
+    *
+    * The member frame persists for the call (it feeds the rep filter and
+    * both expansion sides); `releaseSets` extends the
+    * [[withPersistedSets]] loan to it and to the inner LSH call's caches.
+    */
+  def minhashNearDupsCollapsed(df: DataFrame, idCol: String, textCol: String,
+                               threshold: Double, n: Int = 3,
+                               bands: Int = 32, rowsPerBand: Int = 2,
+                               expand: Boolean = true,
+                               releaseSets: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "minhashNearDupsCollapsed: threshold must be in (0, 1]")
+    // the class key is md5 of the space-joined token sequence — exactly
+    // the normalization [[shingleSets]] applies, so fp-equal ⇒ identical
+    // shingle sets (NOT Text.fingerprint, whose strip-all-punctuation
+    // normalization is STRONGER than the shingle view and would merge
+    // texts with different shingle sets). Tokens cannot contain
+    // whitespace, so the space join is injective on token sequences.
+    val norm = df.select(col(idCol),
+      split(lower(trim(col(textCol))), "\\s+").as("_words"))
+      .select(col(idCol), md5(concat_ws(" ", col("_words"))).as("_fp"),
+        size(col("_words")).as("_ntok"))
+    // one exchange of (16-byte fp, id, ntok) — texts never shuffle; the
+    // rep is the min id of the class, attached by a window over the same
+    // partitioning (no second shuffle, no join)
+    val membersFrame = norm.withColumn("_rep",
+      min(col(idCol)).over(Window.partitionBy("_fp")))
+    withPersistedSets(membersFrame, releaseSets) { members =>
+      val reps = df.join(members.filter(col(idCol) === col("_rep"))
+        .select(col(idCol)), Seq(idCol), "left_semi")
+      val repPairs = minhashNearDups(reps, idCol, textCol, threshold, n,
+        bands, rowsPerBand, releaseSets)
+      if (!expand) repPairs
+      else {
+        val m1 = members.select(col("_rep").as("_r1"), col(idCol).as("_m1"))
+        val m2 = members.select(col("_rep").as("_r2"), col(idCol).as("_m2"))
+        // member ids interleave across classes, so the expanded pair is
+        // re-oriented (least, greatest); rep pairs are their own classes'
+        // members, so they re-emerge here unchanged
+        val cross = repPairs
+          .join(m1, col("id_1") === col("_r1"))
+          .join(m2, col("id_2") === col("_r2"))
+          .select(least(col("_m1"), col("_m2")).as("id_1"),
+            greatest(col("_m1"), col("_m2")).as("id_2"), col("jaccard"))
+        val within = members.select(col("_fp"), col(idCol).as("_m1"), col("_ntok"))
+          .join(members.select(col("_fp"), col(idCol).as("_m2")), Seq("_fp"))
+          .filter(col("_m1") < col("_m2") && col("_ntok") >= n)
+          .select(col("_m1").as("id_1"), col("_m2").as("id_2"),
+            lit(1.0).as("jaccard"))
+        cross.unionByName(within)
+      }
+    }
+  }
+
   /** Exact word-n-gram Jaccard for ALL pairs above `threshold`, on the
     * block-partitioned all-pairs plan: every pair is evaluated exactly once
     * with the codegen'd merge-intersect — no inverted-index self-join, so

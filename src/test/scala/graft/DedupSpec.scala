@@ -141,6 +141,41 @@ class DedupSpec extends SparkTestBase {
       "pruned verify must be result-identical to the plain verify")
   }
 
+  test("minhashNearDupsCollapsed: equals the plain LSH on a duplicate-heavy corpus (D2f)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // every 3rd doc re-enters with a shifted id — the exact-dup regime the
+    // collapse exists for; the collapsed path must return the SAME relation
+    val dups = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val union = docs.unionByName(dups)
+    def pairs(frame: org.apache.spark.sql.DataFrame) =
+      frame.select("id_1", "id_2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val plain = pairs(Dedup.minhashNearDups(union, "doc_id", "text", 0.5))
+    val collapsed = pairs(Dedup.minhashNearDupsCollapsed(union, "doc_id", "text", 0.5))
+    assert(collapsed == plain,
+      "collapse-then-expand must be result-identical to the plain LSH")
+  }
+
+  test("minhashNearDupsCollapsed: expand=false returns class representatives only (D2f)") {
+    val reps = Dedup.minhashNearDupsCollapsed(corpus, "doc_id", "text", 0.5, n = 2,
+      expand = false)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    // 1 and 6 are the same normalized token sequence (class rep = 1), so 6
+    // never appears; the 1↔2 near-dup survives between representatives
+    assert(reps.forall { case (a, b) => a != 6L && b != 6L },
+      "non-representative members must not appear in the collapsed relation")
+    assert(reps.contains((1L, 2L)), "cross-class near-dup pairs must survive")
+    // note doc 3 differs from doc 1 in the shingle view (case-only dup but
+    // punctuated), so it is its own class
+  }
+
+  test("minhashNearDupsCollapsed: identical short texts (< n words) emit no pair, like the plain path (D2f)") {
+    val shorts = Seq((1L, "two words"), (2L, "two words"), (3L, "")).toDF("doc_id", "text")
+    assert(Dedup.minhashNearDupsCollapsed(shorts, "doc_id", "text", 0.5).count() == 0L,
+      "empty shingle sets score 0 in the plain verify — the expansion must agree")
+    assert(Dedup.minhashNearDups(shorts, "doc_id", "text", 0.5).count() == 0L)
+  }
+
   test("minhashNearDups: no false positives; full recall on high-jaccard pairs (D2)") {
     val got = Dedup.minhashNearDups(corpus, "doc_id", "text", 0.5, n = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
