@@ -138,7 +138,13 @@ object ScaleProbe {
     "p_d2_dup_plain" -> ((s, d) =>
       Dedup.minhashNearDups(dupInjected(s, d), "doc_id", "text", 0.5)),
     "p_d2f_dup_collapsed" -> ((s, d) =>
-      Dedup.minhashNearDupsCollapsed(dupInjected(s, d), "doc_id", "text", 0.5)))
+      Dedup.minhashNearDupsCollapsed(dupInjected(s, d), "doc_id", "text", 0.5)),
+    // d4e at the rate a third-decade corpus would actually use: the oracle
+    // row pins rate=0.25 (sf-stable strata for the DuckDB replay); at 1/16
+    // the diagnostic prices the same plan from 6% of the postings
+    "p_d4e_r16" -> ((s, d) =>
+      Dedup.shingleDfStatsSampled(Tables.documents(s, d), "doc_id", "text", 3,
+        rate = 0.0625)))
 
   /** 25% of the corpus re-entered 8 more times under shifted ids: exact-dup
     * classes of size 9 at a realistic crawl dup share (corpus grows 3×).

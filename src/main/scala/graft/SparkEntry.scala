@@ -1040,6 +1040,15 @@ object SparkEntry {
       Dedup.shingleDfStats(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy("df")),
 
+    // D4e: the df diagnostic over a deterministic 25% document sample —
+    // the form a 100 TB corpus prices its plan with (the exact d4c is the
+    // repo's most expensive third-decade row). Exact arithmetic on the
+    // sample; est_* columns scale the pair bill by 1/rate² (unbiased).
+    "d4e_df_stats_sampled" -> ((s, d) =>
+      Dedup.shingleDfStatsSampled(Tables.documents(s, d), "doc_id", "text", 3,
+        rate = 0.25)
+        .orderBy("df")),
+
     // D4d: sparse Jaccard with the cap DERIVED from a candidate-pair
     // budget — the oracle re-derives the same ceiling from the same
     // histogram in SQL, so the derivation arithmetic itself is gated.
@@ -3848,6 +3857,26 @@ object SparkEntry {
         "SELECT df, n_shingles, pair_cost, " +
         "(sum(pair_cost) OVER (ORDER BY df))::BIGINT AS cum_pair_cost " +
         "FROM c ORDER BY df"),
+
+    // the same histogram over the deterministic 25% md5-coin sample (the
+    // s5 coin, same seed-0 literal), with the 1/rate² scaled estimate
+    // columns — exact arithmetic on the sample gates the sampling itself
+    "d4e_df_stats_sampled" ->
+      ("WITH dd AS (SELECT doc_id, text FROM documents WHERE " +
+        "('0x' || substr(md5(doc_id::VARCHAR || '_0'), 1, 15))::BIGINT < " +
+        s"${(BigDecimal(0.25) * BigDecimal(1L << 60)).toLong}), " +
+        trigramShCteOver("dd") + ", " +
+        "inv AS (SELECT doc_id, unnest(grams) AS g FROM sh), " +
+        "dfs AS (SELECT g, count(*) AS df FROM inv GROUP BY g), " +
+        "hist AS (SELECT df, count(*)::BIGINT AS n_shingles FROM dfs GROUP BY df), " +
+        "c AS (SELECT df, n_shingles, " +
+        "(n_shingles * (df * (df - 1) // 2))::BIGINT AS pair_cost FROM hist), " +
+        "cc AS (SELECT df, n_shingles, pair_cost, " +
+        "(sum(pair_cost) OVER (ORDER BY df))::BIGINT AS cum_pair_cost FROM c) " +
+        "SELECT df, n_shingles, pair_cost, cum_pair_cost, " +
+        "round(pair_cost / 0.0625, 6) AS est_pair_cost, " +
+        "round(cum_pair_cost / 0.0625, 6) AS est_cum_pair_cost " +
+        "FROM cc ORDER BY df"),
 
     // d4b's pipeline with the ceiling DERIVED in SQL from the same
     // histogram + budget the Spark side uses: greatest(max df with

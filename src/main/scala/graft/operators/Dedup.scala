@@ -552,6 +552,36 @@ object Dedup {
                      n: Int): DataFrame =
     dfHistogram(shingleSets(df, idCol, textCol, n))
 
+  /** D4e — [[shingleDfStats]] over a DETERMINISTIC DOCUMENT SAMPLE: the
+    * form of the df diagnostic a 100 TB corpus can actually afford. The
+    * exact histogram is linear but heavy — at the 1000× probe it is the
+    * most expensive row in the repo (482 s, 32 GB spill: the corpus-wide
+    * distinct-shingle aggregate IS the q18 knee) — and a plan-pricing
+    * diagnostic does not need exact strata. Sampling DOCUMENTS with the
+    * engine-portable md5 coin ([[Sampling.deterministicSample]] — the
+    * oracle replays the same coin) keeps every downstream property the
+    * cap derivation uses: a shingle with df d survives with
+    * Binomial(d, rate) sample-df, so E[df′(df′−1)] = d(d−1)·rate² and
+    * `est_*` (= pair_cost / rate²) is the UNBIASED estimate of the
+    * full-corpus candidate bill; the heavy keys that dominate the curve
+    * concentrate tightly (relative error ~ 1/√(d·rate)), while the noisy
+    * low-df strata contribute little cost to begin with. Consumers
+    * derive a cap on the SAMPLED df axis and scale by 1/rate (document
+    * the estimate, as d4d documents its recall trade).
+    *
+    * Exact arithmetic on the sample (hash-gated by the oracle); only the
+    * `est_*` columns carry the scaling. `rate` should be a binary
+    * fraction (0.25, 1/64) so both engines scale bit-identically.
+    */
+  def shingleDfStatsSampled(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, rate: Double, seed: Long = 0L): DataFrame = {
+    require(rate > 0.0 && rate <= 1.0, "shingleDfStatsSampled: rate must be in (0, 1]")
+    val hist = dfHistogram(shingleSets(
+      Sampling.deterministicSample(df, idCol, rate, seed), idCol, textCol, n))
+    hist.withColumn("est_pair_cost", round(col("pair_cost") / (rate * rate), 6))
+      .withColumn("est_cum_pair_cost", round(col("cum_pair_cost") / (rate * rate), 6))
+  }
+
   private def dfHistogram(sets: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = sets.select(explode(col("shs")).as("sk"))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Text
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -960,6 +960,42 @@ class DedupSpec extends SparkTestBase {
       assert(cost == n * (df * (df - 1) / 2), s"cost at df=$df")
       cum += cost
       assert(cumCost == cum, s"cum at df=$df")
+    }
+  }
+
+  test("shingleDfStatsSampled: rate=1 equals the exact histogram; sampled rate equals the histogram of the sample (D4e)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // rate = 1: identical to the exact diagnostic, est_* == exact columns
+    val full = Dedup.shingleDfStatsSampled(docs, "doc_id", "text", 3, rate = 1.0)
+      .orderBy("df")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    val exact = Dedup.shingleDfStats(docs, "doc_id", "text", 3)
+      .orderBy("df").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(full.map(r => (r._1, r._2, r._3, r._4)) == exact,
+      "rate=1 must reproduce the exact histogram")
+    full.foreach { case (_, _, cost, cum, estCost, estCum) =>
+      assert(estCost == cost.toDouble && estCum == cum.toDouble,
+        "rate=1 estimates must equal the exact columns")
+    }
+    // rate = 0.25: exact arithmetic on the deterministic sample — the
+    // histogram must equal shingleDfStats over the SAME md5-coin sample,
+    // and est_* must be pair_cost / rate^2 (the unbiased full-corpus bill)
+    val rate = 0.25
+    val sampled = Dedup.shingleDfStatsSampled(docs, "doc_id", "text", 3, rate)
+      .orderBy("df")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    val replay = Dedup.shingleDfStats(
+      Sampling.deterministicSample(docs, "doc_id", rate), "doc_id", "text", 3)
+      .orderBy("df").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(sampled.map(r => (r._1, r._2, r._3, r._4)) == replay,
+      "sampled histogram must be the exact histogram of the sample")
+    assert(sampled.nonEmpty && sampled.map(_._2).sum < exact.map(_._2).sum,
+      "the fixture sample must actually shrink the shingle space")
+    sampled.foreach { case (_, _, cost, cum, estCost, estCum) =>
+      assert(estCost == BigDecimal(cost / (rate * rate))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, "est_pair_cost")
+      assert(estCum == BigDecimal(cum / (rate * rate))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, "est_cum_pair_cost")
     }
   }
 
