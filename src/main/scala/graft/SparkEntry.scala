@@ -2452,6 +2452,31 @@ object SparkEntry {
         "doc_id", "source", temperature = 2.0)
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // S5p: the mixing-recipe SOLVER — per-source temperature shares, the
+    // budget split, and the repeat factors that realize it (the missing
+    // middle between x13's overlap pricing and s5o's replication). All
+    // integer arithmetic except two single IEEE divisions; the oracle
+    // re-derives every column including the 38-digit budget split
+    "s5p_mixing_plan" -> ((s, d) =>
+      Sampling.mixingPlan(Tables.documents(s, d), "source", "n_chars",
+        temperature = 2.0, budget = 300000L)
+        .orderBy("source")),
+
+    // the solved plan EXECUTED: mixingPlan's repeat factors (bounded
+    // driver collect — one row per source, the s5m pattern) feed
+    // epochReplicate; at sf0.01 the 300k budget ≈ 2× the corpus
+    // (upsample regime, whole+fractional epochs), at sf0.1 ≈ 0.2×
+    // (pure-fractional downsample) — one row, both branches
+    "q_mixing_chain" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val factors = Sampling.mixingPlan(docs, "source", "n_chars",
+        temperature = 2.0, budget = 300000L)
+        .select("source", "repeat_factor").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      Sampling.epochReplicate(docs, "doc_id", "source", factors)
+        .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+    }),
+
     // S5f: data mixing — resample to a 50/30/20 target blend of three
     // sources (largest feasible output; other sources drop)
     "s5f_mixture" -> ((s, d) =>
@@ -4802,6 +4827,46 @@ object SparkEntry {
         "SELECT d.doc_id, d.source FROM docs d JOIN p USING (source) " +
         "WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '_mx0'), 1, 15))::BIGINT < p.th " +
         "ORDER BY d.doc_id"),
+
+    // the solver re-derived: integer share weights raw = round(round(pow,
+    // 9)·1e9) (exact order-free sum), budget split in 128-bit integer
+    // division, the two doubles each one IEEE division of exact integers
+    "s5p_mixing_plan" ->
+      ("WITH cnt AS (SELECT source, count(*)::BIGINT AS n_docs, " +
+        "sum(n_chars)::BIGINT AS n_weight FROM documents " +
+        "WHERE source IS NOT NULL GROUP BY source HAVING sum(n_chars) > 0), " +
+        "tot AS (SELECT sum(n_weight)::DOUBLE AS total FROM cnt), " +
+        "raw AS (SELECT source, n_docs, n_weight, " +
+        "CAST(round(round(power(n_weight::DOUBLE / t.total, 0.5), 9) * 1e9) AS BIGINT) AS raw " +
+        "FROM cnt, tot t), " +
+        "sr AS (SELECT sum(raw)::BIGINT AS sumraw FROM raw) " +
+        "SELECT source, n_docs, n_weight, " +
+        "raw::DOUBLE / sumraw::DOUBLE AS share, " +
+        "CAST((300000::HUGEINT * raw) // sumraw AS BIGINT) AS target_weight, " +
+        "(CAST((300000::HUGEINT * raw) // sumraw AS BIGINT))::DOUBLE / n_weight::DOUBLE AS repeat_factor " +
+        "FROM raw, sr ORDER BY source"),
+
+    // plan → factors → the epochReplicate coin: copies = ⌊f⌋ + (hash <
+    // floor(frac(f)·2^60)) — frac(f) and frac·2^60 are EXACT in doubles
+    // (Sterbenz subtraction; power-of-two multiply), so the SQL threshold
+    // bit-matches the Scala BigDecimal one
+    "q_mixing_chain" ->
+      ("WITH cnt AS (SELECT source, sum(n_chars)::BIGINT AS w FROM documents " +
+        "WHERE source IS NOT NULL GROUP BY source HAVING sum(n_chars) > 0), " +
+        "tot AS (SELECT sum(w)::DOUBLE AS total FROM cnt), " +
+        "raw AS (SELECT source, w, " +
+        "CAST(round(round(power(w::DOUBLE / t.total, 0.5), 9) * 1e9) AS BIGINT) AS raw " +
+        "FROM cnt, tot t), " +
+        "sr AS (SELECT sum(raw)::BIGINT AS sumraw FROM raw), " +
+        "f AS (SELECT source, " +
+        "(CAST((300000::HUGEINT * raw) // sumraw AS BIGINT))::DOUBLE / w::DOUBLE AS f " +
+        "FROM raw, sr), " +
+        "c AS (SELECT d.doc_id, d.source, CAST(floor(f.f) AS BIGINT) + " +
+        "(('0x' || substr(md5(d.doc_id::VARCHAR || '_ep0'), 1, 15))::BIGINT < " +
+        "CAST(floor((f.f - floor(f.f)) * 1152921504606846976) AS BIGINT))::BIGINT AS copies " +
+        "FROM documents d JOIN f USING (source)) " +
+        "SELECT doc_id, source, r.range AS epoch FROM c, range(0, 64) r " +
+        "WHERE r.range < c.copies ORDER BY doc_id, epoch"),
 
     // mirrors mixtureSample's fixed arithmetic shape: cap = n/share,
     // T = min(cap), p = least(1, T*share/n), threshold = floor(p * 2^60)

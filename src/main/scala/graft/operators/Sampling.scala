@@ -412,6 +412,62 @@ object Sampling {
       .drop("_graft_n")
   }
 
+  /** S5p — the mixing-recipe SOLVER: one row per source with the
+    * temperature-derived share, the token/char budget it earns, and the
+    * REPEAT FACTOR that realizes it — the missing middle of the recipe
+    * arc this library already ships ([[Dedup.sourceOverlapMatrix]] prices
+    * cross-source duplication, [[temperatureSample]] states the share
+    * rule, [[epochReplicate]] executes a factor map). A training run
+    * states "B tokens at temperature T over these sources"; this operator
+    * turns that sentence into the per-source plan: share_g ∝ (w_g/W)^(1/T)
+    * (T = 1 natural, T → ∞ uniform), target_g = B·share_g, factor_g =
+    * target_g / w_g (> 1 ⇒ upsample via [[epochReplicate]], < 1 ⇒
+    * downsample — the same factor map drives both, since the replicator's
+    * fractional coin IS a Bernoulli keep below 1).
+    *
+    * Engine-portable arithmetic (the s5m discipline, extended to the
+    * budget split): the share weights are frozen to INTEGERS
+    * raw_g = round(round((w_g/W)^α, 9)·10⁹) — the 9-dp round collapses
+    * libm-vs-Math.pow ulps, the integerization makes the normalizing sum
+    * EXACT and order-independent — and the budget splits by integer
+    * arithmetic target_g = ⌊B·raw_g / Σraw⌋ in 38-digit decimals (B·raw
+    * overflows a long at real budgets: 10¹³ tokens × 10⁹ scale). The two
+    * emitted doubles (`share`, `repeat_factor`) are each ONE IEEE division
+    * of exact integers, bit-identical on any engine. NULL sources and
+    * zero/negative-total sources are excluded (no share, no coin — the
+    * mixture samplers' contract).
+    *
+    * Scale shape: one map-side-combined per-source aggregate (the corpus
+    * pass), then two one-row broadcasts over the ≤|sources| plan relation
+    * — the plan itself never shuffles the corpus again. Downstream
+    * execution is [[epochReplicate]]'s narrow explode.
+    */
+  def mixingPlan(df: DataFrame, sourceCol: String, weightCol: String,
+                 temperature: Double, budget: Long): DataFrame = {
+    require(temperature > 0.0, "mixingPlan: temperature must be > 0")
+    require(budget > 0L, "mixingPlan: budget must be > 0")
+    val alpha = 1.0 / temperature
+    val stats = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).cast("long").as("n_weight"))
+      .filter(col("n_weight") > 0)
+    val tot = stats.agg(sum("n_weight").cast("double").as("_total"))
+    val raw = stats.crossJoin(broadcast(tot))
+      .withColumn("_raw",
+        round(round(pow(col("n_weight").cast("double") / col("_total"), alpha), 9)
+          * lit(1e9)).cast("long"))
+    val sumRaw = raw.agg(sum("_raw").as("_sumraw"))
+    raw.crossJoin(broadcast(sumRaw))
+      .withColumn("share", col("_raw").cast("double") / col("_sumraw").cast("double"))
+      .withColumn("target_weight",
+        expr(s"CAST(CAST($budget AS DECIMAL(38,0)) * _raw DIV _sumraw AS BIGINT)"))
+      .withColumn("repeat_factor",
+        col("target_weight").cast("double") / col("n_weight").cast("double"))
+      .select("source", "n_docs", "n_weight", "share", "target_weight",
+        "repeat_factor")
+  }
+
   /** Stratified variant: per-stratum keep fractions (e.g. per-language
     * corpus balancing). Strata absent from the map are dropped.
     */

@@ -394,6 +394,55 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("mixingPlan: exact hand-derived plan; budget conservation; temperature limits (S5p)") {
+    // three sources with weights 4000 / 1000 / 250 — skewed enough that
+    // T = 2 visibly flattens while T = 1 reproduces the natural shares
+    val df = ((1L to 40L).map(i => (i, "web", 100L)) ++
+      (41L to 50L).map(i => (i, "code", 100L)) ++
+      (51L to 55L).map(i => (i, "books", 50L))).toDF("doc_id", "source", "w")
+    val plan = Sampling.mixingPlan(df, "source", "w", temperature = 2.0,
+      budget = 10000L)
+      .as[(String, Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // hand-derive: raws = round(round(sqrt(w/5250), 9) * 1e9)
+    val raws = Map("web" -> 4000L, "code" -> 1000L, "books" -> 250L).map {
+      case (g, w) => g -> BigDecimal(BigDecimal(math.sqrt(w / 5250.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val sumRaw = raws.values.sum
+    plan.foreach { case (g, (_, nDocs, nW, share, target, f)) =>
+      val w = Map("web" -> 4000L, "code" -> 1000L, "books" -> 250L)(g)
+      assert(nW == w && nDocs == df.filter(s"source = '$g'").count())
+      assert(share == raws(g).toDouble / sumRaw.toDouble, s"share($g)")
+      val want = (BigInt(10000) * raws(g) / sumRaw).toLong
+      assert(target == want, s"target($g): $target != $want")
+      assert(f == target.toDouble / w.toDouble, s"factor($g)")
+    }
+    // the integer split never exceeds the budget (floor division)
+    assert(plan.values.map(_._5).sum <= 10000L)
+    // T = 2 flattens: the small source's share grows vs natural
+    assert(plan("books")._4 > 250.0 / 5250.0 && plan("web")._4 < 4000.0 / 5250.0)
+    // T = 1 is the natural distribution: factor uniform across sources
+    // (every source repeats budget/total within integer-floor jitter)
+    val nat = Sampling.mixingPlan(df, "source", "w", temperature = 1.0,
+      budget = 10500L).select("repeat_factor").as[Double].collect()
+    nat.foreach(f => assert(math.abs(f - 2.0) < 1e-3, s"T=1 factor $f"))
+    // executing the plan realizes the targets: replicated weight per
+    // source lands within one doc-weight of target (coin expectation
+    // exactness not asserted — conservation of the deterministic parts)
+    val factors = plan.map { case (g, r) => g -> r._6 }
+    val real = Sampling.epochReplicate(df, "doc_id", "source", factors)
+      .groupBy("source").agg(org.apache.spark.sql.functions.sum("w").as("rw"))
+      .as[(String, Long)].collect().toMap
+    plan.foreach { case (g, r) =>
+      val perDoc = Map("web" -> 100L, "code" -> 100L, "books" -> 50L)(g)
+      val whole = r._6.toLong * r._3   // the deterministic floor floor(f)·w
+      assert(real(g) >= whole && real(g) <= whole + r._3 + perDoc,
+        s"realized weight for $g: ${real(g)} vs factor ${r._6}")
+    }
+  }
+
   test("sourceOverlapMatrix: shared-fingerprint counts per source pair (X13)") {
     val df = Seq(
       (1L, "Alpha beta!", "s1"), (2L, "alpha beta", "s2"), // cross-source dup (normalized)
