@@ -1989,6 +1989,16 @@ object SparkEntry {
       TermStats.qualityBuckets(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // T27: heavy hitters with BOUNDED state — the frequent-items sketch
+    // (fixed maxMapSize entries per partial, one image per partition
+    // across the exchange) gated e8d-style: every token whose exact count
+    // exceeds the sketch's a-priori ε·N must be returned with its bounds
+    // bracketing the exact count (the published no-false-negatives
+    // guarantee — deterministic TRUE under any stream order)
+    "t27_heavy_hitters" -> ((s, d) =>
+      TermStats.heavyHittersGate(Tables.documents(s, d), "text", 1024)
+        .orderBy("token")),
+
     // T18: cross-document repeated-span coverage — the duplicate-n-gram
     // fraction gate (boilerplate/templated spam that doc-level dedup and
     // within-doc repetition both miss): tokens covered by 5-token windows
@@ -4702,6 +4712,18 @@ object SparkEntry {
         "CASE WHEN s.lm_score <= th.t1 THEN 'tail' " +
         "WHEN s.lm_score <= th.t2 THEN 'middle' ELSE 'head' END AS bucket " +
         "FROM scored s, th ORDER BY s.doc_id"),
+
+    // the deterministic half of the t27 gate re-derived exactly (token set
+    // + exact counts above ε·N, ε = 3.5/1024 = the sketch's own a-priori
+    // constant, spec-pinned); the sketch's no-false-negatives + bracketing
+    // guarantee makes within_tol TRUE under any stream order
+    "t27_heavy_hitters" ->
+      ("WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token " +
+        "FROM documents), " +
+        "n AS (SELECT count(*)::DOUBLE AS N FROM tok), " +
+        "e AS (SELECT token, count(*)::BIGINT AS n_exact FROM tok GROUP BY token) " +
+        "SELECT token, n_exact, TRUE AS within_tol FROM e, n " +
+        "WHERE n_exact > 0.00341796875 * N ORDER BY token"),
 
     // adjacent-pair frequencies over the same lower/trim/split words;
     // <2-token docs left-join to null

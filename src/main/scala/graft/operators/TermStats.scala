@@ -419,4 +419,50 @@ object TermStats {
       .agg(round(avg(col("_n")), 4).as("lm2_score"))
     ids.join(scored, Seq(idCol), "left")
   }
+
+  /** T27 production path — heavy hitters with BOUNDED state: the t7
+    * top-terms question answered by the [[graft.functions.FreqItems]]
+    * frequent-items sketch instead of a vocabulary-sized exchange. One
+    * corpus pass, ≤ maxMapSize entries of state per partial, one sketch
+    * image per partition across the shuffle, decode on the single merged
+    * row: `(token, estimate, lower, upper)` for every `NO_FALSE_NEGATIVES`
+    * frequent item. At 100 TB this is the only shape that answers "what
+    * are the dominant tokens" without shuffling the billions-entry
+    * vocabulary. Estimates are stream-order-dependent within the
+    * published ±ε·N bound — consume the BOUNDS (the gate below asserts
+    * them), never hash-compare the estimates.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, maxMapSize: Int): DataFrame = {
+    import graft.functions.FreqItems
+    docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .agg(FreqItems.freqSketch(col("token"), maxMapSize).as("_sk"))
+      .select(explode(FreqItems.freqItems(col("_sk"))).as("_it"))
+      .select(col("_it.token").as("token"), col("_it.estimate").as("estimate"),
+        col("_it.lower").as("lower"), col("_it.upper").as("upper"))
+  }
+
+  /** T27 oracle gate (the e8d/x10c discipline for approximate answers):
+    * emits, for every token whose EXACT count exceeds the sketch's
+    * a-priori error ε·N (ε = [[graft.functions.FreqItems.epsilon]], a pure
+    * function of the map size), the exact count plus `within_tol` — true
+    * iff the sketch returned the token (the published no-false-negatives
+    * guarantee for counts above ε·N) with `lower ≤ exact ≤ upper`. The
+    * token set and counts are deterministic exact arithmetic the oracle
+    * re-derives; the booleans are guaranteed TRUE by the sketch's bound
+    * under ANY stream order, so the row is hash-stable. The exact side is
+    * the GATE's scaffolding (bench-SF cost), not the production path.
+    */
+  def heavyHittersGate(docs: DataFrame, textCol: String, maxMapSize: Int): DataFrame = {
+    val toks = docs.select(
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+    val sketched = heavyHitters(docs, textCol, maxMapSize)
+    val tot = toks.agg(count(lit(1)).cast("double").as("_N"))
+    toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_exact") > lit(graft.functions.FreqItems.epsilon(maxMapSize)) * col("_N"))
+      .join(sketched, Seq("token"), "left")
+      .withColumn("within_tol", col("estimate").isNotNull &&
+        col("lower") <= col("n_exact") && col("n_exact") <= col("upper"))
+      .select("token", "n_exact", "within_tol")
+  }
 }

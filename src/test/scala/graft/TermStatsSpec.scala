@@ -207,4 +207,67 @@ class TermStatsSpec extends SparkTestBase {
     byGram.filterKeys(_.startsWith("the ")).foreach { case (g, (_, p)) =>
       assert(p < byGram("new york")._2, s"$g must score below the collocation") }
   }
+
+  test("heavyHitters: exact regime (vocab <= map) equals the exact counts; epsilon pin (T27)") {
+    import graft.functions.FreqItems
+    // the oracle's 0.00341796875 literal IS the sketch's own constant
+    assert(FreqItems.epsilon(1024) == 3.5 / 1024)
+    val df = Seq.tabulate(200)(i =>
+      (i.toLong, s"tok${i % 7} tok${i % 3} filler${i % 5}")).toDF("doc_id", "text")
+    // 15 distinct tokens <= maxMapSize 16: no evictions -> every token
+    // returned with estimate == exact and collapsed bounds
+    val got = TermStats.heavyHitters(df, "text", 16)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val exact = df.selectExpr("explode(split(lower(trim(text)), '\\\\s+')) AS t")
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    assert(got.keySet == exact.keySet, "no evictions: every token is frequent")
+    got.foreach { case (t, (est, lb, ub)) =>
+      assert(est == exact(t) && lb == est && ub == est, s"$t exact in the no-eviction regime")
+    }
+  }
+
+  test("heavyHitters: eviction regime honors the published bound; union of shards too (T27)") {
+    import graft.functions.FreqItems
+    import org.apache.spark.sql.functions._
+    // 400 distinct rare tokens + 3 heavy ones, map size 16 -> evictions
+    // "dominant" (300 of 1000 tokens) clears eps(16)*N = 218.75 — the gate
+    // row must be non-empty; the heavies exercise bound-bracketing
+    val rows = (1 to 300).map(i => (i.toLong, s"heavy${i % 3} dominant rare$i")) ++
+      (301 to 400).map(i => (i.toLong, s"rare$i"))
+    val df = rows.toDF("doc_id", "text").repartition(7)
+    val toks = df.select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+    val exact = toks.groupBy("t").count().as[(String, Long)].collect().toMap
+    val n = exact.values.sum.toDouble
+    val got = TermStats.heavyHitters(df, "text", 16)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // no false negatives above eps*N, and bounds bracket the truth
+    exact.filter(_._2 > FreqItems.epsilon(16) * n).keys.foreach(t =>
+      assert(got.contains(t), s"$t above eps*N must be returned"))
+    got.foreach { case (t, (_, lb, ub)) =>
+      val tru = exact.getOrElse(t, 0L)
+      assert(lb <= tru && tru <= ub, s"$t: [$lb,$ub] must bracket $tru")
+      assert(ub - lb <= (FreqItems.epsilon(16) * n).toLong + 1, s"$t: width within eps*N")
+    }
+    // sharded states folded with freqSketchUnion keep the same guarantees
+    val states = df.withColumn("_shard", pmod(col("doc_id"), lit(4)))
+      .select(col("_shard"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .groupBy("_shard").agg(FreqItems.freqSketch(col("t"), 16).as("st"))
+    val folded = states.agg(FreqItems.freqSketchUnion(col("st"), 16).as("sk"))
+      .select(explode(FreqItems.freqItems(col("sk"))).as("it"))
+      .select("it.token", "it.estimate", "it.lower", "it.upper")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    exact.filter(_._2 > FreqItems.epsilon(16) * n).keys.foreach(t =>
+      assert(folded.contains(t), s"union: $t above eps*N must be returned"))
+    folded.foreach { case (t, (lb, ub)) =>
+      val tru = exact.getOrElse(t, 0L)
+      assert(lb <= tru && tru <= ub, s"union $t: [$lb,$ub] must bracket $tru")
+    }
+    // the gate row is deterministically all-true regardless of partitioning
+    val gate = TermStats.heavyHittersGate(df.repartition(13), "text", 16)
+      .as[(String, Long, Boolean)].collect()
+    assert(gate.nonEmpty && gate.forall(_._3), "within_tol must hold under any stream order")
+  }
 }
