@@ -66,4 +66,25 @@ object ArrayOps {
   /** Column API: intersection size of two sorted `array<bigint>` columns. */
   def sortedIntersectSize(a: Column, b: Column): Column =
     graftshim.toColumn(SortedIntersectSize(graftshim.toExpression(a), graftshim.toExpression(b)))
+
+  /** `explode` for computed arrays whose ELEMENTS are never null (shingle
+    * hashes, split tokens, band structs — every hot explode input in this
+    * library): `explode_outer` + drop the null row, which is semantically
+    * identical to `explode` for such arrays (empty/null arrays emit one
+    * null row, immediately dropped) but immune to Catalyst's
+    * `InferFiltersFromGenerate`. That rule turns `Generate(explode(e))`
+    * into `Filter(size(e) > 0 AND isnotnull(e))` below the generate, and
+    * predicate pushdown then inlines the array's full defining expression
+    * through every Project — the computed array is evaluated THREE times
+    * per row, twice inside a non-codegen Filter (measured 70× on the
+    * trigram-shingle explode at 100×; see `Session`'s exclusion note).
+    * graft-built sessions exclude the rule globally; this shape keeps the
+    * operators fast under sessions graft did not build. Do NOT use when
+    * array elements can be null — those rows would be dropped.
+    */
+  def explodeDense(df: org.apache.spark.sql.DataFrame, keep: Seq[Column],
+                   arr: Column, as: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode_outer}
+    df.select(keep :+ explode_outer(arr).as(as): _*).filter(col(as).isNotNull)
+  }
 }

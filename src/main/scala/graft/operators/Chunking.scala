@@ -31,10 +31,9 @@ object Chunking {
     val stride = chunkChars - overlapChars
     df.select(col(idCol), col(textCol), length(col(textCol)).as("_len"))
       .filter(col("_len") > 0)
-      .select(col(idCol),
-        explode(sequence(lit(1),
-          greatest(col("_len") - overlapChars, lit(1)), lit(stride))).as("chunk_start"),
-        col(textCol))
+      .transform(d => graft.functions.ArrayOps.explodeDense(d, Seq(col(idCol), col(textCol)),
+        sequence(lit(1),
+          greatest(col("_len") - overlapChars, lit(1)), lit(stride)), "chunk_start"))
       .select(col(idCol),
         expr(s"(chunk_start - 1) div $stride").as("chunk_id"), // exact integer div
         col("chunk_start").cast("long").as("chunk_start"),
@@ -63,9 +62,9 @@ object Chunking {
         filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0).as("_w"))
       .select(col(idCol), col("_w"), size(col("_w")).as("_n"))
       .filter(col("_n") > 0)
-      .select(col(idCol), col("_w"), col("_n"),
-        explode(sequence(lit(1),
-          greatest(col("_n") - overlapTokens, lit(1)), lit(stride))).as("tok_start"))
+      .transform(d => graft.functions.ArrayOps.explodeDense(d, Seq(col(idCol), col("_w"), col("_n")),
+        sequence(lit(1),
+          greatest(col("_n") - overlapTokens, lit(1)), lit(stride)), "tok_start"))
       .select(col(idCol),
         expr(s"(tok_start - 1) div $stride").as("chunk_id"),
         col("tok_start").cast("long").as("tok_start"),

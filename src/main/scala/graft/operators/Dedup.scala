@@ -89,11 +89,12 @@ object Dedup {
     */
   private def bandKeys(sets: DataFrame, idCol: String, as: String,
                        bands: Int, rowsPerBand: Int): DataFrame =
-    sets.select(col(idCol).as(as), sigArrayExpr(bands * rowsPerBand).as("_sigs"))
-      .select(col(as), explode(array((0 until bands).map { b =>
+    ArrayOps.explodeDense(
+      sets.select(col(idCol).as(as), sigArrayExpr(bands * rowsPerBand).as("_sigs")),
+      Seq(col(as)), array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           hash(slice(col("_sigs"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
-      }: _*)).as("bd"))
+      }: _*), "bd")
       .select(col(as), col("bd.band"), col("bd.bkey"))
 
   /** Cache-hygiene loan pattern for the shingle-set persists: `build` runs
@@ -441,7 +442,7 @@ object Dedup {
                                     candidateCache: Option[DataFrame => Unit] = None,
                                     rareKeysPrepared: Option[(DataFrame, Long)] = None)
                                    : DataFrame = {
-    val inv = sets.select(col(idCol).as("id"), explode(col("shs")).as("sk"))
+    val inv = ArrayOps.explodeDense(sets, Seq(col(idCol).as("id")), col("shs"), "sk")
     // `rareKeysPrepared` = (qualifying-keys frame, exact key count) from a
     // caller that already paid the (shingle, df) aggregate — the Auto path
     // persists that aggregate ONCE for (histogram, ceiling, this probe
@@ -584,7 +585,7 @@ object Dedup {
 
   private def dfHistogram(sets: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = sets.select(explode(col("shs")).as("sk"))
+    val hist = ArrayOps.explodeDense(sets, Seq.empty, col("shs"), "sk")
       .groupBy("sk").agg(count(lit(1)).as("df"))
       .groupBy("df").agg(count(lit(1)).as("n_shingles"))
       // df·(df−1) is even, so DIV 2 is exact long arithmetic
@@ -642,7 +643,7 @@ object Dedup {
     // single biggest exchange and it must be paid exactly once)
     var dfCache: Option[DataFrame] = None
     val res = withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
-      val skdf = sets.select(explode(col("shs")).as("sk"))
+      val skdf = ArrayOps.explodeDense(sets, Seq.empty, col("shs"), "sk")
         .groupBy("sk").agg(count(lit(1)).as("_df"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       dfCache = Some(skdf)
@@ -874,10 +875,10 @@ object Dedup {
                            maxDf: Int, releaseSets: Boolean = false): DataFrame =
     withPersistedSets2(shingleSets(train, idCol, textCol, n),
       shingleSets(test, idCol, textCol, n), releaseSets) { (tsets, xsets) =>
-      val ti = tsets.select(col(idCol).as("train_id"), explode(col("shs")).as("sk"))
+      val ti = ArrayOps.explodeDense(tsets, Seq(col(idCol).as("train_id")), col("shs"), "sk")
       val rare = ti.groupBy("sk").agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= maxDf).select("sk")
-      val xi = xsets.select(col(idCol).as("test_id"), explode(col("shs")).as("sk"))
+      val xi = ArrayOps.explodeDense(xsets, Seq(col(idCol).as("test_id")), col("shs"), "sk")
       val candidates = xi.join(rare, "sk").join(ti, "sk")
         .select("test_id", "train_id").distinct()
       val t1 = tsets.select(col(idCol).as("train_id"), col("shs").as("shs_t"))
@@ -1882,7 +1883,7 @@ object Dedup {
   def buildContainmentIndex(train: DataFrame, idCol: String, textCol: String,
                             n: Int, maxDf: Int): ContainmentIndex = {
     val tsets = shingleSets(train, idCol, textCol, n)
-    val ti = tsets.select(col(idCol).as("train_id"), explode(col("shs")).as("sk"))
+    val ti = ArrayOps.explodeDense(tsets, Seq(col(idCol).as("train_id")), col("shs"), "sk")
     val dfTab = ti.groupBy("sk").agg(count(lit(1)).as("df"))
     val rare = dfTab.filter(col("df") <= maxDf).select("sk")
     ContainmentIndex(tsets, ti.join(rare, "sk"), Some(dfTab))
@@ -1944,7 +1945,7 @@ object Dedup {
     val spark = newTrain.sparkSession
     val bsets = shingleSets(newTrain, idCol, textCol, n).persist(lvl)
     bsets.count()
-    val bi = bsets.select(col(idCol).as("train_id"), explode(col("shs")).as("sk"))
+    val bi = ArrayOps.explodeDense(bsets, Seq(col(idCol).as("train_id")), col("shs"), "sk")
     val bdf = bi.groupBy("sk").agg(count(lit(1)).as("df"))
     val oldDf = spark.read.parquet(s"$path/df")
       .groupBy("sk").agg(sum("df").as("_odf"))
@@ -2048,7 +2049,7 @@ object Dedup {
                                threshold: Double,
                                releaseSets: Boolean = false): DataFrame =
     withPersistedSets(shingleSets(test, idCol, textCol, n), releaseSets) { xsets =>
-      val xi = xsets.select(col(idCol).as("test_id"), explode(col("shs")).as("sk"))
+      val xi = ArrayOps.explodeDense(xsets, Seq(col(idCol).as("test_id")), col("shs"), "sk")
       val candidates = xi.join(index.rareInv.select("train_id", "sk"), "sk")
         .select("test_id", "train_id").distinct()
       val t1 = index.sets.select(col(idCol).as("train_id"), col("shs").as("shs_t"))
@@ -2112,8 +2113,8 @@ object Dedup {
                 (acc, h) => xxhash64(acc, h)))))
             .otherwise(array().cast("array<bigint>")).as("gks"))
     }
-    val bg = gramKeys(bench)
-      .select(explode(col("gks")).as("gk")).distinct()
+    val bg = ArrayOps.explodeDense(gramKeys(bench), Seq.empty, col("gks"), "gk")
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gramCount = math.max(1L, bg.count()) // also materializes the persist
     val optimalBits = math.ceil(-gramCount * math.log(fpp) / (math.log(2) * math.log(2))).toLong
@@ -2124,8 +2125,7 @@ object Dedup {
       .head().getAs[Array[Byte]](0)
     val mightMatch = shim.toColumn(BloomFilterMightContain(
       Literal(bloomBytes, org.apache.spark.sql.types.BinaryType), gkExpr))
-    val res = gramKeys(train)
-      .select(col(idCol), explode(col("gks")).as("gk"))
+    val res = ArrayOps.explodeDense(gramKeys(train), Seq(col(idCol)), col("gks"), "gk")
       .filter(mightMatch)
       .join(bg, Seq("gk"), "left_semi")
       .groupBy(col(idCol))

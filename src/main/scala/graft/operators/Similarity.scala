@@ -248,11 +248,10 @@ object Similarity {
     def sketch(b: Int) =
       if (ordinal) ordinalSketch(col(vecCol), dim, bitsPerBand, seed = 1000L + b)
       else signSketch(col(vecCol), dim, bitsPerBand, seed = 1000L + b)
-    df.select(
-      col(idCol).as(as),
-      explode(array((0 until bands).map { b =>
+    graft.functions.ArrayOps.explodeDense(df, Seq(col(idCol).as(as)),
+      array((0 until bands).map { b =>
         struct(lit(b).as("band"), sketch(b).as("bkey"))
-      }: _*)).as("bd"))
+      }: _*), "bd")
       .select(col(as), col("bd.band"), col("bd.bkey"))
   }
 

@@ -44,8 +44,8 @@ object TermStats {
   def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, release: Boolean = false): DataFrame = {
     require(k >= 1, "distinctiveTerms: k must be >= 1")
-    val toks = docs.select(col(idCol),
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val toks = graft.functions.ArrayOps.explodeDense(docs, Seq(col(idCol)),
+      split(lower(trim(col(textCol))), "\\s+"), "term")
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -110,11 +110,11 @@ object TermStats {
                       topN: Int): DataFrame = {
     require(minCount >= 1 && topN >= 1, "pmiCollocations: minCount and topN must be >= 1")
     val words = docs.select(split(lower(trim(col(textCol))), "\\s+").as("_words"))
-    val uni = words.select(explode(col("_words")).as("w"))
+    val uni = graft.functions.ArrayOps.explodeDense(words, Seq.empty, col("_words"), "w")
       .groupBy("w").agg(count(lit(1)).as("cw"))
     val n1 = uni.agg(sum("cw").cast("double").as("N1"))
-    val bi = words.select(explode(graft.functions.Text.shinglesFromWords(
-        col("_words"), 2, distinct = false)).as("gram"))
+    val bi = graft.functions.ArrayOps.explodeDense(words, Seq.empty, graft.functions.Text.shinglesFromWords(
+        col("_words"), 2, distinct = false), "gram")
       .groupBy("gram").agg(count(lit(1)).as("cab"))
     val n2 = bi.agg(sum("cab").cast("double").as("N2"))
     // words contain no whitespace (split-derived), so the bigram's single
@@ -142,9 +142,10 @@ object TermStats {
     */
   def ngramCounts(docs: DataFrame, textCol: String, n: Int, topN: Int): DataFrame = {
     require(n >= 1 && topN >= 1, "ngramCounts: n and topN must be >= 1")
-    docs.select(split(lower(trim(col(textCol))), "\\s+").as("_words"))
-      .select(explode(graft.functions.Text.shinglesFromWords(col("_words"), n,
-        distinct = false)).as("gram"))
+    graft.functions.ArrayOps.explodeDense(
+      docs.select(split(lower(trim(col(textCol))), "\\s+").as("_words")),
+      Seq.empty, graft.functions.Text.shinglesFromWords(col("_words"), n,
+        distinct = false), "gram")
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram").asc)
       .limit(topN)
@@ -190,8 +191,8 @@ object TermStats {
     * vocabulary-sized (the cell frame's own scale), never corpus-sized.
     */
   def chiSquareDrift(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(sourceCol),
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val toks = graft.functions.ArrayOps.explodeDense(docs, Seq(col(sourceCol)),
+      split(lower(trim(col(textCol))), "\\s+"), "term")
       .filter(length(col("term")) > 0)
     val o = toks.groupBy(sourceCol, "term").agg(count(lit(1)).as("o"))
     val ns = toks.groupBy(sourceCol).agg(count(lit(1)).as("n"))
@@ -385,8 +386,8 @@ object TermStats {
   }
 
   def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val toks = graft.functions.ArrayOps.explodeDense(docs, Seq(col(idCol)),
+      split(lower(trim(col(textCol))), "\\s+"), "term")
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("_n"))
     toks.join(vocab, "term")
       .groupBy(col(idCol))
@@ -410,9 +411,9 @@ object TermStats {
     */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ids = docs.select(col(idCol))
-    val pairs = docs.select(col(idCol),
-      explode(graft.functions.Text.shinglesFromWords(
-        split(lower(trim(col(textCol))), "\\s+"), 2, distinct = false)).as("bg"))
+    val pairs = graft.functions.ArrayOps.explodeDense(docs, Seq(col(idCol)),
+      graft.functions.Text.shinglesFromWords(
+        split(lower(trim(col(textCol))), "\\s+"), 2, distinct = false), "bg")
     val vocab = pairs.groupBy("bg").agg(count(lit(1)).as("_n"))
     val scored = pairs.join(vocab, "bg")
       .groupBy(col(idCol))
@@ -434,7 +435,8 @@ object TermStats {
     */
   def heavyHitters(docs: DataFrame, textCol: String, maxMapSize: Int): DataFrame = {
     import graft.functions.FreqItems
-    docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+    graft.functions.ArrayOps.explodeDense(docs, Seq.empty,
+      split(lower(trim(col(textCol))), "\\s+"), "token")
       .agg(FreqItems.freqSketch(col("token"), maxMapSize).as("_sk"))
       .select(explode(FreqItems.freqItems(col("_sk"))).as("_it"))
       .select(col("_it.token").as("token"), col("_it.estimate").as("estimate"),
@@ -453,8 +455,8 @@ object TermStats {
     * the GATE's scaffolding (bench-SF cost), not the production path.
     */
   def heavyHittersGate(docs: DataFrame, textCol: String, maxMapSize: Int): DataFrame = {
-    val toks = docs.select(
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+    val toks = graft.functions.ArrayOps.explodeDense(docs, Seq.empty,
+      split(lower(trim(col(textCol))), "\\s+"), "token")
     val sketched = heavyHitters(docs, textCol, maxMapSize)
     val tot = toks.agg(count(lit(1)).cast("double").as("_N"))
     toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
