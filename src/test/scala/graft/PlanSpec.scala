@@ -689,4 +689,26 @@ class PlanSpec extends SparkTestBase {
     assert(!p.toLowerCase.contains("singlepartition"),
       s"the budget window must never single-partition the corpus:\n$p")
   }
+
+  test("no inferred size()-filter re-computes the shingle pipeline below a generate") {
+    // graft-built sessions exclude InferFiltersFromGenerate (Session note);
+    // the hot operators must ALSO hold the fast shape under a session
+    // WITHOUT the exclusion — explodeDense's explode_outer cannot be
+    // rewritten into the triple-evaluating Filter(size(e)>0) form
+    val foreign = spark.newSession()
+    foreign.conf.set("spark.sql.optimizer.excludedRules", "")
+    val docs = Tables.documents(foreign, sf)
+    val hist = Dedup.shingleDfStats(docs, "doc_id", "text", 3)
+    val optimized = hist.queryExecution.optimizedPlan.toString
+    // the tell: a Filter whose condition calls size(...) on the shingle
+    // expression (the projected attribute stays, the inlined recompute
+    // must not appear)
+    assert(!optimized.contains("size(array_sort"),
+      s"inferred filter re-computes the shingle pipeline:\n${optimized.take(2000)}")
+    // and the tokenizer explode in the t-family term stats
+    val vocab = TermStats.unigramLmScore(docs, "doc_id", "text")
+    val vp = vocab.queryExecution.optimizedPlan.toString
+    assert(!vp.contains("size(split"),
+      s"inferred filter re-computes the token split:\n${vp.take(2000)}")
+  }
 }
