@@ -1999,6 +1999,32 @@ object SparkEntry {
       TermStats.heavyHittersGate(Tables.documents(s, d), "text", 1024)
         .orderBy("token")),
 
+    // T27b: the heavy-hitter STATE LIFECYCLE (x10b/x10c applied to the
+    // frequency question) — day-1 builds 3 of 4 shard images to parquet,
+    // day-2 delta-appends the 4th shard's image rows, merge-on-read folds
+    // every image with the sketch's own union; the merged state must
+    // satisfy the t27 guarantee over the FULL corpus
+    "t27b_heavy_hitter_state" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val stateDir = s"${scratchDir(d)}/t27b_hh_state_${stageKey(srcFile, "m1024s4")}"
+      if (!new java.io.File(s"$stateDir/_UPDATED").exists()) {
+        TermStats.buildHeavyHitterShardStates(
+          docs.filter(pmod(col("doc_id"), lit(4)) =!= 3), "doc_id", "text",
+          maxMapSize = 1024, shards = 4)
+          .write.mode("overwrite").parquet(s"$stateDir/states")
+        TermStats.buildHeavyHitterShardStates(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 3), "doc_id", "text",
+          maxMapSize = 1024, shards = 4)
+          .write.mode("append").parquet(s"$stateDir/states")
+        new java.io.File(s"$stateDir/_UPDATED").createNewFile()
+      }
+      TermStats.heavyHittersGateFrom(
+        TermStats.mergedHeavyHitters(s.read.parquet(s"$stateDir/states"), 1024),
+        docs, "text", 1024)
+        .orderBy("token")
+    }),
+
     // T18: cross-document repeated-span coverage — the duplicate-n-gram
     // fraction gate (boilerplate/templated spam that doc-level dedup and
     // within-doc repetition both miss): tokens covered by 5-token windows
@@ -4718,6 +4744,16 @@ object SparkEntry {
     // constant, spec-pinned); the sketch's no-false-negatives + bracketing
     // guarantee makes within_tol TRUE under any stream order
     "t27_heavy_hitters" ->
+      ("WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token " +
+        "FROM documents), " +
+        "n AS (SELECT count(*)::DOUBLE AS N FROM tok), " +
+        "e AS (SELECT token, count(*)::BIGINT AS n_exact FROM tok GROUP BY token) " +
+        "SELECT token, n_exact, TRUE AS within_tol FROM e, n " +
+        "WHERE n_exact > 0.00341796875 * N ORDER BY token"),
+
+    // the lifecycle's merged state must satisfy the same full-corpus
+    // guarantee — identical oracle relation to t27
+    "t27b_heavy_hitter_state" ->
       ("WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token " +
         "FROM documents), " +
         "n AS (SELECT count(*)::DOUBLE AS N FROM tok), " +

@@ -454,10 +454,19 @@ object TermStats {
     * under ANY stream order, so the row is hash-stable. The exact side is
     * the GATE's scaffolding (bench-SF cost), not the production path.
     */
-  def heavyHittersGate(docs: DataFrame, textCol: String, maxMapSize: Int): DataFrame = {
+  def heavyHittersGate(docs: DataFrame, textCol: String, maxMapSize: Int): DataFrame =
+    heavyHittersGateFrom(heavyHitters(docs, textCol, maxMapSize),
+      docs, textCol, maxMapSize)
+
+  /** The t27 gate against an EXTERNALLY-built frequent-items list (the
+    * merged state of [[buildHeavyHitterShardStates]], a reloaded index…):
+    * same contract — every token above ε·N must be present with bounds
+    * bracketing the exact count.
+    */
+  def heavyHittersGateFrom(sketched: DataFrame, docs: DataFrame,
+                           textCol: String, maxMapSize: Int): DataFrame = {
     val toks = graft.functions.ArrayOps.explodeDense(docs, Seq.empty,
       split(lower(trim(col(textCol))), "\\s+"), "token")
-    val sketched = heavyHitters(docs, textCol, maxMapSize)
     val tot = toks.agg(count(lit(1)).cast("double").as("_N"))
     toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
       .crossJoin(broadcast(tot))
@@ -466,5 +475,39 @@ object TermStats {
       .withColumn("within_tol", col("estimate").isNotNull &&
         col("lower") <= col("n_exact") && col("n_exact") <= col("upper"))
       .select("token", "n_exact", "within_tol")
+  }
+
+  /** T27b state build — per-shard frequent-items sketch images, the
+    * materialized form of the t27 state (the x10b/x10c lifecycle applied
+    * to the frequency question): one corpus pass, `shards` rows of
+    * `(shard, state_freq BINARY)` out. Delta-append = build the new
+    * day's shards and append the rows; merge-on-read =
+    * [[mergedHeavyHitters]] folds every image with the sketch's own
+    * union (associative, order-free within the published bound), so the
+    * saved state answers the top-terms question without re-reading the
+    * corpus.
+    */
+  def buildHeavyHitterShardStates(docs: DataFrame, idCol: String,
+                                  textCol: String, maxMapSize: Int,
+                                  shards: Int): DataFrame = {
+    require(shards >= 1, "buildHeavyHitterShardStates: shards must be >= 1")
+    graft.functions.ArrayOps.explodeDense(
+      docs.withColumn("_shard", pmod(col(idCol), lit(shards))),
+      Seq(col("_shard").as("shard")),
+      split(lower(trim(col(textCol))), "\\s+"), "token")
+      .groupBy("shard")
+      .agg(graft.functions.FreqItems.freqSketch(col("token"), maxMapSize)
+        .as("state_freq"))
+  }
+
+  /** Fold materialized heavy-hitter states (any number of image rows) into
+    * the corpus frequent-items list — `(token, estimate, lower, upper)`.
+    */
+  def mergedHeavyHitters(states: DataFrame, maxMapSize: Int): DataFrame = {
+    import graft.functions.FreqItems
+    states.agg(FreqItems.freqSketchUnion(col("state_freq"), maxMapSize).as("_sk"))
+      .select(explode(FreqItems.freqItems(col("_sk"))).as("_it"))
+      .select(col("_it.token").as("token"), col("_it.estimate").as("estimate"),
+        col("_it.lower").as("lower"), col("_it.upper").as("upper"))
   }
 }
