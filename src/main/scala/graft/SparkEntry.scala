@@ -2471,6 +2471,13 @@ object SparkEntry {
       Dedup.sourceOverlapMatrix(Tables.documents(s, d), "text", "source")
         .orderBy("src_a", "src_b")),
 
+    // X14: the dataset card in one query — per-source docs/tokens/chars/
+    // distinct fingerprints + exact-dup fraction, one corpus pass, no
+    // float summation (the single double is one division of exact longs)
+    "x14_corpus_report" -> ((s, d) =>
+      Analytics.corpusReport(Tables.documents(s, d), "text", "source")
+        .orderBy("source")),
+
     // S5m: TEMPERATURE-scaled mixture — shares ∝ (n_g/N)^(1/T), T = 2
     // (the multilingual up-weight-the-tail rule). The fixture's sources
     // are uniform (temperature of a flat distribution is the identity),
@@ -4859,6 +4866,16 @@ object SparkEntry {
         "ELSE 0 END AS copies FROM documents) " +
         "SELECT doc_id, source, r.range AS epoch FROM n, range(0, 3) r " +
         "WHERE r.range < n.copies ORDER BY doc_id, epoch"),
+
+    // the card re-derived: t3's token arithmetic, d1's fingerprint, one
+    // division of exact longs rounded 6
+    "x14_corpus_report" ->
+      ("SELECT source, count(*)::BIGINT AS n_docs, " +
+        "sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS n_tokens, " +
+        "sum(length(text))::BIGINT AS n_chars, " +
+        "count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))::BIGINT AS n_unique, " +
+        "round(1.0 - count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))::DOUBLE / count(*), 6) AS dup_frac " +
+        "FROM documents WHERE source IS NOT NULL GROUP BY source ORDER BY source"),
 
     // the overlap matrix over the same normalized fingerprint as d1/d8
     "x13_source_overlap" ->

@@ -314,4 +314,30 @@ object Analytics {
     row.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
 
+  /** X14 — the DATASET CARD in one query: per-source document count, token
+    * count, char count, distinct-fingerprint count, and the exact-duplicate
+    * fraction — the manifest table every corpus release publishes (and the
+    * input a mixing plan prices from: feed `n_tokens` to
+    * [[Sampling.mixingPlan]]). ONE corpus pass: every column partial-
+    * aggregates per source; the only exchange carries (source, 16-byte
+    * fingerprint) pairs for the distinct count — the d1 fingerprint shape,
+    * linear in the corpus with map-side distinct reduction. All columns are
+    * exact integer arithmetic except `dup_frac` (one IEEE division of two
+    * exact longs, rounded to 6) — no float summation anywhere, so the
+    * relation hash-gates across engines.
+    */
+  def corpusReport(docs: DataFrame, textCol: String,
+                   sourceCol: String): DataFrame = {
+    import graft.functions.Text
+    docs.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(Text.wsTokens(col(textCol))).cast("long").as("n_tokens"),
+        sum(length(col(textCol))).cast("long").as("n_chars"),
+        count_distinct(Text.fingerprint(col(textCol))).as("n_unique"))
+      .withColumn("dup_frac",
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"), 6))
+  }
+
 }

@@ -171,4 +171,23 @@ class AnalyticsSpec extends SparkTestBase {
     val const = Seq(("c", 5.0), ("c", 5.0), ("c", 5.0)).toDF("k", "v")
     assert(Analytics.madScores(const, Seq("k"), "v").collect().forall(_.isNullAt(2)))
   }
+
+  test("corpusReport: the dataset card matches hand-computed values (X14)") {
+    // src a: 3 docs, one exact dup pair (normalized: case/punct collapse);
+    // src b: 2 unique docs; null source dropped
+    val docs = Seq(
+      (1L, "Alpha beta!", "a"), (2L, "alpha beta", "a"), (3L, "gamma delta", "a"),
+      (4L, "one two three", "b"), (5L, "four", "b"),
+      (6L, "ignored", null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "source")
+    val got = Analytics.corpusReport(docs, "text", "source")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      // a: 3 docs, 2+2+2 tokens, 11+10+11 chars, 2 unique fps, dup 1/3
+      ("a", 3L, 6L, 32L, 2L, BigDecimal(1.0 - 2.0 / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      // b: 2 docs, 3+1 tokens, 13+4 chars, 2 unique, dup 0
+      ("b", 2L, 4L, 17L, 2L, 0.0)), s"got $got")
+  }
 }
