@@ -144,7 +144,25 @@ object ScaleProbe {
     // the diagnostic prices the same plan from 6% of the postings
     "p_d4e_r16" -> ((s, d) =>
       Dedup.shingleDfStatsSampled(Tables.documents(s, d), "doc_id", "text", 3,
-        rate = 0.0625)))
+        rate = 0.0625)),
+    // t27's PRODUCTION path (sketch only, no exact-side gate): bounded
+    // state per partial, one image per partition across the exchange —
+    // the row that proves "top terms without a vocabulary shuffle" scales
+    "p_t27_hh" -> ((s, d) =>
+      graft.operators.TermStats.heavyHitters(Tables.documents(s, d), "text",
+        maxMapSize = 1024)),
+    // the t7 exact form at the same scale — the vocabulary-sized exchange
+    // t27 exists to avoid
+    "p_t7_exact_vocab" -> ((s, d) =>
+      SparkEntry.queries("t7_vocab")(s, d)),
+    // the dataset card and the mixing solver at scale: both one corpus
+    // pass + bounded per-source relations
+    "p_x14_card" -> ((s, d) =>
+      graft.operators.Analytics.corpusReport(Tables.documents(s, d), "text",
+        "source")),
+    "p_s5p_plan" -> ((s, d) =>
+      graft.operators.Sampling.mixingPlan(Tables.documents(s, d), "source",
+        "n_chars", temperature = 2.0, budget = 300000000L)))
 
   /** 25% of the corpus re-entered 8 more times under shifted ids: exact-dup
     * classes of size 9 at a realistic crawl dup share (corpus grows 3×).
