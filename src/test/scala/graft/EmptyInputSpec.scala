@@ -258,4 +258,26 @@ class EmptyInputSpec extends SparkTestBase {
           org.apache.spark.sql.types.LongType))))
     assert(out.columns.toSeq == Seq("id", "k") && out.count() == 0)
   }
+
+  test("round-13 late additions (s5p/x14/t27/d4e): empty inputs degrade to empty, never throw") {
+    val emptySrc = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    // the mixing solver: empty corpus -> empty plan, schema intact
+    val plan = Sampling.mixingPlan(emptySrc, "source", "doc_id",
+      temperature = 2.0, budget = 1000L)
+    assert(plan.columns.toSeq == Seq("source", "n_docs", "n_weight", "share",
+      "target_weight", "repeat_factor") && plan.count() == 0)
+    // the dataset card
+    val card = Analytics.corpusReport(emptySrc, "text", "source")
+    assert(card.columns.contains("dup_frac") && card.count() == 0)
+    // heavy hitters: the global sketch row exists but decodes to no items
+    assert(TermStats.heavyHitters(emptySrc, "text", 16).count() == 0)
+    assert(TermStats.heavyHittersGate(emptySrc, "text", 16).count() == 0)
+    val states = TermStats.buildHeavyHitterShardStates(emptySrc, "doc_id",
+      "text", 16, shards = 2)
+    assert(states.count() == 0)
+    assert(TermStats.mergedHeavyHitters(states, 16).count() == 0)
+    // the sampled df diagnostic
+    assert(Dedup.shingleDfStatsSampled(emptySrc, "doc_id", "text", 3,
+      rate = 0.25).count() == 0)
+  }
 }
