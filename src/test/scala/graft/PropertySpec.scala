@@ -311,4 +311,36 @@ class PropertySpec extends SparkTestBase {
       got == want
     }, samples = 5)
   }
+
+  test("freq-sketch honors its published bound for ANY corpus, partitioning, and sharding (T27)") {
+    import graft.operators.TermStats
+    import graft.functions.FreqItems
+    // skewed vocab: a few heavy tokens + a long tail, random multiplicities
+    val docGen = Gen.nonEmptyListOf(Gen.frequency(
+      (4, Gen.oneOf("h0", "h1", "h2")),
+      (3, Gen.choose(0, 200).map(i => s"r$i"))))
+    check("freq-sketch-bound", Prop.forAll(
+      Gen.nonEmptyListOf(docGen), Gen.choose(2, 9)) { (docs, parts) =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text").repartition(parts)
+      val exact = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = exact.values.sum.toDouble
+      val m = 16
+      def holds(items: Map[String, (Long, Long, Long)]): Boolean = {
+        val noFalseNeg = exact.filter(_._2 > FreqItems.epsilon(m) * n)
+          .keys.forall(items.contains)
+        val bracketed = items.forall { case (t, (_, lb, ub)) =>
+          val tru = exact.getOrElse(t, 0L); lb <= tru && tru <= ub
+        }
+        noFalseNeg && bracketed
+      }
+      val direct = TermStats.heavyHitters(df, "text", m)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // and through the sharded-state lifecycle (build + union)
+      val folded = TermStats.mergedHeavyHitters(
+        TermStats.buildHeavyHitterShardStates(df, "doc_id", "text", m, shards = 3), m)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      holds(direct) && holds(folded)
+    }, samples = 4)
+  }
 }
