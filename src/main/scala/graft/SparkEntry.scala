@@ -1999,6 +1999,24 @@ object SparkEntry {
       TermStats.heavyHittersGate(Tables.documents(s, d), "text", 1024)
         .orderBy("token")),
 
+    // T27c: the t27 gate as PURE SQL TEXT — the registered
+    // graft_freq_sketch aggregate + graft_freq_items decode (the s5l/x12c
+    // lift applied to the sketch family); same oracle relation as t27
+    "t27c_heavy_hitters_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        "WITH tok AS (SELECT explode(split(lower(trim(text)), '\\\\s+')) AS token " +
+          "FROM documents), " +
+          "sk AS (SELECT graft_freq_sketch(token, 1024) AS s FROM tok), " +
+          "it AS (SELECT inline(graft_freq_items(s)) FROM sk), " +
+          "n AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM tok), " +
+          "e AS (SELECT token, count(*) AS n_exact FROM tok GROUP BY token) " +
+          "SELECT e.token, e.n_exact, " +
+          "(it.estimate IS NOT NULL AND it.lower <= e.n_exact AND e.n_exact <= it.upper) AS within_tol " +
+          "FROM e CROSS JOIN n LEFT JOIN it ON e.token = it.token " +
+          "WHERE e.n_exact > 0.00341796875 * n.N ORDER BY e.token")
+    }),
+
     // T27b: the heavy-hitter STATE LIFECYCLE (x10b/x10c applied to the
     // frequency question) — day-1 builds 3 of 4 shard images to parquet,
     // day-2 delta-appends the 4th shard's image rows, merge-on-read folds
@@ -4751,6 +4769,15 @@ object SparkEntry {
     // constant, spec-pinned); the sketch's no-false-negatives + bracketing
     // guarantee makes within_tol TRUE under any stream order
     "t27_heavy_hitters" ->
+      ("WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token " +
+        "FROM documents), " +
+        "n AS (SELECT count(*)::DOUBLE AS N FROM tok), " +
+        "e AS (SELECT token, count(*)::BIGINT AS n_exact FROM tok GROUP BY token) " +
+        "SELECT token, n_exact, TRUE AS within_tol FROM e, n " +
+        "WHERE n_exact > 0.00341796875 * N ORDER BY token"),
+
+    // the SQL-text form states the same guarantee — identical oracle
+    "t27c_heavy_hitters_sql" ->
       ("WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token " +
         "FROM documents), " +
         "n AS (SELECT count(*)::DOUBLE AS N FROM tok), " +
