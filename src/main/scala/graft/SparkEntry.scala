@@ -1561,7 +1561,9 @@ object SparkEntry {
     // T8: repetition score — Gopher-style duplicate-token quality signal
     "t8_repetition" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), Text.repetitionScore(col("text")).as("repetition"))
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("_w"))
+        .select(col("doc_id"),
+          Text.repetitionScoreFromWords(col("_w")).as("repetition"))
         .orderBy("doc_id")),
 
     // T9: PII scrubbing — emails and long digit runs redacted, plus the

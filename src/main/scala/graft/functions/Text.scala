@@ -114,10 +114,16 @@ object Text {
     * boilerplate/spam scores high and gets filtered upstream of training).
     * Single-pass array expressions, no shuffle.
     */
-  def repetitionScore(text: Column): Column = {
-    val words = split(lower(trim(text)), "\\s+")
+  def repetitionScore(text: Column): Column =
+    repetitionScoreFromWords(split(lower(trim(text)), "\\s+"))
+
+  /** [[repetitionScore]] over a pre-projected words array — `words` is
+    * referenced four times here, so passing an inline split would evaluate
+    * the tokenization four times per row (round-13 plan audit); project
+    * the split into its own alias first (the t13/t20 discipline).
+    */
+  def repetitionScoreFromWords(words: Column): Column =
     round(when(size(words) > 0, dupWordFrac(words)).otherwise(0.0), 4)
-  }
 
   /** T23 — hashed-feature linear quality score: the fasttext-filter plan
     * shape (hash each token into one of `buckets` feature slots, sum the

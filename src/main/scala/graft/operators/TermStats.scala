@@ -411,9 +411,13 @@ object TermStats {
     */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ids = docs.select(col(idCol))
-    val pairs = graft.functions.ArrayOps.explodeDense(docs, Seq(col(idCol)),
-      graft.functions.Text.shinglesFromWords(
-        split(lower(trim(col(textCol))), "\\s+"), 2, distinct = false), "bg")
+    // pre-split into an alias boundary: shinglesFromWords references the
+    // words array n+2 times, and an inline split would be EVALUATED that
+    // many times per row (the t12/t25 discipline; round-13 plan audit)
+    val pairs = graft.functions.ArrayOps.explodeDense(
+      docs.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("_words")),
+      Seq(col(idCol)),
+      graft.functions.Text.shinglesFromWords(col("_words"), 2, distinct = false), "bg")
     val vocab = pairs.groupBy("bg").agg(count(lit(1)).as("_n"))
     val scored = pairs.join(vocab, "bg")
       .groupBy(col(idCol))
