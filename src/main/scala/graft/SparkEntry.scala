@@ -1011,6 +1011,20 @@ object SparkEntry {
         .orderBy("id_1", "id_2")
     }),
 
+    // D2g: the AUTO entry — the measured dup share (one 16-byte-fp
+    // aggregate) picks collapse-first vs plain; this fixture's share is
+    // 1/11 ≈ 9.1%, the 5% gate fires the collapsed branch, and the result
+    // bit-matches the exact oracle either way (the branches are
+    // result-identical by construction, DedupSpec-pinned)
+    "d2g_minhash_auto" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dups = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.minhashNearDupsAuto(docs.unionByName(dups), "doc_id", "text", 0.5,
+        dupFracGate = 0.05)
+        .orderBy("id_1", "id_2")
+    }),
+
     // D3: 60-bit md5-derived SimHash sketch per document (oracle-checkable)
     "d3_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
@@ -4330,6 +4344,19 @@ object SparkEntry {
     // dup-injected union — the oracle replays the injection and computes
     // exact trigram Jaccard over it, blind to the collapse
     "d2f_collapsed_minhash" ->
+      ("WITH dd AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0), " +
+        trigramShCteOver("dd") + ", " +
+        "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh) " +
+        "SELECT a.doc_id AS id_1, b.doc_id AS id_2, " +
+        "round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard " +
+        "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id " +
+        "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5 " +
+        "ORDER BY id_1, id_2"),
+
+    // the auto entry is result-identical to d2f on the same fixture
+    "d2g_minhash_auto" ->
       ("WITH dd AS (SELECT doc_id, text FROM documents UNION ALL " +
         "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0), " +
         trigramShCteOver("dd") + ", " +

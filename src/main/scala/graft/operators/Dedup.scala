@@ -349,6 +349,39 @@ object Dedup {
     }
   }
 
+  /** D2g — the d4d/d5f pattern applied to the d2 entry point: MEASURE the
+    * exact-duplicate share with one cheap aggregate, then pick
+    * [[minhashNearDupsCollapsed]] (the crawl-corpus plan: at 100× under a
+    * size-9-class load it is 2.8× the wall and the only zero-spill path)
+    * when duplication clears `dupFracGate`, else the plain
+    * [[minhashNearDups]] (whose collapse step would be a pure extra
+    * exchange on an already-unique corpus). Result-identical either way —
+    * the collapsed form is spec-pinned equal to the plain one — so the
+    * gate trades only plan shape, never answers. The diagnostic is ONE
+    * map-side-combined aggregate over the same 16-byte class fingerprint
+    * the collapse itself uses (md5 of the space-joined token sequence):
+    * two longs to the driver, the s5i-total bounded-collect pattern.
+    */
+  def minhashNearDupsAuto(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, n: Int = 3,
+                          bands: Int = 32, rowsPerBand: Int = 2,
+                          dupFracGate: Double = 0.2,
+                          releaseSets: Boolean = false): DataFrame = {
+    require(dupFracGate >= 0.0 && dupFracGate <= 1.0,
+      "minhashNearDupsAuto: dupFracGate must be in [0, 1]")
+    val row = df.agg(
+      count(lit(1)).as("_n"),
+      count_distinct(md5(concat_ws(" ",
+        split(lower(trim(col(textCol))), "\\s+")))).as("_u")).head()
+    val nDocs = row.getLong(0)
+    val dupFrac = if (nDocs == 0L) 0.0 else 1.0 - row.getLong(1).toDouble / nDocs
+    if (dupFrac >= dupFracGate)
+      minhashNearDupsCollapsed(df, idCol, textCol, threshold, n, bands,
+        rowsPerBand, expand = true, releaseSets)
+    else minhashNearDups(df, idCol, textCol, threshold, n, bands,
+      rowsPerBand, releaseSets)
+  }
+
   /** Exact word-n-gram Jaccard for ALL pairs above `threshold`, on the
     * block-partitioned all-pairs plan: every pair is evaluated exactly once
     * with the codegen'd merge-intersect — no inverted-index self-join, so

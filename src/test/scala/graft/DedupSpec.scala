@@ -963,6 +963,27 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("minhashNearDupsAuto: both branches equal the plain result; the gate picks by measured dup share (D2g)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dups = docs.filter(col("doc_id") % 4 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val corpus = docs.unionByName(dups) // dup share 1/5 = 0.2
+    def pairs(df: DataFrame) = df.select("id_1", "id_2", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val plain = pairs(Dedup.minhashNearDups(corpus, "doc_id", "text", 0.5))
+    // gate below the share -> collapsed branch; above -> plain branch;
+    // both must equal the plain relation exactly
+    val viaCollapsed = pairs(Dedup.minhashNearDupsAuto(corpus, "doc_id", "text", 0.5,
+      dupFracGate = 0.1))
+    val viaPlain = pairs(Dedup.minhashNearDupsAuto(corpus, "doc_id", "text", 0.5,
+      dupFracGate = 0.9))
+    assert(viaCollapsed == plain, "collapsed branch must bit-match the plain relation")
+    assert(viaPlain == plain, "plain branch is the plain relation")
+    // the unique-corpus case takes the plain branch and stays correct
+    assert(pairs(Dedup.minhashNearDupsAuto(docs, "doc_id", "text", 0.5)) ==
+      pairs(Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)))
+  }
+
   test("shingleDfStatsSampled: rate=1 equals the exact histogram; sampled rate equals the histogram of the sample (D4e)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // rate = 1: identical to the exact diagnostic, est_* == exact columns
