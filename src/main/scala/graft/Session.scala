@@ -75,13 +75,23 @@ object Session {
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-      "spark.sql.session.timeZone" -> "UTC",
-      "spark.sql.optimizer.excludedRules" ->
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      "spark.sql.session.timeZone" -> "UTC")
     runtime.foreach { case (k, v) =>
       try spark.conf.set(k, v)
       catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
+    // MERGE the generate-filter exclusion into any exclusions the caller's
+    // session already carries — a plain set() would silently re-enable
+    // them (round-13 self-review)
+    val inferRule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val existing = try spark.conf.get("spark.sql.optimizer.excludedRules")
+      catch { case _: Exception => null }
+    val merged = Option(existing).map(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Array.empty[String])
+    if (!merged.contains(inferRule))
+      try spark.conf.set("spark.sql.optimizer.excludedRules",
+        (merged :+ inferRule).mkString(","))
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
     graft.plans.GraftExtensions.registerFunctions(spark)
     spark
   }

@@ -2968,7 +2968,7 @@ object SparkEntry {
           .repartition(4, pmod(col("doc_id"), lit(4)))
           .write.mode("overwrite").parquet(stageDir)
       }
-      val stateDir = s"${scratchDir(d)}/e10_hh_state_${stageKey(srcFile, "m1024s4")}"
+      val stateDir = s"${scratchDir(d)}/e10_hh_state_${stageKey(srcFile, "m1024s4b")}"
       if (!new java.io.File(s"$stateDir/_DONE").exists()) {
         val schema = s.read.parquet(stageDir).schema
         val src = s.readStream.schema(schema)
@@ -3625,6 +3625,36 @@ object SparkEntry {
       s"HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= $th"
 
   private val bigramJaccardSql: String = bigramJaccardSqlOver("documents", 0.1)
+
+  /** Shared by t27 / t27b / t27c / e10 — four gates over the SAME
+    * heavy-hitter guarantee (direct, materialized-state, SQL-text,
+    * streamed-state); one string so the epsilon literal can never
+    * diverge between siblings. 0.00341796875 = 3.5/1024, the sketch's
+    * own a-priori constant (spec-pinned against FreqItems.epsilon).
+    */
+  private val hhGateOracleSql: String =
+    "WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token " +
+      "FROM documents), " +
+      "n AS (SELECT count(*)::DOUBLE AS N FROM tok), " +
+      "e AS (SELECT token, count(*)::BIGINT AS n_exact FROM tok GROUP BY token) " +
+      "SELECT token, n_exact, TRUE AS within_tol FROM e, n " +
+      "WHERE n_exact > 0.00341796875 * N ORDER BY token"
+
+  /** Shared by d2f / d2g — the exact all-pairs relation over the
+    * dup-injected fixture both rows use (the auto entry is
+    * result-identical to the collapsed one by construction).
+    */
+  private def dupInjectedMinhashOracleSql: String =
+    "WITH dd AS (SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0), " +
+      trigramShCteOver("dd") + ", " +
+      "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh) " +
+      "SELECT a.doc_id AS id_1, b.doc_id AS id_2, " +
+      "round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard " +
+      "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
+      "GROUP BY a.doc_id, b.doc_id " +
+      "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5 " +
+      "ORDER BY id_1, id_2"
 
   /** The distinct-trigram sets CTE over `documents` — shared by the d4b /
     * d4c / d4d oracles so the shingling text can never drift between the
@@ -4375,29 +4405,11 @@ object SparkEntry {
     // dup-injected union — the oracle replays the injection and computes
     // exact trigram Jaccard over it, blind to the collapse
     "d2f_collapsed_minhash" ->
-      ("WITH dd AS (SELECT doc_id, text FROM documents UNION ALL " +
-        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0), " +
-        trigramShCteOver("dd") + ", " +
-        "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh) " +
-        "SELECT a.doc_id AS id_1, b.doc_id AS id_2, " +
-        "round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard " +
-        "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
-        "GROUP BY a.doc_id, b.doc_id " +
-        "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5 " +
-        "ORDER BY id_1, id_2"),
+      dupInjectedMinhashOracleSql,
 
     // the auto entry is result-identical to d2f on the same fixture
     "d2g_minhash_auto" ->
-      ("WITH dd AS (SELECT doc_id, text FROM documents UNION ALL " +
-        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0), " +
-        trigramShCteOver("dd") + ", " +
-        "inv AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS s FROM sh) " +
-        "SELECT a.doc_id AS id_1, b.doc_id AS id_2, " +
-        "round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard " +
-        "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id " +
-        "GROUP BY a.doc_id, b.doc_id " +
-        "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5 " +
-        "ORDER BY id_1, id_2"),
+      dupInjectedMinhashOracleSql,
 
     "d4_ngram_jaccard" -> (bigramJaccardSql + " ORDER BY id_1, id_2"),
 
@@ -4829,40 +4841,20 @@ object SparkEntry {
     // constant, spec-pinned); the sketch's no-false-negatives + bracketing
     // guarantee makes within_tol TRUE under any stream order
     "t27_heavy_hitters" ->
-      ("WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token " +
-        "FROM documents), " +
-        "n AS (SELECT count(*)::DOUBLE AS N FROM tok), " +
-        "e AS (SELECT token, count(*)::BIGINT AS n_exact FROM tok GROUP BY token) " +
-        "SELECT token, n_exact, TRUE AS within_tol FROM e, n " +
-        "WHERE n_exact > 0.00341796875 * N ORDER BY token"),
+      hhGateOracleSql,
 
     // the SQL-text form states the same guarantee — identical oracle
     "t27c_heavy_hitters_sql" ->
-      ("WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token " +
-        "FROM documents), " +
-        "n AS (SELECT count(*)::DOUBLE AS N FROM tok), " +
-        "e AS (SELECT token, count(*)::BIGINT AS n_exact FROM tok GROUP BY token) " +
-        "SELECT token, n_exact, TRUE AS within_tol FROM e, n " +
-        "WHERE n_exact > 0.00341796875 * N ORDER BY token"),
+      hhGateOracleSql,
 
     // the streamed state must satisfy the same full-corpus guarantee
     "e10_stream_heavy_hitters" ->
-      ("WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token " +
-        "FROM documents), " +
-        "n AS (SELECT count(*)::DOUBLE AS N FROM tok), " +
-        "e AS (SELECT token, count(*)::BIGINT AS n_exact FROM tok GROUP BY token) " +
-        "SELECT token, n_exact, TRUE AS within_tol FROM e, n " +
-        "WHERE n_exact > 0.00341796875 * N ORDER BY token"),
+      hhGateOracleSql,
 
     // the lifecycle's merged state must satisfy the same full-corpus
     // guarantee — identical oracle relation to t27
     "t27b_heavy_hitter_state" ->
-      ("WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token " +
-        "FROM documents), " +
-        "n AS (SELECT count(*)::DOUBLE AS N FROM tok), " +
-        "e AS (SELECT token, count(*)::BIGINT AS n_exact FROM tok GROUP BY token) " +
-        "SELECT token, n_exact, TRUE AS within_tol FROM e, n " +
-        "WHERE n_exact > 0.00341796875 * N ORDER BY token"),
+      hhGateOracleSql,
 
     // adjacent-pair frequencies over the same lower/trim/split words;
     // <2-token docs left-join to null
@@ -5036,8 +5028,8 @@ object SparkEntry {
         "(('0x' || substr(md5(d.doc_id::VARCHAR || '_ep0'), 1, 15))::BIGINT < " +
         "CAST(floor((f.f - floor(f.f)) * 1152921504606846976) AS BIGINT))::BIGINT AS copies " +
         "FROM documents d JOIN f USING (source)) " +
-        "SELECT doc_id, source, r.range AS epoch FROM c, range(0, 64) r " +
-        "WHERE r.range < c.copies ORDER BY doc_id, epoch"),
+        "SELECT doc_id, source, unnest(range(0, c.copies)) AS epoch FROM c " +
+        "ORDER BY doc_id, epoch"),
 
     // mirrors mixtureSample's fixed arithmetic shape: cap = n/share,
     // T = min(cap), p = least(1, T*share/n), threshold = floor(p * 2^60)

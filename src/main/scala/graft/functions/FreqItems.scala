@@ -7,6 +7,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -84,6 +85,15 @@ case class FreqSketchAgg(child: Expression, maxMapSize: Int,
   require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
     "freq_sketch: maxMapSize must be a power of 2, >= 8")
 
+  // SQL path safety: the registry builder passes raw args — reject
+  // non-string input at ANALYSIS time instead of the executor throwing
+  // ClassCastException mid-job (round-13 self-review; the SQL builder
+  // also casts, this is the backstop for direct Expression construction)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"freq_sketch expects STRING input, got ${child.dataType.catalogString}")
+
   override def prettyName: String = "freq_sketch"
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
@@ -126,6 +136,11 @@ case class FreqSketchUnionAgg(child: Expression, maxMapSize: Int,
   require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
     "freq_sketch_union: maxMapSize must be a power of 2, >= 8")
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"freq_sketch_union expects BINARY sketch images, got ${child.dataType.catalogString}")
+
   override def prettyName: String = "freq_sketch_union"
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
@@ -162,6 +177,11 @@ case class FreqSketchUnionAgg(child: Expression, maxMapSize: Int,
   */
 case class FreqSketchItems(child: Expression)
   extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"freq_sketch_items expects a BINARY sketch image, got ${child.dataType.catalogString}")
 
   override def prettyName: String = "freq_sketch_items"
   override def dataType: DataType = ArrayType(StructType(Seq(

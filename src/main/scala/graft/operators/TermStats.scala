@@ -471,8 +471,12 @@ object TermStats {
                            textCol: String, maxMapSize: Int): DataFrame = {
     val toks = graft.functions.ArrayOps.explodeDense(docs, Seq.empty,
       split(lower(trim(col(textCol))), "\\s+"), "token")
-    val tot = toks.agg(count(lit(1)).cast("double").as("_N"))
-    toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+    // N = sum over the grouped counts: the corpus is tokenized ONCE and
+    // the total derives from the vocab-sized frame (round-13 self-review
+    // — a second toks aggregate re-paid the full corpus explode)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+    val tot = counts.agg(sum("n_exact").cast("double").as("_N"))
+    counts
       .crossJoin(broadcast(tot))
       .filter(col("n_exact") > lit(graft.functions.FreqItems.epsilon(maxMapSize)) * col("_N"))
       .join(sketched, Seq("token"), "left")

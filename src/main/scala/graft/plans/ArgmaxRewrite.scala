@@ -166,7 +166,9 @@ object GraftExtensions {
     // maxMapSize must be a foldable integer literal (it sizes the buffer
     // at plan time).
     aggWithSize("graft_freq_sketch",
-      (c, m) => graft.functions.FreqSketchAgg(c, m),
+      (c, m) => graft.functions.FreqSketchAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(c,
+          org.apache.spark.sql.types.StringType), m),
       classOf[graft.functions.FreqSketchAgg]),
     aggWithSize("graft_freq_union",
       (c, m) => graft.functions.FreqSketchUnionAgg(c, m),

@@ -401,10 +401,17 @@ object StreamOps {
                                textCol: String, maxMapSize: Int, shards: Int,
                                statePath: String, checkpointPath: String): Unit = {
     val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // IDEMPOTENT per-batch write: crash-recovery re-runs the last
+        // uncommitted batch (foreachBatch is at-least-once), and a plain
+        // append would double its images — silently breaking the sketch
+        // bound (lower bounds could exceed exact counts). Overwriting the
+        // batch's OWN partition directory makes the replay a no-op; the
+        // partition-discovery `batch` column is inert metadata for
+        // [[graft.operators.TermStats.mergedHeavyHitters]].
         graft.operators.TermStats
           .buildHeavyHitterShardStates(batch.toDF(), idCol, textCol, maxMapSize, shards)
-          .write.mode("append").parquet(statePath)
+          .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointPath)
