@@ -201,6 +201,12 @@ object Bench {
       }
       System.err.println("[bench] " + summary.trim)
     }
+    // End-of-run cache hygiene: call in every graft loan (ledger + table
+    // memos) and report what is STILL persisted — 0 proves the run leaves
+    // no graft-owned cache residue (the warm-run sharing above happens
+    // BETWEEN queries, within the run; nothing outlives it).
+    val leftover = Caches.drain(spark)
+    System.err.println(s"[bench] cache drain: $leftover persisted RDDs remain")
     spark.stop()
   }
 }

@@ -248,10 +248,10 @@ object SparkEntry {
     val enriched = Joins.broadcastJoin(
       Ops.between(Tables.orders(s, d), "o_orderdate", "1995-01-01", "1996-12-31"),
       Tables.customer(s, d), ("o_custkey", "c_custkey"))
-    val filtered = enriched
+    val filtered = graft.Caches.loan(enriched
       .filter(col("r_c_mktsegment").isin(segs: _*))
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-      .persist()
+      .persist())
     // metric tile: global decimal-exact average (A11)
     val tile = filtered.agg(
       round(sum(dec(col("o_totalprice"))).cast(D382).cast("double") / count(lit(1)), 4)
@@ -304,9 +304,9 @@ object SparkEntry {
     // regex gate extractions per row re-execute for every consumer
     // (measured: 12.1s → ~10s). The cache holds the post-gate post-dedup
     // subset only; spill-safe, LRU-evicted, droppable via clearCache.
-    val exactKeep = gated.join(
+    val exactKeep = graft.Caches.loan(gated.join(
       Dedup.exact(gated, "doc_id", "text").select("doc_id"), Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nearKeep = Dedup.keepCanonical(exactKeep, "doc_id",
       Dedup.ngramJaccardPairs(exactKeep, "doc_id", "text", 2, 0.1))
     val sampled = Sampling.deterministicSample(nearKeep, "doc_id", 0.5)
@@ -334,14 +334,15 @@ object SparkEntry {
     val docs = Tables.documents(s, d)
     val bench = docs.filter(col("doc_id") % 17 === 0)
     val corpus = docs.filter(col("doc_id") % 17 =!= 0)
-    val exactKeep = corpus.join(
+    val exactKeep = graft.Caches.loan(corpus.join(
       Dedup.exact(corpus, "doc_id", "text").select("doc_id"), Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val contaminated = Dedup.decontaminationPairs(exactKeep, bench, "doc_id", "text",
       3, 0.5, maxDf = 50)
       .select(col("train_id").as("doc_id")).distinct()
-    val clean = exactKeep.join(contaminated, Seq("doc_id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clean = graft.Caches.loan(
+      exactKeep.join(contaminated, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val mixed = Sampling.mixtureSample(clean, "doc_id", "source",
       Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
     val train = Sampling.datasetSplit(mixed, "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
@@ -428,8 +429,9 @@ object SparkEntry {
       // parsed frame first, exactly as the JsonlSource scaladoc
       // prescribes: the cache materializes the full schema and the
       // kind-count reads from it, not from the raw files
-      val parsed = JsonlSource.readWithSchema(s, qDir, schema)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val parsed = graft.Caches.loan(
+        JsonlSource.readWithSchema(s, qDir, schema)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       parsed.count()
       parsed
         .select(when(col(JsonlSource.CorruptCol).isNull, "well")
@@ -808,8 +810,9 @@ object SparkEntry {
       val orders = Ops.requireColumns(Tables.orders(s, d),
         Seq("o_custkey", "o_orderdate", "o_totalprice", "o_orderpriority"))
       val clean = Ops.dropNullRows(orders, "o_orderpriority")
-      Agg.latestTable(clean, "o_custkey", Seq("o_orderdate", "o_totalprice"))
-        .persist()
+      graft.Caches.loan(
+        Agg.latestTable(clean, "o_custkey", Seq("o_orderdate", "o_totalprice"))
+          .persist())
         .orderBy("o_custkey")
     }),
 
@@ -1086,16 +1089,18 @@ object SparkEntry {
     // in via label contraction; the merge must bit-match the from-scratch
     // recompute over the full union (the d6 oracle). Pairs persist once:
     // the result frame is small and feeds two filters + two loops. The
-    // pair cache deliberately STAYS (r12 advice weighed and rejected with
-    // a measurement): this plan is SHARED with d6/d6b/s5j, and
-    // unpersisting it here poisons their warm runs — measured r13:
+    // pair cache deliberately stays for the RUN (r12 advice weighed and
+    // rejected with a measurement): this plan is SHARED with d6/d6b/s5j,
+    // and unpersisting it here poisons their warm runs — measured r13:
     // d6c 0.53→2.30 s, s5j 0.50→1.97 s with the unpersist in place —
-    // exactly the dead-entry recompute the Bench cache policy documents;
-    // Spark's LRU owns genuine storage pressure.
+    // exactly the dead-entry recompute the Bench cache policy documents.
+    // It is LEDGERED (Caches.loan), so Caches.drain at end of run calls
+    // the loan in — intra-run sharing without session-lifetime residue.
     "d6c_components_incremental" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.1)
-        .select("id_1", "id_2")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = graft.Caches.loan(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.1)
+          .select("id_1", "id_2")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val isNew = (col("id_1") + col("id_2")) % 3 === 0
       Dedup.connectedComponentsIncremental(
         Dedup.connectedComponents(pairs.filter(!isNew)), pairs.filter(isNew))
@@ -1260,6 +1265,20 @@ object SparkEntry {
     "d9b_fuzzy_budget" -> ((s, d) =>
       Dedup.fuzzyNearDupsBudget(Tables.documents(s, d), "doc_id", "text",
         maxDist = 40, budgetPairs = 3000L)
+        .orderBy("id_1", "id_2")),
+
+    // D9e: the fuzzy AUTO gate — the last diagnostic-without-a-derived-
+    // plan-choice retired: budget = pairsPerDoc × nDocs (corpus-
+    // proportional, so candidate volume stays linear), one histogram
+    // collect picks unbounded (cost fits) vs capped admission (cost
+    // exceeds). At sf0.001/0.01 the total within-cell cost (~4k) fits
+    // 64×500 → unbounded branch; at sf0.1 (~371k vs 320k) the capped
+    // branch binds — the driver's SFs gate BOTH branches. The oracle
+    // re-derives budget, cap, and admission in SQL; a non-binding budget
+    // derives cap = max cell size, so the one capped SQL covers both.
+    "d9e_fuzzy_auto" -> ((s, d) =>
+      Dedup.fuzzyNearDupsAuto(Tables.documents(s, d), "doc_id", "text",
+        maxDist = 40, pairsPerDoc = 64L)
         .orderBy("id_1", "id_2")),
 
     // D5: embedding-cosine near-dup pairs (exact all-pairs, codegen'd cosine)
@@ -3980,6 +3999,30 @@ object SparkEntry {
         "cum AS (SELECT cell_size, sum(n * (cell_size * (cell_size - 1) // 2)) " +
         "OVER (ORDER BY cell_size) AS c FROM hist), " +
         "cap AS (SELECT greatest(coalesce((SELECT max(cell_size) FROM cum WHERE c <= 3000), 2), 2) AS cap), " +
+        "adm AS (SELECT ch.* FROM ch JOIN cells USING (chunk, ckey, hb) " +
+        "WHERE cells.cell_size <= (SELECT cap FROM cap)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2 " +
+        "FROM adm a JOIN adm b ON a.chunk = b.chunk AND a.ckey = b.ckey " +
+        "AND abs(a.hb - b.hb) <= 1 AND a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 AND abs(a.len - b.len) <= 40) " +
+        "SELECT c.id_1, c.id_2, levenshtein(d1.text, d2.text)::BIGINT AS edit_dist " +
+        "FROM cand c JOIN documents d1 ON c.id_1 = d1.doc_id " +
+        "JOIN documents d2 ON c.id_2 = d2.doc_id " +
+        "WHERE levenshtein(d1.text, d2.text) <= 40 ORDER BY id_1, id_2"),
+
+    // the auto gate's FULL derivation in SQL: budget = 64 × |documents|,
+    // cap from the same histogram (non-binding budget ⇒ cap = max cell
+    // size ⇒ admits everything ⇒ identical to the unbounded plan, which
+    // is exactly the Spark gate's unbounded branch) — one capped
+    // formulation gates both branches of the plan choice
+    "d9e_fuzzy_auto" ->
+      (s"WITH $fuzzyCellsCte, " +
+        "hist AS (SELECT cell_size, count(*) AS n FROM cells GROUP BY cell_size), " +
+        "cum AS (SELECT cell_size, sum(n * (cell_size * (cell_size - 1) // 2)) " +
+        "OVER (ORDER BY cell_size) AS c FROM hist), " +
+        "budget AS (SELECT 64 * (SELECT count(*) FROM documents) AS b), " +
+        "cap AS (SELECT greatest(coalesce((SELECT max(cell_size) FROM cum " +
+        "WHERE c <= (SELECT b FROM budget)), 2), 2) AS cap), " +
         "adm AS (SELECT ch.* FROM ch JOIN cells USING (chunk, ckey, hb) " +
         "WHERE cells.cell_size <= (SELECT cap FROM cap)), " +
         "cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2 " +

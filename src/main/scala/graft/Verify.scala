@@ -63,6 +63,10 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED — see $outDir/errors.json")
+    // End-of-run cache hygiene: release every graft loan; 0 remaining
+    // persisted RDDs = the full dump left no cache residue.
+    val leftover = Caches.drain(spark)
+    System.err.println(s"[verify] cache drain: $leftover persisted RDDs remain")
     spark.stop()
   }
 }

@@ -110,13 +110,16 @@ object Dedup {
     */
   private def withPersistedSets(sets: DataFrame, release: Boolean)
                                (build: DataFrame => DataFrame): DataFrame = {
-    val cached = sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = graft.Caches.loan(
+      sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val res = build(cached)
     if (!release) res
     else {
-      val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = graft.Caches.loan(
+        res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       out.count() // force: the result must never silently recompute the sets
       cached.unpersist()
+      graft.Caches.settled(cached)
       out
     }
   }
@@ -130,15 +133,18 @@ object Dedup {
     */
   private def withPersistedSets2(a: DataFrame, b: DataFrame, release: Boolean)
                                 (build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val ca = a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ca = graft.Caches.loan(
+      a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cb = graft.Caches.loan(
+      b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val res = build(ca, cb)
     if (!release) res
     else {
-      val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = graft.Caches.loan(
+        res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       out.count()
-      ca.unpersist()
-      cb.unpersist()
+      ca.unpersist(); graft.Caches.settled(ca)
+      cb.unpersist(); graft.Caches.settled(cb)
       out
     }
   }
@@ -259,9 +265,11 @@ object Dedup {
       // releaseSets: the loan already materialized the result
       case Some(c) if releaseSets => c.unpersist(); res
       // default: no caller handle for the candidate persist — materialize
-      // the (threshold-filtered, small) result and drop the candidates
+      // the (threshold-filtered, small) result and drop the candidates;
+      // the result's persist is ledgered (Caches.releaseAll calls it in)
       case Some(c) =>
-        val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = graft.Caches.loan(
+          res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         out.count()
         c.unpersist()
         out
@@ -312,9 +320,16 @@ object Dedup {
     // shingle sets (NOT Text.fingerprint, whose strip-all-punctuation
     // normalization is STRONGER than the shingle view and would merge
     // texts with different shingle sets). Tokens cannot contain
-    // whitespace, so the space join is injective on token sequences.
+    // whitespace, so the space join is injective on token sequences —
+    // PROVIDED null texts are excluded first: concat_ws skips a null
+    // array, so a NULL text (no shingle set at all) would share the
+    // empty-text fingerprint and the within-class branch would emit an
+    // (empty, null) pair at jaccard 1.0 that the plain LSH path scores 0.
+    // Null-text rows can never appear in a plain-path pair (no shingles),
+    // so dropping them from class formation preserves result identity.
     val norm = df.select(col(idCol),
       split(lower(trim(col(textCol))), "\\s+").as("_words"))
+      .filter(col("_words").isNotNull)
       .select(col(idCol), md5(concat_ws(" ", col("_words"))).as("_fp"),
         size(col("_words")).as("_ntok"))
     // one exchange of (16-byte fp, id, ntok) — texts never shuffle; the
@@ -506,15 +521,19 @@ object Dedup {
         val (rk, nKeys) = rareKeysPrepared match {
           case Some((f, n)) => (f, n)
           case None =>
-            val f = rareKeys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val f = graft.Caches.loan(
+              rareKeys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
             val n = f.count() // also materializes the persist
             rareKeysCache = Some(f)
             (f, n)
         }
         // past ~16M keys the filter itself is tens of MB of task literal —
-        // fall back to the plain join rather than broadcast a monster
+        // fall back to the plain join rather than broadcast a monster.
+        // rareKeysCache stays SET here: the join below still consumes rk,
+        // and dropping the persist now would re-run the corpus-wide
+        // (shingle, df) aggregate for it (~40 GB spill per pass at 1000×);
+        // the cleanup after candidates materialize releases it.
         if (nKeys == 0L || nKeys > (1L << 24)) {
-          rareKeysCache.foreach(_.unpersist()); rareKeysCache = None
           inv.join(rk, "sk")
         } else {
           val fpp = 0.01
@@ -546,7 +565,8 @@ object Dedup {
     val candidates =
       if (!pruneVerify) rawCandidates
       else {
-        val c = rawCandidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c = graft.Caches.loan(
+          rawCandidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         c.count()
         // the rare-keys cache fed (count, bloom, probe); candidates are
         // materialized past it now, so it owes nothing downstream
@@ -652,13 +672,35 @@ object Dedup {
     * pipeline (one extra tiny aggregate, no re-shingling); the one-row
     * ceiling collect is the bounded driver step (the s5i-total pattern).
     */
-  /** Rare-key frames below this many keys broadcast. The real footprint is
-    * the broadcast HashedRelation, not the raw 8-byte keys: per-row Spark
-    * pays key + UnsafeRow + map slot (~64 bytes measured order), so 512K
-    * keys ≈ 32 MB of driver/executor footprint. The histogram gives the
-    * exact count, so the decision is evidence-based, never a blind hint.
+  /** Broadcast footprint per 8-byte key, MEASURED from the real artifact:
+    * the BroadcastExchange `dataSize` of a single-long-column relation at
+    * 512K rows is exactly 64.0 bytes/row (33,554,432 B — the
+    * LongToUnsafeRowMap's power-of-two page allocation for key slot +
+    * 16-byte single-long UnsafeRow + index), i.e. 8× the raw key bytes
+    * the old estimate counted. BroadcastSizeSpec re-measures and pins
+    * this constant ≥ the measured value and within 2× of it, so the
+    * budget can neither silently undercount the relation nor drift into
+    * a blind guess when the Spark version moves.
     */
-  private val BroadcastRareKeyLimit = 1L << 19
+  private[graft] val BroadcastBytesPerKey: Long = 64L
+
+  /** Total broadcast budget for the rare-keys frame: the executor-side
+    * HashedRelation copy should stay well under the default 1g
+    * spark.sql.autoBroadcastJoinThreshold-era comfort zone; 32 MB is the
+    * repo-wide small-broadcast budget (the d8b bloom images budget the
+    * same order).
+    */
+  private val BroadcastRareKeyBudgetBytes: Long = 32L << 20
+
+  /** Rare-key frames below this many keys broadcast — derived as
+    * budget / measured-bytes-per-key (= 512K keys at 64 B/key), never a
+    * raw-key-bytes estimate: at 4M keys the raw 8-byte arithmetic says
+    * "32 MB" while the real HashedRelation is several× that — a
+    * driver/executor OOM exactly in the large-corpus regime this limit
+    * exists to protect. The histogram gives the exact count, so the
+    * decision is evidence-based, never a blind hint.
+    */
+  private val BroadcastRareKeyLimit = BroadcastRareKeyBudgetBytes / BroadcastBytesPerKey
 
   def ngramJaccardPairsSparseAuto(df: DataFrame, idCol: String, textCol: String,
                                   n: Int, threshold: Double, budgetPairs: Long,
@@ -676,9 +718,10 @@ object Dedup {
     // single biggest exchange and it must be paid exactly once)
     var dfCache: Option[DataFrame] = None
     val res = withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
-      val skdf = ArrayOps.explodeDense(sets, Seq.empty, col("shs"), "sk")
-        .groupBy("sk").agg(count(lit(1)).as("_df"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val skdf = graft.Caches.loan(
+        ArrayOps.explodeDense(sets, Seq.empty, col("shs"), "sk")
+          .groupBy("sk").agg(count(lit(1)).as("_df"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       dfCache = Some(skdf)
       // one tiny collect serves BOTH derivations: the ceiling (largest df
       // whose cumulative candidate cost fits the budget) and the count of
@@ -718,7 +761,8 @@ object Dedup {
       // SETS cache keeps the documented default-trade lifetime (LRU /
       // clearCache).
       case Some(c) =>
-        val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = graft.Caches.loan(
+          res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         out.count()
         c.unpersist()
         dfCache.foreach(_.unpersist())
@@ -730,7 +774,8 @@ object Dedup {
         dfCache match {
           case Some(k) if releaseSets => k.unpersist(); res
           case Some(k) =>
-            val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val out = graft.Caches.loan(
+              res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
             out.count()
             k.unpersist()
             out
@@ -816,8 +861,9 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.{graftshim => shim}
-    val nf = newDocs.withColumn("fingerprint", Text.fingerprint(col(textCol)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nf = graft.Caches.loan(
+      newDocs.withColumn("fingerprint", Text.fingerprint(col(textCol)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val batchCount = math.max(1L, nf.count()) // also materializes the persist
     // optimal bits for n items at fpp: -n ln p / (ln 2)^2, clamped to the cap
     val optimalBits = math.ceil(-batchCount * math.log(fpp) / (math.log(2) * math.log(2))).toLong
@@ -834,9 +880,10 @@ object Dedup {
     val res = nf.join(cf, Seq("fingerprint"), "left_anti")
     if (!release) res
     else {
-      val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = graft.Caches.loan(
+        res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       out.count()
-      nf.unpersist()
+      nf.unpersist(); graft.Caches.settled(nf)
       out
     }
   }
@@ -1183,8 +1230,19 @@ object Dedup {
     // max_by struct cannot invert just the id leg for arbitrary id types,
     // so: max(score) per component, equi-join back, min(id) among the
     // max-scored — two narrow partial-agged aggregates, no window.
-    val best = scored.groupBy(col("component")).agg(max(col("_s")).as("_s"))
-    val winners = scored.join(best, Seq("component", "_s"))
+    // The join-back is NULL-SAFE (<=>): max() ignores nulls, so an
+    // all-null-score cluster yields max = null, and a plain equi-join
+    // would elect NO winner — the whole cluster silently survived
+    // undeduplicated. With <=>, an all-null cluster still resolves to its
+    // min id (null <=> null matches every member), while a partially-null
+    // cluster keeps null-scored members out of contention (null <=> value
+    // is false) — every cluster elects exactly one winner, as
+    // keepCanonical does.
+    val best = scored.groupBy(col("component")).agg(max(col("_s")).as("_bs"))
+      .withColumnRenamed("component", "_bc") // disambiguate the self-join
+    val winners = scored.join(best,
+        col("component") === col("_bc") && col("_s") <=> col("_bs"))
+      .select(col("component"), col("id"))
       .groupBy(col("component")).agg(min(col("id")).as("_win"))
     val losers = labels.join(winners, "component")
       .filter(col("id") =!= col("_win")).select("id")
@@ -1500,25 +1558,95 @@ object Dedup {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for maxHamming <= 3")
     require(budgetPairs >= 0, "fuzzyNearDupsBudget: budget must be >= 0")
     withPersistedSets(fuzzyChunked(df, idCol, textCol, maxDist), release) { chunked =>
-      val cells = chunked.groupBy("chunk", "ckey", "_hb")
-        .agg(count(lit(1)).as("cell_size"))
-      val hist = cells.groupBy("cell_size").agg(count(lit(1)).as("n_cells"))
-        .withColumn("pair_cost", expr("n_cells * (cell_size * (cell_size - 1) DIV 2)"))
-        .withColumn("cum_pair_cost", sum("pair_cost").over(
-          Window.orderBy("cell_size")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select("cell_size", "n_cells", "cum_pair_cost")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val cap = math.max(2L,
-        hist.filter(_._3 <= budgetPairs).map(_._1).maxOption.getOrElse(2L))
-      val nOverCap = hist.filter(_._1 > cap).map(_._2).sum
-      val overCap = cells.filter(col("cell_size") > cap)
-        .select("chunk", "ckey", "_hb")
-      val blacklist = if (nOverCap <= BroadcastOverCapCellLimit)
-        broadcast(overCap) else overCap
-      val admitted = chunked.join(blacklist, Seq("chunk", "ckey", "_hb"), "left_anti")
-      fuzzyVerify(df, idCol, textCol, maxDist, maxHamming, admitted,
-        chunkDedup = false)
+      fuzzyCapped(df, idCol, textCol, maxDist, maxHamming, chunked,
+        fuzzyCellHist(chunked), budgetPairs)
+    }
+  }
+
+  /** The (cell_size, n_cells, cum_pair_cost) histogram of the banded cells,
+    * ascending cell_size — ONE bounded collect (≤ |distinct sizes| rows, the
+    * s5i-total pattern) shared by the budget and auto entries so the cap
+    * arithmetic can never drift between them. Arithmetic identical to
+    * [[fuzzyCellStats]]'s.
+    */
+  private def fuzzyCellHist(chunked: DataFrame): Array[(Long, Long, Long)] =
+    chunked.groupBy("chunk", "ckey", "_hb")
+      .agg(count(lit(1)).as("cell_size"))
+      .groupBy("cell_size").agg(count(lit(1)).as("n_cells"))
+      .orderBy("cell_size")
+      .collect()
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), r) =>
+        val (size, n) = (r.getLong(0), r.getLong(1))
+        (size, n, cum + n * (size * (size - 1) / 2))
+      }.drop(1).toArray
+
+  /** The capped-admission body over a prepared chunked frame + histogram —
+    * derive the largest cap inside `budgetPairs`, anti-join over-cap HOME
+    * cells off both sides, verify (with the candidate distinct — admission
+    * may exclude a pair's first agreeing chunk, see [[fuzzyVerify]]).
+    */
+  private def fuzzyCapped(df: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int, maxHamming: Int, chunked: DataFrame,
+                          hist: Array[(Long, Long, Long)],
+                          budgetPairs: Long): DataFrame = {
+    val cap = math.max(2L,
+      hist.filter(_._3 <= budgetPairs).map(_._1).maxOption.getOrElse(2L))
+    val nOverCap = hist.filter(_._1 > cap).map(_._2).sum
+    val overCap = chunked.groupBy("chunk", "ckey", "_hb")
+      .agg(count(lit(1)).as("cell_size"))
+      .filter(col("cell_size") > cap)
+      .select("chunk", "ckey", "_hb")
+    val blacklist = if (nOverCap <= BroadcastOverCapCellLimit)
+      broadcast(overCap) else overCap
+    val admitted = chunked.join(blacklist, Seq("chunk", "ckey", "_hb"), "left_anti")
+    fuzzyVerify(df, idCol, textCol, maxDist, maxHamming, admitted,
+      chunkDedup = false)
+  }
+
+  /** D9e — the AUTO entry for the fuzzy family, closing the d4d→d4e /
+    * d5e→d5f / d2g arc: the one family whose diagnostic
+    * ([[fuzzyCellStats]]) previously had NO derived plan choice, so a
+    * plain [[fuzzyNearDups]] call on a low-entropy corpus landed in the
+    * measured 6.2 GB candidate-spill regime with no guardrail. One
+    * bounded histogram collect prices the within-cell quadratic, the
+    * budget derives from CORPUS SIZE (`pairsPerDoc × nDocs` — candidate
+    * volume stays linear in the corpus, the property every scale-safe
+    * entry here maintains), and the gate picks:
+    *
+    *   - total cost ≤ budget → the UNBOUNDED plan (first-agreeing-chunk
+    *     dedup, no candidate distinct — the fastest plan, and admission
+    *     would not have excluded anything: result-identical by
+    *     construction, spec-pinned);
+    *   - total cost > budget → [[fuzzyNearDupsBudget]]'s capped admission
+    *     at the derived budget (zero spill 1×→1000× under a stated
+    *     budget, per the r12/r13 probes).
+    *
+    * `nDocs` comes free from the same histogram (each doc contributes
+    * exactly 4 chunk rows, so Σ cell_size·n_cells / 4 — no extra pass).
+    * Recall under the capped branch follows d9b's documented contract:
+    * only generation is restricted, lost pairs live entirely inside
+    * over-cap (degenerate near-identical) cells. The oracle re-derives
+    * budget, cap, and admission in SQL, so the gate arithmetic itself is
+    * hash-gated.
+    */
+  def fuzzyNearDupsAuto(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, maxHamming: Int = 3,
+                        pairsPerDoc: Long = 64,
+                        release: Boolean = false): DataFrame = {
+    require(maxDist >= 0, "fuzzyNearDupsAuto: maxDist must be >= 0")
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only for maxHamming <= 3")
+    require(pairsPerDoc >= 1, "fuzzyNearDupsAuto: pairsPerDoc must be >= 1")
+    withPersistedSets(fuzzyChunked(df, idCol, textCol, maxDist), release) { chunked =>
+      val hist = fuzzyCellHist(chunked)
+      val nDocs = hist.map(t => t._1 * t._2).sum / 4
+      val budget = pairsPerDoc * nDocs
+      val total = hist.lastOption.map(_._3).getOrElse(0L)
+      if (total <= budget)
+        fuzzyVerify(df, idCol, textCol, maxDist, maxHamming, chunked,
+          chunkDedup = true)
+      else
+        fuzzyCapped(df, idCol, textCol, maxDist, maxHamming, chunked, hist,
+          budget)
     }
   }
 
@@ -2146,9 +2274,10 @@ object Dedup {
                 (acc, h) => xxhash64(acc, h)))))
             .otherwise(array().cast("array<bigint>")).as("gks"))
     }
-    val bg = ArrayOps.explodeDense(gramKeys(bench), Seq.empty, col("gks"), "gk")
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bg = graft.Caches.loan(
+      ArrayOps.explodeDense(gramKeys(bench), Seq.empty, col("gks"), "gk")
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val gramCount = math.max(1L, bg.count()) // also materializes the persist
     val optimalBits = math.ceil(-gramCount * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     val numBits = math.min(math.max(optimalBits, 64L), maxNumBits)
@@ -2166,9 +2295,10 @@ object Dedup {
       .select(col(idCol).as("train_id"), col("n_hit_grams"))
     if (!release) res
     else {
-      val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = graft.Caches.loan(
+        res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       out.count()
-      bg.unpersist()
+      bg.unpersist(); graft.Caches.settled(bg)
       out
     }
   }

@@ -253,7 +253,8 @@ object Joins {
                  buckets: Int, maxExplodedRows: Long = 1L << 24): DataFrame = {
     require(buckets >= 1, "saltedJoin: buckets must be >= 1")
     val rightSide = if (maxExplodedRows > 0) {
-      val cached = right.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cached = graft.Caches.loan(
+        right.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val rc = cached.count()
       if (rc * buckets > maxExplodedRows) cached.unpersist(false)
       require(rc * buckets <= maxExplodedRows,

@@ -287,9 +287,10 @@ object Sampling {
     val toks = checkedTokens(tokensCol, "tokenBudgetSelect")
     val order = Seq(col(scoreCol).desc, col(idCol).asc)
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("_graft_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = graft.Caches.loan(
+      df.repartitionByRange(parts, order: _*)
+        .withColumn("_graft_pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val wRun = Window.partitionBy("_graft_pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val run = ranged.withColumn("_graft_run", sum(toks).over(wRun))
@@ -304,9 +305,10 @@ object Sampling {
       .drop("_graft_pid", "_graft_run", "_graft_off")
     if (!release) res
     else {
-      val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = graft.Caches.loan(
+        res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       out.count() // force: the prefix must never silently recompute the range
-      ranged.unpersist()
+      ranged.unpersist(); graft.Caches.settled(ranged)
       out
     }
   }

@@ -451,7 +451,17 @@ object Similarity {
     * the integer scaling never collapses two distinct values; ties fall
     * to the smaller cell via the complemented low word) and `max(long)`
     * hash-aggregates with map-side combine — the exchange carries one row
-    * per id, the joined stream is never sorted or materialized.
+    * per distinct (id, vector), the joined stream is never sorted or
+    * materialized.
+    *
+    * The group key is (id, xxhash64(vec)), not id alone: duplicate ids
+    * with DIFFERENT vectors keep per-row assignments (id-only grouping
+    * collapsed them to one max-packed cell, diverging from the inline
+    * expression path), and a null id still groups/joins (grouping and the
+    * caller's null-safe join-back both treat null as a value, where a
+    * plain equi-join would drop it). The extra `_ac_vh` column rides out
+    * for [[withAssignedCell]]'s join-back; callers that key on a unique
+    * id just ignore it.
     */
   private[graft] def assignCellsJoin(df: DataFrame, idCol: String,
                                          vecCol: String,
@@ -465,10 +475,11 @@ object Similarity {
         .cast("long") + lit(2000000L)) * lit(1L << 32) +
         (lit(Int.MaxValue.toLong) - col("_ac_cell"))
     df.select(col(idCol), col(vecCol))
+      .withColumn("_ac_vh", xxhash64(col(vecCol)))
       .crossJoin(broadcast(cdf))
-      .groupBy(col(idCol))
+      .groupBy(col(idCol), col("_ac_vh"))
       .agg(max(packed).as("_pk"))
-      .select(col(idCol),
+      .select(col(idCol), col("_ac_vh"),
         (lit(Int.MaxValue.toLong) - col("_pk").bitwiseAND(lit(0xFFFFFFFFL)))
           .cast("int").as(outCol))
   }
@@ -483,9 +494,16 @@ object Similarity {
                                outCol: String): DataFrame =
     if (cents.size <= InlineAssignCells)
       df.withColumn(outCol, assignCellExpr(vecCol, cents))
-    else df.join(assignCellsJoin(df, idCol, vecCol, cents, outCol),
-      Seq(idCol), "left") // left: a null vector keeps its row (null cell),
-                          // as the inline expression path does
+    else {
+      // join back on (id, vec-hash), null-safe on id: per-row assignment
+      // survives duplicate and null ids, matching the inline path; left:
+      // a null vector keeps its row (null cell), as the inline path does
+      val a = assignCellsJoin(df, idCol, vecCol, cents, outCol)
+      val keyed = df.withColumn("_ac_vh", xxhash64(col(vecCol)))
+      keyed.join(a,
+          keyed(idCol) <=> a(idCol) && keyed("_ac_vh") === a("_ac_vh"), "left")
+        .drop(a(idCol)).drop(keyed("_ac_vh")).drop(a("_ac_vh"))
+    }
 
   /** Deterministic Lloyd k-means over an embedding column — the IVF coarse
     * quantizer TRAINER ([[ivfTopK]] consumes the resulting cell column).

@@ -46,8 +46,9 @@ object TermStats {
     require(k >= 1, "distinctiveTerms: k must be >= 1")
     val toks = graft.functions.ArrayOps.explodeDense(docs, Seq(col(idCol)),
       split(lower(trim(col(textCol))), "\\s+"), "term")
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = graft.Caches.loan(
+      toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
     val res = tf.join(dfreq, "term")
@@ -57,9 +58,10 @@ object TermStats {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
     if (!release) res
     else {
-      val out = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = graft.Caches.loan(
+        res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       out.count()
-      tf.unpersist()
+      tf.unpersist(); graft.Caches.settled(tf)
       out
     }
   }

@@ -239,6 +239,41 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(2L, 4L, 99L), s"got $kept")
   }
 
+  test("keepBest resolves clusters with null scores (all-null → min id; " +
+    "partial-null → best non-null)") {
+    val docs = Seq(
+      (1L, Some(5L)), (2L, None), (3L, Some(9L)),   // cluster {1,2,3}: 3 wins
+      (4L, None), (10L, None),                      // cluster {4,10}: all-null → min id 4
+      (99L, None)                                   // untouched singleton survives
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 10L)).toDF("id_1", "id_2")
+    val kept = Dedup.keepBest(docs, "doc_id", pairs, "score")
+      .select("doc_id").as[Long].collect().toSet
+    // pre-fix, {4,10} elected NO winner (max of nulls = null ≠ null under
+    // equi-join) and BOTH survived; every cluster must resolve exactly one
+    assert(kept == Set(3L, 4L, 99L), s"got $kept")
+  }
+
+  test("minhashNearDupsCollapsed excludes null texts (no empty↔null pair at n=1)") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"),  // exact-dup class
+      (3L, ""),                                // empty text
+      (5L, "gamma delta")
+    ).toDF("doc_id", "text")
+      .unionByName(Seq(Tuple1(4L)).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
+    for (n <- Seq(1, 3)) {
+      val got = Dedup.minhashNearDupsCollapsed(docs, "doc_id", "text", 0.5, n = n)
+        .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+      val want = Dedup.minhashNearDups(docs, "doc_id", "text", 0.5, n = n)
+        .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+      // pre-fix, the null doc shared the empty doc's md5("") fingerprint and
+      // n=1 emitted (3,4) at jaccard 1.0 — a pair the plain path scores 0
+      assert(got == want, s"n=$n: collapsed=$got plain=$want")
+      assert(!got.contains((3L, 4L)), s"n=$n: empty↔null must never pair")
+    }
+  }
+
   test("semDedup = keepCanonical over within-cell cosine pairs (D10)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val t = 0.4
@@ -548,6 +583,35 @@ class DedupSpec extends SparkTestBase {
       assert(full.get((a, b)).contains(dist),
         s"capped survivor ($a,$b) must carry the exact full-run distance")
     }
+  }
+
+  test("fuzzyNearDupsAuto: non-binding gate takes the unbounded plan, identical result (D9e)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 40)
+      .as[(Long, Long, Long)].collect().toSet
+    // fixture: total within-cell cost ~4k ≤ 64 × 500 docs — the gate must
+    // pick the unbounded branch and the result must be bit-identical
+    val auto = Dedup.fuzzyNearDupsAuto(docs, "doc_id", "text", maxDist = 40,
+      pairsPerDoc = 64L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(auto == full, "non-binding budget ⇒ identical to the unbounded plan")
+  }
+
+  test("fuzzyNearDupsAuto: binding gate equals fuzzyNearDupsBudget at the derived budget (D9e)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val nDocs = docs.count()
+    // pairsPerDoc = 1 forces the capped branch (total cost ~4k > 500)
+    val auto = Dedup.fuzzyNearDupsAuto(docs, "doc_id", "text", maxDist = 40,
+      pairsPerDoc = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    val budget = Dedup.fuzzyNearDupsBudget(docs, "doc_id", "text",
+      maxDist = 40, budgetPairs = nDocs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(auto == budget, "binding branch must equal the budget entry at pairsPerDoc × nDocs")
+    val full = Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 40)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(auto.subsetOf(full) && auto != full,
+      "the binding cap must actually prune on the fixture (subset, not equal)")
   }
 
   test("exactIncrementalBloom: empty batch and empty corpus edges") {

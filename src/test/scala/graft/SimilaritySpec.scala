@@ -119,6 +119,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaJoin == viaExpr, "broadcast-join argmax must equal the k-branch expression")
   }
 
+  test("assignCellsJoin keeps per-row assignments under duplicate and null ids") {
+    val cents = Seq((0, Array(1f, 0f)), (1, Array(0f, 1f)))
+    val df = Seq(
+      (Option(7L), Seq(1f, 0.1f)),   // → cell 0
+      (Option(7L), Seq(0.1f, 1f)),   // same id, different vector → cell 1
+      (Option.empty[Long], Seq(0f, 1f)) // null id must still assign → cell 1
+    ).toDF("id", "vec")
+    val out = Similarity.assignCellsJoin(df, "id", "vec", cents, "cell")
+    // pre-fix, id-only grouping collapsed the duplicate id to ONE max-packed
+    // cell and a null id vanished under the equi-join; the (id, vec-hash)
+    // key keeps one assignment per distinct (id, vector)
+    assert(out.count() == 3, "one assignment row per distinct (id, vector)")
+    val cells = out.select("id", "cell").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getInt(1))).toSet
+    assert(cells == Set((Some(7L), 0), (Some(7L), 1), (None, 1)), s"got $cells")
+  }
+
   test("kmeansAssign: deterministic cells in range; every member is nearest its own centroid") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.kmeansAssign(emb, "vec_id", "embedding", dim = 64, k = 4, iters = 2)
