@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import java.util.concurrent.atomic.AtomicLong
 
@@ -162,7 +162,67 @@ object ScaleProbe {
         "source")),
     "p_s5p_plan" -> ((s, d) =>
       graft.operators.Sampling.mixingPlan(Tables.documents(s, d), "source",
-        "n_chars", temperature = 2.0, budget = 300000000L)))
+        "n_chars", temperature = 2.0, budget = 300000000L)),
+    // d2 sub-pipeline attribution probes: the same banded stream cut at
+    // successive plan points, so spill/wall deltas pin WHICH exchange owns
+    // the third-decade knee (banding narrow → self-join+filter → +distinct)
+    "p_d2_banded" -> ((s, d) =>
+      Dedup.bandKeys(Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3),
+        "doc_id", "id_1", 32, 2)),
+    "p_d2_rawcand" -> ((s, d) => {
+      val sets = Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3)
+      Dedup.bandKeys(sets, "doc_id", "id_1", 32, 2)
+        .join(Dedup.bandKeys(sets, "doc_id", "id_2", 32, 2), Seq("band", "bkey"))
+        .filter(col("id_1") < col("id_2"))
+        .select("id_1", "id_2")
+    }),
+    "p_d2_cand" -> ((s, d) => {
+      val sets = Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3)
+      Dedup.bandKeys(sets, "doc_id", "id_1", 32, 2)
+        .join(Dedup.bandKeys(sets, "doc_id", "id_2", 32, 2), Seq("band", "bkey"))
+        .filter(col("id_1") < col("id_2"))
+        .select("id_1", "id_2").distinct()
+    }),
+    // Bounded-state MEASUREMENT rows (r13 #5): serialized sketch-state
+    // bytes against a 100×-wider key space — the x10c ("fixed HLL image
+    // per key") and e10/t27b ("sketch state flat in the corpus, sized by
+    // shards × maxMapSize") claims as numbers, not structure. The probe
+    // preview carries the per-key-space rows into the artifact.
+    "p_x10c_state_bytes" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def stateBytes(nKeys: Int) =
+        graft.operators.Agg.buildDistinctSketchState(
+          li.withColumn("k", pmod(col("l_orderkey"), lit(nKeys))),
+          Seq("k"), "l_partkey")
+          .agg(lit(nKeys).as("key_space"), count(lit(1)).as("n_keys"),
+            sum(length(col("state_hll"))).as("state_bytes"),
+            max(length(col("state_hll"))).as("max_image_bytes"))
+      stateBytes(300).unionByName(stateBytes(30000))
+    }),
+    // e3 in the PRODUCTION sink shape: streaming exact-dedup of the
+    // document stream replayed AvailableNow into a parquet sink — result
+    // rows never visit the driver, so the probe measures streaming state
+    // + sink I/O, not a memory-sink collect
+    "p_e3_parquet" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val src = s.readStream.schema(schema).parquet(s"$d/documents.*")
+        .withColumn("ts_us", col("doc_id") + lit(1000000000000000L))
+      val out = s"target/scratch_probe/e3_${new java.io.File(d).getName}_" +
+        java.lang.Long.toHexString(System.nanoTime())
+      graft.streaming.StreamOps.runToParquet(s,
+        graft.streaming.StreamOps.dedupExactStreaming(src, "text", "ts_us", "1 hour")
+          .select("fingerprint"), out)
+    }),
+    "p_e10_state_bytes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def bytes(shards: Int) =
+        graft.operators.TermStats.buildHeavyHitterShardStates(docs, "doc_id",
+          "text", maxMapSize = 1024, shards = shards)
+          .agg(lit(shards).as("shards"),
+            sum(length(col("state_freq"))).as("state_bytes"),
+            max(length(col("state_freq"))).as("max_image_bytes"))
+      bytes(4).unionByName(bytes(400))
+    }))
 
   /** 25% of the corpus re-entered 8 more times under shifted ids: exact-dup
     * classes of size 9 at a realistic crawl dup share (corpus grows 3×).
@@ -181,6 +241,11 @@ object ScaleProbe {
     val diskSpill = new AtomicLong(0)
     val shufWrite = new AtomicLong(0)
     val shufRead = new AtomicLong(0)
+    // per-stage spill attribution (stageId → (memSpill, diskSpill)): the
+    // probe totals say THAT a query spills; the top-stages line says WHERE
+    // (which exchange/sort), keyed back to the plan by the stage's name
+    private val stageSpill =
+      scala.collection.concurrent.TrieMap.empty[Int, (Long, Long, String)]
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
@@ -189,11 +254,29 @@ object ScaleProbe {
         diskSpill.addAndGet(m.diskBytesSpilled)
         shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        if (m.memoryBytesSpilled > 0 || m.diskBytesSpilled > 0) {
+          val (ms, ds, n) = stageSpill.getOrElse(te.stageId, (0L, 0L, ""))
+          stageSpill.put(te.stageId,
+            (ms + m.memoryBytesSpilled, ds + m.diskBytesSpilled, n))
+          ()
+        }
         ()
       }
     }
-    def reset(): Unit =
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val id = sc.stageInfo.stageId
+      stageSpill.get(id).foreach { case (ms, ds, _) =>
+        stageSpill.put(id, (ms, ds, sc.stageInfo.name.takeWhile(_ != '\n').take(80)))
+      }
+    }
+    def topSpillStages(k: Int = 5): String =
+      stageSpill.toSeq.sortBy(-_._2._1).take(k).map { case (id, (ms, ds, n)) =>
+        f"stage $id [$n]: mem ${ms / 1e9}%.1f GB disk ${ds / 1e9}%.1f GB"
+      }.mkString(" | ")
+    def reset(): Unit = {
       Seq(peakTaskMem, memSpill, diskSpill, shufWrite, shufRead).foreach(_.set(0))
+      stageSpill.clear()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -219,6 +302,12 @@ object ScaleProbe {
     val maxPartMb = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_MB", "128")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // harness knob, probes only: the driver-gated streaming replays
+      // memory-sink their results, and at 1000× a corpus-sized result
+      // (e3's ~5M deduped rows) exceeds the 1 GB default — the SINK would
+      // become the measured ceiling instead of the streaming state. The
+      // production shape is the parquet-sink replay (p_e3_parquet).
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${advisoryMb}m")
       .config("spark.sql.files.maxPartitionBytes", s"${maxPartMb}m")
@@ -256,13 +345,23 @@ object ScaleProbe {
       // asynchronously — the bus API is private, so give the queue a
       // moment to drain (task-end events trail the job by milliseconds)
       Thread.sleep(300)
+      // tiny results ARE the measurement (the state-bytes probes return a
+      // handful of aggregate rows) — carry them into the artifact
+      val preview =
+        if (rowCount >= 1 && rowCount <= 8)
+          fn(spark, dir).collect().map(_.toString).mkString("; ")
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+        else ""
       val json =
         s"""{"query":"$name","dir":"$dir","rows":$rowCount,""" +
         s""""wall_min_s":${times.min},"wall_all_s":[${times.mkString(",")}],""" +
         s""""peak_task_mem":${listener.peakTaskMem.get},""" +
         s""""mem_spill":${listener.memSpill.get},"disk_spill":${listener.diskSpill.get},""" +
-        s""""shuffle_write":${listener.shufWrite.get},"shuffle_read":${listener.shufRead.get}}"""
+        s""""shuffle_write":${listener.shufWrite.get},"shuffle_read":${listener.shufRead.get},""" +
+        s""""preview":"$preview"}"""
       println(s"[scaleprobe] $json")
+      if (listener.memSpill.get > 0 || listener.diskSpill.get > 0)
+        println(s"[scaleprobe] $name top spill stages: ${listener.topSpillStages()}")
       java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     }

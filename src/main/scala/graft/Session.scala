@@ -44,6 +44,18 @@ object Session {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // ObjectHashAggregate falls back to SORT-BASED aggregation once a
+      // task's hash map passes this many keys (default 128) — for graft's
+      // typed aggregates that means sorting the ENTIRE input stream
+      // (measured at 1000×: the 30k-key HLL state build spilled 27.6 GB
+      // and the 400-shard freq-sketch build 17.7 GB, both pure fallback
+      // sorts). Every graft TypedImperativeAggregate buffer is bounded by
+      // construction (HLL image ≈ 4 KB fixed, frequent-items capped by
+      // maxMapSize, DataSketches images), so 2048 buffers/task is
+      // ~10–100 MB — far cheaper than the sort it replaces. Re-measured
+      // with the raise: both builds zero spill. (ExactMedian's buffer is
+      // value-diversity-bounded — the one agg to watch under this conf.)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2048")
       .config("spark.ui.enabled", "false")
 
   /** Library entry point: the session comes with the whole engine wired —
@@ -75,6 +87,9 @@ object Session {
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      // bounded-buffer typed aggregates must hash-aggregate, not sort
+      // (see builder note: 128-key fallback sorted the corpus at 1000×)
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2048",
       "spark.sql.session.timeZone" -> "UTC")
     runtime.foreach { case (k, v) =>
       try spark.conf.set(k, v)

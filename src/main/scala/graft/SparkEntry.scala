@@ -3268,6 +3268,49 @@ object SparkEntry {
         .select("doc_id", "fingerprint").orderBy("doc_id")
     }),
 
+    // D8f: the index UPDATE lifecycle as PURE SQL TEXT — the d2e pattern
+    // extended to WRITES, so a SQL-only consumer can MAINTAIN an index,
+    // not just probe one. Day-1 build = INSERT INTO an external parquet
+    // table; day-2 = probe + INSERT INTO of the survivors' new
+    // fingerprints; compaction = the documented staging compose (managed
+    // CTAS snapshot → INSERT OVERWRITE → DROP — a file-source table
+    // cannot INSERT OVERWRITE from itself); day-3 probe = one anti-join
+    // statement. Same splits as d8d, so the same from-scratch oracle
+    // gates the whole lifecycle. The table NAME re-points to the
+    // content-keyed location on every call (multi-dir sessions must not
+    // probe a stale corpus through a stale catalog entry); dup rows in
+    // the index are harmless by construction (membership semantics).
+    "d8f_index_update_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val idxDir = s"${scratchDir(d)}/d8f_fp_index_${stageKey(srcFile, "mod8sql")}"
+      val fpExpr = "md5(regexp_replace(lower(text), '[^a-z0-9]', ''))"
+      s.sql("DROP TABLE IF EXISTS graft_fp_index_sql")
+      s.sql("CREATE TABLE graft_fp_index_sql (fingerprint STRING) " +
+        s"USING parquet LOCATION '$idxDir'")
+      if (!new java.io.File(s"$idxDir/_UPDATED").exists()) {
+        s.sql("INSERT INTO graft_fp_index_sql " +
+          s"SELECT DISTINCT $fpExpr FROM documents WHERE doc_id % 8 >= 2")
+        s.sql("INSERT INTO graft_fp_index_sql " +
+          s"SELECT DISTINCT f.fingerprint FROM (SELECT $fpExpr AS fingerprint " +
+          "FROM documents WHERE doc_id % 8 = 0) f " +
+          "LEFT ANTI JOIN graft_fp_index_sql i ON f.fingerprint = i.fingerprint")
+        s.sql("DROP TABLE IF EXISTS graft_fp_index_stage")
+        s.sql("CREATE TABLE graft_fp_index_stage USING parquet AS " +
+          "SELECT /*+ REPARTITION(4) */ fingerprint FROM graft_fp_index_sql")
+        s.sql("INSERT OVERWRITE graft_fp_index_sql " +
+          "SELECT fingerprint FROM graft_fp_index_stage")
+        s.sql("DROP TABLE graft_fp_index_stage")
+        new java.io.File(s"$idxDir/_UPDATED").createNewFile()
+      }
+      s.sql(
+        s"WITH batch AS (SELECT doc_id, $fpExpr AS fingerprint " +
+          "FROM documents WHERE doc_id % 8 = 1) " +
+          "SELECT b.doc_id, b.fingerprint FROM batch b " +
+          "LEFT ANTI JOIN graft_fp_index_sql i ON b.fingerprint = i.fingerprint " +
+          "ORDER BY doc_id")
+    }),
+
     // D5d: d5c replayed from the materialized embedding index — vectors +
     // sketch bands loaded from parquet, batch probes only (same oracle as
     // d5c)
@@ -5783,16 +5826,26 @@ object SparkEntry {
     // equal the brute-force from-scratch relation over day-1 ∪ survivors
     "d2d_index_update" -> d2dOracleSql,
 
-    "d8d_index_update" ->
-      ("WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint " +
-        "FROM documents), " +
-        "s2 AS (SELECT fingerprint FROM fp WHERE doc_id % 8 = 0 " +
-        "AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 8 >= 2)) " +
-        "SELECT doc_id, fingerprint FROM fp WHERE doc_id % 8 = 1 " +
-        "AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 8 >= 2) " +
-        "AND fingerprint NOT IN (SELECT fingerprint FROM s2) " +
-        "ORDER BY doc_id")
+    "d8d_index_update" -> d8dOracleSql,
+
+    // the SQL-text lifecycle must land on the exact same day-3 relation
+    // as the Scala-API lifecycle it mirrors (same splits, same oracle)
+    "d8f_index_update_sql" -> d8dOracleSql
   )
+
+  /** d8d's lifecycle oracle (shared verbatim by the SQL-text lifecycle
+    * d8f): day-3 survivors against the from-scratch day-1 ∪ day-2-survivor
+    * fingerprint set.
+    */
+  private def d8dOracleSql: String =
+    "WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint " +
+      "FROM documents), " +
+      "s2 AS (SELECT fingerprint FROM fp WHERE doc_id % 8 = 0 " +
+      "AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 8 >= 2)) " +
+      "SELECT doc_id, fingerprint FROM fp WHERE doc_id % 8 = 1 " +
+      "AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 8 >= 2) " +
+      "AND fingerprint NOT IN (SELECT fingerprint FROM s2) " +
+      "ORDER BY doc_id"
 
   /** d7's decontamination oracle — shared verbatim by the index replay
     * (d7b): the train shingle sets and df-capped inverted index are the

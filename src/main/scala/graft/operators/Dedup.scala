@@ -87,7 +87,7 @@ object Dedup {
     * cross-corpus probe ([[minhashIncremental]]) so the two can never
     * silently diverge on signature slicing or band hashing.
     */
-  private def bandKeys(sets: DataFrame, idCol: String, as: String,
+  private[graft] def bandKeys(sets: DataFrame, idCol: String, as: String,
                        bands: Int, rowsPerBand: Int): DataFrame =
     ArrayOps.explodeDense(
       sets.select(col(idCol).as(as), sigArrayExpr(bands * rowsPerBand).as("_sigs")),
@@ -192,6 +192,21 @@ object Dedup {
     *
     * Output: (id_1, id_2, jaccard) with id_1 < id_2, jaccard rounded to 6.
     */
+  /** Per-task row target for the band self-join's exchanges (the big-corpus
+    * path only): each reduce task sorts ~this many (id, band, bkey) rows
+    * per side (~40 B in-memory each → tens of MB of sort state), so the
+    * sort stays in memory no matter how large the corpus grows — the
+    * partition COUNT absorbs growth, as executor count does on a cluster.
+    * Measured at 1000× (5M docs, 160M banded rows, 24 GB JVM, single
+    * variable A/B): 32 fixed partitions = 5M rows/task/side → 270.2 s,
+    * 9.7+1.8 GB spill (ALL of it in the band-join stage), 663 MB peak
+    * task memory; corpus-derived width (160 partitions) = 1M rows/task →
+    * 245.4 s, ZERO spill, 186 MB peak — identical 305,608-row output.
+    * At the 8 GB JVM the same change trims 23.0→19.5 GB (the heap still
+    * binds there); width is the lever, heap the ceiling.
+    */
+  private val BandRowsPerPartition: Long = 1L << 20
+
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
                       bands: Int = 32, rowsPerBand: Int = 2,
@@ -207,7 +222,8 @@ object Dedup {
     // pure overhead (measured at sf0.1: 0.93 → 1.89 s with it; at 1000×
     // it cuts a quarter of the row's 31 GB spill). The corpus-count read
     // is the [[Pairs.autoBlocks]] sizing precedent.
-    val pruneVerifySides = df.count() >= pruneVerifyMinRows
+    val nDocs = df.count()
+    val pruneVerifySides = nDocs >= pruneVerifyMinRows
     // sets feed the signature pipeline AND both verify sides — persist the
     // reduced (8-byte-keys) form once (see [[withPersistedSets]] for the
     // releaseSets cache-hygiene contract).
@@ -216,8 +232,34 @@ object Dedup {
       // one banding definition; sigArrayExpr keeps the tree O(1) in
       // perms). Any hash is candidate-correct: equal band tuples always
       // collide, spurious collisions die in the exact verify stage.
-      val rawCand = bandKeys(sets, idCol, "id_1", bands, rowsPerBand)
-        .join(bandKeys(sets, idCol, "id_2", bands, rowsPerBand), Seq("band", "bkey"))
+      //
+      // Past the big-corpus gate the band exchange is WIDENED IN-PLAN
+      // from corpus stats: the join plans as a SortMergeJoin whose two
+      // reduce-side sorts (bands × corpus rows EACH side, in one task)
+      // are where the third-decade spill lives — at a fixed partition
+      // count the per-task sort state grows linearly with the corpus and
+      // falls out of memory (measured: 23 GB at 5M docs / 32 partitions).
+      // Explicitly repartitioning both sides by the join keys at
+      // nDocs×bands / BandRowsPerPartition keeps each task's sort at a
+      // fixed row count — the cluster-proportional sizing a real
+      // deployment gets from more executors, derived here from the same
+      // corpus count the verify-prune gate already paid for. Both sides
+      // share the partitioning (same keys, same N), so the join adds no
+      // further exchange; AQE respects an explicit width. A SHUFFLE_HASH
+      // hint was measured instead and REJECTED: the build side is
+      // non-spillable and fails outright under the same memory share
+      // ("Can't acquire 64 MB to build hash relation") where SMJ
+      // degrades gracefully — exactly the wrong property at 100 TB.
+      val lk0 = bandKeys(sets, idCol, "id_1", bands, rowsPerBand)
+      val rk0 = bandKeys(sets, idCol, "id_2", bands, rowsPerBand)
+      val bandParts = math.max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        ((nDocs * bands + BandRowsPerPartition - 1) / BandRowsPerPartition).toInt)
+      val (lk, rk) =
+        if (!pruneVerifySides) (lk0, rk0)
+        else (lk0.repartition(bandParts, col("band"), col("bkey")),
+              rk0.repartition(bandParts, col("band"), col("bkey")))
+      val rawCand = lk.join(rk, Seq("band", "bkey"))
         .filter(col("id_1") < col("id_2"))
         .select("id_1", "id_2").distinct()
       if (!pruneVerifySides) verifyJaccard(rawCand, sets, idCol, threshold)
@@ -601,6 +643,14 @@ object Dedup {
     * that tiny frame only. Shingles are the usual 64-bit keys, so two
     * grams colliding merge their dfs — the same accepted divergence as
     * the index itself.
+    *
+    * AT SCALE PREFER [[shingleDfStatsSampled]] (d4e): this exact form's
+    * corpus-wide (shingle, df) aggregate is the d4 family's knee —
+    * measured at 1000× (5M docs, ~500M distinct trigrams): 42.9 s with
+    * 18.8+2.4 GB spill, while the 1/16-sampled ladder prices the same
+    * plan in 4.1 s with zero spill and an unbiased 1/rate² pair-bill
+    * estimate. The exact histogram is the right tool only when the exact
+    * ceiling arithmetic must be reproduced (the d4d oracle path).
     */
   def shingleDfStats(df: DataFrame, idCol: String, textCol: String,
                      n: Int): DataFrame =
@@ -1345,9 +1395,11 @@ object Dedup {
     *
     * Candidate admission here is UNBOUNDED — on a low-entropy corpus the
     * surviving (chunk, ckey, lenBucket) cells still go quadratic
-    * (measured: 6.2 GB candidate-distinct spill at 100×). For corpus-scale
-    * runs use [[fuzzyNearDupsBudget]], which prices the cells first and
-    * derives the largest admission cap inside a stated pair budget.
+    * (measured: 6.2 GB candidate-distinct spill at 100×). AT SCALE PREFER
+    * [[fuzzyNearDupsAuto]] (d9e), which prices the cells and derives a
+    * corpus-proportional budget with no caller input — or
+    * [[fuzzyNearDupsBudget]] when the pair budget is a stated SLO (zero
+    * spill 1×→1000× under a binding budget, measured r13).
     */
   def fuzzyNearDups(df: DataFrame, idCol: String, textCol: String,
                     maxDist: Int, maxHamming: Int = 3): DataFrame = {
@@ -1792,6 +1844,15 @@ object Dedup {
     * the anti join, so admitted false candidates cost compute, never
     * correctness. Recall follows the band/bit S-curve exactly as in
     * [[embeddingNearDupsLSH]] — pick parameters for the target threshold.
+    *
+    * AT SCALE PREFER [[embeddingIncrementalAuto]] (d5h/d5i): near the
+    * cosine background the bands stop pruning and THIS banded probe
+    * OOM'd an 8 GB JVM outright at 100× (measured r13) — the auto gate
+    * prices the admission with one integer diagnostic and routes to the
+    * blocked-exact cross form ([[embeddingIncrementalExact]], flat 17 MB
+    * tasks, zero spill: pay compute, never memory) when the bands would
+    * degenerate. A caller reaching for this plain name should know its
+    * regime.
     */
   def embeddingIncremental(newVecs: DataFrame, corpus: DataFrame, idCol: String,
                            vecCol: String, threshold: Double, dim: Int,

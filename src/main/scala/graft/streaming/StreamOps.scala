@@ -251,6 +251,27 @@ object StreamOps {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Batch-replay to a PARQUET sink — the PRODUCTION catch-up shape. The
+    * memory-sink harness below collects the result rows on the driver,
+    * which is the right tool for driver-gated correctness replays at bench
+    * SF but caps at `spark.driver.maxResultSize` when the RESULT is
+    * corpus-sized (measured: the e3 dedup replay at 1000× emits ~5M rows
+    * and killed the default 1 GB limit — the sink, not the streaming
+    * state, was the ceiling). Append-mode parquet keeps the result on
+    * executors/disk end to end; returns the written relation.
+    */
+  def runToParquet(spark: SparkSession, streamed: DataFrame,
+                   path: String): DataFrame = {
+    val q = streamed.writeStream.format("parquet")
+      .option("path", s"$path/out")
+      .option("checkpointLocation", s"$path/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$path/out")
+  }
+
   /** Batch-replay harness: run an already-wired streaming frame to a memory
     * sink under `Trigger.AvailableNow` and block until the (finite) source
     * drains, returning the sink table. This is how the streaming operators
