@@ -158,7 +158,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFailed = results.count(_._7.isDefined)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"noisy":$noisy,"sf":"$sfDir"}"""
+    // capture id: md5 of the per-query timing map — names THIS capture in
+    // both the artifact and the summary a commit message is built from, so
+    // a committed BENCH_DETAIL.json can never silently trail the capture
+    // its commit body describes (three rounds of stamp-vs-artifact drift:
+    // r11 c22e238, r12 a53676d, r13 8e93924)
+    val captureId = java.security.MessageDigest.getInstance("MD5")
+      .digest(qs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"noisy":$noisy,"capture_id":"$captureId","sf":"$sfDir"}"""
     println(json)
     // Also persist the line to a file: stdout capture truncates on long
     // runs (BENCH_r04 lost 9 of 78 per-query timings to the log tail), so
@@ -192,7 +199,7 @@ object Bench {
           f"$k [$mn%.2f, $mx%.2f]"
       }
       val summary = f"bench: ${results.size} queries, total $total%.1f s, " +
-        s"failed $nFailed, noisy: " +
+        s"failed $nFailed, capture $captureId, noisy: " +
         (if (noisyKeys.isEmpty) "none" else noisyKeys.mkString("; ")) + "\n"
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_summary.txt"), summary.getBytes("UTF-8"))

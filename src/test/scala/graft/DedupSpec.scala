@@ -134,9 +134,12 @@ class DedupSpec extends SparkTestBase {
     def run(minRows: Long) = Dedup.minhashNearDups(docs, "doc_id", "text", 0.5,
       pruneVerifyMinRows = minRows)
       .select("id_1", "id_2", "jaccard").as[(Long, Long, Double)].collect().toSet
-    // minRows = 0 forces the materialize + distinct-id bloom prune that a
-    // >=1M-doc corpus takes; the bloom is a superset filter, so results
-    // must be identical to the plain lazy verify
+    // minRows = 0 forces the WHOLE big-corpus path a >=1M-doc corpus
+    // takes: the corpus-derived band-exchange widening (both self-join
+    // sides repartitioned by the join keys), the candidate materialize,
+    // and the distinct-id bloom prune of the verify sides. The widening
+    // only re-keys exchanges and the bloom is a superset filter, so
+    // results must be identical to the plain lazy verify
     assert(run(minRows = 0L) == run(minRows = Long.MaxValue),
       "pruned verify must be result-identical to the plain verify")
   }
