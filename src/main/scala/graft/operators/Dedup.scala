@@ -1509,7 +1509,14 @@ object Dedup {
     * while a later chunk admits it, so collapsing to the first chunk
     * would silently shrink the documented any-admitted-chunk recall
     * contract; the distinct's input is already bounded by the budget,
-    * which was the point of that path.
+    * which was the point of that path. (A first-ADMITTED-chunk variant —
+    * per-doc admitted-chunk bitmask via broadcast lookups, mask-aware
+    * predicate — was built and MEASURED in r14: result-identical, but
+    * the four broadcast builds cost more fixed overhead than the
+    * bounded distinct saves at every SF tried — d9b 1.93→3.62 s, d9e
+    * 6.12→7.84 s focused A/B — and at corpus scale the distinct input
+    * is budget-bounded by construction, so there is nothing to win
+    * there either. Rejected on the numbers.)
     */
   private def fuzzyVerify(df: DataFrame, idCol: String, textCol: String,
                           maxDist: Int, maxHamming: Int,
