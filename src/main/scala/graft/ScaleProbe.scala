@@ -241,11 +241,11 @@ object ScaleProbe {
     val diskSpill = new AtomicLong(0)
     val shufWrite = new AtomicLong(0)
     val shufRead = new AtomicLong(0)
-    // per-stage spill attribution (stageId → (memSpill, diskSpill)): the
-    // probe totals say THAT a query spills; the top-stages line says WHERE
-    // (which exchange/sort), keyed back to the plan by the stage's name
-    private val stageSpill =
-      scala.collection.concurrent.TrieMap.empty[Int, (Long, Long, String)]
+    // per-stage attribution (stageId → (memSpill, diskSpill, coreTimeNs,
+    // name)): the probe totals say THAT a query spills or is slow; the
+    // top-stages lines say WHERE, keyed back to the plan by stage name
+    private val stages =
+      scala.collection.concurrent.TrieMap.empty[Int, (Long, Long, Long, String)]
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
@@ -254,28 +254,30 @@ object ScaleProbe {
         diskSpill.addAndGet(m.diskBytesSpilled)
         shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        if (m.memoryBytesSpilled > 0 || m.diskBytesSpilled > 0) {
-          val (ms, ds, n) = stageSpill.getOrElse(te.stageId, (0L, 0L, ""))
-          stageSpill.put(te.stageId,
-            (ms + m.memoryBytesSpilled, ds + m.diskBytesSpilled, n))
-          ()
-        }
+        val (ms, ds, rt, n) = stages.getOrElse(te.stageId, (0L, 0L, 0L, ""))
+        stages.put(te.stageId, (ms + m.memoryBytesSpilled,
+          ds + m.diskBytesSpilled, rt + m.executorRunTime * 1000000L, n))
         ()
       }
     }
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val id = sc.stageInfo.stageId
-      stageSpill.get(id).foreach { case (ms, ds, _) =>
-        stageSpill.put(id, (ms, ds, sc.stageInfo.name.takeWhile(_ != '\n').take(80)))
+      stages.get(id).foreach { case (ms, ds, rt, _) =>
+        stages.put(id, (ms, ds, rt, sc.stageInfo.name.takeWhile(_ != '\n').take(80)))
       }
     }
     def topSpillStages(k: Int = 5): String =
-      stageSpill.toSeq.sortBy(-_._2._1).take(k).map { case (id, (ms, ds, n)) =>
-        f"stage $id [$n]: mem ${ms / 1e9}%.1f GB disk ${ds / 1e9}%.1f GB"
+      stages.toSeq.filter(t => t._2._1 > 0 || t._2._2 > 0)
+        .sortBy(-_._2._1).take(k).map { case (id, (ms, ds, _, n)) =>
+          f"stage $id [$n]: mem ${ms / 1e9}%.1f GB disk ${ds / 1e9}%.1f GB"
+        }.mkString(" | ")
+    def topTimeStages(k: Int = 5): String =
+      stages.toSeq.sortBy(-_._2._3).take(k).map { case (id, (_, _, rt, n)) =>
+        f"stage $id [$n]: ${rt / 1e9}%.1f core-s"
       }.mkString(" | ")
     def reset(): Unit = {
       Seq(peakTaskMem, memSpill, diskSpill, shufWrite, shufRead).foreach(_.set(0))
-      stageSpill.clear()
+      stages.clear()
     }
   }
 
@@ -362,6 +364,8 @@ object ScaleProbe {
       println(s"[scaleprobe] $json")
       if (listener.memSpill.get > 0 || listener.diskSpill.get > 0)
         println(s"[scaleprobe] $name top spill stages: ${listener.topSpillStages()}")
+      if (sys.env.contains("SPARK_GRAFT_STAGE_TIMES"))
+        println(s"[scaleprobe] $name top time stages: ${listener.topTimeStages()}")
       java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     }

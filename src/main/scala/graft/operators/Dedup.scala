@@ -779,8 +779,8 @@ object Dedup {
       // Arithmetic identical to dfHistogram's — cum over ascending df.
       val strata = skdf.groupBy(col("_df").as("df"))
         .agg(count(lit(1)).as("n_shingles"))
-        .orderBy("df")
         .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1) // tiny frame: driver sort, not an exchange stage
       var cum = 0L
       val hist = strata.map { case (d0, n0) =>
         cum += n0 * (d0 * (d0 - 1) / 2); (d0, n0, cum)
@@ -1632,10 +1632,10 @@ object Dedup {
     chunked.groupBy("chunk", "ckey", "_hb")
       .agg(count(lit(1)).as("cell_size"))
       .groupBy("cell_size").agg(count(lit(1)).as("n_cells"))
-      .orderBy("cell_size")
-      .collect()
-      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), r) =>
-        val (size, n) = (r.getLong(0), r.getLong(1))
+      .collect()                    // ≤ |distinct sizes| rows: sort on the
+      .map(r => (r.getLong(0), r.getLong(1))) // driver, not in an exchange
+      .sortBy(_._1)                 // (every AQE stage is ~100 ms latency)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (size, n)) =>
         (size, n, cum + n * (size * (size - 1) / 2))
       }.drop(1).toArray
 
