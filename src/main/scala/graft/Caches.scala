@@ -38,8 +38,18 @@ object Caches {
 
   /** Register `df` (already persisted by the caller) as a graft-owned loan;
     * returns it unchanged so call sites can wrap their `.persist(...)`.
+    *
+    * Settled-but-unremoved entries (a site that unpersisted without
+    * calling [[settled]]) are swept opportunistically once the ledger
+    * grows past a small bound, so a long-lived library session looping
+    * over loaning operators cannot retain plans without limit even if a
+    * call site misses its settle.
     */
   def loan(df: DataFrame): DataFrame = {
+    if (ledger.size > 256)
+      ledger.keys.foreach { k =>
+        if (k.storageLevel == StorageLevel.NONE) ledger.remove(k)
+      }
     ledger.put(df, df.sparkSession)
     df
   }

@@ -207,8 +207,16 @@ object ScaleProbe {
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val src = s.readStream.schema(schema).parquet(s"$d/documents.*")
         .withColumn("ts_us", col("doc_id") + lit(1000000000000000L))
-      val out = s"target/scratch_probe/e3_${new java.io.File(d).getName}_" +
-        java.lang.Long.toHexString(System.nanoTime())
+      // ONE fixed scratch dir, deleted up front: each invocation replays
+      // from a clean checkpoint (the measurement) and at most one
+      // corpus-sized output ever sits on disk — a nanoTime-keyed dir per
+      // run accumulated ~5M-row outputs unboundedly across sessions
+      val out = s"target/scratch_probe/e3_${new java.io.File(d).getName}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(out))
       graft.streaming.StreamOps.runToParquet(s,
         graft.streaming.StreamOps.dedupExactStreaming(src, "text", "ts_us", "1 hour")
           .select("fingerprint"), out)
@@ -268,7 +276,8 @@ object ScaleProbe {
     }
     def topSpillStages(k: Int = 5): String =
       stages.toSeq.filter(t => t._2._1 > 0 || t._2._2 > 0)
-        .sortBy(-_._2._1).take(k).map { case (id, (ms, ds, _, n)) =>
+        .sortBy(t => -(t._2._1 + t._2._2)) // mem+disk: a pure disk-spiller
+        .take(k).map { case (id, (ms, ds, _, n)) => // must not drop out
           f"stage $id [$n]: mem ${ms / 1e9}%.1f GB disk ${ds / 1e9}%.1f GB"
         }.mkString(" | ")
     def topTimeStages(k: Int = 5): String =
@@ -347,25 +356,43 @@ object ScaleProbe {
       // asynchronously — the bus API is private, so give the queue a
       // moment to drain (task-end events trail the job by milliseconds)
       Thread.sleep(300)
+      // SNAPSHOT the final run's metrics BEFORE the preview re-execution
+      // below — without this the preview's tasks land in the same
+      // counters and the artifact reports up to 2× the real spill/shuffle
+      // (exactly on the tiny-result rows the preview exists for)
+      val (pkM, mSp, dSp, sW, sR) = (listener.peakTaskMem.get,
+        listener.memSpill.get, listener.diskSpill.get,
+        listener.shufWrite.get, listener.shufRead.get)
+      val spillLine = if (mSp > 0 || dSp > 0)
+        Some(s"[scaleprobe] $name top spill stages: ${listener.topSpillStages()}")
+        else None
+      val timeLine = if (sys.env.contains("SPARK_GRAFT_STAGE_TIMES"))
+        Some(s"[scaleprobe] $name top time stages: ${listener.topTimeStages()}")
+        else None
       // tiny results ARE the measurement (the state-bytes probes return a
-      // handful of aggregate rows) — carry them into the artifact
+      // handful of aggregate rows) — carry them into the artifact. JSON
+      // string escape covers control chars too (document text in a
+      // preview row must not split the JSONL line), and each row is
+      // capped so one wide row cannot bloat the artifact.
+      def esc(s: String): String = s.flatMap {
+        case '\\' => "\\\\"; case '"' => "\\\""; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
       val preview =
         if (rowCount >= 1 && rowCount <= 8)
-          fn(spark, dir).collect().map(_.toString).mkString("; ")
-            .replace("\\", "\\\\").replace("\"", "\\\"")
+          esc(fn(spark, dir).collect().map(_.toString.take(400)).mkString("; "))
         else ""
       val json =
         s"""{"query":"$name","dir":"$dir","rows":$rowCount,""" +
         s""""wall_min_s":${times.min},"wall_all_s":[${times.mkString(",")}],""" +
-        s""""peak_task_mem":${listener.peakTaskMem.get},""" +
-        s""""mem_spill":${listener.memSpill.get},"disk_spill":${listener.diskSpill.get},""" +
-        s""""shuffle_write":${listener.shufWrite.get},"shuffle_read":${listener.shufRead.get},""" +
+        s""""peak_task_mem":$pkM,""" +
+        s""""mem_spill":$mSp,"disk_spill":$dSp,""" +
+        s""""shuffle_write":$sW,"shuffle_read":$sR,""" +
         s""""preview":"$preview"}"""
       println(s"[scaleprobe] $json")
-      if (listener.memSpill.get > 0 || listener.diskSpill.get > 0)
-        println(s"[scaleprobe] $name top spill stages: ${listener.topSpillStages()}")
-      if (sys.env.contains("SPARK_GRAFT_STAGE_TIMES"))
-        println(s"[scaleprobe] $name top time stages: ${listener.topTimeStages()}")
+      spillLine.foreach(println)
+      timeLine.foreach(println)
       java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     }

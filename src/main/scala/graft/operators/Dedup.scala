@@ -305,7 +305,8 @@ object Dedup {
     }
     candCache match {
       // releaseSets: the loan already materialized the result
-      case Some(c) if releaseSets => c.unpersist(); res
+      case Some(c) if releaseSets =>
+        c.unpersist(); graft.Caches.settled(c); res
       // default: no caller handle for the candidate persist — materialize
       // the (threshold-filtered, small) result and drop the candidates;
       // the result's persist is ledgered (Caches.releaseAll calls it in)
@@ -313,7 +314,7 @@ object Dedup {
         val out = graft.Caches.loan(
           res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         out.count()
-        c.unpersist()
+        c.unpersist(); graft.Caches.settled(c)
         out
       case None => res
     }
@@ -612,7 +613,7 @@ object Dedup {
         c.count()
         // the rare-keys cache fed (count, bloom, probe); candidates are
         // materialized past it now, so it owes nothing downstream
-        rareKeysCache.foreach(_.unpersist())
+        rareKeysCache.foreach { f => f.unpersist(); graft.Caches.settled(f) }
         candidateCache.foreach(_(c)) // hand the persist to the caller's loan
         c
       }
@@ -803,7 +804,9 @@ object Dedup {
       // releaseSets path: the result was already materialized inside the
       // loan, so the candidate and df caches can drop immediately
       case Some(c) if releaseSets =>
-        c.unpersist(); dfCache.foreach(_.unpersist()); res
+        c.unpersist(); graft.Caches.settled(c)
+        dfCache.foreach { k => k.unpersist(); graft.Caches.settled(k) }
+        res
       // default path: the candidate persist has no caller-visible handle,
       // so it must not outlive this call — materialize the (budget-bounded,
       // small) result into its own persist and drop the candidates + the
@@ -814,20 +817,21 @@ object Dedup {
         val out = graft.Caches.loan(
           res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         out.count()
-        c.unpersist()
-        dfCache.foreach(_.unpersist())
+        c.unpersist(); graft.Caches.settled(c)
+        dfCache.foreach { k => k.unpersist(); graft.Caches.settled(k) }
         out
       // no candidate materialization happened (lazy big-budget path): the
       // df cache must follow the result's life — materialize-and-drop the
       // same way so it cannot leak past this call
       case None =>
         dfCache match {
-          case Some(k) if releaseSets => k.unpersist(); res
+          case Some(k) if releaseSets =>
+            k.unpersist(); graft.Caches.settled(k); res
           case Some(k) =>
             val out = graft.Caches.loan(
               res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
             out.count()
-            k.unpersist()
+            k.unpersist(); graft.Caches.settled(k)
             out
           case None => res
         }
@@ -1818,9 +1822,15 @@ object Dedup {
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toIndexedSeq
     val assigned = Similarity.assignCellsJoin(newVecs, idCol, vecCol, cents, "cell")
-    val b = assigned
-      .join(newVecs.select(col(idCol), col(vecCol)), Seq(idCol))
-      .select(col("cell"), col(idCol).as("_bid"), col(vecCol).as("_bv"))
+    // join back on (id, vec-hash), null-safe on id — assignCellsJoin emits
+    // one row per distinct (id, vector), so an id-only join would cross
+    // batch vectors sharing an id onto each other's cells
+    val keyed = newVecs.select(col(idCol), col(vecCol))
+      .withColumn("_ac_vh", xxhash64(col(vecCol)))
+    val b = keyed
+      .join(assigned,
+        keyed(idCol) <=> assigned(idCol) && keyed("_ac_vh") === assigned("_ac_vh"))
+      .select(assigned("cell"), keyed(idCol).as("_bid"), keyed(vecCol).as("_bv"))
     val c = corpusCells.select(col("cell"), col(vecCol).as("_cv"))
     val matched = b.join(c, "cell")
       .filter(round(Vectors.cosine(col("_bv"), col("_cv")), 6) >= threshold)

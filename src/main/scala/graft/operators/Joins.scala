@@ -256,7 +256,9 @@ object Joins {
       val cached = graft.Caches.loan(
         right.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val rc = cached.count()
-      if (rc * buckets > maxExplodedRows) cached.unpersist(false)
+      if (rc * buckets > maxExplodedRows) {
+        cached.unpersist(false); graft.Caches.settled(cached)
+      }
       require(rc * buckets <= maxExplodedRows,
         s"saltedJoin: right side has $rc rows × $buckets buckets = " +
           s"${rc * buckets} exploded rows (limit $maxExplodedRows). saltedJoin " +
