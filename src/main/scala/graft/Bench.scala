@@ -93,7 +93,14 @@ object Bench {
       def once(): (Double, Option[String]) = {
         System.gc() // isolate queries from each other's garbage
         val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None }
+        // toRdd.count(), NOT Dataset.count(): count() plans a NEW query
+        // whose column pruning DELETES expensive expressions the count
+        // doesn't need — a row whose cost lives in its final projection
+        // (sketches, per-row scores) would bench its scan, not its work
+        // (found r14: a sketch-state row's 50-core-s aggregate pruned to
+        // 16). toRdd executes the row's ACTUAL optimized plan, every
+        // column computed, nothing shipped to the driver.
+        val err = try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
                   catch { case e if scala.util.control.NonFatal(e) =>
                     System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
                     Some(e.getClass.getSimpleName)

@@ -349,7 +349,11 @@ object ScaleProbe {
         System.gc()
         listener.reset()
         val t0 = System.nanoTime()
-        rowCount = fn(spark, dir).count()
+        // toRdd.count() executes the row's real plan (Dataset.count()'s
+        // column pruning deletes expensive final-projection expressions —
+        // the state-bytes probes' whole aggregate was pruned to a
+        // distinct-key count; see Bench.once for the full note)
+        rowCount = fn(spark, dir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       // metrics reflect the final (warmed) run; listener events are posted
