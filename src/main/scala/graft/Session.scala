@@ -67,9 +67,10 @@ object Session {
   def get(cores: Int = 32): SparkSession = {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    if (!s.experimental.extraOptimizations.contains(graft.plans.ArgmaxRewrite))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.ArgmaxRewrite
+    Seq(graft.plans.ArgmaxRewrite, graft.plans.CseFilterProject).foreach { r =>
+      if (!s.experimental.extraOptimizations.contains(r))
+        s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ r
+    }
     graft.plans.GraftExtensions.registerFunctions(s)
     s
   }
@@ -107,6 +108,15 @@ object Session {
       try spark.conf.set("spark.sql.optimizer.excludedRules",
         (merged :+ inferRule).mkString(","))
       catch { case _: org.apache.spark.sql.AnalysisException => () }
+    // the graft optimizer rules travel with tuning too: a driver-built
+    // session (Verify/Bench) must plan the same shapes as Session.get —
+    // r14 found the verify-kernel CSE absent from benched plans because
+    // only get() registered the experimental rules
+    Seq(graft.plans.ArgmaxRewrite, graft.plans.CseFilterProject).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
     graft.plans.GraftExtensions.registerFunctions(spark)
     spark
   }

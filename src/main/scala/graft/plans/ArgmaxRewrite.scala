@@ -106,6 +106,7 @@ object ArgmaxRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ArgmaxRewrite)
+    ext.injectOptimizerRule(_ => CseFilterProject)
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
 }

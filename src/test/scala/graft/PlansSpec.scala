@@ -11,9 +11,13 @@ class PlansSpec extends SparkTestBase {
     df.collect().map(_.mkString("|")).toSeq.sorted
 
   private def withRule[T](body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = Seq(ArgmaxRewrite)
     try body
-    finally spark.experimental.extraOptimizations = Nil
+    finally spark.experimental.extraOptimizations = prev // restore, don't wipe:
+    // the shared session registers graft's rules at creation and later
+    // suites rely on them (a `= Nil` reset silently de-registered
+    // CseFilterProject for every suite ordered after this one)
   }
 
   test("rewrites window-argmax (rn=1, all-desc) to max_by; results unchanged") {
@@ -111,5 +115,43 @@ class PlansSpec extends SparkTestBase {
         s"expected min_by rewrite:\n$opt")
       assert(canon(e) == expected)
     }
+  }
+
+  // ------------------------------------------------------- CseFilterProject
+
+  private def kernelCount(df: DataFrame,
+                          core: org.apache.spark.sql.catalyst.expressions.Expression => Boolean): Int =
+    df.queryExecution.optimizedPlan.collect { case pl =>
+      pl.expressions.map(_.collect { case e if core(e) => e }.size).sum
+    }.sum
+
+  test("verify kernels evaluate ONCE: filter/join predicate shares the projection's expression (CseFilterProject)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // the session registers the rule at creation (Session.get); these pins
+    // survive only if it stays registered — the point of the test
+    val d9 = graft.operators.Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 40)
+    val nLev = kernelCount(d9,
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Levenshtein])
+    assert(nLev == 1,
+      s"levenshtein must appear exactly once in the optimized plan, got $nLev " +
+        "(2 = the filter/join condition re-evaluates the projection's kernel)")
+    val d5 = graft.operators.Dedup.embeddingNearDups(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"), "vec_id", "embedding", 0.35)
+    val nCos = kernelCount(d5,
+      _.isInstanceOf[graft.functions.CosineSimilarity])
+    assert(nCos == 1, s"cosine kernel must appear exactly once, got $nCos")
+  }
+
+  test("CseFilterProject preserves results (d9 pairs bit-identical with rule off)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs = canon(graft.operators.Dedup
+      .fuzzyNearDups(docs, "doc_id", "text", maxDist = 40))
+    val withRuleOn = pairs
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    val withRuleOff = try pairs finally {
+      spark.experimental.extraOptimizations = prev
+    }
+    assert(withRuleOn == withRuleOff, "the rewrite must never change the relation")
   }
 }
