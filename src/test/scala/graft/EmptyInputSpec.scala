@@ -279,5 +279,9 @@ class EmptyInputSpec extends SparkTestBase {
     // the sampled df diagnostic
     assert(Dedup.shingleDfStatsSampled(emptySrc, "doc_id", "text", 3,
       rate = 0.25).count() == 0)
+    // the fuzzy auto gate: empty histogram -> nDocs 0, budget 0, total 0
+    // -> unbounded branch over nothing (must not divide, throw, or emit)
+    assert(Dedup.fuzzyNearDupsAuto(emptySrc, "doc_id", "text", maxDist = 40)
+      .count() == 0)
   }
 }
