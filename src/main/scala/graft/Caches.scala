@@ -47,9 +47,7 @@ object Caches {
     */
   def loan(df: DataFrame): DataFrame = {
     if (ledger.size > 256)
-      ledger.keys.foreach { k =>
-        if (k.storageLevel == StorageLevel.NONE) ledger.remove(k)
-      }
+      ledger.keys.foreach { k => if (!isLive(k)) ledger.remove(k) }
     ledger.put(df, df.sparkSession)
     df
   }
@@ -72,7 +70,7 @@ object Caches {
     var live = 0
     ledger.keys.foreach { df =>
       if (df.sparkSession eq spark) {
-        if (df.storageLevel != StorageLevel.NONE) live += 1
+        if (isLive(df)) live += 1
         try df.unpersist(blocking = true) catch { case _: Exception => () }
         ledger.remove(df)
       }
@@ -80,10 +78,13 @@ object Caches {
     live
   }
 
+  // storageLevel throws on a stopped SparkContext — treat dead as settled
+  private def isLive(df: DataFrame): Boolean =
+    try df.storageLevel != StorageLevel.NONE catch { case _: Exception => false }
+
   /** Frames ledgered for `spark` that are persisted right now. */
   def outstanding(spark: SparkSession): Int =
-    ledger.keys.count(df => (df.sparkSession eq spark) &&
-      df.storageLevel != StorageLevel.NONE)
+    ledger.keys.count(df => (df.sparkSession eq spark) && isLive(df))
 
   /** End-of-run drain: release the ledger, the Tables memo, and the Meta
     * table memo, then report how many RDDs the SparkContext STILL holds

@@ -232,6 +232,12 @@ object ScaleProbe {
       bytes(4).unionByName(bytes(400))
     }))
 
+  /** Probes whose fn is NOT pure — re-invoking it re-runs a job with disk
+    * side effects (p_e3_parquet deletes its scratch dir and replays the
+    * whole stream). The tiny-result preview below skips these.
+    */
+  private val sideEffecting: Set[String] = Set("p_e3_parquet")
+
   /** 25% of the corpus re-entered 8 more times under shifted ids: exact-dup
     * classes of size 9 at a realistic crawl dup share (corpus grows 3×).
     */
@@ -325,6 +331,7 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -383,8 +390,11 @@ object ScaleProbe {
         case '\r' => "\\r"; case '\t' => "\\t"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       }
+      // side-effecting probes must not re-execute for a preview: the
+      // re-invocation would delete/replay the scratch sink AFTER the
+      // metrics snapshot, silently doubling wall+disk for that invocation
       val preview =
-        if (rowCount >= 1 && rowCount <= 8)
+        if (rowCount >= 1 && rowCount <= 8 && !sideEffecting(name))
           esc(fn(spark, dir).collect().map(_.toString.take(400)).mkString("; "))
         else ""
       val json =

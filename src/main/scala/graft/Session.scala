@@ -32,7 +32,25 @@ import org.apache.spark.sql.SparkSession
   *     the fast shape under sessions graft did not build.
   */
 object Session {
-  def builder(cores: Int = 32): SparkSession.Builder =
+
+  /** Keep harness residue out of the repo root. Derby (the embedded
+    * metastore db some catalog paths boot) resolves RELATIVE database
+    * paths and drops `derby.log` under `derby.system.home`; pointing it at
+    * `target/` moves both `metastore_db/` and `derby.log` there.
+    * `spark.sql.warehouse.dir` (set in [[builder]] and the driver mains)
+    * moves `spark-warehouse/`. Must run before Derby first boots in the
+    * JVM — builder() and tune() both call it, so every graft entry point
+    * is covered.
+    */
+  def quietResidue(): Unit = {
+    val t = new java.io.File("target")
+    t.mkdirs()
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", t.getAbsolutePath)
+  }
+
+  def builder(cores: Int = 32): SparkSession.Builder = {
+    quietResidue()
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
@@ -53,10 +71,24 @@ object Session {
       // construction (HLL image ≈ 4 KB fixed, frequent-items capped by
       // maxMapSize, DataSketches images), so 2048 buffers/task is
       // ~10–100 MB — far cheaper than the sort it replaces. Re-measured
-      // with the raise: both builds zero spill. (ExactMedian's buffer is
-      // value-diversity-bounded — the one agg to watch under this conf.)
+      // with the raise: both builds zero spill.
+      //
+      // HAZARD (documented, deliberate): the conf is session-wide, so it
+      // equally lets UNBOUNDED-buffer ObjectHashAggregates — ExactMedian,
+      // collect_list, collect_set — hold up to 2048 buffers per task
+      // before falling back to sort. On a high-cardinality grouping with
+      // wide per-group value sets that is an executor OOM risk the 128
+      // default would have converted into (slow but safe) sort fallback.
+      // It cannot be scoped per-operator from a lazy library API — the
+      // threshold is read from the session conf when the plan EXECUTES,
+      // not when the DataFrame is built — so callers mixing graft's
+      // bounded-buffer sketches with their own unbounded collects on
+      // hot keys should bracket the latter with [[withConf]] restoring
+      // the 128 default (see ExactMedian's scaladoc).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2048")
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.ui.enabled", "false")
+  }
 
   /** Library entry point: the session comes with the whole engine wired —
     * graft's optimizer rule (user-written window-argmax rewrites to the
@@ -75,6 +107,29 @@ object Session {
     s
   }
 
+  /** Run `body` with runtime confs temporarily overridden, restoring the
+    * prior values (or unsetting) afterwards. The override only affects
+    * jobs EXECUTED inside `body` — Spark reads runtime confs at execution,
+    * not at DataFrame construction — so wrap the ACTION (count/write/
+    * collect), not the operator call. Built for the
+    * objectHashAggregate.fallbackThreshold hazard documented on
+    * [[builder]]: e.g.
+    * `Session.withConf(spark, "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "128") { df.write.parquet(p) }`
+    * restores sort-fallback safety around an unbounded-buffer collect on
+    * a high-cardinality grouping.
+    */
+  def withConf[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prior = kvs.map { case (k, _) =>
+      k -> (try Option(spark.conf.get(k)) catch { case _: Exception => None })
+    }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => try spark.conf.unset(k) catch { case _: Exception => () }
+    }
+  }
+
   /** Apply graft's runtime-settable defaults to an externally-built session
     * (the Verify/Bench drivers build their own). Static confs are skipped by
     * Spark automatically when already fixed. Also registers the `graft_*`
@@ -83,6 +138,7 @@ object Session {
     * rows (s5l, x12c, q_*_sql) must resolve them under any driver.
     */
   def tune(spark: SparkSession): SparkSession = {
+    quietResidue()
     val runtime = Seq(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",

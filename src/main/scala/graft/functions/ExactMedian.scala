@@ -30,6 +30,14 @@ import org.apache.spark.sql.{graftshim => shim}
   * `Percentile` and DuckDB `quantile_cont` evaluate, so the even case is
   * bit-identical to both engines (and immune to the `(lo + hi)` overflow
   * corner when both middles exceed MaxDouble/2).
+  *
+  * Memory note under graft sessions: Session raises
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` to 2048
+  * (sized for graft's BOUNDED sketch buffers), so a task can hold up to
+  * 2048 of these maps before sort fallback. On high-cardinality groupings
+  * over high-diversity values, bracket the executing action with
+  * `Session.withConf(spark, "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "128")(...)`
+  * to restore the early (slow-but-safe) sort fallback.
   */
 case class ExactMedianAgg(child: Expression,
                           override val mutableAggBufferOffset: Int = 0,

@@ -105,8 +105,26 @@ object ArgmaxRewrite extends Rule[LogicalPlan] {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(_ => ArgmaxRewrite)
-    ext.injectOptimizerRule(_ => CseFilterProject)
+    // ArgmaxRewrite is safe inside the operator fixed-point batch (its
+    // aggregate output retriggers nothing). CseFilterProject is NOT:
+    // inside that batch PushDownPredicates re-pushes the filter through
+    // the new lower Project (re-inlining the kernel via alias
+    // substitution) and CollapseProject re-merges the split projections —
+    // exactly undoing the rewrite every iteration, so the batch churns to
+    // its iteration cap and the final single-vs-double kernel state
+    // depends on intra-batch rule order. injectPreCBORule is no better:
+    // the later "Pushdown Filters from PartitionPruning" batch
+    // (PushPredicateThroughNonJoin) would undo the split the same way.
+    // The only batch that runs after EVERY pushdown is "User Provided
+    // Optimizers" (experimental methods), so the builder — invoked when
+    // the session's optimizer assembles its batches, i.e. after session
+    // state exists — registers CseFilterProject there instead.
+    ext.injectOptimizerRule { session =>
+      if (!session.experimental.extraOptimizations.contains(CseFilterProject))
+        session.experimental.extraOptimizations =
+          session.experimental.extraOptimizations :+ CseFilterProject
+      ArgmaxRewrite
+    }
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
 }

@@ -46,10 +46,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * common subexpressions are left alone: the split projection would cost
   * more in plan depth than it saves.
   *
-  * Registered with [[ArgmaxRewrite]] via `experimental.extraOptimizations`
-  * (Session.get) and `spark.sql.extensions=graft.plans.GraftExtensions`.
-  * PlanSpec pins the physical plan to a single kernel occurrence and
-  * DedupSpec/oracle rows pin result identity.
+  * Registered ONLY via `experimental.extraOptimizations` (the final "User
+  * Provided Optimizers" batch) — by Session.get/tune directly, and by
+  * [[GraftExtensions]] through its builder side effect. It must NOT run
+  * inside the operator fixed-point batch: PushDownPredicates re-pushes the
+  * filter through the inserted lower Project (re-inlining the kernel) and
+  * CollapseProject re-merges the split, undoing the rewrite every
+  * iteration. PlansSpec pins the single-kernel plan under both
+  * registration paths and result identity with the rule off.
   */
 object CseFilterProject extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -58,6 +62,21 @@ object CseFilterProject extends Rule[LogicalPlan] with PredicateHelper {
     case _: Levenshtein => true
     case _: HigherOrderFunction => true
     case other => other.getClass.getName.startsWith("graft.")
+  }
+
+  /** Already-split shape: the lower projection this rule inserts carries
+    * `_cseN` aliases. Recognizing it makes the rule idempotent by
+    * construction (the substituted fields/cond no longer contain the
+    * kernels, so `rewrite` would return None anyway — this guard just
+    * skips the re-scan and is robust to a later batch re-collapsing only
+    * PART of the shape).
+    */
+  private def isCseSplit(child: LogicalPlan): Boolean = child match {
+    case Project(fields, _) => fields.exists {
+      case a: Alias => a.name.startsWith("_cse")
+      case _ => false
+    }
+    case _ => false
   }
 
   /** Maximal deterministic subtrees of `field` that contain an expensive
@@ -97,9 +116,32 @@ object CseFilterProject extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** A conjunct that IS an equi-join key (each side evaluable against
+    * exactly one, opposite, join child): pulling it out of the join
+    * condition would demote the hash/sort-merge join to a cartesian
+    * product with a post-filter — catastrophic at scale even though
+    * results stay identical. Such conjuncts stay on the join even when
+    * kernel-bearing (`kernel(l) = kernel(r)` keys the join; the
+    * projection-side duplicate is the lesser cost). Literal-vs-kernel
+    * equalities (`kernel(l) = 5`) are NOT keys — both references must be
+    * non-empty.
+    */
+  private def isEquiJoinKey(c: Expression, l: LogicalPlan, r: LogicalPlan): Boolean = {
+    def opposite(a: Expression, b: Expression): Boolean =
+      a.references.nonEmpty && b.references.nonEmpty &&
+        ((a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
+          (a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet)))
+    c match {
+      case EqualTo(a, b) => opposite(a, b)
+      case EqualNullSafe(a, b) => opposite(a, b)
+      case _ => false
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     // Filter shape: the predicate sits directly below the projection
-    case p @ Project(fields, Filter(cond, child)) if cond.deterministic =>
+    case p @ Project(fields, Filter(cond, child))
+        if cond.deterministic && !isCseSplit(child) =>
       rewrite(fields, cond, child).getOrElse(p)
 
     // Join shape: pushdown folded the kernel predicate INTO an inner
@@ -120,7 +162,8 @@ object CseFilterProject extends Rule[LogicalPlan] with PredicateHelper {
       if (hot.isEmpty) p
       else {
         val (pulled, kept) = conjuncts.partition(c =>
-          hot.exists(h => c.exists(_.semanticEquals(h))))
+          !isEquiJoinKey(c, l, r) &&
+            hot.exists(h => c.exists(_.semanticEquals(h))))
         if (pulled.isEmpty) p
         else {
           val newJoin = Join(l, r, Inner, kept.reduceOption(And), hint)
