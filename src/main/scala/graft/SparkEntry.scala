@@ -1232,9 +1232,13 @@ object SparkEntry {
     }),
 
     // D9: typo-level duplicates — SimHash banding candidates verified by
-    // edit distance (token-set similarity can't see character edits)
+    // edit distance (token-set similarity can't see character edits).
+    // unbounded = true: this row PINS the reference (full within-sketch
+    // recall) relation its oracle replays; the plain name defaults into
+    // the d9e auto gate
     "d9_fuzzy_pairs" -> ((s, d) =>
-      Dedup.fuzzyNearDups(Tables.documents(s, d), "doc_id", "text", maxDist = 40)
+      Dedup.fuzzyNearDups(Tables.documents(s, d), "doc_id", "text", maxDist = 40,
+        unbounded = true)
         .orderBy("id_1", "id_2")),
 
     // D9d: incremental FUZZY ingest — the fourth incremental mode (after
@@ -1322,9 +1326,13 @@ object SparkEntry {
     // cosine 0.45 under 32×4 banding; measured in DedupSpec) but ZERO float
     // arithmetic, so the sketch is bit-identical in DuckDB and the whole
     // path is hash-checkable against the oracle.
+    // unbounded = true: this row PINS the banded (S-curve recall)
+    // relation its oracle replays; the plain name defaults into the
+    // d5f/d5g auto gate (which at 0.45 under 32×4 picks the exact branch)
     "d5b_embed_lsh" -> ((s, d) =>
       Dedup.embeddingNearDupsLSH(Tables.embeddings(s, d), "vec_id", "embedding",
-        0.45, dim = 64, bands = 32, bitsPerBand = 4, ordinal = true)
+        0.45, dim = 64, bands = 32, bitsPerBand = 4, ordinal = true,
+        unbounded = true)
         .orderBy("id_1", "id_2")),
 
     // D5e: the LSH band-bucket diagnostic (j6/d4c pattern) — per band:
@@ -1362,12 +1370,14 @@ object SparkEntry {
     // ordinal-banded corpus index probed by batch band keys only (the d5b
     // recipe in the cross-corpus shape), exact-cosine verify before the
     // anti join
+    // unbounded = true: this row PINS the banded-probe relation its
+    // oracle replays; the plain name defaults into the d5h/d5i auto gate
     "d5c_embed_incremental" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Dedup.embeddingIncremental(
         emb.filter(col("vec_id") % 11 === 0), emb.filter(col("vec_id") % 11 =!= 0),
         "vec_id", "embedding", 0.45, dim = 64, bands = 32, bitsPerBand = 4,
-        ordinal = true)
+        ordinal = true, unbounded = true)
         .select("vec_id", "label").orderBy("vec_id")
     }),
 

@@ -1397,16 +1397,23 @@ object Dedup {
     * documents travel once per surviving candidate, not per chunk
     * collision.
     *
-    * Candidate admission here is UNBOUNDED — on a low-entropy corpus the
-    * surviving (chunk, ckey, lenBucket) cells still go quadratic
-    * (measured: 6.2 GB candidate-distinct spill at 100×). AT SCALE PREFER
-    * [[fuzzyNearDupsAuto]] (d9e), which prices the cells and derives a
-    * corpus-proportional budget with no caller input — or
-    * [[fuzzyNearDupsBudget]] when the pair budget is a stated SLO (zero
-    * spill 1×→1000× under a binding budget, measured r13).
+    * By default this plain name ROUTES THROUGH the measured auto gate
+    * ([[fuzzyNearDupsAuto]], d9e): one bounded histogram collect prices
+    * the within-cell quadratic and the call takes the unbounded plan only
+    * when its candidate volume fits a corpus-proportional budget
+    * (`pairsPerDoc × nDocs`), else the capped-admission plan — so a plain
+    * call at 100× runs zero-spill with no caller input. Candidate
+    * admission WITHOUT the gate goes quadratic on a low-entropy corpus
+    * (measured: 6.2 GB candidate-distinct spill at 100×); that reference
+    * regime stays reachable via `unbounded = true` — the exact banded
+    * relation, full within-sketch recall, caller owns the spill. When the
+    * pair budget is a stated SLO use [[fuzzyNearDupsBudget]] directly
+    * (zero spill 1×→1000× under a binding budget, measured r13).
     */
   def fuzzyNearDups(df: DataFrame, idCol: String, textCol: String,
-                    maxDist: Int, maxHamming: Int = 3): DataFrame = {
+                    maxDist: Int, maxHamming: Int = 3,
+                    unbounded: Boolean = false, pairsPerDoc: Long = 64,
+                    release: Boolean = false): DataFrame = {
     require(maxDist >= 0, "fuzzyNearDups: maxDist must be >= 0")
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for maxHamming <= 3")
     // LENGTH-SLICED banding: candidates join on (chunk, ckey, lenBucket)
@@ -1420,8 +1427,12 @@ object Dedup {
     // verify; the earlier narrow length POST-filter still materialized
     // every pair first). Join payloads stay 32 bytes (id, sketch, len);
     // texts ship only for pairs that already passed hamming + length.
-    fuzzyVerify(df, idCol, textCol, maxDist, maxHamming,
-      fuzzyChunked(df, idCol, textCol, maxDist), chunkDedup = true)
+    if (unbounded)
+      fuzzyVerify(df, idCol, textCol, maxDist, maxHamming,
+        fuzzyChunked(df, idCol, textCol, maxDist), chunkDedup = true)
+    else
+      fuzzyNearDupsAuto(df, idCol, textCol, maxDist, maxHamming, pairsPerDoc,
+        release)
   }
 
   /** D9d — incremental FUZZY ingest, completing the incremental family's
@@ -1862,19 +1873,40 @@ object Dedup {
     * correctness. Recall follows the band/bit S-curve exactly as in
     * [[embeddingNearDupsLSH]] — pick parameters for the target threshold.
     *
-    * AT SCALE PREFER [[embeddingIncrementalAuto]] (d5h/d5i): near the
-    * cosine background the bands stop pruning and THIS banded probe
-    * OOM'd an 8 GB JVM outright at 100× (measured r13) — the auto gate
-    * prices the admission with one integer diagnostic and routes to the
+    * By default this plain name ROUTES THROUGH the measured admission
+    * gate ([[embeddingIncrementalAuto]], d5h/d5i): near the cosine
+    * background the bands stop pruning and the banded probe OOM'd an
+    * 8 GB JVM outright at 100× (measured r13) — the gate prices the
+    * admission with one integer diagnostic and routes to the
     * blocked-exact cross form ([[embeddingIncrementalExact]], flat 17 MB
     * tasks, zero spill: pay compute, never memory) when the bands would
-    * degenerate. A caller reaching for this plain name should know its
-    * regime.
+    * degenerate. `unbounded = true` forces the banded probe regardless —
+    * the reference regime whose kept-set can be a strict SUPERSET of the
+    * default's (the exact branch catches duplicates the band S-curve
+    * misses, so it removes more).
     */
   def embeddingIncremental(newVecs: DataFrame, corpus: DataFrame, idCol: String,
                            vecCol: String, threshold: Double, dim: Int,
                            bands: Int = 16, bitsPerBand: Int = 8,
-                           ordinal: Boolean = false): DataFrame = {
+                           ordinal: Boolean = false,
+                           unbounded: Boolean = false,
+                           admissionDenom: Long = 10L): DataFrame =
+    if (unbounded)
+      embeddingIncrementalBanded(newVecs, corpus, idCol, vecCol, threshold,
+        dim, bands, bitsPerBand, ordinal)
+    else
+      embeddingIncrementalAuto(newVecs, corpus, idCol, vecCol, threshold, dim,
+        bands, bitsPerBand, ordinal, admissionDenom)
+
+  /** The banded cross-probe body ([[embeddingIncremental]]'s
+    * `unbounded = true` plan; [[embeddingIncrementalAuto]]'s under-gate
+    * branch).
+    */
+  private def embeddingIncrementalBanded(newVecs: DataFrame, corpus: DataFrame,
+                                         idCol: String, vecCol: String,
+                                         threshold: Double, dim: Int,
+                                         bands: Int, bitsPerBand: Int,
+                                         ordinal: Boolean): DataFrame = {
     val candidates = Similarity.lshCandidatesCross(newVecs, corpus, idCol, vecCol,
       dim, bands, bitsPerBand, ordinal)
     val v1 = newVecs.select(col(idCol).as("id_1"), col(vecCol).as("v_1"))
@@ -1946,8 +1978,8 @@ object Dedup {
       }
     val allPairs = BigInt(newVecs.count()) * BigInt(corpus.count())
     if (BigInt(pairCost) * BigInt(admissionDenom) <= allPairs)
-      embeddingIncremental(newVecs, corpus, idCol, vecCol, threshold, dim,
-        bands, bitsPerBand, ordinal)
+      embeddingIncrementalBanded(newVecs, corpus, idCol, vecCol, threshold,
+        dim, bands, bitsPerBand, ordinal)
     else
       embeddingIncrementalExact(newVecs, corpus, idCol, vecCol, threshold)
   }
@@ -2476,7 +2508,7 @@ object Dedup {
     val n = df.count()
     val allPairs = BigInt(n) * BigInt(n - 1) / 2
     if (BigInt(pairCost) * BigInt(admissionDenom) <= allPairs)
-      embeddingNearDupsLSH(df, idCol, vecCol, threshold, dim, bands, bitsPerBand, ordinal)
+      embeddingLshBanded(df, idCol, vecCol, threshold, dim, bands, bitsPerBand, ordinal)
     else
       embeddingNearDups(df, idCol, vecCol, threshold)
   }
@@ -2488,16 +2520,35 @@ object Dedup {
     * threshold (e.g. 16×8 gives recall ≈ 0.98 at cosine 0.9, and
     * essentially 0 admission of the ~0.2-background pairs).
     *
-    * At thresholds near the cosine background the bands stop pruning and
-    * this path degenerates (28 GB candidate spill measured at 10×,
-    * cosine 0.45 under 32×4) — callers who don't know their regime should
-    * use [[embedNearDupAuto]], which measures the admission first and
-    * falls back to the blocked-exact plan.
+    * By default this plain name ROUTES THROUGH the measured admission gate
+    * ([[embedNearDupAuto]], d5f/d5g): near the cosine background the bands
+    * stop pruning and the banded path degenerates (28 GB candidate spill
+    * measured at 10×, cosine 0.45 under 32×4) — the gate prices the
+    * admission with one narrow aggregate and falls back to the
+    * blocked-exact plan (full recall, flat task memory) when the bands
+    * would not discriminate. `unbounded = true` forces the banded plan
+    * regardless — the S-curve-recall reference regime for callers who
+    * know their threshold sits on the pruning side; its result can be a
+    * strict SUBSET of the default's (the exact branch has full recall).
     */
   def embeddingNearDupsLSH(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, dim: Int,
                            bands: Int = 16, bitsPerBand: Int = 8,
-                           ordinal: Boolean = false): DataFrame = {
+                           ordinal: Boolean = false,
+                           unbounded: Boolean = false,
+                           admissionDenom: Long = 10L): DataFrame =
+    if (unbounded)
+      embeddingLshBanded(df, idCol, vecCol, threshold, dim, bands, bitsPerBand, ordinal)
+    else
+      embedNearDupAuto(df, idCol, vecCol, threshold, dim, bands, bitsPerBand,
+        ordinal, admissionDenom)
+
+  /** The banded self-join LSH body ([[embeddingNearDupsLSH]]'s
+    * `unbounded = true` plan; [[embedNearDupAuto]]'s under-gate branch).
+    */
+  private def embeddingLshBanded(df: DataFrame, idCol: String, vecCol: String,
+                                 threshold: Double, dim: Int, bands: Int,
+                                 bitsPerBand: Int, ordinal: Boolean): DataFrame = {
     val candidates = Similarity.lshCandidates(df, idCol, vecCol, dim, bands, bitsPerBand, ordinal)
     val v1 = df.select(col(idCol).as("id_1"), col(vecCol).as("v_1"))
     val v2 = df.select(col(idCol).as("id_2"), col(vecCol).as("v_2"))

@@ -400,7 +400,7 @@ class DedupSpec extends SparkTestBase {
     val exact = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.45)
       .select("id_1", "id_2").as[(Long, Long)].collect().toSet
     val lsh = Dedup.embeddingNearDupsLSH(emb, "vec_id", "embedding", 0.45,
-      dim = 64, bands = 32, bitsPerBand = 4)
+      dim = 64, bands = 32, bitsPerBand = 4, unbounded = true)
       .select("id_1", "id_2").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact), "exact verification stage forbids false positives")
     val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
@@ -410,7 +410,7 @@ class DedupSpec extends SparkTestBase {
     // the ordinal (oracle-checkable) sketch family shares the same
     // collision S-curve — same banding must deliver comparable recall
     val ord = Dedup.embeddingNearDupsLSH(emb, "vec_id", "embedding", 0.45,
-      dim = 64, bands = 32, bitsPerBand = 4, ordinal = true)
+      dim = 64, bands = 32, bitsPerBand = 4, ordinal = true, unbounded = true)
       .select("id_1", "id_2").as[(Long, Long)].collect().toSet
     assert(ord.subsetOf(exact), "ordinal path: exact verify forbids false positives")
     val ordRecall = if (exact.isEmpty) 1.0 else ord.size.toDouble / exact.size
@@ -472,7 +472,7 @@ class DedupSpec extends SparkTestBase {
     val autoLsh = rows(Dedup.embedNearDupAuto(emb, "vec_id", "embedding", 0.45,
       dim = 64, bands = 16, bitsPerBand = 8, ordinal = true))
     val lsh = rows(Dedup.embeddingNearDupsLSH(emb, "vec_id", "embedding", 0.45,
-      dim = 64, bands = 16, bitsPerBand = 8, ordinal = true))
+      dim = 64, bands = 16, bitsPerBand = 8, ordinal = true, unbounded = true))
     assert(autoLsh == lsh, "under-gate admission must take the LSH branch")
     assert(lsh.subsetOf(exact) && lsh != exact,
       "the two branches are genuinely different plans on this fixture")
@@ -542,7 +542,7 @@ class DedupSpec extends SparkTestBase {
     val autoLsh = ids(Dedup.embeddingIncrementalAuto(batch, corp, "vec_id", "embedding",
       0.45, dim = 64, bands = 16, bitsPerBand = 8, ordinal = true))
     val lsh = ids(Dedup.embeddingIncremental(batch, corp, "vec_id", "embedding",
-      0.45, dim = 64, bands = 16, bitsPerBand = 8, ordinal = true))
+      0.45, dim = 64, bands = 16, bitsPerBand = 8, ordinal = true, unbounded = true))
     assert(autoLsh == lsh, "under-gate cross-admission must take the banded probe")
     // the exact scan is the recall ceiling: every exact-kept id survives
     // the (possibly recall-lossy) banded probe too
@@ -565,7 +565,8 @@ class DedupSpec extends SparkTestBase {
 
   test("fuzzyNearDupsBudget: unbounded budget reproduces fuzzyNearDups bit-for-bit (D9b)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val full = Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 40)
+    val full = Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 40,
+        unbounded = true)
       .as[(Long, Long, Long)].collect().toSet
     val unbounded = Dedup.fuzzyNearDupsBudget(docs, "doc_id", "text",
       maxDist = 40, budgetPairs = Long.MaxValue)
@@ -575,7 +576,8 @@ class DedupSpec extends SparkTestBase {
 
   test("fuzzyNearDupsBudget: a binding budget prunes a subset, keeps exact distances (D9b)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val full = Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 40)
+    val full = Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 40,
+        unbounded = true)
       .as[(Long, Long, Long)].collect()
       .map(t => ((t._1, t._2), t._3)).toMap
     val capped = Dedup.fuzzyNearDupsBudget(docs, "doc_id", "text",
@@ -590,7 +592,8 @@ class DedupSpec extends SparkTestBase {
 
   test("fuzzyNearDupsAuto: non-binding gate takes the unbounded plan, identical result (D9e)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val full = Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 40)
+    val full = Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 40,
+        unbounded = true)
       .as[(Long, Long, Long)].collect().toSet
     // fixture: total within-cell cost ~4k ≤ 64 × 500 docs — the gate must
     // pick the unbounded branch and the result must be bit-identical
@@ -611,7 +614,8 @@ class DedupSpec extends SparkTestBase {
       maxDist = 40, budgetPairs = nDocs)
       .as[(Long, Long, Long)].collect().toSet
     assert(auto == budget, "binding branch must equal the budget entry at pairsPerDoc × nDocs")
-    val full = Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 40)
+    val full = Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 40,
+        unbounded = true)
       .as[(Long, Long, Long)].collect().toSet
     assert(auto.subsetOf(full) && auto != full,
       "the binding cap must actually prune on the fixture (subset, not equal)")
@@ -734,7 +738,7 @@ class DedupSpec extends SparkTestBase {
       0.9, dim = 4, bands = 16, bitsPerBand = 2)
       .select("vec_id").as[Long].collect().toSet
     val embDirect = Dedup.embeddingIncremental(vbatch, vcorp, "vec_id", "embedding",
-      0.9, dim = 4, bands = 16, bitsPerBand = 2)
+      0.9, dim = 4, bands = 16, bitsPerBand = 2, unbounded = true)
       .select("vec_id").as[Long].collect().toSet
     assert(emb == embDirect && emb == Set(2L), s"embedding replay diverged: $emb vs $embDirect")
   }
@@ -826,7 +830,7 @@ class DedupSpec extends SparkTestBase {
       .select("vec_id").as[Long].collect().toSet
     val vRebuilt = Dedup.embeddingIncremental(v3,
       v1.union(v2.filter(col("vec_id") === 202L)), "vec_id", "embedding", 0.9,
-      dim = 4, bands = 16, bitsPerBand = 2)
+      dim = 4, bands = 16, bitsPerBand = 2, unbounded = true)
       .select("vec_id").as[Long].collect().toSet
     assert(vUpdated == vRebuilt && vUpdated == Set(302L),
       s"embedding updated-index probe $vUpdated != rebuild $vRebuilt")
@@ -1111,5 +1115,43 @@ class DedupSpec extends SparkTestBase {
       maxDf = ceiling.toInt).select("id_1", "id_2").as[(Long, Long)].collect().toSet
     assert(auto == fixed, s"auto(budget=$budget) must equal fixed(maxDf=$ceiling)")
     assert(auto.subsetOf(exact), "pruning may lose recall, never invent pairs")
+  }
+
+  test("plain names default into their auto gates (r14 #1): plain == auto bit-for-bit; unbounded = true restores the reference plan") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // d9: plain == auto (the gate, not the raw banded join, is the default)
+    def fz(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    assert(fz(Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 40)) ==
+      fz(Dedup.fuzzyNearDupsAuto(docs, "doc_id", "text", maxDist = 40)),
+      "plain fuzzyNearDups must be the d9e auto gate")
+    // d5: at 0.45 under 32x4 the gate prices OVER 1/10 admission, so the
+    // plain name must return the exact branch — a strict SUPERSET of the
+    // unbounded banded relation on this fixture
+    def pr(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val plainLsh = pr(Dedup.embeddingNearDupsLSH(emb, "vec_id", "embedding",
+      0.45, dim = 64, bands = 32, bitsPerBand = 4, ordinal = true))
+    assert(plainLsh == pr(Dedup.embedNearDupAuto(emb, "vec_id", "embedding",
+      0.45, dim = 64, bands = 32, bitsPerBand = 4, ordinal = true)),
+      "plain embeddingNearDupsLSH must be the d5f/d5g auto gate")
+    val banded = pr(Dedup.embeddingNearDupsLSH(emb, "vec_id", "embedding",
+      0.45, dim = 64, bands = 32, bitsPerBand = 4, ordinal = true,
+      unbounded = true))
+    assert(banded.subsetOf(plainLsh),
+      "unbounded banded recall can never exceed the exact branch")
+    assert(plainLsh == pr(Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.45)),
+      "at 0.45 under 32x4 the gate must have taken the exact branch")
+    // d5 incremental: plain == auto; unbounded restores the banded probe
+    val batch = emb.filter(col("vec_id") % 11 === 0)
+    val corp = emb.filter(col("vec_id") % 11 =!= 0)
+    def ks(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+    assert(ks(Dedup.embeddingIncremental(batch, corp, "vec_id", "embedding",
+      0.45, dim = 64, bands = 32, bitsPerBand = 4, ordinal = true)) ==
+      ks(Dedup.embeddingIncrementalAuto(batch, corp, "vec_id", "embedding",
+        0.45, dim = 64, bands = 32, bitsPerBand = 4, ordinal = true)),
+      "plain embeddingIncremental must be the d5h/d5i auto gate")
   }
 }
