@@ -163,6 +163,15 @@ object ScaleProbe {
     "p_s5p_plan" -> ((s, d) =>
       graft.operators.Sampling.mixingPlan(Tables.documents(s, d), "source",
         "n_chars", temperature = 2.0, budget = 300000000L)),
+    // d9e sub-phase attribution (r15 #2): the auto pipeline cut at plan
+    // points — the simhash+banding scan alone, then + the cells
+    // aggregate — so the full-gate wall decomposes into sketch / price /
+    // admit+verify
+    "p_d9e_sketch" -> ((s, d) =>
+      Dedup.fuzzyChunked(Tables.documents(s, d), "doc_id", "text", 40)),
+    "p_d9e_cells" -> ((s, d) =>
+      Dedup.fuzzyCells(
+        Dedup.fuzzyChunked(Tables.documents(s, d), "doc_id", "text", 40))),
     // d2 sub-pipeline attribution probes: the same banded stream cut at
     // successive plan points, so spill/wall deltas pin WHICH exchange owns
     // the third-decade knee (banding narrow → self-join+filter → +distinct)

@@ -1484,8 +1484,8 @@ object Dedup {
     * the pair join, the cell diagnostic, and the budget-capped variant so
     * the cell scheme can never drift between them.
     */
-  private def fuzzyChunked(df: DataFrame, idCol: String, textCol: String,
-                           maxDist: Int): DataFrame = {
+  private[graft] def fuzzyChunked(df: DataFrame, idCol: String, textCol: String,
+                                  maxDist: Int): DataFrame = {
     val w = maxDist + 1
     simhashWithLen(df, idCol, textCol).select(
       col(idCol), col("simhash"), col("_len"),
@@ -1552,7 +1552,17 @@ object Dedup {
         bit_count(col("sh_1").bitwiseXOR(col("sh_2"))) <= maxHamming &&
         abs(col("_l1") - col("_l2")) <= maxDist)
     val cand = if (chunkDedup) base.filter(!earlierChunkAgrees).select("id_1", "id_2")
-               else base.select("id_1", "id_2").distinct()
+               else
+                 // the deduped pair list is BYTES-tiny but KERNEL-heavy:
+                 // AQE coalesces its exchange by size, so the whole
+                 // levenshtein verify lands on ~1 partition (measured at
+                 // sf0.1: 27 core-s of kernel at 10.3 s wall on one
+                 // thread). Spread it explicitly — a 16-byte-pair
+                 // round-robin exchange costs nothing next to the
+                 // per-pair kernel it parallelizes, and REPARTITION_BY_NUM
+                 // is exempt from AQE coalescing.
+                 base.select("id_1", "id_2").distinct()
+                   .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val t1 = df.select(col(idCol).as("id_1"), col(textCol).as("_t1"))
     val t2 = df.select(col(idCol).as("id_2"), col(textCol).as("_t2"))
     cand.join(t1, "id_1").join(t2, "id_2")
@@ -1632,10 +1642,20 @@ object Dedup {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for maxHamming <= 3")
     require(budgetPairs >= 0, "fuzzyNearDupsBudget: budget must be >= 0")
     withPersistedSets(fuzzyChunked(df, idCol, textCol, maxDist), release) { chunked =>
-      fuzzyCapped(df, idCol, textCol, maxDist, maxHamming, chunked,
-        fuzzyCellHist(chunked), budgetPairs)
+      val cells = graft.Caches.persistLoaned(fuzzyCells(chunked))
+      fuzzyCapped(df, idCol, textCol, maxDist, maxHamming, chunked, cells,
+        fuzzyCellHist(cells), budgetPairs)
     }
   }
+
+  /** The (chunk, ckey, _hb) → cell_size aggregate, computed ONCE per
+    * budget/auto call and persisted (loan convention): the histogram AND
+    * the over-cap blacklist both read it. Before r15 each derived it
+    * independently — a duplicated full-corpus aggregate+exchange over the
+    * chunked frame (4 rows/doc: 20M rows at 1000×) per capped call.
+    */
+  private[graft] def fuzzyCells(chunked: DataFrame): DataFrame =
+    chunked.groupBy("chunk", "ckey", "_hb").agg(count(lit(1)).as("cell_size"))
 
   /** The (cell_size, n_cells, cum_pair_cost) histogram of the banded cells,
     * ascending cell_size — ONE bounded collect (≤ |distinct sizes| rows, the
@@ -1643,10 +1663,8 @@ object Dedup {
     * arithmetic can never drift between them. Arithmetic identical to
     * [[fuzzyCellStats]]'s.
     */
-  private def fuzzyCellHist(chunked: DataFrame): Array[(Long, Long, Long)] =
-    chunked.groupBy("chunk", "ckey", "_hb")
-      .agg(count(lit(1)).as("cell_size"))
-      .groupBy("cell_size").agg(count(lit(1)).as("n_cells"))
+  private def fuzzyCellHist(cells: DataFrame): Array[(Long, Long, Long)] =
+    cells.groupBy("cell_size").agg(count(lit(1)).as("n_cells"))
       .collect()                    // ≤ |distinct sizes| rows: sort on the
       .map(r => (r.getLong(0), r.getLong(1))) // driver, not in an exchange
       .sortBy(_._1)                 // (every AQE stage is ~100 ms latency)
@@ -1654,21 +1672,20 @@ object Dedup {
         (size, n, cum + n * (size * (size - 1) / 2))
       }.drop(1).toArray
 
-  /** The capped-admission body over a prepared chunked frame + histogram —
-    * derive the largest cap inside `budgetPairs`, anti-join over-cap HOME
-    * cells off both sides, verify (with the candidate distinct — admission
-    * may exclude a pair's first agreeing chunk, see [[fuzzyVerify]]).
+  /** The capped-admission body over a prepared chunked frame + its cells
+    * aggregate + histogram — derive the largest cap inside `budgetPairs`,
+    * anti-join over-cap HOME cells off both sides, verify (with the
+    * candidate distinct — admission may exclude a pair's first agreeing
+    * chunk, see [[fuzzyVerify]]).
     */
   private def fuzzyCapped(df: DataFrame, idCol: String, textCol: String,
                           maxDist: Int, maxHamming: Int, chunked: DataFrame,
-                          hist: Array[(Long, Long, Long)],
+                          cells: DataFrame, hist: Array[(Long, Long, Long)],
                           budgetPairs: Long): DataFrame = {
     val cap = math.max(2L,
       hist.filter(_._3 <= budgetPairs).map(_._1).maxOption.getOrElse(2L))
     val nOverCap = hist.filter(_._1 > cap).map(_._2).sum
-    val overCap = chunked.groupBy("chunk", "ckey", "_hb")
-      .agg(count(lit(1)).as("cell_size"))
-      .filter(col("cell_size") > cap)
+    val overCap = cells.filter(col("cell_size") > cap)
       .select("chunk", "ckey", "_hb")
     val blacklist = if (nOverCap <= BroadcastOverCapCellLimit)
       broadcast(overCap) else overCap
@@ -1711,16 +1728,21 @@ object Dedup {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for maxHamming <= 3")
     require(pairsPerDoc >= 1, "fuzzyNearDupsAuto: pairsPerDoc must be >= 1")
     withPersistedSets(fuzzyChunked(df, idCol, textCol, maxDist), release) { chunked =>
-      val hist = fuzzyCellHist(chunked)
+      val cells = graft.Caches.persistLoaned(fuzzyCells(chunked))
+      val hist = fuzzyCellHist(cells)
       val nDocs = hist.map(t => t._1 * t._2).sum / 4
       val budget = pairsPerDoc * nDocs
       val total = hist.lastOption.map(_._3).getOrElse(0L)
-      if (total <= budget)
+      if (total <= budget) {
+        // the unbounded branch never reads the cells again — settle the
+        // loan now instead of at session drain
+        cells.unpersist()
+        graft.Caches.settled(cells)
         fuzzyVerify(df, idCol, textCol, maxDist, maxHamming, chunked,
           chunkDedup = true)
-      else
-        fuzzyCapped(df, idCol, textCol, maxDist, maxHamming, chunked, hist,
-          budget)
+      } else
+        fuzzyCapped(df, idCol, textCol, maxDist, maxHamming, chunked, cells,
+          hist, budget)
     }
   }
 
