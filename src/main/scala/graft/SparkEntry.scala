@@ -3207,30 +3207,75 @@ object SparkEntry {
       val idx = Dedup.readMinhashIndex(s, idxDir)
       idx.sets.createOrReplaceTempView("graft_minhash_sets")
       idx.bands.createOrReplaceTempView("graft_minhash_bands")
-      s.sql(
-        "WITH batch AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 9 = 0), " +
-          "words AS (SELECT doc_id, n_chars, split(lower(trim(text)), '\\\\s+') AS w FROM batch), " +
-          "bsets AS (SELECT doc_id, n_chars, CASE WHEN size(w) - 2 > 0 THEN " +
-          "array_sort(transform(array_distinct(transform(sequence(0, size(w) - 3), " +
-          "i -> concat_ws(' ', element_at(w, CAST(i + 1 AS INT)), " +
-          "element_at(w, CAST(i + 2 AS INT)), element_at(w, CAST(i + 3 AS INT))))), " +
-          "s -> xxhash64(s))) ELSE CAST(array() AS ARRAY<BIGINT>) END AS shs FROM words), " +
-          "bsigs AS (SELECT doc_id, size(shs) AS n_sh, shs, " +
-          "transform(sequence(0, 63), p -> array_min(transform(shs, h -> xxhash64(p, h)))) AS sigs " +
-          "FROM bsets), " +
-          "bbands AS (SELECT doc_id, band, hash(slice(sigs, band * 2 + 1, 2)) AS bkey " +
-          "FROM bsigs LATERAL VIEW explode(sequence(0, 31)) t AS band), " +
-          "cand AS (SELECT DISTINCT b.doc_id AS id_1, i.doc_id AS id_2 " +
-          "FROM bbands b JOIN graft_minhash_bands i ON b.band = i.band AND b.bkey = i.bkey), " +
-          "scored AS (SELECT c.id_1, " +
-          "CAST(graft_sorted_intersect_size(l.shs, r.shs) AS DOUBLE) AS inter, " +
-          "CAST(l.n_sh + r.n_sh AS DOUBLE) AS sz FROM cand c " +
-          "JOIN bsigs l ON c.id_1 = l.doc_id " +
-          "JOIN graft_minhash_sets r ON c.id_2 = r.doc_id), " +
-          "matched AS (SELECT DISTINCT id_1 FROM scored " +
-          "WHERE round(CASE WHEN sz - inter > 0 THEN inter / (sz - inter) ELSE 0.0 END, 6) >= 0.5) " +
-          "SELECT b.doc_id, b.n_chars FROM batch b " +
-          "LEFT ANTI JOIN matched m ON b.doc_id = m.id_1 ORDER BY doc_id")
+      s.sql(minhashProbeSql("doc_id % 9 = 0",
+        "graft_minhash_sets", "graft_minhash_bands"))
+    }),
+
+    // D2h: the d2d MinHash index LIFECYCLE as PURE SQL TEXT — the d8f
+    // recipe generalized to a two-table index (r14 #3): day-1 build = two
+    // INSERT INTOs (set rows + band keys) from the shared CTE chain into
+    // external parquet tables; day-2 = the d2e probe statement's matched
+    // set folded back as two survivor INSERTs; compaction = the
+    // CTAS-stage compose per table; day-3 probe = the same probe
+    // statement. Same splits as d2d, same from-scratch oracle — a
+    // SQL-only consumer can now maintain two of the three index families
+    // (exact d8f, MinHash here). UPDATE ORDER MATTERS: survivor SET rows
+    // insert BEFORE survivor band keys — candidates draw id_2 from the
+    // BANDS table, so inserting bands first would pair each survivor
+    // with itself (Jaccard 1.0) and mark the whole batch as matched; with
+    // sets first, the added set rows are unreachable (no band entry yet)
+    // until the bands insert completes the fold.
+    "d2h_index_update_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val idxDir = s"${scratchDir(d)}/d2h_mh_index_${stageKey(srcFile, "n3b32r2m7sql")}"
+      s.sql("DROP TABLE IF EXISTS graft_mh_sets_sql")
+      s.sql("DROP TABLE IF EXISTS graft_mh_bands_sql")
+      s.sql("CREATE TABLE graft_mh_sets_sql (doc_id BIGINT, n_sh INT, " +
+        s"shs ARRAY<BIGINT>) USING parquet LOCATION '$idxDir/sets'")
+      s.sql("CREATE TABLE graft_mh_bands_sql (doc_id BIGINT, band INT, " +
+        s"bkey INT) USING parquet LOCATION '$idxDir/bands'")
+      if (!new java.io.File(s"$idxDir/_UPDATED").exists()) {
+        // day-1 build: the corpus' set rows and band keys
+        s.sql(s"WITH ${minhashBatchCtes("doc_id % 7 >= 2")} " +
+          "INSERT INTO graft_mh_sets_sql SELECT doc_id, n_sh, shs FROM bsigs")
+        s.sql(s"WITH ${minhashBatchCtes("doc_id % 7 >= 2")} " +
+          "INSERT INTO graft_mh_bands_sql SELECT doc_id, band, bkey FROM bbands")
+        // day-2 probe + fold: survivors (batch anti-join matched) append
+        // their set rows, then their band keys — see ordering note above
+        def fold(insert: String) =
+          s"WITH ${minhashBatchCtes("doc_id % 7 = 0")}, " +
+            "cand AS (SELECT DISTINCT b.doc_id AS id_1, i.doc_id AS id_2 " +
+            "FROM bbands b JOIN graft_mh_bands_sql i " +
+            "ON b.band = i.band AND b.bkey = i.bkey), " +
+            "scored AS (SELECT c.id_1, " +
+            "CAST(graft_sorted_intersect_size(l.shs, r.shs) AS DOUBLE) AS inter, " +
+            "CAST(l.n_sh + r.n_sh AS DOUBLE) AS sz FROM cand c " +
+            "JOIN bsigs l ON c.id_1 = l.doc_id " +
+            "JOIN graft_mh_sets_sql r ON c.id_2 = r.doc_id), " +
+            "matched AS (SELECT DISTINCT id_1 FROM scored " +
+            "WHERE round(CASE WHEN sz - inter > 0 THEN inter / (sz - inter) " +
+            "ELSE 0.0 END, 6) >= 0.5) " + insert
+        s.sql(fold("INSERT INTO graft_mh_sets_sql " +
+          "SELECT s2.doc_id, s2.n_sh, s2.shs FROM bsigs s2 " +
+          "LEFT ANTI JOIN matched m ON s2.doc_id = m.id_1"))
+        s.sql(fold("INSERT INTO graft_mh_bands_sql " +
+          "SELECT bb.doc_id, bb.band, bb.bkey FROM bbands bb " +
+          "LEFT ANTI JOIN matched m ON bb.doc_id = m.id_1"))
+        // compaction: settle the delta files per table (the d8f compose —
+        // a file-source table cannot INSERT OVERWRITE from itself)
+        Seq("graft_mh_sets_sql" -> "doc_id, n_sh, shs",
+          "graft_mh_bands_sql" -> "doc_id, band, bkey").foreach { case (t, cols) =>
+          s.sql(s"DROP TABLE IF EXISTS ${t}_stage")
+          s.sql(s"CREATE TABLE ${t}_stage USING parquet AS " +
+            s"SELECT /*+ REPARTITION(4) */ $cols FROM $t")
+          s.sql(s"INSERT OVERWRITE $t SELECT $cols FROM ${t}_stage")
+          s.sql(s"DROP TABLE ${t}_stage")
+        }
+        new java.io.File(s"$idxDir/_UPDATED").createNewFile()
+      }
+      s.sql(minhashProbeSql("doc_id % 7 = 1",
+        "graft_mh_sets_sql", "graft_mh_bands_sql"))
     }),
 
     // D8c: d8 replayed from the materialized fingerprint index — the
@@ -3342,6 +3387,47 @@ object SparkEntry {
         .select("vec_id", "label").orderBy("vec_id")
     })
   )
+
+  /** The SQL-text rendition of the minhash batch pipeline — trigram
+    * shingling, the 64-perm signature, 32×2 banding — over `documents`
+    * rows matching `pred`: ONE definition shared by the SQL probe (d2e),
+    * the SQL index build and the SQL survivor fold (d2h), so the SQL
+    * surface can never drift from itself. Mirrors `Dedup.shingleSets` /
+    * `Dedup.bandKeys` at n=3, 64 perms, 32 bands × 2 rows per band.
+    */
+  private def minhashBatchCtes(pred: String): String =
+    s"batch AS (SELECT doc_id, text, n_chars FROM documents WHERE $pred), " +
+      "words AS (SELECT doc_id, n_chars, split(lower(trim(text)), '\\\\s+') AS w FROM batch), " +
+      "bsets AS (SELECT doc_id, n_chars, CASE WHEN size(w) - 2 > 0 THEN " +
+      "array_sort(transform(array_distinct(transform(sequence(0, size(w) - 3), " +
+      "i -> concat_ws(' ', element_at(w, CAST(i + 1 AS INT)), " +
+      "element_at(w, CAST(i + 2 AS INT)), element_at(w, CAST(i + 3 AS INT))))), " +
+      "s -> xxhash64(s))) ELSE CAST(array() AS ARRAY<BIGINT>) END AS shs FROM words), " +
+      "bsigs AS (SELECT doc_id, size(shs) AS n_sh, shs, " +
+      "transform(sequence(0, 63), p -> array_min(transform(shs, h -> xxhash64(p, h)))) AS sigs " +
+      "FROM bsets), " +
+      "bbands AS (SELECT doc_id, band, hash(slice(sigs, band * 2 + 1, 2)) AS bkey " +
+      "FROM bsigs LATERAL VIEW explode(sequence(0, 31)) t AS band)"
+
+  /** The SQL-text minhash ingest probe: band-key equi-join candidates
+    * against `bandsTable`, exact-Jaccard verify against `setsTable` with
+    * the registered graft_sorted_intersect_size kernel, anti join back to
+    * the batch. The one probe statement d2e and d2h both run.
+    */
+  private def minhashProbeSql(pred: String, setsTable: String,
+                              bandsTable: String): String =
+    s"WITH ${minhashBatchCtes(pred)}, " +
+      "cand AS (SELECT DISTINCT b.doc_id AS id_1, i.doc_id AS id_2 " +
+      s"FROM bbands b JOIN $bandsTable i ON b.band = i.band AND b.bkey = i.bkey), " +
+      "scored AS (SELECT c.id_1, " +
+      "CAST(graft_sorted_intersect_size(l.shs, r.shs) AS DOUBLE) AS inter, " +
+      "CAST(l.n_sh + r.n_sh AS DOUBLE) AS sz FROM cand c " +
+      "JOIN bsigs l ON c.id_1 = l.doc_id " +
+      s"JOIN $setsTable r ON c.id_2 = r.doc_id), " +
+      "matched AS (SELECT DISTINCT id_1 FROM scored " +
+      "WHERE round(CASE WHEN sz - inter > 0 THEN inter / (sz - inter) ELSE 0.0 END, 6) >= 0.5) " +
+      "SELECT b.doc_id, b.n_chars FROM batch b " +
+      "LEFT ANTI JOIN matched m ON b.doc_id = m.id_1 ORDER BY doc_id"
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -5835,6 +5921,10 @@ object SparkEntry {
     // the lifecycle gate: day-3 probe of the build→probe→update index must
     // equal the brute-force from-scratch relation over day-1 ∪ survivors
     "d2d_index_update" -> d2dOracleSql,
+
+    // the SQL-text lifecycle must maintain the SAME relation the typed
+    // lifecycle maintains — one from-scratch oracle gates both
+    "d2h_index_update_sql" -> d2dOracleSql,
 
     "d8d_index_update" -> d8dOracleSql,
 
