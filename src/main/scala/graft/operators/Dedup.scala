@@ -1536,7 +1536,8 @@ object Dedup {
   private def fuzzyVerify(df: DataFrame, idCol: String, textCol: String,
                           maxDist: Int, maxHamming: Int,
                           chunked: DataFrame,
-                          chunkDedup: Boolean): DataFrame = {
+                          chunkDedup: Boolean,
+                          verifyWidth: Int = 0): DataFrame = {
     val lSide = chunked.select(col(idCol).as("id_1"), col("simhash").as("sh_1"),
       col("_len").as("_l1"), col("chunk"), col("ckey"), col("_hb").as("_lb"))
     val rSide = chunked.select(col(idCol).as("id_2"), col("simhash").as("sh_2"),
@@ -1551,21 +1552,44 @@ object Dedup {
       .filter(col("id_1") < col("id_2") &&
         bit_count(col("sh_1").bitwiseXOR(col("sh_2"))) <= maxHamming &&
         abs(col("_l1") - col("_l2")) <= maxDist)
-    val cand = if (chunkDedup) base.filter(!earlierChunkAgrees).select("id_1", "id_2")
-               else
-                 // the deduped pair list is BYTES-tiny but KERNEL-heavy:
-                 // AQE coalesces its exchange by size, so the whole
-                 // levenshtein verify lands on ~1 partition (measured at
-                 // sf0.1: 27 core-s of kernel at 10.3 s wall on one
-                 // thread). Spread it explicitly — a 16-byte-pair
-                 // round-robin exchange costs nothing next to the
-                 // per-pair kernel it parallelizes, and REPARTITION_BY_NUM
-                 // is exempt from AQE coalescing.
-                 base.select("id_1", "id_2").distinct()
-                   .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // `verifyWidth` is the caller's priced candidate volume turned into an
+    // exchange width (the d2 corpus-derived-width lesson, ≈64k pairs/task):
+    // every verify stage downstream of the banded join must run at it.
+    // Measured at 1000× (285M candidates): with everything at the session's
+    // shuffle.partitions=32, the text-carrying verify sorts held ~9 GB per
+    // task and spilled 144 GB; AQE cannot help because it only MERGES
+    // post-shuffle partitions below the advisory size, never splits them.
+    val w = if (verifyWidth > 0)
+      math.max(df.sparkSession.sparkContext.defaultParallelism, verifyWidth)
+      else 0
+    val cand = if (chunkDedup) {
+      val c = base.filter(!earlierChunkAgrees).select("id_1", "id_2")
+      if (w > 0) c.repartition(w, col("id_1")) else c
+    } else {
+      // Candidate dedup runs WIDE too. Second measured failure mode of a
+      // naive `.distinct()` here (besides the sort width): at sf0.1 the
+      // deduped pair list is BYTES-tiny but KERNEL-heavy, and AQE's
+      // size-based coalescing put the whole levenshtein verify on ~1
+      // partition — 27 core-s of kernel on one thread, 10.3 s wall.
+      // Hash-repartitioning the RAW pairs by the pair key satisfies the
+      // distinct's required distribution (dedup at `w` with no map-side
+      // hash map in the join stage), and the id_1 repartition then feeds
+      // the first text join at the same width.
+      val ww = math.max(df.sparkSession.sparkContext.defaultParallelism,
+        verifyWidth)
+      val d = base.select("id_1", "id_2")
+        .repartition(ww, col("id_1"), col("id_2"))
+        .distinct()
+      if (w > 0) d.repartition(w, col("id_1")) else d
+    }
     val t1 = df.select(col(idCol).as("id_1"), col(textCol).as("_t1"))
     val t2 = df.select(col(idCol).as("id_2"), col(textCol).as("_t2"))
-    cand.join(t1, "id_1").join(t2, "id_2")
+    // the second text join needs id_2 clustering; without the explicit
+    // width its ENSURE_REQUIREMENTS exchange runs at shuffle.partitions —
+    // the 1000× spill lived exactly in that sort (285M × ~1 KB rows / 32)
+    val j1 = cand.join(t1, "id_1")
+    val j1w = if (w > 0) j1.repartition(w, col("id_2")) else j1
+    j1w.join(t2, "id_2")
       .select(col("id_1"), col("id_2"),
         levenshtein(col("_t1"), col("_t2"), maxDist).cast("long").as("edit_dist"))
       .filter(col("edit_dist") >= 0L)
@@ -1690,8 +1714,16 @@ object Dedup {
     val blacklist = if (nOverCap <= BroadcastOverCapCellLimit)
       broadcast(overCap) else overCap
     val admitted = chunked.join(blacklist, Seq("chunk", "ckey", "_hb"), "left_anti")
+    // within-cell admitted pairs are PRICED EXACTLY by the histogram's
+    // cumulative cost at the cap; ×3 covers the unpriced adjacent-slice
+    // cross meets (≤ 2·cap·rows, linear). Sized for ≤ ~64k text-carrying
+    // verify rows per task (≈128 MB of sort state at ~2 KB/pair), capped
+    // at 8192 — measured at 1000×: the r15 fixed-32 width put ~1M
+    // 2 KB rows in each verify sort and spilled 144 GB.
+    val admittedPairs = hist.filter(_._1 <= cap).lastOption.map(_._3).getOrElse(0L)
+    val width = math.min(8192L, (3 * admittedPairs) >> 16).toInt
     fuzzyVerify(df, idCol, textCol, maxDist, maxHamming, admitted,
-      chunkDedup = false)
+      chunkDedup = false, verifyWidth = width)
   }
 
   /** D9e — the AUTO entry for the fuzzy family, closing the d4d→d4e /
@@ -1738,8 +1770,11 @@ object Dedup {
         // loan now instead of at session drain
         cells.unpersist()
         graft.Caches.settled(cells)
+        // same width derivation as the capped branch: `total` IS the
+        // priced within-cell candidate volume this branch will verify
         fuzzyVerify(df, idCol, textCol, maxDist, maxHamming, chunked,
-          chunkDedup = true)
+          chunkDedup = true,
+          verifyWidth = math.min(8192L, (3 * total) >> 16).toInt)
       } else
         fuzzyCapped(df, idCol, textCol, maxDist, maxHamming, chunked, cells,
           hist, budget)
