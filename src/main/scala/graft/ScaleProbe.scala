@@ -163,6 +163,21 @@ object ScaleProbe {
     "p_s5p_plan" -> ((s, d) =>
       graft.operators.Sampling.mixingPlan(Tables.documents(s, d), "source",
         "n_chars", temperature = 2.0, budget = 300000000L)),
+    // d5h in the third decade, batch FIXED at its 10×-fixture size
+    // (r15 #7): the gate's exact branch costs |batch|·|corpus| cosines BY
+    // DESIGN ("pay compute, never memory"), so the honest corpus-growth
+    // question for a daily ingest is per-batch probe cost vs corpus size —
+    // fix the batch (vec_id < 200k: ~18k vectors at any fixture ≥10×),
+    // grow the corpus, and require linear wall + the flat ~17 MB
+    // broadcast-plus-one-partition task memory
+    "p_d5h_fixed_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.embeddingIncrementalAuto(
+        emb.filter(col("vec_id") % 11 === 0 && col("vec_id") < 200000L),
+        emb.filter(col("vec_id") % 11 =!= 0),
+        "vec_id", "embedding", 0.45, dim = 64, bands = 32, bitsPerBand = 4,
+        ordinal = true)
+    }),
     // d9e sub-phase attribution (r15 #2): the auto pipeline cut at plan
     // points — the simhash+banding scan alone, then + the cells
     // aggregate — so the full-gate wall decomposes into sketch / price /
