@@ -79,6 +79,10 @@ object ScaleGen {
       .groupBy("t").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("t")).limit(hotHead)
       .collect().map(_.getString(0))
+    // fail with a message, not an NPE (empty source → null max(doc_id)) or
+    // an analysis error (empty head → untyped array() literal)
+    require(hot.nonEmpty,
+      s"generateDocumentsHot: source $src/documents.parquet is empty or has no tokens")
     println(s"[scalegen] hot head ($hotHead): ${hot.take(16).mkString(", ")}…")
     val hotArr = array(hot.map(lit(_)): _*)
     val docStride = math.max(1L, docs.agg(max("doc_id")).head().getLong(0) + 1)

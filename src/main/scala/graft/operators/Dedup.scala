@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{ArrayOps, Text, Vectors}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -109,17 +109,29 @@ object Dedup {
     * right trade when the caller will re-derive more from the same sets.
     */
   private def withPersistedSets(sets: DataFrame, release: Boolean)
-                               (build: DataFrame => DataFrame): DataFrame = {
+                               (build: DataFrame => DataFrame): DataFrame =
+    withPersistedSetsExtras(sets, release)(c => (build(c), Nil))
+
+  /** [[withPersistedSets]] where `build` also returns the ALREADY-LOANED
+    * intermediate frames it persisted (e.g. the fuzzy cells aggregate):
+    * under `release = true` those settle together with the sets loan once
+    * the result is materialized — without this, a capped budget/auto call
+    * in a long-lived session retained its cells cache until session drain.
+    */
+  private def withPersistedSetsExtras(sets: DataFrame, release: Boolean)
+      (build: DataFrame => (DataFrame, Seq[DataFrame])): DataFrame = {
     val cached = graft.Caches.loan(
       sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val res = build(cached)
+    val (res, extras) = build(cached)
     if (!release) res
     else {
       val out = graft.Caches.loan(
         res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       out.count() // force: the result must never silently recompute the sets
-      cached.unpersist()
-      graft.Caches.settled(cached)
+      (cached +: extras).foreach { c =>
+        c.unpersist()
+        graft.Caches.settled(c)
+      }
       out
     }
   }
@@ -207,6 +219,35 @@ object Dedup {
     */
   private val BandRowsPerPartition: Long = 1L << 20
 
+  /** The kernel-exchange width rule, shared by every kernel-heavy verify
+    * (r15 #7): turn a PRICED row volume into an explicit exchange width —
+    * `pricedRows / rowsPerTask`, floored at `defaultParallelism` (never
+    * narrower than the cluster), capped at 8192 (beyond which scheduling
+    * overhead dominates a ~64k-row task). This is the reusable form of
+    * the AQE bytes-coalescing fix: AQE sizes post-shuffle partitions by
+    * BYTES, so a bytes-tiny but KERNEL-heavy frame (deduped candidate
+    * pairs feeding levenshtein/cosine/intersect verifies) gets coalesced
+    * to ~1 partition — 27 core-s of kernel on one thread in the measured
+    * d9e case — and AQE can only MERGE partitions below the advisory
+    * size, never split them back. An explicit width is the one lever AQE
+    * respects. Pick `rowsPerTask` from the per-row kernel cost: 2^20 for
+    * 32-byte band rows (sort-bound), 2^16 for text-carrying verify pairs
+    * (~128 MB of sort state at ~2 KB/pair).
+    */
+  private[graft] def kernelWidth(spark: SparkSession, pricedRows: Long,
+                                 rowsPerTask: Long): Int =
+    math.max(spark.sparkContext.defaultParallelism.toLong,
+      math.min(8192L, pricedRows / rowsPerTask)).toInt
+
+  /** Repartition a kernel-heavy frame by `keys` at [[kernelWidth]] — the
+    * call-site form of the width rule ([[minhashNearDups]]' band exchange,
+    * [[fuzzyVerify]]'s candidate/text exchanges ride it).
+    */
+  def spreadKernel(df: DataFrame, pricedRows: Long, rowsPerTask: Long,
+                   keys: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(kernelWidth(df.sparkSession, pricedRows, rowsPerTask),
+      keys: _*)
+
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
                       bands: Int = 32, rowsPerBand: Int = 2,
@@ -252,13 +293,12 @@ object Dedup {
       // degrades gracefully — exactly the wrong property at 100 TB.
       val lk0 = bandKeys(sets, idCol, "id_1", bands, rowsPerBand)
       val rk0 = bandKeys(sets, idCol, "id_2", bands, rowsPerBand)
-      val bandParts = math.max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        ((nDocs * bands + BandRowsPerPartition - 1) / BandRowsPerPartition).toInt)
       val (lk, rk) =
         if (!pruneVerifySides) (lk0, rk0)
-        else (lk0.repartition(bandParts, col("band"), col("bkey")),
-              rk0.repartition(bandParts, col("band"), col("bkey")))
+        else (spreadKernel(lk0, nDocs * bands, BandRowsPerPartition,
+                col("band"), col("bkey")),
+              spreadKernel(rk0, nDocs * bands, BandRowsPerPartition,
+                col("band"), col("bkey")))
       val rawCand = lk.join(rk, Seq("band", "bkey"))
         .filter(col("id_1") < col("id_2"))
         .select("id_1", "id_2").distinct()
@@ -1409,6 +1449,12 @@ object Dedup {
     * relation, full within-sketch recall, caller owns the spill. When the
     * pair budget is a stated SLO use [[fuzzyNearDupsBudget]] directly
     * (zero spill 1×→1000× under a binding budget, measured r13).
+    *
+    * Parameter interaction: `pairsPerDoc` and `release` apply ONLY to the
+    * gated default — `unbounded = true` runs the exact banded relation
+    * with no admission budget and no loan to materialize-and-drop, so
+    * both are silently ignored on that branch (the unbounded plan
+    * persists nothing it could release).
     */
   def fuzzyNearDups(df: DataFrame, idCol: String, textCol: String,
                     maxDist: Int, maxHamming: Int = 3,
@@ -1537,7 +1583,7 @@ object Dedup {
                           maxDist: Int, maxHamming: Int,
                           chunked: DataFrame,
                           chunkDedup: Boolean,
-                          verifyWidth: Int = 0): DataFrame = {
+                          pricedRows: Long = 0L): DataFrame = {
     val lSide = chunked.select(col(idCol).as("id_1"), col("simhash").as("sh_1"),
       col("_len").as("_l1"), col("chunk"), col("ckey"), col("_hb").as("_lb"))
     val rSide = chunked.select(col(idCol).as("id_2"), col("simhash").as("sh_2"),
@@ -1552,19 +1598,24 @@ object Dedup {
       .filter(col("id_1") < col("id_2") &&
         bit_count(col("sh_1").bitwiseXOR(col("sh_2"))) <= maxHamming &&
         abs(col("_l1") - col("_l2")) <= maxDist)
-    // `verifyWidth` is the caller's priced candidate volume turned into an
-    // exchange width (the d2 corpus-derived-width lesson, ≈64k pairs/task):
-    // every verify stage downstream of the banded join must run at it.
-    // Measured at 1000× (285M candidates): with everything at the session's
-    // shuffle.partitions=32, the text-carrying verify sorts held ~9 GB per
-    // task and spilled 144 GB; AQE cannot help because it only MERGES
-    // post-shuffle partitions below the advisory size, never splits them.
-    val w = if (verifyWidth > 0)
-      math.max(df.sparkSession.sparkContext.defaultParallelism, verifyWidth)
+    // `pricedRows` is the caller's priced candidate volume (×3 for the
+    // unpriced adjacent-slice cross meets), turned into an exchange width
+    // by [[kernelWidth]] (≈64k pairs/task): every verify stage downstream
+    // of the banded join must run at it. Measured at 1000× (285M
+    // candidates): with everything at the session's shuffle.partitions=32,
+    // the text-carrying verify sorts held ~9 GB per task and spilled
+    // 144 GB; AQE cannot help because it only MERGES post-shuffle
+    // partitions below the advisory size, never splits them. Below one
+    // task quantum (priced < 2^16) w stays 0 — no explicit spread, AQE
+    // owns the layout.
+    val VerifyRowsPerTask = 1L << 16
+    val w = if (pricedRows >= VerifyRowsPerTask)
+      kernelWidth(df.sparkSession, pricedRows, VerifyRowsPerTask)
       else 0
     val cand = if (chunkDedup) {
       val c = base.filter(!earlierChunkAgrees).select("id_1", "id_2")
-      if (w > 0) c.repartition(w, col("id_1")) else c
+      if (w > 0) spreadKernel(c, pricedRows, VerifyRowsPerTask, col("id_1"))
+      else c
     } else {
       // Candidate dedup runs WIDE too. Second measured failure mode of a
       // naive `.distinct()` here (besides the sort width): at sf0.1 the
@@ -1572,15 +1623,14 @@ object Dedup {
       // size-based coalescing put the whole levenshtein verify on ~1
       // partition — 27 core-s of kernel on one thread, 10.3 s wall.
       // Hash-repartitioning the RAW pairs by the pair key satisfies the
-      // distinct's required distribution (dedup at `w` with no map-side
-      // hash map in the join stage), and the id_1 repartition then feeds
-      // the first text join at the same width.
-      val ww = math.max(df.sparkSession.sparkContext.defaultParallelism,
-        verifyWidth)
-      val d = base.select("id_1", "id_2")
-        .repartition(ww, col("id_1"), col("id_2"))
+      // distinct's required distribution (dedup at kernel width with no
+      // map-side hash map in the join stage), and the id_1 repartition
+      // then feeds the first text join at the same width.
+      val d = spreadKernel(base.select("id_1", "id_2"),
+          pricedRows, VerifyRowsPerTask, col("id_1"), col("id_2"))
         .distinct()
-      if (w > 0) d.repartition(w, col("id_1")) else d
+      if (w > 0) spreadKernel(d, pricedRows, VerifyRowsPerTask, col("id_1"))
+      else d
     }
     val t1 = df.select(col(idCol).as("id_1"), col(textCol).as("_t1"))
     val t2 = df.select(col(idCol).as("id_2"), col(textCol).as("_t2"))
@@ -1588,7 +1638,8 @@ object Dedup {
     // width its ENSURE_REQUIREMENTS exchange runs at shuffle.partitions —
     // the 1000× spill lived exactly in that sort (285M × ~1 KB rows / 32)
     val j1 = cand.join(t1, "id_1")
-    val j1w = if (w > 0) j1.repartition(w, col("id_2")) else j1
+    val j1w = if (w > 0) spreadKernel(j1, pricedRows, VerifyRowsPerTask,
+      col("id_2")) else j1
     j1w.join(t2, "id_2")
       .select(col("id_1"), col("id_2"),
         levenshtein(col("_t1"), col("_t2"), maxDist).cast("long").as("edit_dist"))
@@ -1665,10 +1716,10 @@ object Dedup {
     require(maxDist >= 0, "fuzzyNearDupsBudget: maxDist must be >= 0")
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for maxHamming <= 3")
     require(budgetPairs >= 0, "fuzzyNearDupsBudget: budget must be >= 0")
-    withPersistedSets(fuzzyChunked(df, idCol, textCol, maxDist), release) { chunked =>
+    withPersistedSetsExtras(fuzzyChunked(df, idCol, textCol, maxDist), release) { chunked =>
       val cells = graft.Caches.persistLoaned(fuzzyCells(chunked))
-      fuzzyCapped(df, idCol, textCol, maxDist, maxHamming, chunked, cells,
-        fuzzyCellHist(cells), budgetPairs)
+      (fuzzyCapped(df, idCol, textCol, maxDist, maxHamming, chunked, cells,
+        fuzzyCellHist(cells), budgetPairs), Seq(cells))
     }
   }
 
@@ -1716,14 +1767,14 @@ object Dedup {
     val admitted = chunked.join(blacklist, Seq("chunk", "ckey", "_hb"), "left_anti")
     // within-cell admitted pairs are PRICED EXACTLY by the histogram's
     // cumulative cost at the cap; ×3 covers the unpriced adjacent-slice
-    // cross meets (≤ 2·cap·rows, linear). Sized for ≤ ~64k text-carrying
-    // verify rows per task (≈128 MB of sort state at ~2 KB/pair), capped
-    // at 8192 — measured at 1000×: the r15 fixed-32 width put ~1M
-    // 2 KB rows in each verify sort and spilled 144 GB.
+    // cross meets (≤ 2·cap·rows, linear). [[kernelWidth]] sizes the verify
+    // exchanges from it (≤ ~64k text-carrying rows per task, ≈128 MB of
+    // sort state at ~2 KB/pair, capped at 8192) — measured at 1000×: the
+    // r15 fixed-32 width put ~1M 2 KB rows in each verify sort and
+    // spilled 144 GB.
     val admittedPairs = hist.filter(_._1 <= cap).lastOption.map(_._3).getOrElse(0L)
-    val width = math.min(8192L, (3 * admittedPairs) >> 16).toInt
     fuzzyVerify(df, idCol, textCol, maxDist, maxHamming, admitted,
-      chunkDedup = false, verifyWidth = width)
+      chunkDedup = false, pricedRows = 3 * admittedPairs)
   }
 
   /** D9e — the AUTO entry for the fuzzy family, closing the d4d→d4e /
@@ -1759,7 +1810,7 @@ object Dedup {
     require(maxDist >= 0, "fuzzyNearDupsAuto: maxDist must be >= 0")
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for maxHamming <= 3")
     require(pairsPerDoc >= 1, "fuzzyNearDupsAuto: pairsPerDoc must be >= 1")
-    withPersistedSets(fuzzyChunked(df, idCol, textCol, maxDist), release) { chunked =>
+    withPersistedSetsExtras(fuzzyChunked(df, idCol, textCol, maxDist), release) { chunked =>
       val cells = graft.Caches.persistLoaned(fuzzyCells(chunked))
       val hist = fuzzyCellHist(cells)
       val nDocs = hist.map(t => t._1 * t._2).sum / 4
@@ -1772,12 +1823,11 @@ object Dedup {
         graft.Caches.settled(cells)
         // same width derivation as the capped branch: `total` IS the
         // priced within-cell candidate volume this branch will verify
-        fuzzyVerify(df, idCol, textCol, maxDist, maxHamming, chunked,
-          chunkDedup = true,
-          verifyWidth = math.min(8192L, (3 * total) >> 16).toInt)
+        (fuzzyVerify(df, idCol, textCol, maxDist, maxHamming, chunked,
+          chunkDedup = true, pricedRows = 3 * total), Nil)
       } else
-        fuzzyCapped(df, idCol, textCol, maxDist, maxHamming, chunked, cells,
-          hist, budget)
+        (fuzzyCapped(df, idCol, textCol, maxDist, maxHamming, chunked, cells,
+          hist, budget), Seq(cells))
     }
   }
 

@@ -120,9 +120,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the session's optimizer assembles its batches, i.e. after session
     // state exists — registers CseFilterProject there instead.
     ext.injectOptimizerRule { session =>
-      if (!session.experimental.extraOptimizations.contains(CseFilterProject))
-        session.experimental.extraOptimizations =
-          session.experimental.extraOptimizations :+ CseFilterProject
+      // synchronized: two queries optimizing concurrently on a fresh
+      // session can both pass the contains check and append the rule
+      // twice (idempotent for results via isCseSplit, but the duplicate
+      // entry would double rule invocations forever)
+      session.experimental.synchronized {
+        if (!session.experimental.extraOptimizations.contains(CseFilterProject))
+          session.experimental.extraOptimizations =
+            session.experimental.extraOptimizations :+ CseFilterProject
+      }
       ArgmaxRewrite
     }
     GraftExtensions.functions.foreach(ext.injectFunction)
