@@ -102,34 +102,67 @@ object SparkEntry {
 
   private val e6Memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val e6cMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def e6SharedAsof(s: SparkSession, d: String): Option[DataFrame] = {
+  private val E6HorizonUs = 3600000000L
+
+  /** Stage the e6-family replay source ONCE per (events source, horizon):
+    * events + one far-future sentinel per stream (non-joining negative
+    * user ids) whose watermark flushes every real append-mode group.
+    * Shared by the plain e6/e6b replay and the sliced e6c replay — same
+    * staged bytes, so the two relations can only differ by operator.
+    * Returns None when the events table is empty.
+    */
+  private def e6StageDir(s: SparkSession, d: String): Option[String] = {
     import s.implicits._
-    val horizonUs = 3600000000L
     val ev = Tables.events(s, d).select("event_id", "user_id", "ts_us", "event_type")
     val maxTsRow = ev.agg(max("ts_us")).head()
     if (maxTsRow.isNullAt(0)) None
     else {
       val srcFile = new java.io.File(s"$d/events.parquet")
-      val stageDir = s"${scratchDir(d)}/e6_events_${stageKey(srcFile, s"hz$horizonUs")}"
+      val stageDir = s"${scratchDir(d)}/e6_events_${stageKey(srcFile, s"hz$E6HorizonUs")}"
+      if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
+        val sentTs = maxTsRow.getLong(0) + E6HorizonUs + 600000000L
+        val sentinels = Seq((-1L, -1L, sentTs, "purchase"), (-2L, -2L, sentTs, "click"))
+          .toDF("event_id", "user_id", "ts_us", "event_type")
+        ev.union(sentinels).coalesce(4).write.mode("overwrite").parquet(stageDir)
+      }
+      Some(stageDir)
+    }
+  }
+
+  private def e6SharedAsof(s: SparkSession, d: String): Option[DataFrame] =
+    e6StageDir(s, d).map { stageDir =>
       Tables.evictStopped(e6Memo)(_._1)
-      Some(e6Memo.getOrElseUpdate((s, stageDir), {
-        if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
-          val sentTs = maxTsRow.getLong(0) + horizonUs + 600000000L
-          val sentinels = Seq((-1L, -1L, sentTs, "purchase"), (-2L, -2L, sentTs, "click"))
-            .toDF("event_id", "user_id", "ts_us", "event_type")
-          ev.union(sentinels).coalesce(4).write.mode("overwrite").parquet(stageDir)
-        }
+      e6Memo.getOrElseUpdate((s, stageDir), {
         val schema = s.read.parquet(stageDir).schema
         def slice(t: String) =
           s.readStream.schema(schema).parquet(stageDir).filter(col("event_type") === t)
         val joined = StreamOps.asofJoinStreaming(
-          slice("purchase"), slice("click"), horizonUs, "1 minute",
+          slice("purchase"), slice("click"), E6HorizonUs, "1 minute",
           joinType = "left_outer")
         StreamOps.runToMemoryTable(s, joined, "e6_shared_asof_sink")
-      }))
+      })
     }
-  }
+
+  /** The e6c replay: [[graft.streaming.StreamOps.asofJoinStreamingSliced]]
+    * over the SAME staged source as e6 — the key-dense mitigation's oracle
+    * gate shares e6's SQL, so "same relation, bounded per-key state" is
+    * hash-checked, not asserted.
+    */
+  private def e6cSlicedAsof(s: SparkSession, d: String): Option[DataFrame] =
+    e6StageDir(s, d).map { stageDir =>
+      Tables.evictStopped(e6cMemo)(_._1)
+      e6cMemo.getOrElseUpdate((s, stageDir), {
+        val schema = s.read.parquet(stageDir).schema
+        def slice(t: String) =
+          s.readStream.schema(schema).parquet(stageDir).filter(col("event_type") === t)
+        val joined = StreamOps.asofJoinStreamingSliced(
+          slice("purchase"), slice("click"), E6HorizonUs, "1 minute")
+        StreamOps.runToMemoryTable(s, joined, "e6c_sliced_asof_sink")
+      })
+    }
 
   /** e8b/e8c shared staging + replays: events + one far-future sentinel
     * (user −1) whose watermark closes every real window (the sentinel's own
@@ -2934,6 +2967,26 @@ object SparkEntry {
       }
     }),
 
+    // E6c: the KEY-DENSE form — the same as-of relation with the join key
+    // sub-bucketed by a horizon-width time slice, so per-(user, slice)
+    // state stays bounded where e6's per-user value lists go quadratic on
+    // a key-densifying stream (the measured 1000× wall: 88 min
+    // non-completion, all workers in the state manager's per-key scan;
+    // the sliced form COMPLETES the same probe — BENCH_SCALE r16). Same
+    // staged source, same oracle SQL as e6: the mitigation is gated to be
+    // relation-identical, not just plausible.
+    "e6c_stream_asof_sliced" -> ((s, d) => {
+      Session.tune(s)
+      import s.implicits._
+      e6cSlicedAsof(s, d) match {
+        case None =>
+          Seq.empty[(Long, Long, Long, Long, Long)]
+            .toDF("event_id", "user_id", "ts_us", "r_event_id", "r_ts_us")
+        case Some(shared) =>
+          shared.filter(col("event_id") >= 0).orderBy("event_id")
+      }
+    }),
+
     // E6b: the LEFT-OUTER form — batch j3's left semantics under
     // streaming: an unattributed purchase emits with a null click side
     // once the watermark proves no in-horizon click can still arrive
@@ -3231,6 +3284,19 @@ object SparkEntry {
       val idxDir = s"${scratchDir(d)}/d2h_mh_index_${stageKey(srcFile, "n3b32r2m7sql")}"
       s.sql("DROP TABLE IF EXISTS graft_mh_sets_sql")
       s.sql("DROP TABLE IF EXISTS graft_mh_bands_sql")
+      // crash idempotency: _UPDATED is written only after all inserts +
+      // compaction, but DROP TABLE does not clear a LOCATION dir — a run
+      // that died mid-update leaves partial rows the re-created tables
+      // would silently re-adopt (day-1 rows then insert twice). Absent
+      // marker ⇒ clear both table dirs so every build starts from empty.
+      if (!new java.io.File(s"$idxDir/_UPDATED").exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(s"$idxDir/sets"))
+        rm(new java.io.File(s"$idxDir/bands"))
+      }
       s.sql("CREATE TABLE graft_mh_sets_sql (doc_id BIGINT, n_sh INT, " +
         s"shs ARRAY<BIGINT>) USING parquet LOCATION '$idxDir/sets'")
       s.sql("CREATE TABLE graft_mh_bands_sql (doc_id BIGINT, band INT, " +
@@ -5744,6 +5810,23 @@ object SparkEntry {
     // latest click per purchase within [p_ts - 1h, p_ts], ties to the
     // greatest click event_id (asofJoin's tiebreak), inner semantics
     "e6_stream_stream_asof" ->
+      ("WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'click'), " +
+        "j AS (SELECT p.event_id, p.user_id, p.ts_us, " +
+        "c.event_id AS ce, c.ts_us AS cts, " +
+        "row_number() OVER (PARTITION BY p.event_id " +
+        "ORDER BY c.ts_us DESC, c.event_id DESC) AS rn " +
+        "FROM p JOIN c ON p.user_id = c.user_id " +
+        "AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000) " +
+        "SELECT event_id, user_id, ts_us, ce AS r_event_id, cts AS r_ts_us " +
+        "FROM j WHERE rn = 1 ORDER BY event_id"),
+
+    // the sliced (key-dense) replay must produce the SAME relation as e6 —
+    // identical oracle text, so a drift in the slice arithmetic is a hash
+    // mismatch, not a silent recall loss
+    "e6c_stream_asof_sliced" ->
       ("WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
         "WHERE event_type = 'purchase'), " +
         "c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +

@@ -377,6 +377,80 @@ object StreamOps {
         col("_best.c_ts_us").as("r_ts_us"))
   }
 
+  /** E6c — the KEY-DENSE form of [[asofJoinStreaming]]: same relation,
+    * join key sub-bucketed by a TIME SLICE so per-key state stays bounded
+    * on streams whose hot keys accumulate many in-horizon values.
+    *
+    * Why: Spark's stream-stream join state
+    * (`SymmetricHashJoinStateManager`) keeps one value LIST per join key
+    * and walks it linearly on every probe. With `user_id` alone as the
+    * key, a hot user's list holds every retained click — within one
+    * micro-batch that is every click of the user in the batch — so a
+    * key-densifying workload goes quadratic PER KEY: the 1000× replay of
+    * the plain form ran 88 min without completing, all 32 workers inside
+    * the per-key value scan (BENCH_SCALE 1000× e6 row, jstack-attributed).
+    * Sub-bucketing the key by `floor(click_ts / sliceUs)` bounds each
+    * (user, slice) list to one slice's clicks; a purchase probes only the
+    * `horizonUs/sliceUs + 1` slices covering its look-back window, so
+    * probe work tracks the clicks actually IN HORIZON instead of all
+    * clicks ever retained.
+    *
+    * Exactness: a click belongs to exactly ONE slice, and any click
+    * satisfying `p_ts - horizon <= c_ts <= p_ts` has its slice inside
+    * `[floor((p_ts-horizon)/S), floor(p_ts/S)]` — the purchase-side
+    * `sequence` explode covers precisely that closed range, so every
+    * qualifying (purchase, click) pair meets in exactly one sliced key
+    * (no duplicates to the downstream latest-click aggregate, which also
+    * collapses the exploded purchase rows back to one output row). The
+    * time-interval condition is unchanged, so the relation bit-matches
+    * [[asofJoinStreaming]] — spec-pinned, and the e6c oracle row gates it
+    * against the same SQL as e6.
+    *
+    * Cost: the left stream amplifies `horizonUs/sliceUs + 1`× (2× at the
+    * default `sliceUs = horizonUs`); the right stream adds one bigint
+    * column. Shrink `sliceUs` below the horizon only when a single
+    * horizon-width slice still holds too many values per hot key.
+    *
+    * The slice is floor division (via `pmod`, exact on longs), not
+    * truncation — pre-1970 timestamps slice consistently with the window
+    * family's FLOOR semantics.
+    */
+  def asofJoinStreamingSliced(purchases: DataFrame, clicks: DataFrame,
+                              horizonUs: Long, watermark: String,
+                              joinType: String = "inner",
+                              sliceUs: Long = 0L): DataFrame = {
+    require(horizonUs > 0, "asofJoinStreamingSliced: horizon must be positive")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"asofJoinStreamingSliced: unsupported join type '$joinType'")
+    require(sliceUs >= 0, "asofJoinStreamingSliced: sliceUs must be >= 0")
+    val s = if (sliceUs > 0) sliceUs else horizonUs
+    // exact long floor-div: (x - pmod(x, s)) is divisible by s and the
+    // quotient is far below 2^53, so the double division is exact
+    def sliceOf(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(s))) / lit(s)).cast("long")
+    val p = purchases.select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts_us").as("p_ts_us"), timestamp_micros(col("ts_us")).as("p_time"))
+      .withWatermark("p_time", watermark)
+      .withColumn("p_slice", explode(sequence(
+        sliceOf(col("p_ts_us") - lit(horizonUs)), sliceOf(col("p_ts_us")))))
+    val c = clicks.select(col("event_id").as("c_event_id"),
+        col("user_id").as("c_user_id"), col("ts_us").as("c_ts_us"),
+        timestamp_micros(col("ts_us")).as("c_time"))
+      .withWatermark("c_time", watermark)
+      .withColumn("c_slice", sliceOf(col("c_ts_us")))
+    p.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("p_slice") === col("c_slice") &&
+          col("c_time") <= col("p_time") &&
+          col("c_time") >= col("p_time") - expr(s"INTERVAL $horizonUs MICROSECOND"),
+        joinType)
+      .groupBy(col("p_time"), col("p_event_id"), col("user_id"), col("p_ts_us"))
+      .agg(max(struct(col("c_ts_us"), col("c_event_id"))).as("_best"))
+      .select(col("p_event_id").as("event_id"), col("user_id"),
+        col("p_ts_us").as("ts_us"), col("_best.c_event_id").as("r_event_id"),
+        col("_best.c_ts_us").as("r_ts_us"))
+  }
+
   /** E9 — predicate ROUTING to two parquet sinks in one pass: the
     * accept/quarantine fork every streaming ingest runs (pass rows flow to
     * the corpus, failures to a reviewable reject store — never dropped on

@@ -505,6 +505,87 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("asofJoinStreamingSliced: bit-matches the plain as-of relation, both join types (E6c)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1000000000000000L
+    // a key-dense fixture: user 1 holds many clicks across several slice
+    // boundaries (horizon 100 → slices of 100), including exact-boundary
+    // timestamps (c_ts = p_ts - horizon must match; slice edges must not
+    // drop or double pairs), plus a tie pair and an out-of-horizon click
+    val clickRows = Seq(
+      (101L, 1L, base + 10), (21L, 1L, base + 20), (22L, 1L, base + 20),
+      (23L, 1L, base + 150), (24L, 1L, base + 199), (25L, 1L, base + 200),
+      (26L, 1L, base + 300), (27L, 2L, base + 410))
+    val purchRows = Seq(
+      (1L, 1L, base + 25),  // latest in-horizon: tie at +20 → id 22
+      (2L, 1L, base + 500), // horizon [400,500]: no user-1 click → drops/null
+      (3L, 2L, base + 5),   // no click at all
+      (4L, 1L, base + 250), // horizon [150,250]: latest +200 (boundary slice)
+      (5L, 1L, base + 299), // horizon [199,299]: +199 boundary IN, +300 out
+      (6L, 2L, base + 510)) // horizon [410,510]: +410 boundary IN
+    // each replay gets FRESH MemoryStreams: the memory source purges
+    // committed batches, so a second query over the same instances
+    // silently reads nothing
+    def run(slicedForm: Boolean, jt: String, name: String) = {
+      val purchases = MemoryStream[(Long, Long, Long)]
+      val clicks = MemoryStream[(Long, Long, Long)]
+      clicks.addData(clickRows: _*)
+      purchases.addData(purchRows: _*)
+      purchases.addData((-1L, -100L, base + 100000000L))
+      clicks.addData((-2L, -200L, base + 100000000L))
+      val (pDf, cDf) = (purchases.toDF().toDF("event_id", "user_id", "ts_us"),
+        clicks.toDF().toDF("event_id", "user_id", "ts_us"))
+      val df = if (slicedForm)
+        StreamOps.asofJoinStreamingSliced(pDf, cDf, horizonUs = 100L,
+          watermark = "1 second", joinType = jt)
+      else StreamOps.asofJoinStreaming(pDf, cDf, horizonUs = 100L,
+        watermark = "1 second", joinType = jt)
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).filter(col("event_id") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -999L else r.getLong(3),
+          if (r.isNullAt(4)) -999L else r.getLong(4))).toSet
+    }
+    for (jt <- Seq("inner", "left_outer")) {
+      val got = run(slicedForm = true, jt, s"e6c_${jt}_out")
+      val want = run(slicedForm = false, jt, s"e6c_ref_${jt}_out")
+      assert(got == want, s"sliced $jt relation must bit-match plain: $got vs $want")
+      assert(want.nonEmpty && want.exists(_._4 == 22L),
+        s"fixture must exercise the tiebreak, got $want")
+    }
+  }
+
+  test("asofJoinStreamingSliced: sub-horizon slices (several per look-back) keep the relation (E6c)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1000000000000000L
+    val purchases = MemoryStream[(Long, Long, Long)]
+    val clicks = MemoryStream[(Long, Long, Long)]
+    clicks.addData((21L, 1L, base + 20), (23L, 1L, base + 150),
+      (25L, 1L, base + 200), (26L, 1L, base + 249))
+    purchases.addData((1L, 1L, base + 250), (2L, 1L, base + 90))
+    purchases.addData((-1L, -100L, base + 100000000L))
+    clicks.addData((-2L, -200L, base + 100000000L))
+    // slice 30 with horizon 100 → ceil(100/30)+1 = 5 probed slices/purchase
+    val out = StreamOps.asofJoinStreamingSliced(
+      purchases.toDF().toDF("event_id", "user_id", "ts_us"),
+      clicks.toDF().toDF("event_id", "user_id", "ts_us"),
+      horizonUs = 100L, watermark = "1 second", sliceUs = 30L)
+    val q = out.writeStream.format("memory").queryName("e6c_fine_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("e6c_fine_out").filter(col("event_id") >= 0)
+        .select("event_id", "user_id", "ts_us", "r_event_id", "r_ts_us")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        (1L, 1L, base + 250, 26L, base + 249),
+        (2L, 1L, base + 90, 21L, base + 20)),
+        s"fine-sliced as-of must keep latest-in-horizon exactly once, got $got")
+    } finally q.stop()
+  }
+
   test("window indices FLOOR negative (pre-1970) timestamps, matching SQL // semantics") {
     val w = 3600000000L // 1h in us
     val ev = Seq(
