@@ -1242,6 +1242,115 @@ object SparkEntry {
         .orderBy("test_id", "train_id")
     }),
 
+    // D7f: the d7d containment-index LIFECYCLE as PURE SQL TEXT — the
+    // third and last index family a SQL-only consumer can now maintain
+    // (exact d8f, MinHash d2h, df-capped inverted index here). The part
+    // the other two don't have: UPDATE must apply df-cap semantics in
+    // SQL — batch (train_id, sk) pairs insert only while the CUMULATIVE
+    // df (pre-batch table + batch delta) stays ≤ cap, and shingles the
+    // batch pushes PAST the cap insert TOMBSTONES whose stale inv entries
+    // vanish at read time via the probe's anti-join. INSERT ORDER
+    // MATTERS: the inv and tomb inserts read the PRE-batch df table, so
+    // both run before the batch's df deltas land (mirroring
+    // updateContainmentIndex's read-before-append). Compaction = the
+    // CTAS-stage compose per table, with the inv stage APPLYING the
+    // tombstones (anti-join) and the df stage merging deltas to one row
+    // per shingle; tomb then empties via INSERT OVERWRITE from an empty
+    // literal relation, so post-compaction readers take the
+    // no-anti-join path. Same splits as d7c/d7d, same from-scratch
+    // oracle (d7's SQL verbatim).
+    "d7f_decon_lifecycle_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val idxDir = s"${scratchDir(d)}/d7f_ct_index_${stageKey(srcFile, "n3df50m4sql")}"
+      val tables = Seq("sets", "inv", "df", "tomb")
+      tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS graft_ct_${t}_sql"))
+      if (!new java.io.File(s"$idxDir/_UPDATED").exists()) {
+        // crash idempotency (the d2h rule): no marker ⇒ any partial
+        // LOCATION dirs are stale scratch from a dead run — clear them
+        // before the re-created tables can re-adopt their rows
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        tables.foreach(t => rm(new java.io.File(s"$idxDir/$t")))
+      }
+      s.sql("CREATE TABLE graft_ct_sets_sql (doc_id BIGINT, n_sh INT, " +
+        s"shs ARRAY<BIGINT>) USING parquet LOCATION '$idxDir/sets'")
+      s.sql("CREATE TABLE graft_ct_inv_sql (train_id BIGINT, sk BIGINT) " +
+        s"USING parquet LOCATION '$idxDir/inv'")
+      s.sql("CREATE TABLE graft_ct_df_sql (sk BIGINT, df BIGINT) " +
+        s"USING parquet LOCATION '$idxDir/df'")
+      s.sql("CREATE TABLE graft_ct_tomb_sql (sk BIGINT) " +
+        s"USING parquet LOCATION '$idxDir/tomb'")
+      if (!new java.io.File(s"$idxDir/_UPDATED").exists()) {
+        // day-1 build over train₁: sets, full-vocabulary df, df-capped inv
+        val p1 = "doc_id % 4 = 1 OR doc_id % 4 = 2"
+        s.sql(s"WITH ${shingleSetCtes(p1)} " +
+          "INSERT INTO graft_ct_sets_sql SELECT doc_id, size(shs) AS n_sh, shs FROM bsets")
+        s.sql(s"WITH ${shingleSetCtes(p1)}, $containmentBatchCtes " +
+          "INSERT INTO graft_ct_df_sql SELECT sk, df FROM bdf")
+        s.sql(s"WITH ${shingleSetCtes(p1)}, $containmentBatchCtes " +
+          "INSERT INTO graft_ct_inv_sql SELECT i.train_id, i.sk FROM binv i " +
+          "JOIN bdf b ON i.sk = b.sk WHERE b.df <= 50")
+        // day-2 fold of train₂ under the cumulative df cap
+        val p2 = "doc_id % 4 = 3"
+        def upd(insert: String) =
+          s"WITH ${shingleSetCtes(p2)}, $containmentBatchCtes, " +
+            "odf AS (SELECT sk, sum(df) AS odf FROM graft_ct_df_sql GROUP BY sk), " +
+            "m AS (SELECT b.sk, coalesce(o.odf, CAST(0 AS BIGINT)) AS odf, " +
+            "coalesce(o.odf, CAST(0 AS BIGINT)) + b.df AS ndf " +
+            "FROM bdf b LEFT JOIN odf o ON b.sk = o.sk) " + insert
+        s.sql(upd("INSERT INTO graft_ct_inv_sql SELECT i.train_id, i.sk " +
+          "FROM binv i JOIN m ON i.sk = m.sk WHERE m.ndf <= 50"))
+        s.sql(upd("INSERT INTO graft_ct_tomb_sql SELECT sk FROM m " +
+          "WHERE odf >= 1 AND odf <= 50 AND ndf > 50"))
+        s.sql(s"WITH ${shingleSetCtes(p2)}, $containmentBatchCtes " +
+          "INSERT INTO graft_ct_df_sql SELECT sk, df FROM bdf")
+        s.sql(s"WITH ${shingleSetCtes(p2)} " +
+          "INSERT INTO graft_ct_sets_sql SELECT doc_id, size(shs) AS n_sh, shs FROM bsets")
+        // compaction: stage-compose per table (a file-source table cannot
+        // INSERT OVERWRITE from itself)
+        def compact(t: String, stageSelect: String, cols: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS ${t}_stage")
+          s.sql(s"CREATE TABLE ${t}_stage USING parquet AS $stageSelect")
+          s.sql(s"INSERT OVERWRITE $t SELECT $cols FROM ${t}_stage")
+          s.sql(s"DROP TABLE ${t}_stage")
+        }
+        compact("graft_ct_inv_sql",
+          "SELECT /*+ REPARTITION(4) */ i.train_id, i.sk FROM graft_ct_inv_sql i " +
+            "LEFT ANTI JOIN graft_ct_tomb_sql t ON i.sk = t.sk",
+          "train_id, sk")
+        compact("graft_ct_df_sql",
+          "SELECT /*+ REPARTITION(4) */ sk, sum(df) AS df " +
+            "FROM graft_ct_df_sql GROUP BY sk",
+          "sk, df")
+        compact("graft_ct_sets_sql",
+          "SELECT /*+ REPARTITION(4) */ doc_id, n_sh, shs FROM graft_ct_sets_sql",
+          "doc_id, n_sh, shs")
+        // tombstones are applied into inv — empty the table (0-row write)
+        s.sql("INSERT OVERWRITE graft_ct_tomb_sql " +
+          "SELECT CAST(NULL AS BIGINT) AS sk WHERE 1 = 0")
+        new java.io.File(s"$idxDir/_UPDATED").createNewFile()
+      }
+      // day-3 probe: the decontaminationFromIndex plan as one statement
+      // (anti-join kept for generality — post-compaction tomb is empty)
+      s.sql(s"WITH ${shingleSetCtes("doc_id % 4 = 0")}, " +
+        "eff AS (SELECT i.train_id, i.sk FROM graft_ct_inv_sql i " +
+        "LEFT ANTI JOIN graft_ct_tomb_sql tb ON i.sk = tb.sk), " +
+        "xinv AS (SELECT doc_id AS test_id, sk FROM bsets " +
+        "LATERAL VIEW explode(shs) t AS sk), " +
+        "cand AS (SELECT DISTINCT x.test_id, e.train_id FROM xinv x " +
+        "JOIN eff e ON x.sk = e.sk), " +
+        "scored AS (SELECT c.test_id, c.train_id, " +
+        "round(CAST(graft_sorted_intersect_size(x.shs, ts.shs) AS DOUBLE) / " +
+        "CAST(size(x.shs) AS DOUBLE), 6) AS containment " +
+        "FROM cand c JOIN bsets x ON c.test_id = x.doc_id " +
+        "JOIN graft_ct_sets_sql ts ON c.train_id = ts.doc_id) " +
+        "SELECT test_id, train_id, containment FROM scored " +
+        "WHERE containment >= 0.5 ORDER BY test_id, train_id")
+    }),
+
     // D8: incremental ingest dedup — new batch (doc_id % 10 = 0) anti-joined
     // against the existing corpus's fingerprint set
     "d8_incremental_dedup" -> ((s, d) => {
@@ -3462,18 +3571,35 @@ object SparkEntry {
     * `Dedup.bandKeys` at n=3, 64 perms, 32 bands × 2 rows per band.
     */
   private def minhashBatchCtes(pred: String): String =
+    s"${shingleSetCtes(pred)}, " +
+      "bsigs AS (SELECT doc_id, size(shs) AS n_sh, shs, " +
+      "transform(sequence(0, 63), p -> array_min(transform(shs, h -> xxhash64(p, h)))) AS sigs " +
+      "FROM bsets), " +
+      "bbands AS (SELECT doc_id, band, hash(slice(sigs, band * 2 + 1, 2)) AS bkey " +
+      "FROM bsigs LATERAL VIEW explode(sequence(0, 31)) t AS band)"
+
+  /** The SQL-text trigram shingle-set chain over `documents` rows matching
+    * `pred` — `bsets(doc_id, n_chars, shs)`, mirroring `Dedup.shingleSets`
+    * at n=3 (sorted distinct xxhash64 keys). The shared base of the
+    * minhash SQL surface ([[minhashBatchCtes]]) and the containment SQL
+    * lifecycle (d7f), so the two families' shingling can never drift.
+    */
+  private def shingleSetCtes(pred: String): String =
     s"batch AS (SELECT doc_id, text, n_chars FROM documents WHERE $pred), " +
       "words AS (SELECT doc_id, n_chars, split(lower(trim(text)), '\\\\s+') AS w FROM batch), " +
       "bsets AS (SELECT doc_id, n_chars, CASE WHEN size(w) - 2 > 0 THEN " +
       "array_sort(transform(array_distinct(transform(sequence(0, size(w) - 3), " +
       "i -> concat_ws(' ', element_at(w, CAST(i + 1 AS INT)), " +
       "element_at(w, CAST(i + 2 AS INT)), element_at(w, CAST(i + 3 AS INT))))), " +
-      "s -> xxhash64(s))) ELSE CAST(array() AS ARRAY<BIGINT>) END AS shs FROM words), " +
-      "bsigs AS (SELECT doc_id, size(shs) AS n_sh, shs, " +
-      "transform(sequence(0, 63), p -> array_min(transform(shs, h -> xxhash64(p, h)))) AS sigs " +
-      "FROM bsets), " +
-      "bbands AS (SELECT doc_id, band, hash(slice(sigs, band * 2 + 1, 2)) AS bkey " +
-      "FROM bsigs LATERAL VIEW explode(sequence(0, 31)) t AS band)"
+      "s -> xxhash64(s))) ELSE CAST(array() AS ARRAY<BIGINT>) END AS shs FROM words)"
+
+  /** The batch inverted-pair + df CTEs over a prepared `bsets` — the d7f
+    * lifecycle's working set: `binv(train_id, sk)` and `bdf(sk, df)`.
+    */
+  private val containmentBatchCtes: String =
+    "binv AS (SELECT doc_id AS train_id, sk FROM bsets " +
+      "LATERAL VIEW explode(shs) t AS sk), " +
+      "bdf AS (SELECT sk, count(*) AS df FROM binv GROUP BY sk)"
 
   /** The SQL-text minhash ingest probe: band-key equi-join candidates
     * against `bandsTable`, exact-Jaccard verify against `setsTable` with
@@ -4688,6 +4814,11 @@ object SparkEntry {
     // probe must still produce d7's relation bit-for-bit (tombstones now
     // applied into inv/ instead of anti-joined at read time)
     "d7d_decon_compact" -> d7OracleSql,
+
+    // the SQL-text lifecycle (build → fold → compact → probe as pure SQL,
+    // df-cap tombstones included) must land on the same from-scratch
+    // relation as every other d7 sibling
+    "d7f_decon_lifecycle_sql" -> d7OracleSql,
 
     // components over the same pairs via transitive closure (recursive CTE)
     "d6_components" -> d6OracleSql,

@@ -77,4 +77,41 @@ class SqlSurfaceSpec extends SparkTestBase {
     val expect = Tables.orders(spark, sf).select("o_custkey").distinct().count()
     assert(top == expect)
   }
+
+  test("d7f SQL lifecycle applies df-cap tombstones (non-vacuous at maxDf=50)") {
+    // the sf0.01 oracle fixture never pushes a trigram past df=50, so the
+    // SQL tombstone arm would be green vacuously — this fixture forces it:
+    // a hot trigram indexed at df=40 on day 1 crosses the cap (40+20=60)
+    // on day 2, so its 40 BASE inv entries must vanish at probe time
+    import spark.implicits._
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    val hot = "alpha beta gamma"
+    val day1 = (0 until 40).map(i => (1L + 4 * i, s"$hot filler$i pad$i"))
+    val day2 = (0 until 20).map(i => (3L + 4 * i, s"$hot junk$i more$i"))
+    val tests = Seq(
+      (0L, hot),                       // only link is the over-cap trigram
+      (4L, s"$hot filler5 pad5"))      // rare link to day-1 doc 21 survives
+    val docs = (day1 ++ day2 ++ tests).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("spec").as("source"), length(col("text")).as("n_chars"))
+    val dir = "target/tmp/sqlsurface_d7f"
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run() = SparkEntry.queries("d7f_decon_lifecycle_sql")(spark, dir)
+      .select("test_id", "train_id", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    val got = run()
+    val want = graft.operators.Dedup.decontaminationPairs(
+      docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", n = 3, threshold = 0.5, maxDf = 50)
+      .select("test_id", "train_id", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want, s"SQL lifecycle $got != from-scratch $want")
+    assert(!got.exists(_._1 == 0L),
+      s"tombstoned trigram resurrected a pair through stale inv rows: $got")
+    assert(got.exists(t => t._1 == 4L && t._2 == 21L),
+      s"surviving rare trigrams must still produce candidates: $got")
+    // staged idempotency: the second call takes the _UPDATED path over the
+    // compacted tables and must land on the same relation
+    assert(run() == got, "replay over the staged index diverged")
+  }
 }
