@@ -3391,66 +3391,28 @@ object SparkEntry {
       Tables.registerAll(s, d)
       val srcFile = new java.io.File(s"$d/documents.parquet")
       val idxDir = s"${scratchDir(d)}/d2h_mh_index_${stageKey(srcFile, "n3b32r2m7sql")}"
-      s.sql("DROP TABLE IF EXISTS graft_mh_sets_sql")
-      s.sql("DROP TABLE IF EXISTS graft_mh_bands_sql")
-      // crash idempotency: _UPDATED is written only after all inserts +
-      // compaction, but DROP TABLE does not clear a LOCATION dir — a run
-      // that died mid-update leaves partial rows the re-created tables
-      // would silently re-adopt (day-1 rows then insert twice). Absent
-      // marker ⇒ clear both table dirs so every build starts from empty.
-      if (!new java.io.File(s"$idxDir/_UPDATED").exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(s"$idxDir/sets"))
-        rm(new java.io.File(s"$idxDir/bands"))
-      }
-      s.sql("CREATE TABLE graft_mh_sets_sql (doc_id BIGINT, n_sh INT, " +
-        s"shs ARRAY<BIGINT>) USING parquet LOCATION '$idxDir/sets'")
-      s.sql("CREATE TABLE graft_mh_bands_sql (doc_id BIGINT, band INT, " +
-        s"bkey INT) USING parquet LOCATION '$idxDir/bands'")
-      if (!new java.io.File(s"$idxDir/_UPDATED").exists()) {
-        // day-1 build: the corpus' set rows and band keys
-        s.sql(s"WITH ${minhashBatchCtes("doc_id % 7 >= 2")} " +
-          "INSERT INTO graft_mh_sets_sql SELECT doc_id, n_sh, shs FROM bsigs")
-        s.sql(s"WITH ${minhashBatchCtes("doc_id % 7 >= 2")} " +
-          "INSERT INTO graft_mh_bands_sql SELECT doc_id, band, bkey FROM bbands")
-        // day-2 probe + fold: survivors (batch anti-join matched) append
-        // their set rows, then their band keys — see ordering note above
-        def fold(insert: String) =
-          s"WITH ${minhashBatchCtes("doc_id % 7 = 0")}, " +
-            "cand AS (SELECT DISTINCT b.doc_id AS id_1, i.doc_id AS id_2 " +
-            "FROM bbands b JOIN graft_mh_bands_sql i " +
-            "ON b.band = i.band AND b.bkey = i.bkey), " +
-            "scored AS (SELECT c.id_1, " +
-            "CAST(graft_sorted_intersect_size(l.shs, r.shs) AS DOUBLE) AS inter, " +
-            "CAST(l.n_sh + r.n_sh AS DOUBLE) AS sz FROM cand c " +
-            "JOIN bsigs l ON c.id_1 = l.doc_id " +
-            "JOIN graft_mh_sets_sql r ON c.id_2 = r.doc_id), " +
-            "matched AS (SELECT DISTINCT id_1 FROM scored " +
-            "WHERE round(CASE WHEN sz - inter > 0 THEN inter / (sz - inter) " +
-            "ELSE 0.0 END, 6) >= 0.5) " + insert
-        s.sql(fold("INSERT INTO graft_mh_sets_sql " +
-          "SELECT s2.doc_id, s2.n_sh, s2.shs FROM bsigs s2 " +
-          "LEFT ANTI JOIN matched m ON s2.doc_id = m.id_1"))
-        s.sql(fold("INSERT INTO graft_mh_bands_sql " +
-          "SELECT bb.doc_id, bb.band, bb.bkey FROM bbands bb " +
-          "LEFT ANTI JOIN matched m ON bb.doc_id = m.id_1"))
-        // compaction: settle the delta files per table (the d8f compose —
-        // a file-source table cannot INSERT OVERWRITE from itself)
-        Seq("graft_mh_sets_sql" -> "doc_id, n_sh, shs",
-          "graft_mh_bands_sql" -> "doc_id, band, bkey").foreach { case (t, cols) =>
-          s.sql(s"DROP TABLE IF EXISTS ${t}_stage")
-          s.sql(s"CREATE TABLE ${t}_stage USING parquet AS " +
-            s"SELECT /*+ REPARTITION(4) */ $cols FROM $t")
-          s.sql(s"INSERT OVERWRITE $t SELECT $cols FROM ${t}_stage")
-          s.sql(s"DROP TABLE ${t}_stage")
-        }
-        new java.io.File(s"$idxDir/_UPDATED").createNewFile()
-      }
+      minhashIndexSqlStage(s, idxDir, "graft_mh_sets_sql", "graft_mh_bands_sql",
+        buildPred = "doc_id % 7 >= 2", dayPreds = Seq("doc_id % 7 = 0"))
       s.sql(minhashProbeSql("doc_id % 7 = 1",
         "graft_mh_sets_sql", "graft_mh_bands_sql"))
+    }),
+
+    // D2i: d2h under REPEATED maintenance — build, then TWO fold+compact
+    // cycles (day-2 %7=2, day-3 %7=0), then the day-4 probe: proves the
+    // SQL CTAS-compact is idempotent under the update→compact→update
+    // cadence a daily pipeline actually runs (the d8d lesson applied to
+    // the two-table index), not just a single settle. Oracle = the
+    // from-scratch three-generation relation (each day screened against
+    // everything admitted before it).
+    "d2i_index_multi_compact_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val srcFile = new java.io.File(s"$d/documents.parquet")
+      val idxDir = s"${scratchDir(d)}/d2i_mh_index_${stageKey(srcFile, "n3b32r2m7sql2c")}"
+      minhashIndexSqlStage(s, idxDir, "graft_mh_sets_sql2", "graft_mh_bands_sql2",
+        buildPred = "doc_id % 7 >= 3",
+        dayPreds = Seq("doc_id % 7 = 2", "doc_id % 7 = 0"))
+      s.sql(minhashProbeSql("doc_id % 7 = 1",
+        "graft_mh_sets_sql2", "graft_mh_bands_sql2"))
     }),
 
     // D8c: d8 replayed from the materialized fingerprint index — the
@@ -3577,6 +3539,83 @@ object SparkEntry {
       "FROM bsets), " +
       "bbands AS (SELECT doc_id, band, hash(slice(sigs, band * 2 + 1, 2)) AS bkey " +
       "FROM bsigs LATERAL VIEW explode(sequence(0, 31)) t AS band)"
+
+  /** The d2h/d2i SQL index lifecycle, staged once per `idxDir`: (re)point
+    * the two external-LOCATION tables at it, and if the `_UPDATED` marker
+    * is absent run day-1 build from `buildPred` then ONE fold+compact
+    * cycle per `dayPreds` entry, in order — every statement pure SQL
+    * text. UPDATE ORDER MATTERS: survivor SET rows insert BEFORE survivor
+    * band keys — candidates draw id_2 from the BANDS table, so inserting
+    * bands first would pair each survivor with itself (Jaccard 1.0) and
+    * mark the whole batch as matched; with sets first, the added set rows
+    * are unreachable (no band entry yet) until the bands insert completes
+    * the fold. Compaction per cycle = the CTAS-stage compose per table (a
+    * file-source table cannot INSERT OVERWRITE from itself). Crash
+    * idempotency: `_UPDATED` is written only after all inserts +
+    * compactions, and DROP TABLE does not clear a LOCATION dir, so an
+    * absent marker clears both table dirs before the build — a run that
+    * died mid-update cannot leave partial rows for the rerun to re-adopt.
+    */
+  private def minhashIndexSqlStage(s: SparkSession, idxDir: String,
+                                   setsT: String, bandsT: String,
+                                   buildPred: String,
+                                   dayPreds: Seq[String]): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $setsT")
+    s.sql(s"DROP TABLE IF EXISTS $bandsT")
+    val staged = new java.io.File(s"$idxDir/_UPDATED").exists()
+    if (!staged) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$idxDir/sets"))
+      rm(new java.io.File(s"$idxDir/bands"))
+    }
+    s.sql(s"CREATE TABLE $setsT (doc_id BIGINT, n_sh INT, " +
+      s"shs ARRAY<BIGINT>) USING parquet LOCATION '$idxDir/sets'")
+    s.sql(s"CREATE TABLE $bandsT (doc_id BIGINT, band INT, " +
+      s"bkey INT) USING parquet LOCATION '$idxDir/bands'")
+    if (!staged) {
+      // day-1 build: the corpus' set rows and band keys
+      s.sql(s"WITH ${minhashBatchCtes(buildPred)} " +
+        s"INSERT INTO $setsT SELECT doc_id, n_sh, shs FROM bsigs")
+      s.sql(s"WITH ${minhashBatchCtes(buildPred)} " +
+        s"INSERT INTO $bandsT SELECT doc_id, band, bkey FROM bbands")
+      dayPreds.foreach { pred =>
+        // probe + fold: survivors (batch anti-join matched) append their
+        // set rows, then their band keys — see ordering note above
+        def fold(insert: String) =
+          s"WITH ${minhashBatchCtes(pred)}, " +
+            "cand AS (SELECT DISTINCT b.doc_id AS id_1, i.doc_id AS id_2 " +
+            s"FROM bbands b JOIN $bandsT i " +
+            "ON b.band = i.band AND b.bkey = i.bkey), " +
+            "scored AS (SELECT c.id_1, " +
+            "CAST(graft_sorted_intersect_size(l.shs, r.shs) AS DOUBLE) AS inter, " +
+            "CAST(l.n_sh + r.n_sh AS DOUBLE) AS sz FROM cand c " +
+            "JOIN bsigs l ON c.id_1 = l.doc_id " +
+            s"JOIN $setsT r ON c.id_2 = r.doc_id), " +
+            "matched AS (SELECT DISTINCT id_1 FROM scored " +
+            "WHERE round(CASE WHEN sz - inter > 0 THEN inter / (sz - inter) " +
+            "ELSE 0.0 END, 6) >= 0.5) " + insert
+        s.sql(fold(s"INSERT INTO $setsT " +
+          "SELECT s2.doc_id, s2.n_sh, s2.shs FROM bsigs s2 " +
+          "LEFT ANTI JOIN matched m ON s2.doc_id = m.id_1"))
+        s.sql(fold(s"INSERT INTO $bandsT " +
+          "SELECT bb.doc_id, bb.band, bb.bkey FROM bbands bb " +
+          "LEFT ANTI JOIN matched m ON bb.doc_id = m.id_1"))
+        // compaction: settle the delta files per table (the d8f compose)
+        Seq(setsT -> "doc_id, n_sh, shs",
+          bandsT -> "doc_id, band, bkey").foreach { case (t, cols) =>
+          s.sql(s"DROP TABLE IF EXISTS ${t}_stage")
+          s.sql(s"CREATE TABLE ${t}_stage USING parquet AS " +
+            s"SELECT /*+ REPARTITION(4) */ $cols FROM $t")
+          s.sql(s"INSERT OVERWRITE $t SELECT $cols FROM ${t}_stage")
+          s.sql(s"DROP TABLE ${t}_stage")
+        }
+      }
+      new java.io.File(s"$idxDir/_UPDATED").createNewFile()
+    }
+  }
 
   /** The SQL-text trigram shingle-set chain over `documents` rows matching
     * `pred` — `bsets(doc_id, n_chars, shs)`, mirroring `Dedup.shingleSets`
@@ -6140,6 +6179,11 @@ object SparkEntry {
     // lifecycle maintains — one from-scratch oracle gates both
     "d2h_index_update_sql" -> d2dOracleSql,
 
+    // two fold+compact cycles must land on the three-generation
+    // from-scratch relation — the CTAS-compact proven idempotent under
+    // repeated maintenance
+    "d2i_index_multi_compact_sql" -> d2iOracleSql,
+
     "d8d_index_update" -> d8dOracleSql,
 
     // the SQL-text lifecycle must land on the exact same day-3 relation
@@ -6344,4 +6388,29 @@ object SparkEntry {
       "HAVING round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5) " +
       "SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 = 1 " +
       "AND doc_id NOT IN (SELECT id_1 FROM m3) ORDER BY doc_id"
+
+  /** d2i's three-generation from-scratch relation: day-2 (%7=2) screens
+    * against the day-1 build (%7>=3), day-3 (%7=0) against day-1 ∪ day-2
+    * survivors, the day-4 probe (%7=1) against everything admitted.
+    */
+  private val d2iOracleSql: String = {
+    val jac = "GROUP BY a.doc_id, b.doc_id HAVING round(count(*)::DOUBLE / " +
+      "(any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) >= 0.5"
+    s"WITH $trigramInvCtes, " +
+      "m2 AS (SELECT a.doc_id AS id_1 " +
+      s"FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id % 7 = 2 AND b.doc_id % 7 >= 3 $jac), " +
+      "s2 AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 2 " +
+      "AND doc_id NOT IN (SELECT id_1 FROM m2)), " +
+      "m3 AS (SELECT a.doc_id AS id_1 " +
+      "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id % 7 = 0 " +
+      s"AND (b.doc_id % 7 >= 3 OR b.doc_id IN (SELECT doc_id FROM s2)) $jac), " +
+      "s3 AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0 " +
+      "AND doc_id NOT IN (SELECT id_1 FROM m3)), " +
+      "m4 AS (SELECT a.doc_id AS id_1 " +
+      "FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id % 7 = 1 " +
+      "AND (b.doc_id % 7 >= 3 OR b.doc_id IN (SELECT doc_id FROM s2) " +
+      s"OR b.doc_id IN (SELECT doc_id FROM s3)) $jac) " +
+      "SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 = 1 " +
+      "AND doc_id NOT IN (SELECT id_1 FROM m4) ORDER BY doc_id"
+  }
 }
