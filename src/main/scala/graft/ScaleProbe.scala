@@ -280,10 +280,12 @@ object ScaleProbe {
     val shufWrite = new AtomicLong(0)
     val shufRead = new AtomicLong(0)
     // per-stage attribution (stageId → (memSpill, diskSpill, coreTimeNs,
-    // name)): the probe totals say THAT a query spills or is slow; the
-    // top-stages lines say WHERE, keyed back to the plan by stage name
+    // taskCount, name)): the probe totals say THAT a query spills or is
+    // slow; the top-stages lines say WHERE, keyed back to the plan by
+    // stage name — the TASK COUNT is the stage's executed width, i.e.
+    // the number AQE actually ran (the bytes-coalescing audit reads it)
     private val stages =
-      scala.collection.concurrent.TrieMap.empty[Int, (Long, Long, Long, String)]
+      scala.collection.concurrent.TrieMap.empty[Int, (Long, Long, Long, Long, String)]
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
@@ -292,27 +294,27 @@ object ScaleProbe {
         diskSpill.addAndGet(m.diskBytesSpilled)
         shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        val (ms, ds, rt, n) = stages.getOrElse(te.stageId, (0L, 0L, 0L, ""))
+        val (ms, ds, rt, tc, n) = stages.getOrElse(te.stageId, (0L, 0L, 0L, 0L, ""))
         stages.put(te.stageId, (ms + m.memoryBytesSpilled,
-          ds + m.diskBytesSpilled, rt + m.executorRunTime * 1000000L, n))
+          ds + m.diskBytesSpilled, rt + m.executorRunTime * 1000000L, tc + 1, n))
         ()
       }
     }
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val id = sc.stageInfo.stageId
-      stages.get(id).foreach { case (ms, ds, rt, _) =>
-        stages.put(id, (ms, ds, rt, sc.stageInfo.name.takeWhile(_ != '\n').take(80)))
+      stages.get(id).foreach { case (ms, ds, rt, tc, _) =>
+        stages.put(id, (ms, ds, rt, tc, sc.stageInfo.name.takeWhile(_ != '\n').take(80)))
       }
     }
     def topSpillStages(k: Int = 5): String =
       stages.toSeq.filter(t => t._2._1 > 0 || t._2._2 > 0)
         .sortBy(t => -(t._2._1 + t._2._2)) // mem+disk: a pure disk-spiller
-        .take(k).map { case (id, (ms, ds, _, n)) => // must not drop out
-          f"stage $id [$n]: mem ${ms / 1e9}%.1f GB disk ${ds / 1e9}%.1f GB"
+        .take(k).map { case (id, (ms, ds, _, tc, n)) => // must not drop out
+          f"stage $id [$n]: mem ${ms / 1e9}%.1f GB disk ${ds / 1e9}%.1f GB ($tc tasks)"
         }.mkString(" | ")
     def topTimeStages(k: Int = 5): String =
-      stages.toSeq.sortBy(-_._2._3).take(k).map { case (id, (_, _, rt, n)) =>
-        f"stage $id [$n]: ${rt / 1e9}%.1f core-s"
+      stages.toSeq.sortBy(-_._2._3).take(k).map { case (id, (_, _, rt, tc, n)) =>
+        f"stage $id [$n]: ${rt / 1e9}%.1f core-s / $tc tasks"
       }.mkString(" | ")
     def reset(): Unit = {
       Seq(peakTaskMem, memSpill, diskSpill, shufWrite, shufRead).foreach(_.set(0))

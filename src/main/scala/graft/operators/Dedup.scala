@@ -2009,18 +2009,40 @@ object Dedup {
     * `unbounded = true` plan; [[embeddingIncrementalAuto]]'s under-gate
     * branch).
     */
+  /** `pricedRows` (the d5h/d5i gate's Σ n_batch·n_corpus bucket pricing,
+    * 0 = unknown) switches to the VERIFY-IN-JOIN shape — the
+    * [[embeddingLshBanded]] fix in the cross-corpus form: corpus vectors
+    * ride their band rows (linear) instead of shipping once per
+    * candidate, the cosine evaluates inside the band join, and only
+    * matched batch ids reach the distinct.
+    */
   private def embeddingIncrementalBanded(newVecs: DataFrame, corpus: DataFrame,
                                          idCol: String, vecCol: String,
                                          threshold: Double, dim: Int,
                                          bands: Int, bitsPerBand: Int,
-                                         ordinal: Boolean): DataFrame = {
-    val candidates = Similarity.lshCandidatesCross(newVecs, corpus, idCol, vecCol,
-      dim, bands, bitsPerBand, ordinal)
-    val v1 = newVecs.select(col(idCol).as("id_1"), col(vecCol).as("v_1"))
-    val v2 = corpus.select(col(idCol).as("id_2"), col(vecCol).as("v_2"))
-    val matched = candidates.join(v1, "id_1").join(v2, "id_2")
-      .filter(round(Vectors.cosine(col("v_1"), col("v_2")), 6) >= threshold)
-      .select("id_1").distinct()
+                                         ordinal: Boolean,
+                                         pricedRows: Long = 0L): DataFrame = {
+    val matched =
+      if (pricedRows <= 0) {
+        val candidates = Similarity.lshCandidatesCross(newVecs, corpus, idCol,
+          vecCol, dim, bands, bitsPerBand, ordinal)
+        val v1 = newVecs.select(col(idCol).as("id_1"), col(vecCol).as("v_1"))
+        val v2 = corpus.select(col(idCol).as("id_2"), col(vecCol).as("v_2"))
+        candidates.join(v1, "id_1").join(v2, "id_2")
+          .filter(round(Vectors.cosine(col("v_1"), col("v_2")), 6) >= threshold)
+          .select("id_1").distinct()
+      } else {
+        val l0 = Similarity.bandRowsWithVec(newVecs, idCol, "id_1", "v_1",
+          vecCol, dim, bands, bitsPerBand, ordinal)
+        val r0 = Similarity.bandRowsWithVec(corpus, idCol, "id_2", "v_2",
+          vecCol, dim, bands, bitsPerBand, ordinal)
+        val w = 1L << 16
+        val l = spreadKernel(l0, pricedRows, w, col("band"), col("bkey"))
+        val r = spreadKernel(r0, pricedRows, w, col("band"), col("bkey"))
+        l.join(r, Seq("band", "bkey"))
+          .filter(round(Vectors.cosine(col("v_1"), col("v_2")), 6) >= threshold)
+          .select("id_1").distinct()
+      }
     newVecs.join(matched, newVecs(idCol) === matched("id_1"), "left_anti")
   }
 
@@ -2086,7 +2108,7 @@ object Dedup {
     val allPairs = BigInt(newVecs.count()) * BigInt(corpus.count())
     if (BigInt(pairCost) * BigInt(admissionDenom) <= allPairs)
       embeddingIncrementalBanded(newVecs, corpus, idCol, vecCol, threshold,
-        dim, bands, bitsPerBand, ordinal)
+        dim, bands, bitsPerBand, ordinal, pricedRows = pairCost)
     else
       embeddingIncrementalExact(newVecs, corpus, idCol, vecCol, threshold)
   }
@@ -2615,7 +2637,11 @@ object Dedup {
     val n = df.count()
     val allPairs = BigInt(n) * BigInt(n - 1) / 2
     if (BigInt(pairCost) * BigInt(admissionDenom) <= allPairs)
-      embeddingLshBanded(df, idCol, vecCol, threshold, dim, bands, bitsPerBand, ordinal)
+      // the banded branch rides the gate's own pricing: pairCost IS the
+      // admitted candidate volume, so the verify exchanges run at the
+      // kernel width it implies instead of the session default
+      embeddingLshBanded(df, idCol, vecCol, threshold, dim, bands, bitsPerBand,
+        ordinal, pricedRows = pairCost)
     else
       embeddingNearDups(df, idCol, vecCol, threshold)
   }
@@ -2652,16 +2678,53 @@ object Dedup {
 
   /** The banded self-join LSH body ([[embeddingNearDupsLSH]]'s
     * `unbounded = true` plan; [[embedNearDupAuto]]'s under-gate branch).
+    *
+    * Two physical shapes, same relation:
+    *   - `pricedRows = 0` (the unbounded reference regime): distinct the
+    *     candidate pairs first, then join both vectors on — each cosine
+    *     evaluates exactly once, but EVERY candidate carries two 256-byte
+    *     vectors through id-keyed exchanges.
+    *   - `pricedRows > 0` (the gate's Σ b(b−1)/2 pricing): VERIFY IN THE
+    *     BAND JOIN — vectors ride the band rows (`bands`× the corpus,
+    *     linear), the cosine evaluates inside the join stage, and only
+    *     SURVIVORS reach the final distinct. The r16 sweep's find forced
+    *     this: at 100× the gate correctly ADMITS ~1.2e9 candidates
+    *     (sub-quadratic — the admission contract holds), but
+    *     distinct-first then shipped a vector per candidate — the second
+    *     id join's exchange alone priced ~400 GB and exhausted the probe
+    *     box's disk, and no exchange WIDTH fixes a per-candidate payload.
+    *     Kernel work matches the gate's bound exactly (a pair costs one
+    *     cosine per colliding band — Σ b(b−1)/2 is precisely that count),
+    *     and the band exchanges spread at [[kernelWidth]] so per-task
+    *     in-join work stays at the quantum.
     */
   private def embeddingLshBanded(df: DataFrame, idCol: String, vecCol: String,
                                  threshold: Double, dim: Int, bands: Int,
-                                 bitsPerBand: Int, ordinal: Boolean): DataFrame = {
-    val candidates = Similarity.lshCandidates(df, idCol, vecCol, dim, bands, bitsPerBand, ordinal)
-    val v1 = df.select(col(idCol).as("id_1"), col(vecCol).as("v_1"))
-    val v2 = df.select(col(idCol).as("id_2"), col(vecCol).as("v_2"))
-    candidates.join(v1, "id_1").join(v2, "id_2")
-      .withColumn("cosine", round(Vectors.cosine(col("v_1"), col("v_2")), 6))
-      .filter(col("cosine") >= threshold)
-      .select("id_1", "id_2", "cosine")
+                                 bitsPerBand: Int, ordinal: Boolean,
+                                 pricedRows: Long = 0L): DataFrame = {
+    if (pricedRows <= 0) {
+      val candidates = Similarity.lshCandidates(df, idCol, vecCol, dim, bands,
+        bitsPerBand, ordinal)
+      val v1 = df.select(col(idCol).as("id_1"), col(vecCol).as("v_1"))
+      val v2 = df.select(col(idCol).as("id_2"), col(vecCol).as("v_2"))
+      candidates.join(v1, "id_1").join(v2, "id_2")
+        .withColumn("cosine", round(Vectors.cosine(col("v_1"), col("v_2")), 6))
+        .filter(col("cosine") >= threshold)
+        .select("id_1", "id_2", "cosine")
+    } else {
+      val l0 = Similarity.bandRowsWithVec(df, idCol, "id_1", "v_1", vecCol,
+        dim, bands, bitsPerBand, ordinal)
+      val r0 = Similarity.bandRowsWithVec(df, idCol, "id_2", "v_2", vecCol,
+        dim, bands, bitsPerBand, ordinal)
+      val w = 1L << 16
+      val l = spreadKernel(l0, pricedRows, w, col("band"), col("bkey"))
+      val r = spreadKernel(r0, pricedRows, w, col("band"), col("bkey"))
+      l.join(r, Seq("band", "bkey"))
+        .filter(col("id_1") < col("id_2"))
+        .withColumn("cosine", round(Vectors.cosine(col("v_1"), col("v_2")), 6))
+        .filter(col("cosine") >= threshold)
+        .select("id_1", "id_2", "cosine")
+        .distinct()
+    }
   }
 }

@@ -255,6 +255,28 @@ object Similarity {
       .select(col(as), col("bd.band"), col("bd.bkey"))
   }
 
+  /** [[bandRows]] CARRYING the vector itself (`vecAs`) — the verify-in-join
+    * input ([[graft.operators.Dedup]]'s gated banded branches): vectors
+    * then shuffle once per BAND ROW (`bands`× the corpus — linear), never
+    * once per candidate, and the cosine evaluates inside the band-join
+    * stage so no candidate-sized exchange ever carries a payload. Same
+    * single sketch definition as [[bandRows]] — the two can never drift.
+    */
+  private[operators] def bandRowsWithVec(df: DataFrame, idCol: String, as: String,
+                                         vecAs: String, vecCol: String, dim: Int,
+                                         bands: Int, bitsPerBand: Int,
+                                         ordinal: Boolean): DataFrame = {
+    def sketch(b: Int) =
+      if (ordinal) ordinalSketch(col(vecCol), dim, bitsPerBand, seed = 1000L + b)
+      else signSketch(col(vecCol), dim, bitsPerBand, seed = 1000L + b)
+    graft.functions.ArrayOps.explodeDense(df,
+      Seq(col(idCol).as(as), col(vecCol).as(vecAs)),
+      array((0 until bands).map { b =>
+        struct(lit(b).as("band"), sketch(b).as("bkey"))
+      }: _*), "bd")
+      .select(col(as), col(vecAs), col("bd.band"), col("bd.bkey"))
+  }
+
   /** Per-label embedding centroids in long format: (label, n_vecs,
     * dim_idx, centroid_val). One aggregation with `dim` per-coordinate
     * `avg(element_at(vec, i))` columns — partial-aggregated map-side, so
