@@ -1404,15 +1404,24 @@ object Dedup {
       .select(col(idCol), col("simhash"), col("cd.chunk"), col("cd.ckey"))
     val l = chunked.select(col(idCol).as("id_1"), col("simhash").as("sh_1"), col("chunk"), col("ckey"))
     val r = chunked.select(col(idCol).as("id_2"), col("simhash").as("sh_2"), col("chunk"), col("ckey"))
+    // FIRST-AGREEING-CHUNK collapse instead of a distinct (the fuzzy
+    // path's chunkDedup trick, r16 sweep): a qualifying pair agrees on
+    // ≥1 of the 4 chunks and is emitted exactly at its first agreeing
+    // chunk, so the relation needs NO pair dedup at all. The .distinct()
+    // it replaces buffered up to 4 copies of every within-threshold pair
+    // in its partial aggregate — 19.9 GB of memory spill at 100× (both
+    // sketches are in hand here, so the earlier-chunk check is three
+    // codegen'd mask compares, not a join).
+    val earlierChunkAgrees = (0 until 3).map { c =>
+      col("chunk") > c &&
+        shiftrightunsigned(col("sh_1"), c * 15).bitwiseAND(lit(0x7FFFL)) ===
+        shiftrightunsigned(col("sh_2"), c * 15).bitwiseAND(lit(0x7FFFL))
+    }.reduce(_ || _)
     l.join(r, Seq("chunk", "ckey"))
-      .filter(col("id_1") < col("id_2"))
+      .filter(col("id_1") < col("id_2") && !earlierChunkAgrees)
       .select(col("id_1"), col("id_2"),
         bit_count(col("sh_1").bitwiseXOR(col("sh_2"))).as("hamming"))
-      // filter BEFORE distinct: the dedup exchange then carries only
-      // within-threshold pairs, not every chunk collision (on a dense
-      // corpus the collision set is orders of magnitude larger)
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** D9 — fuzzy near-dup pairs verified by EDIT DISTANCE: SimHash banding
