@@ -127,6 +127,12 @@ object ScaleProbe {
       Dedup.keepBest(Tables.documents(s, d), "doc_id",
         Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", 0.5),
         "n_chars", localEdgeLimit = 0L)),
+    // canonical-keep on the same subquadratic pairs — the d6b label
+    // machinery's third-decade row (r15 #5)
+    "p_d6b_mh_distributed" -> ((s, d) =>
+      Dedup.keepCanonical(Tables.documents(s, d), "doc_id",
+        Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text", 0.5),
+        localEdgeLimit = 0L)),
     // d2f at scale: the same heavy exact-duplicate load (25% of docs
     // re-entered 8× → classes of size 9, a web-crawl-like dup rate) run
     // through the plain LSH vs the collapse-first entry. Identical output
