@@ -313,14 +313,39 @@ object TermStats {
         filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0).as("_w"))
       .select(col(idCol), col("_w"), size(col("_w")).cast("long").as("n_tokens"))
 
-  private def dupWindowStarts(base: DataFrame, idCol: String, w: Int): DataFrame = {
-    val wins = base.filter(col("n_tokens") >= w)
+  /** Corpus token volume — the span family's priced row count (windows ≈
+    * tokens ≈ exploded positions), turned into kernel-exchange widths by
+    * [[graft.operators.Dedup.spreadKernel]]. One narrow tokenize+sum pass;
+    * the r16 1000× probe measured WHY it is worth paying: at the fixed
+    * session width the t18/t19 window/position exchanges held 1.4–1.8 GB
+    * of per-task state that grew ~9× per decade — the corpus-derived
+    * width keeps per-task state at the quantum, the sizing every other
+    * kernel-heavy family already derives.
+    */
+  private def tokenVolume(base: DataFrame): Long = {
+    val r = base.agg(sum(col("n_tokens"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** ~512k narrow rows (8–24 B + a token string) per task. */
+  private val SpanRowsPerTask = 1L << 19
+
+  private def dupWindowStarts(base: DataFrame, idCol: String, w: Int,
+                              pricedTokens: Long): DataFrame = {
+    val wins0 = base.filter(col("n_tokens") >= w)
       .select(col(idCol),
         explode(sequence(lit(0L), col("n_tokens") - w)).as("start"),
         col("_w"))
       .select(col(idCol), col("start"),
         xxhash64(concat_ws(" ",
           slice(col("_w"), (col("start") + 1).cast("int"), lit(w)))).as("whash"))
+    // ONE whash-keyed exchange at the priced width serves BOTH consumers
+    // (the dup-count aggregate and the probe join hash on the same key, so
+    // the repartition satisfies each side's required distribution and the
+    // exchange is REUSED) — previously the raw window stream shuffled
+    // twice at the session width
+    val wins = Dedup.spreadKernel(wins0, pricedTokens, SpanRowsPerTask,
+      col("whash"))
     val dupHashes = wins.groupBy("whash")
       .agg(count_distinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= 2).select("whash")
@@ -331,8 +356,12 @@ object TermStats {
                             w: Int): DataFrame = {
     require(w >= 1, "duplicateSpanCoverage: w must be >= 1")
     val base = tokenizedBase(docs, idCol, textCol)
+    val priced = tokenVolume(base)
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("start"))
-    val cov = dupWindowStarts(base, idCol, w)
+    // the doc-keyed repartition satisfies the window's required
+    // distribution, so the coverage window runs at the priced width too
+    val cov = Dedup.spreadKernel(dupWindowStarts(base, idCol, w, priced),
+        priced, SpanRowsPerTask, col(idCol))
       .withColumn("_prev", lag(col("start"), 1).over(byDoc))
       .withColumn("_c", when(col("_prev").isNull, lit(w.toLong))
         .otherwise(least(col("start") - col("_prev"), lit(w.toLong))))
@@ -369,14 +398,25 @@ object TermStats {
                           w: Int): DataFrame = {
     require(w >= 1, "scrubDuplicateSpans: w must be >= 1")
     val base = tokenizedBase(docs, idCol, textCol)
-    val covered = dupWindowStarts(base, idCol, w)
-      .select(col(idCol),
-        explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
+    val priced = tokenVolume(base)
+    // covered positions explode the dup starts w× (worst case ≈ w·tokens
+    // on a dup-heavy corpus); the (doc, pos)-keyed spread satisfies the
+    // distinct AND the anti join's required distribution
+    val covered = Dedup.spreadKernel(
+        dupWindowStarts(base, idCol, w, priced)
+          .select(col(idCol),
+            explode(sequence(col("start"), col("start") + (w - 1))).as("pos")),
+        priced * w, SpanRowsPerTask, col(idCol), col("pos"))
       .distinct()
-    val toks = base.select(col(idCol), posexplode(col("_w")))
-      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("tok"))
+    val toks = Dedup.spreadKernel(
+      base.select(col(idCol), posexplode(col("_w")))
+        .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("tok")),
+      priced, SpanRowsPerTask, col(idCol), col("pos"))
     val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
-    val agg = kept.groupBy(col(idCol))
+    // the survivor re-join aggregates per doc — doc-keyed spread keeps the
+    // collect_list exchange at the priced width
+    val agg = Dedup.spreadKernel(kept, priced, SpanRowsPerTask, col(idCol))
+      .groupBy(col(idCol))
       .agg(count(lit(1)).as("kept_tokens"),
         md5(concat_ws(" ",
           transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
