@@ -139,9 +139,12 @@ object SparkEntry {
         val schema = s.read.parquet(stageDir).schema
         def slice(t: String) =
           s.readStream.schema(schema).parquet(stageDir).filter(col("event_type") === t)
+        // sliced = false PINS the plain two-operator reference plan: the
+        // e6/e6b rows exist to gate that regime (the library's plain name
+        // defaults to the sliced form, which e6c gates)
         val joined = StreamOps.asofJoinStreaming(
           slice("purchase"), slice("click"), E6HorizonUs, "1 minute",
-          joinType = "left_outer")
+          joinType = "left_outer", sliced = false)
         StreamOps.runToMemoryTable(s, joined, "e6_shared_asof_sink")
       })
     }

@@ -461,7 +461,7 @@ class StreamOpsSpec extends SparkTestBase {
     val out = StreamOps.asofJoinStreaming(
       purchases.toDF().toDF("event_id", "user_id", "ts_us"),
       clicks.toDF().toDF("event_id", "user_id", "ts_us"),
-      horizonUs = 100L, watermark = "1 second")
+      horizonUs = 100L, watermark = "1 second", sliced = false)
     val q = out.writeStream.format("memory").queryName("e6_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     try {
@@ -487,7 +487,8 @@ class StreamOpsSpec extends SparkTestBase {
     val out = StreamOps.asofJoinStreaming(
       purchases.toDF().toDF("event_id", "user_id", "ts_us"),
       clicks.toDF().toDF("event_id", "user_id", "ts_us"),
-      horizonUs = 100L, watermark = "1 second", joinType = "left_outer")
+      horizonUs = 100L, watermark = "1 second", joinType = "left_outer",
+      sliced = false)
     val q = out.writeStream.format("memory").queryName("e6b_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     try {
@@ -539,7 +540,7 @@ class StreamOpsSpec extends SparkTestBase {
         StreamOps.asofJoinStreamingSliced(pDf, cDf, horizonUs = 100L,
           watermark = "1 second", joinType = jt)
       else StreamOps.asofJoinStreaming(pDf, cDf, horizonUs = 100L,
-        watermark = "1 second", joinType = jt)
+        watermark = "1 second", joinType = jt, sliced = false)
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       try q.processAllAvailable() finally q.stop()
