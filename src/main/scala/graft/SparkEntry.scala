@@ -149,10 +149,13 @@ object SparkEntry {
       })
     }
 
-  /** The e6c replay: [[graft.streaming.StreamOps.asofJoinStreamingSliced]]
-    * over the SAME staged source as e6 — the key-dense mitigation's oracle
-    * gate shares e6's SQL, so "same relation, bounded per-key state" is
-    * hash-checked, not asserted.
+  /** The e6c/e6d shared replay: [[graft.streaming.StreamOps
+    * .asofJoinStreamingSliced]] over the SAME staged source as e6, in the
+    * left-outer form (the e6SharedAsof trick: the inner relation = the
+    * left-outer rows with a non-null click side, so ONE checkpointed pass
+    * serves both gates). The key-dense mitigation's oracle gates share
+    * e6/e6b's SQL verbatim, so "same relation, bounded per-key state" is
+    * hash-checked for BOTH join semantics, not asserted.
     */
   private def e6cSlicedAsof(s: SparkSession, d: String): Option[DataFrame] =
     e6StageDir(s, d).map { stageDir =>
@@ -162,7 +165,8 @@ object SparkEntry {
         def slice(t: String) =
           s.readStream.schema(schema).parquet(stageDir).filter(col("event_type") === t)
         val joined = StreamOps.asofJoinStreamingSliced(
-          slice("purchase"), slice("click"), E6HorizonUs, "1 minute")
+          slice("purchase"), slice("click"), E6HorizonUs, "1 minute",
+          joinType = "left_outer")
         StreamOps.runToMemoryTable(s, joined, "e6c_sliced_asof_sink")
       })
     }
@@ -3095,6 +3099,22 @@ object SparkEntry {
           Seq.empty[(Long, Long, Long, Long, Long)]
             .toDF("event_id", "user_id", "ts_us", "r_event_id", "r_ts_us")
         case Some(shared) =>
+          shared.filter(col("r_event_id").isNotNull).orderBy("event_id")
+      }
+    }),
+
+    // E6d: the sliced LEFT-OUTER form — e6b's emit-on-timeout semantics
+    // under the bounded-key plan, same shared replay as e6c, gated by
+    // e6b's oracle verbatim (both sliced join types are hash-gated, not
+    // just the inner one)
+    "e6d_stream_asof_sliced_left" -> ((s, d) => {
+      Session.tune(s)
+      import s.implicits._
+      e6cSlicedAsof(s, d) match {
+        case None =>
+          Seq.empty[(Long, Long, Long, Long, Long)]
+            .toDF("event_id", "user_id", "ts_us", "r_event_id", "r_ts_us")
+        case Some(shared) =>
           shared.filter(col("event_id") >= 0).orderBy("event_id")
       }
     }),
@@ -6009,6 +6029,22 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY p.event_id " +
         "ORDER BY c.ts_us DESC, c.event_id DESC) AS rn " +
         "FROM p JOIN c ON p.user_id = c.user_id " +
+        "AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000) " +
+        "SELECT event_id, user_id, ts_us, ce AS r_event_id, cts AS r_ts_us " +
+        "FROM j WHERE rn = 1 ORDER BY event_id"),
+
+    // the sliced left-outer replay must keep unattributed purchases with
+    // a null click side exactly as e6b does — e6b's oracle verbatim
+    "e6d_stream_asof_sliced_left" ->
+      ("WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'click'), " +
+        "j AS (SELECT p.event_id, p.user_id, p.ts_us, " +
+        "c.event_id AS ce, c.ts_us AS cts, " +
+        "row_number() OVER (PARTITION BY p.event_id " +
+        "ORDER BY c.ts_us DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn " +
+        "FROM p LEFT JOIN c ON p.user_id = c.user_id " +
         "AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000) " +
         "SELECT event_id, user_id, ts_us, ce AS r_event_id, cts AS r_ts_us " +
         "FROM j WHERE rn = 1 ORDER BY event_id"),
