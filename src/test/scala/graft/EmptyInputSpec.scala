@@ -284,4 +284,21 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Dedup.fuzzyNearDupsAuto(emptySrc, "doc_id", "text", maxDist = 40)
       .count() == 0)
   }
+
+  test("round-16 additions: empty inputs degrade to empty/zero, never throw") {
+    // span scrub over no docs: schema intact, zero rows (the priced
+    // tokenVolume is 0 -> widths floor at defaultParallelism, no divide)
+    val sc = TermStats.scrubDuplicateSpans(emptyDocs, "doc_id", "text", 5)
+    assert(sc.columns.toSeq == Seq("doc_id", "n_tokens", "kept_tokens", "cleaned_md5") &&
+      sc.count() == 0)
+    // the gated embedding LSH branches with an empty corpus: the gate's
+    // pairCost/allPairs are both 0 -> banded branch over nothing
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embedNearDupAuto(emptyVecs, "vec_id", "embedding", 0.45,
+      dim = 4, bands = 4, bitsPerBand = 2).count() == 0)
+    assert(Dedup.embeddingIncrementalAuto(emptyVecs, emptyVecs, "vec_id",
+      "embedding", 0.45, dim = 4, bands = 4, bitsPerBand = 2).count() == 0)
+    // simhash pairs (first-agreeing-chunk form) over nothing
+    assert(Dedup.simhashNearDups(emptyDocs, "doc_id", "text").count() == 0)
+  }
 }
