@@ -67,28 +67,12 @@ object Dedup {
                             idCol: String, threshold: Double): DataFrame =
     verifyJaccard2(candidates, sets, sets, idCol, threshold)
 
-  /** `pricedRows` (> 0 = the caller's priced candidate volume) spreads the
-    * set-carrying verify joins at [[kernelWidth]] — the d9e lesson: the
-    * first join's output carries a shingle ARRAY per candidate, so the
-    * id_2 exchange holds |candidates| × ~set-size bytes and AQE sizes it
-    * from the bytes-tiny candidate side. 0 leaves the exchanges to the
-    * session (the d2 in-corpus path manages its own widths upstream).
-    */
   private def verifyJaccard2(candidates: DataFrame, setsL: DataFrame,
                              setsR: DataFrame, idCol: String,
-                             threshold: Double,
-                             pricedRows: Long = 0L): DataFrame = {
+                             threshold: Double): DataFrame = {
     val s1 = setsL.select(col(idCol).as("id_1"), col("n_sh").as("n_1"), col("shs").as("shs_1"))
     val s2 = setsR.select(col(idCol).as("id_2"), col("n_sh").as("n_2"), col("shs").as("shs_2"))
-    val VerifyRowsPerTask = 1L << 16
-    val c = if (pricedRows > 0)
-      spreadKernel(candidates, pricedRows, VerifyRowsPerTask, col("id_1"))
-      else candidates
-    val j1 = c.join(s1, "id_1")
-    val j1w = if (pricedRows > 0)
-      spreadKernel(j1, pricedRows, VerifyRowsPerTask, col("id_2"))
-      else j1
-    j1w.join(s2, "id_2")
+    candidates.join(s1, "id_1").join(s2, "id_2")
       .withColumn("inter", ArrayOps.sortedIntersectSize(col("shs_1"), col("shs_2")).cast("double"))
       .withColumn("uni", (col("n_1") + col("n_2") - col("inter")).cast("double"))
       .withColumn("jaccard",
@@ -2282,32 +2266,12 @@ object Dedup {
     */
   def minhashNearDupPairsFromIndex(index: MinhashIndex, idCol: String,
                                    threshold: Double): DataFrame = {
-    // price the self-join from the index's own bucket counts — ONE narrow
-    // aggregate over 16-byte band rows (the d5e/d2e pricing): Σ n(n−1)/2
-    // bounds the admitted candidate volume, and every exchange below runs
-    // at the width it implies (r16: at the session's fixed width the
-    // 1000× s5j2 verify sorts spilled 15+5 GB — the d9e shape, a shingle
-    // array per candidate through the id-keyed joins)
-    val priced = index.bands.groupBy("band", "bkey")
-      .agg(count(lit(1)).as("_n"))
-      .agg(expr("sum(_n * (_n - 1) DIV 2)")).head.getAs[Any](0) match {
-        case null => 0L
-        case l: Long => l
-      }
-    val b1 = index.bands.select(col(idCol).as("id_1"), col("band"), col("bkey"))
-    val b2 = index.bands.select(col(idCol).as("id_2"), col("band"), col("bkey"))
-    val candidates =
-      spreadKernel(b1, priced, BandRowsPerPartition, col("band"), col("bkey"))
-        .join(spreadKernel(b2, priced, BandRowsPerPartition, col("band"), col("bkey")),
-          Seq("band", "bkey"))
-        .filter(col("id_1") < col("id_2"))
-        .select("id_1", "id_2")
-    // pair-keyed spread satisfies the distinct's required distribution —
-    // dedup runs at the priced width with no extra exchange
-    val cand = spreadKernel(candidates, priced, 1L << 16,
-      col("id_1"), col("id_2")).distinct()
-    verifyJaccard2(cand, index.sets, index.sets, idCol, threshold,
-      pricedRows = priced)
+    val candidates = index.bands.select(col(idCol).as("id_1"), col("band"), col("bkey"))
+      .join(index.bands.select(col(idCol).as("id_2"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2").distinct()
+    verifyJaccard2(candidates, index.sets, index.sets, idCol, threshold)
   }
 
   /** The decontamination probe structure: `sets` = the TRAIN corpus'
