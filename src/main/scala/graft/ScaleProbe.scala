@@ -301,8 +301,12 @@ object ScaleProbe {
         shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         val (ms, ds, rt, tc, n) = stages.getOrElse(te.stageId, (0L, 0L, 0L, 0L, ""))
+        // executed width counts SUCCESSFUL attempts only: a retried or
+        // speculative task would otherwise inflate the width the
+        // bytes-coalescing audit compares against the requested kernel
+        val tcInc = if (te.reason == org.apache.spark.Success) 1L else 0L
         stages.put(te.stageId, (ms + m.memoryBytesSpilled,
-          ds + m.diskBytesSpilled, rt + m.executorRunTime * 1000000L, tc + 1, n))
+          ds + m.diskBytesSpilled, rt + m.executorRunTime * 1000000L, tc + tcInc, n))
         ()
       }
     }

@@ -100,6 +100,18 @@ object SparkEntry {
     })
   }
 
+  /** Per-stage-dir build locks: a stage dir shared by SEVERAL memos (e6's
+    * replay source feeds both the plain e6Memo and the sliced e6cMemo) has
+    * a check-then-act `_SUCCESS` probe that two first-callers could race —
+    * one overwriting the dir while the other reads it. Serializing the
+    * probe+write per dir closes that window; steady-state calls see the
+    * marker and pay only an uncontended lock hop.
+    */
+  private val stageLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def withStageLock[T](dir: String)(body: => T): T =
+    stageLocks.getOrElseUpdate(dir, new Object).synchronized(body)
+
   private val e6Memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val e6cMemo =
@@ -122,11 +134,13 @@ object SparkEntry {
     else {
       val srcFile = new java.io.File(s"$d/events.parquet")
       val stageDir = s"${scratchDir(d)}/e6_events_${stageKey(srcFile, s"hz$E6HorizonUs")}"
-      if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
-        val sentTs = maxTsRow.getLong(0) + E6HorizonUs + 600000000L
-        val sentinels = Seq((-1L, -1L, sentTs, "purchase"), (-2L, -2L, sentTs, "click"))
-          .toDF("event_id", "user_id", "ts_us", "event_type")
-        ev.union(sentinels).coalesce(4).write.mode("overwrite").parquet(stageDir)
+      withStageLock(stageDir) {
+        if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
+          val sentTs = maxTsRow.getLong(0) + E6HorizonUs + 600000000L
+          val sentinels = Seq((-1L, -1L, sentTs, "purchase"), (-2L, -2L, sentTs, "click"))
+            .toDF("event_id", "user_id", "ts_us", "event_type")
+          ev.union(sentinels).coalesce(4).write.mode("overwrite").parquet(stageDir)
+        }
       }
       Some(stageDir)
     }
@@ -1084,9 +1098,22 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.1)
         .orderBy("id_1", "id_2")),
 
-    // D4b: inverted-index sparse variant with document-frequency cap — the
-    // cap is mirrored exactly in the oracle, so parity is exact
+    // D4b: inverted-index sparse variant with a FIXED document-frequency
+    // cap — the pinned reference regime, reached via the explicit
+    // unbounded escape (r17: the plain name now prices the cap against
+    // the df histogram and refuses a volume that explodes at scale — the
+    // d9/d5 plain-name pattern). Cap mirrored exactly in the oracle.
     "d4b_jaccard_sparse" -> ((s, d) =>
+      Dedup.ngramJaccardPairsSparse(Tables.documents(s, d), "doc_id", "text", 3, 0.2, maxDf = 50,
+        unbounded = true)
+        .orderBy("id_1", "id_2")),
+
+    // D4f: the GUARDED plain fixed-cap name — same cap, same relation as
+    // d4b (shared oracle SQL), but the call runs only because the priced
+    // candidate volume (1.27M pairs at sf0.1) fits the 50M guard; at the
+    // 100× regime the r16 sweep measured DNF-ing, this same call refuses
+    // instead (BENCH_SCALE)
+    "d4f_jaccard_sparse_guarded" -> ((s, d) =>
       Dedup.ngramJaccardPairsSparse(Tables.documents(s, d), "doc_id", "text", 3, 0.2, maxDf = 50)
         .orderBy("id_1", "id_2")),
 
@@ -4082,6 +4109,28 @@ object SparkEntry {
 
   private val trigramShCte: String = trigramShCteOver("documents")
 
+  /** The fixed-cap (maxDf = 50) sparse-Jaccard oracle — shared VERBATIM by
+    * d4b (the explicit `unbounded = true` reference regime) and d4f (the
+    * guarded plain name): the guard prices and refuses, never alters the
+    * admitted candidate set, so one SQL text gating both rows is what
+    * proves that.
+    */
+  private val d4bSparseOracleSql: String =
+    s"WITH $trigramShCte, " +
+      "inv AS (SELECT doc_id, unnest(grams) AS g FROM sh), " +
+      "rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 50), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2 " +
+      "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id " +
+      "WHERE a.g IN (SELECT g FROM rare)), " +
+      "v AS (SELECT c.id_1, c.id_2, " +
+      "len(list_intersect(s1.grams, s2.grams))::DOUBLE AS inter, " +
+      "(len(s1.grams) + len(s2.grams))::DOUBLE AS sz " +
+      "FROM cand c JOIN sh s1 ON c.id_1 = s1.doc_id JOIN sh s2 ON c.id_2 = s2.doc_id) " +
+      "SELECT id_1, id_2, round(CASE WHEN sz > inter THEN inter / (sz - inter) " +
+      "ELSE 0 END, 6) AS jaccard FROM v " +
+      "WHERE round(CASE WHEN sz > inter THEN inter / (sz - inter) ELSE 0 END, 6) >= 0.2 " +
+      "ORDER BY id_1, id_2"
+
   /** The d6 components relation (transitive closure over the bigram pair
     * set, canonical = min id) — shared verbatim by the from-scratch row
     * (d6) and the incremental-fold row (d6c), whose whole contract is
@@ -4427,21 +4476,12 @@ object SparkEntry {
         "JOIN documents d2 ON c.id_2 = d2.doc_id " +
         "WHERE levenshtein(d1.text, d2.text) <= 40 ORDER BY id_1, id_2"),
 
-    "d4b_jaccard_sparse" ->
-      (s"WITH $trigramShCte, " +
-        "inv AS (SELECT doc_id, unnest(grams) AS g FROM sh), " +
-        "rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 50), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2 " +
-        "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id " +
-        "WHERE a.g IN (SELECT g FROM rare)), " +
-        "v AS (SELECT c.id_1, c.id_2, " +
-        "len(list_intersect(s1.grams, s2.grams))::DOUBLE AS inter, " +
-        "(len(s1.grams) + len(s2.grams))::DOUBLE AS sz " +
-        "FROM cand c JOIN sh s1 ON c.id_1 = s1.doc_id JOIN sh s2 ON c.id_2 = s2.doc_id) " +
-        "SELECT id_1, id_2, round(CASE WHEN sz > inter THEN inter / (sz - inter) " +
-        "ELSE 0 END, 6) AS jaccard FROM v " +
-        "WHERE round(CASE WHEN sz > inter THEN inter / (sz - inter) ELSE 0 END, 6) >= 0.2 " +
-        "ORDER BY id_1, id_2"),
+    "d4b_jaccard_sparse" -> d4bSparseOracleSql,
+
+    // the guarded plain name must reproduce the fixed-cap relation
+    // EXACTLY (the guard only prices and refuses; it never changes the
+    // admitted candidate set) — same oracle text as d4b
+    "d4f_jaccard_sparse_guarded" -> d4bSparseOracleSql,
 
     // the df histogram recomputed over raw grams (Spark counts 64-bit
     // shingle keys — identical modulo hash collisions, as everywhere);

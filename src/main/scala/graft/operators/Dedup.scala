@@ -533,18 +533,55 @@ object Dedup {
     * whose entire overlap is ubiquitous shingles — document the ceiling
     * with the corpus. Cost: Σ_{df(s)≤maxDf} df(s)² for candidates +
     * O(|candidates| × set size) verify.
+    *
+    * GUARDED BY DEFAULT (the d9/d5 plain-name pattern, closing the last
+    * plainly-reachable measured scale-killer — r16 sweep: this form at a
+    * FIXED cap admits ~quadratically more candidates as the corpus grows
+    * and exhausted >60 GB of disk at the 100× probe): the plain call
+    * PRICES the cap against the [[shingleDfStats]] histogram — the same
+    * (shingle, df) aggregate the pipeline pays anyway — and REFUSES a
+    * `maxDf` whose cumulative candidate cost exceeds `guardPairs`,
+    * naming the priced volume, the largest cap that would fit, and the
+    * escapes ([[ngramJaccardPairsSparseAuto]] for a budget-derived cap,
+    * `unbounded = true` to pin the reference regime and own the cost).
+    * When the guard passes, the histogram evidence is reused: the rare
+    * keys broadcast when their exact count fits the measured budget, and
+    * the verify prune engages when the priced candidate volume does —
+    * the relation is IDENTICAL either way (spec-pinned against the
+    * unbounded form).
     */
   def ngramJaccardPairsSparse(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double, maxDf: Int,
-                              releaseSets: Boolean = false): DataFrame =
-    // The reduced sets feed FIVE plan positions (df-count, both sides of
-    // the candidate self-join via inv, both verify sides); without a cache
-    // boundary Spark re-evaluates the shingling subtree for each. The sets
-    // table is the corpus reduced to 8-byte keys (~1-2% of text size) —
-    // persisting it is the standard inverted-index-build trade.
-    withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
-      sparseJaccardFromSets(sets, idCol, threshold, maxDf)
-    }
+                              releaseSets: Boolean = false,
+                              unbounded: Boolean = false,
+                              guardPairs: Long = FixedCapGuardPairs): DataFrame =
+    if (unbounded)
+      // The reduced sets feed FIVE plan positions (df-count, both sides of
+      // the candidate self-join via inv, both verify sides); without a cache
+      // boundary Spark re-evaluates the shingling subtree for each. The sets
+      // table is the corpus reduced to 8-byte keys (~1-2% of text size) —
+      // persisting it is the standard inverted-index-build trade.
+      withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
+        sparseJaccardFromSets(sets, idCol, threshold, maxDf)
+      }
+    else
+      sparseCappedFromHistogram(df, idCol, textCol, n, threshold, releaseSets,
+        hist => {
+          // cum at the cap = the exact candidate-pair bill this maxDf buys
+          val priced = hist.filter(_._1 <= maxDf).map(_._3).maxOption.getOrElse(0L)
+          if (priced > guardPairs) {
+            val fitting = math.max(2L,
+              hist.filter(_._3 <= guardPairs).map(_._1).maxOption.getOrElse(2L))
+            throw new IllegalArgumentException(
+              s"ngramJaccardPairsSparse: maxDf=$maxDf prices $priced candidate " +
+                s"pairs on this corpus, over the $guardPairs guard (largest " +
+                s"fitting cap: $fitting). Use ngramJaccardPairsSparseAuto to " +
+                "derive the cap from a pair budget, lower maxDf, or pass " +
+                "unbounded = true to pin the fixed-cap reference regime and " +
+                "own its cost.")
+          }
+          (maxDf.toLong, priced <= BroadcastRareKeyLimit)
+        })
 
   /** The df-capped candidate+verify body over prepared sets — shared by
     * the fixed-ceiling ([[ngramJaccardPairsSparse]]) and budget-derived
@@ -793,10 +830,46 @@ object Dedup {
     */
   private val BroadcastRareKeyLimit = BroadcastRareKeyBudgetBytes / BroadcastBytesPerKey
 
+  /** Default ceiling on the PRICED candidate volume a plain fixed-cap
+    * [[ngramJaccardPairsSparse]] call will accept: 50M pairs ≈ a 1-2 GB
+    * candidate exchange plus a verify fan bounded at 50M set-merges —
+    * comfortably inside a 32-slot executor's working set and ~40× the
+    * whole sf0.1 corpus bill (1.27M at maxDf = 50), while the regime the
+    * r16 sweep measured DNF-ing on disk (the same cap at 100×, priced in
+    * the tens of billions — a FIXED df ceiling admits ~quadratically more
+    * candidates as every shingle's df grows with the corpus) is refused
+    * by four orders of magnitude. Override per call when the cluster's
+    * budget genuinely differs; `unbounded = true` bypasses pricing
+    * entirely and pins the reference regime.
+    */
+  private[graft] val FixedCapGuardPairs: Long = 50000000L
+
   def ngramJaccardPairsSparseAuto(df: DataFrame, idCol: String, textCol: String,
                                   n: Int, threshold: Double, budgetPairs: Long,
                                   releaseSets: Boolean = false): DataFrame = {
     require(budgetPairs >= 0, "ngramJaccardPairsSparseAuto: budget must be >= 0")
+    sparseCappedFromHistogram(df, idCol, textCol, n, threshold, releaseSets,
+      hist => {
+        val ceiling = math.max(2L,
+          hist.filter(_._3 <= budgetPairs).map(_._1).maxOption.getOrElse(2L))
+        // |candidates| ≤ cum_pair_cost(ceiling) ≤ budgetPairs by
+        // construction, so a bounded budget licenses the verify prune
+        (ceiling, budgetPairs <= BroadcastRareKeyLimit)
+      })
+  }
+
+  /** The histogram-evidenced df-capped pipeline shared by the
+    * budget-derived ([[ngramJaccardPairsSparseAuto]]) and guarded
+    * fixed-cap ([[ngramJaccardPairsSparse]]) entry points: build the
+    * (shingle, df) aggregate once, collect the tiny cumulative-cost
+    * histogram, let `choose` turn it into (ceiling, pruneVerify-license)
+    * — throwing there REFUSES the call and releases the evidence caches
+    * — then run the candidate+verify body with the broadcast decision
+    * read off the exact qualifying-key count.
+    */
+  private def sparseCappedFromHistogram(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double, releaseSets: Boolean,
+      choose: IndexedSeq[(Long, Long, Long)] => (Long, Boolean)): DataFrame = {
     // the pruneVerify candidate persist follows the same loan as the sets:
     // it is internal (no caller handle), so it never outlives this call —
     // both paths below drop it once the result can no longer recompute it
@@ -814,27 +887,34 @@ object Dedup {
           .groupBy("sk").agg(count(lit(1)).as("_df"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       dfCache = Some(skdf)
-      // one tiny collect serves BOTH derivations: the ceiling (largest df
-      // whose cumulative candidate cost fits the budget) and the count of
-      // qualifying keys (drives the broadcast-vs-shuffle pruning choice).
-      // Arithmetic identical to dfHistogram's — cum over ascending df.
-      val strata = skdf.groupBy(col("_df").as("df"))
-        .agg(count(lit(1)).as("n_shingles"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-        .sortBy(_._1) // tiny frame: driver sort, not an exchange stage
-      var cum = 0L
-      val hist = strata.map { case (d0, n0) =>
-        cum += n0 * (d0 * (d0 - 1) / 2); (d0, n0, cum)
-      }
-      val ceiling = math.max(2L,
-        hist.filter(_._3 <= budgetPairs).map(_._1).maxOption.getOrElse(2L))
-      val rareKeyCount = hist.filter(t => t._1 >= 2 && t._1 <= ceiling).map(_._2).sum
+      // one tiny collect serves BOTH derivations: the ceiling (from the
+      // cumulative candidate cost) and the count of qualifying keys
+      // (drives the broadcast-vs-shuffle pruning choice). Arithmetic
+      // identical to dfHistogram's — cum over ascending df.
+      val (ceiling, pruneVerify, rareKeyCount) =
+        try {
+          val strata = skdf.groupBy(col("_df").as("df"))
+            .agg(count(lit(1)).as("n_shingles"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+            .sortBy(_._1) // tiny frame: driver sort, not an exchange stage
+          var cum = 0L
+          val hist = strata.map { case (d0, n0) =>
+            cum += n0 * (d0 * (d0 - 1) / 2); (d0, n0, cum)
+          }.toIndexedSeq
+          val (c0, pv) = choose(hist)
+          (c0, pv, hist.filter(t => t._1 >= 2 && t._1 <= c0).map(_._2).sum)
+        } catch { case e: Throwable =>
+          // a refused cap returns nothing — the evidence caches must not
+          // outlive the refusal (the sets loan included: there is no
+          // lazy result left that could recompute through it)
+          skdf.unpersist(); graft.Caches.settled(skdf); dfCache = None
+          sets.unpersist(); graft.Caches.settled(sets)
+          throw e
+        }
       sparseJaccardFromSets(sets, idCol, threshold,
         math.min(ceiling, Int.MaxValue.toLong).toInt,
         broadcastRareKeys = rareKeyCount <= BroadcastRareKeyLimit,
-        // |candidates| ≤ cum_pair_cost(ceiling) ≤ budgetPairs by
-        // construction, so a bounded budget licenses the verify prune
-        pruneVerify = budgetPairs <= BroadcastRareKeyLimit,
+        pruneVerify = pruneVerify,
         candidateCache = Some(c => candCache = Some(c)),
         rareKeysPrepared = Some((
           skdf.filter(col("_df") >= 2 && col("_df") <= ceiling).select("sk"),
@@ -1461,15 +1541,21 @@ object Dedup {
     *
     * Parameter interaction: `pairsPerDoc` and `release` apply ONLY to the
     * gated default — `unbounded = true` runs the exact banded relation
-    * with no admission budget and no loan to materialize-and-drop, so
-    * both are silently ignored on that branch (the unbounded plan
-    * persists nothing it could release).
+    * with no admission budget and no loan to materialize-and-drop, so a
+    * call combining `unbounded = true` with a non-default `pairsPerDoc`
+    * or `release = true` is REJECTED (a require, not a silent ignore:
+    * the caller asked for a budget or a cache release the unbounded plan
+    * cannot honor).
     */
   def fuzzyNearDups(df: DataFrame, idCol: String, textCol: String,
                     maxDist: Int, maxHamming: Int = 3,
                     unbounded: Boolean = false, pairsPerDoc: Long = 64,
                     release: Boolean = false): DataFrame = {
     require(maxDist >= 0, "fuzzyNearDups: maxDist must be >= 0")
+    require(!unbounded || (pairsPerDoc == 64 && !release),
+      "fuzzyNearDups: pairsPerDoc/release apply only to the gated default " +
+        "— the unbounded plan has no admission budget and persists nothing " +
+        "it could release; drop unbounded = true or the conflicting argument")
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for maxHamming <= 3")
     // LENGTH-SLICED banding: candidates join on (chunk, ckey, lenBucket)
     // with the right side replicated into the adjacent buckets (width

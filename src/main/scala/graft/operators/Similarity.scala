@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TopK, Vectors}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -244,38 +244,44 @@ object Similarity {
     */
   private def bandRows(df: DataFrame, idCol: String, as: String, vecCol: String,
                        dim: Int, bands: Int, bitsPerBand: Int,
-                       ordinal: Boolean): DataFrame = {
+                       ordinal: Boolean): DataFrame =
+    graft.functions.ArrayOps.explodeDense(df, Seq(col(idCol).as(as)),
+      bandStructs(vecCol, dim, bands, bitsPerBand, ordinal), "bd")
+      .select(col(as), col("bd.band"), col("bd.bkey"))
+
+  /** The ONE band-struct array — seed base, struct layout, sketch choice —
+    * behind BOTH [[bandRows]] and [[bandRowsWithVec]]: extracting it is
+    * what makes "the two can never drift" structurally true rather than a
+    * doc claim (two parallel sketch definitions could silently diverge on
+    * a seed or field order and break the gated verify-in-join branches'
+    * recall relative to the reference plan).
+    */
+  private def bandStructs(vecCol: String, dim: Int, bands: Int,
+                          bitsPerBand: Int, ordinal: Boolean): Column = {
     def sketch(b: Int) =
       if (ordinal) ordinalSketch(col(vecCol), dim, bitsPerBand, seed = 1000L + b)
       else signSketch(col(vecCol), dim, bitsPerBand, seed = 1000L + b)
-    graft.functions.ArrayOps.explodeDense(df, Seq(col(idCol).as(as)),
-      array((0 until bands).map { b =>
-        struct(lit(b).as("band"), sketch(b).as("bkey"))
-      }: _*), "bd")
-      .select(col(as), col("bd.band"), col("bd.bkey"))
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"), sketch(b).as("bkey"))
+    }: _*)
   }
 
   /** [[bandRows]] CARRYING the vector itself (`vecAs`) — the verify-in-join
     * input ([[graft.operators.Dedup]]'s gated banded branches): vectors
     * then shuffle once per BAND ROW (`bands`× the corpus — linear), never
     * once per candidate, and the cosine evaluates inside the band-join
-    * stage so no candidate-sized exchange ever carries a payload. Same
-    * single sketch definition as [[bandRows]] — the two can never drift.
+    * stage so no candidate-sized exchange ever carries a payload. Shares
+    * [[bandStructs]] with [[bandRows]] — one sketch definition, so the
+    * two genuinely cannot drift.
     */
   private[operators] def bandRowsWithVec(df: DataFrame, idCol: String, as: String,
                                          vecAs: String, vecCol: String, dim: Int,
                                          bands: Int, bitsPerBand: Int,
-                                         ordinal: Boolean): DataFrame = {
-    def sketch(b: Int) =
-      if (ordinal) ordinalSketch(col(vecCol), dim, bitsPerBand, seed = 1000L + b)
-      else signSketch(col(vecCol), dim, bitsPerBand, seed = 1000L + b)
+                                         ordinal: Boolean): DataFrame =
     graft.functions.ArrayOps.explodeDense(df,
       Seq(col(idCol).as(as), col(vecCol).as(vecAs)),
-      array((0 until bands).map { b =>
-        struct(lit(b).as("band"), sketch(b).as("bkey"))
-      }: _*), "bd")
+      bandStructs(vecCol, dim, bands, bitsPerBand, ordinal), "bd")
       .select(col(as), col(vecAs), col("bd.band"), col("bd.bkey"))
-  }
 
   /** Per-label embedding centroids in long format: (label, n_vecs,
     * dim_idx, centroid_val). One aggregation with `dim` per-coordinate

@@ -360,6 +360,17 @@ object StreamOps {
     * probe; the sliced form finishes it in ~91 s and is 8.6× faster even
     * at 100×). `sliced = false` pins the plain two-operator reference
     * plan — the regime the e6/e6b gate rows deliberately exercise.
+    *
+    * CHECKPOINT COMPATIBILITY: the sliced plan has a DIFFERENT stateful
+    * topology than the plain one (purchase-side slice explode, an extra
+    * slice column in the join key, different join/aggregate state
+    * schemas), so a query checkpointed under the pre-sliced default (or
+    * under `sliced = false`) CANNOT resume onto the sliced plan — Spark's
+    * state-schema validation rejects the restart (and a validation gap
+    * would silently mis-join). To restart an existing query from its
+    * checkpoint, pin `sliced = false`; to migrate to the sliced plan,
+    * start a fresh checkpoint (replay the source — the relation is
+    * bit-identical, so the sink contents carry over unchanged).
     */
   def asofJoinStreaming(purchases: DataFrame, clicks: DataFrame,
                         horizonUs: Long, watermark: String,
@@ -437,20 +448,21 @@ object StreamOps {
       s"asofJoinStreamingSliced: unsupported join type '$joinType'")
     require(sliceUs >= 0, "asofJoinStreamingSliced: sliceUs must be >= 0")
     val s = if (sliceUs > 0) sliceUs else horizonUs
-    // exact long floor-div: (x - pmod(x, s)) is divisible by s and the
-    // quotient is far below 2^53, so the double division is exact
-    def sliceOf(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(s))) / lit(s)).cast("long")
+    // exact long floor-div, PURE integer arithmetic: (x - pmod(x, s)) is
+    // divisible by s, and SQL `div` is integral division on longs — no
+    // float round-trip, so even ts_us past 2^53 µs slices exactly (the
+    // earlier Column `/` went through double, exact only below ~year 2255)
+    def sliceSql(x: String) = s"(($x) - pmod(($x), ${s}L)) div ${s}L"
     val p = purchases.select(col("event_id").as("p_event_id"), col("user_id"),
         col("ts_us").as("p_ts_us"), timestamp_micros(col("ts_us")).as("p_time"))
       .withWatermark("p_time", watermark)
-      .withColumn("p_slice", explode(sequence(
-        sliceOf(col("p_ts_us") - lit(horizonUs)), sliceOf(col("p_ts_us")))))
+      .withColumn("p_slice", expr(s"explode(sequence(" +
+        sliceSql(s"p_ts_us - ${horizonUs}L") + ", " + sliceSql("p_ts_us") + "))"))
     val c = clicks.select(col("event_id").as("c_event_id"),
         col("user_id").as("c_user_id"), col("ts_us").as("c_ts_us"),
         timestamp_micros(col("ts_us")).as("c_time"))
       .withWatermark("c_time", watermark)
-      .withColumn("c_slice", sliceOf(col("c_ts_us")))
+      .withColumn("c_slice", expr(sliceSql("c_ts_us")))
     p.join(c,
         col("user_id") === col("c_user_id") &&
           col("p_slice") === col("c_slice") &&

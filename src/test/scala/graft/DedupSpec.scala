@@ -64,26 +64,56 @@ class DedupSpec extends SparkTestBase {
     assert(sparse == exact, "uncapped inverted index must reproduce the exact result")
   }
 
+  test("guarded fixed cap == unbounded fixed cap bit-for-bit; a blown guard refuses with pricing (D4f)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_1", "id_2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // the guard prices and admits — it must never change the relation
+    val guarded = rows(Dedup.ngramJaccardPairsSparse(docs, "doc_id", "text", 3, 0.2, maxDf = 50))
+    val reference = rows(Dedup.ngramJaccardPairsSparse(docs, "doc_id", "text", 3, 0.2, maxDf = 50,
+      unbounded = true))
+    assert(guarded == reference, "guard admission must be relation-neutral")
+    // a cap whose priced candidate volume exceeds the guard REFUSES,
+    // naming the bill and the escapes (guardPairs = 0 forces it on any
+    // corpus with at least one df>=2 shingle)
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairsSparse(docs, "doc_id", "text", 3, 0.2, maxDf = 50,
+        guardPairs = 0L).count()
+    }
+    assert(e.getMessage.contains("candidate"), s"pricing in message: ${e.getMessage}")
+    assert(e.getMessage.contains("unbounded"), "escape hatch named in message")
+    // the refusal releases its evidence caches (sets + df aggregate) —
+    // a refused call must leave no new persists behind
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- baseline).isEmpty,
+      "refusal must not leak persists")
+  }
+
   test("releaseSets drops the shingle-set cache once the pair frame is built (sparse path)") {
     // the loan-pattern contract lives on the >=3-read consumers; the
     // blocked two-read path (ngramJaccardPairs) deliberately builds its
-    // sets inline with NO cache — BENCH_SCALE.md round 11
+    // sets inline with NO cache — BENCH_SCALE.md round 11. Pinned on the
+    // unbounded reference plan: the guarded default adds its own
+    // evidence caches whose settle recompiles the result's cache entry
+    // (the d4d lifecycle, covered by its own tests).
     spark.sparkContext.getPersistentRDDs.size // force lazy init
     def cachedIds = spark.sparkContext.getPersistentRDDs.keySet
     val baseline = cachedIds
     val res = Dedup.ngramJaccardPairsSparse(corpus, "doc_id", "text", 2, 0.1,
-      maxDf = 1000, releaseSets = true)
+      maxDf = 1000, releaseSets = true, unbounded = true)
     val afterBuild = cachedIds -- baseline
     // exactly the result's own persist remains, never the sets'
     assert(afterBuild.size == 1,
       s"one owned persist (the materialized pairs) expected, got ${afterBuild.size}")
     // the eager materialization means the result survives the release
     assert(res.count() ==
-      Dedup.ngramJaccardPairsSparse(corpus, "doc_id", "text", 2, 0.1, maxDf = 1000).count())
+      Dedup.ngramJaccardPairsSparse(corpus, "doc_id", "text", 2, 0.1, maxDf = 1000,
+        unbounded = true).count())
     res.unpersist(blocking = true)
     assert((cachedIds -- baseline).isEmpty, "no lingering cache after the caller unpersists")
     // lazy default still leaves the sets cache in place (documented trade)
-    Dedup.ngramJaccardPairsSparse(corpus, "doc_id", "text", 2, 0.1, maxDf = 1000).count()
+    Dedup.ngramJaccardPairsSparse(corpus, "doc_id", "text", 2, 0.1, maxDf = 1000,
+      unbounded = true).count()
     assert((cachedIds -- baseline).nonEmpty)
     spark.sharedState.cacheManager.clearCache()
   }
@@ -456,6 +486,27 @@ class DedupSpec extends SparkTestBase {
     val cand = Dedup.simhashNearDups(docs, "doc_id", "text", 3)
       .select("id_1", "id_2").as[(Long, Long)].collect().toSet
     assert(cand.contains((1L, 3L)), "reordered doc collides in token space")
+  }
+
+  test("fuzzyNearDups: unbounded = true rejects gated-only arguments instead of ignoring them") {
+    val docs = Seq((1L, "one document"), (2L, "two document")).toDF("doc_id", "text")
+    // pairsPerDoc and release parameterize the gated default only — the
+    // unbounded plan has no admission budget and persists nothing it could
+    // release, so silently accepting them would misrepresent what ran
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 5,
+        unbounded = true, release = true)
+    }
+    assert(e1.getMessage.contains("gated default"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 5,
+        unbounded = true, pairsPerDoc = 8)
+    }
+    assert(e2.getMessage.contains("gated default"))
+    // the defaults stay accepted on the unbounded branch (the pinned
+    // reference regime the d9b gate rows exercise)
+    assert(Dedup.fuzzyNearDups(docs, "doc_id", "text", maxDist = 5,
+      unbounded = true).columns.contains("edit_dist"))
   }
 
   test("embedNearDupAuto picks the branch the measured admission dictates (D5f/D5g)") {
