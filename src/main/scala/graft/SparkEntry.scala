@@ -185,6 +185,35 @@ object SparkEntry {
       })
     }
 
+  private val e6fMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The e6f replay: the sliced as-of join under a slice width DERIVED
+    * from the measured key density ([[graft.streaming.StreamOps
+    * .deriveSliceUs]] over the raw click stream — no sentinels), at the
+    * TIGHTEST occupancy bound (maxPerSlot = 1) so the derivation lands on
+    * a genuinely sub-horizon rung on this fixture (the default-width case
+    * is e6c's plan verbatim and would gate nothing new). Same staged
+    * source, e6's oracle SQL — diagnostic → derivation → plan, with the
+    * relation pinned bit-exact at the derived width.
+    */
+  private def e6fDerivedAsof(s: SparkSession, d: String): Option[DataFrame] =
+    e6StageDir(s, d).map { stageDir =>
+      Tables.evictStopped(e6fMemo)(_._1)
+      e6fMemo.getOrElseUpdate((s, stageDir), {
+        val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+        val derived = StreamOps.deriveSliceUs(clicks, "user_id", "ts_us",
+          E6HorizonUs, maxPerSlot = 1)
+        val schema = s.read.parquet(stageDir).schema
+        def slice(t: String) =
+          s.readStream.schema(schema).parquet(stageDir).filter(col("event_type") === t)
+        val joined = StreamOps.asofJoinStreamingSliced(
+          slice("purchase"), slice("click"), E6HorizonUs, "1 minute",
+          joinType = "left_outer", sliceUs = derived)
+        StreamOps.runToMemoryTable(s, joined, "e6f_derived_asof_sink")
+      })
+    }
+
   /** e8b/e8c shared staging + replays: events + one far-future sentinel
     * (user −1) whose watermark closes every real window (the sentinel's own
     * window never closes, so it never emits — the e2b trick). TWO memoized
@@ -3146,6 +3175,36 @@ object SparkEntry {
       }
     }),
 
+    // E6e: the slice-width DIAGNOSTIC (the d4c/d9c/d5e measured-knob
+    // pattern for streaming state): per halving-ladder rung, the
+    // per-(user, slice) slot occupancy the sliced as-of join's right-side
+    // state would hold, plus the left-stream amplification that rung
+    // costs — the relation deriveSliceUs reads. Oracle re-derives the
+    // ladder, floor-div slotting, and both aggregates in SQL.
+    "e6e_asof_slice_stats" -> ((s, d) =>
+      StreamOps.asofSliceStats(
+        Tables.events(s, d).filter(col("event_type") === "click"),
+        "user_id", "ts_us", E6HorizonUs)
+        .orderBy("slice_us")),
+
+    // E6f: the DERIVED-width sliced replay — diagnostic → derivation →
+    // plan: sliceUs comes from deriveSliceUs at the tightest bound
+    // (maxPerSlot = 1, forcing a sub-horizon rung on this fixture), and
+    // the relation must still bit-match e6's oracle SQL verbatim (the
+    // sliced join is width-invariant by construction; this row gates it
+    // at a measured, non-default width)
+    "e6f_stream_asof_derived" -> ((s, d) => {
+      Session.tune(s)
+      import s.implicits._
+      e6fDerivedAsof(s, d) match {
+        case None =>
+          Seq.empty[(Long, Long, Long, Long, Long)]
+            .toDF("event_id", "user_id", "ts_us", "r_event_id", "r_ts_us")
+        case Some(shared) =>
+          shared.filter(col("r_event_id").isNotNull).orderBy("event_id")
+      }
+    }),
+
     // E6b: the LEFT-OUTER form — batch j3's left semantics under
     // streaming: an unattributed purchase emits with a null click side
     // once the watermark proves no in-horizon click can still arrive
@@ -6060,6 +6119,41 @@ object SparkEntry {
     // identical oracle text, so a drift in the slice arithmetic is a hash
     // mismatch, not a silent recall loss
     "e6c_stream_asof_sliced" ->
+      ("WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'click'), " +
+        "j AS (SELECT p.event_id, p.user_id, p.ts_us, " +
+        "c.event_id AS ce, c.ts_us AS cts, " +
+        "row_number() OVER (PARTITION BY p.event_id " +
+        "ORDER BY c.ts_us DESC, c.event_id DESC) AS rn " +
+        "FROM p JOIN c ON p.user_id = c.user_id " +
+        "AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000) " +
+        "SELECT event_id, user_id, ts_us, ce AS r_event_id, cts AS r_ts_us " +
+        "FROM j WHERE rn = 1 ORDER BY event_id"),
+
+    // the slice-ladder diagnostic: the ladder literals come from the SAME
+    // sliceLadder arithmetic the Spark side explodes (machine-generated,
+    // the simhashCte pattern), slotting is the identical pmod floor-div,
+    // and the two aggregates mirror exactly
+    "e6e_asof_slice_stats" -> {
+      val ladder = StreamOps.sliceLadder(E6HorizonUs, 6)
+        .map { case (s, a) => s"(${s}::BIGINT, ${a}::BIGINT)" }.mkString(", ")
+      "WITH clicks AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type = 'click'), " +
+        s"l(slice_us, amplification) AS (VALUES $ladder), " +
+        "per AS (SELECT slice_us, amplification, user_id, " +
+        "(ts_us - ((ts_us % slice_us) + slice_us) % slice_us) // slice_us AS slot, " +
+        "count(*) AS n FROM clicks CROSS JOIN l GROUP BY 1, 2, 3, 4) " +
+        "SELECT slice_us, amplification, count(*)::BIGINT AS n_slots, " +
+        "max(n)::BIGINT AS max_slot, sum(n)::BIGINT AS n_rows " +
+        "FROM per GROUP BY 1, 2 ORDER BY slice_us"
+    },
+
+    // the derived-width sliced replay is the same as-of relation — e6's
+    // oracle verbatim: the slice width may change the physical state
+    // layout, never the relation
+    "e6f_stream_asof_derived" ->
       ("WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +
         "WHERE event_type = 'purchase'), " +
         "c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events " +

@@ -476,6 +476,78 @@ object StreamOps {
         col("_best.c_ts_us").as("r_ts_us"))
   }
 
+  /** E6e — the KEY-DENSITY diagnostic behind [[asofJoinStreamingSliced]]'s
+    * slice width (the d4c/d9c/d5e pattern applied to streaming state: a
+    * cheap measured relation the plan choice consumes, instead of a
+    * guessed knob): for each rung of a halving slice ladder starting at
+    * the horizon, the per-(key, slice) slot occupancy a batch replay of
+    * the CLICK stream would put in the join's right-side state — slot
+    * count, the LARGEST slot (the quantity the state manager's linear
+    * per-key value scan is quadratic in), total rows, and the left-stream
+    * amplification that rung costs (`horizon/slice + 1` probes per
+    * purchase; exact because every ladder rung divides the horizon —
+    * odd-dividing rungs are skipped).
+    *
+    * Scale shape: ONE map-side-combined aggregate over (slice, key, slot)
+    * — the exchange carries distinct slots, never raw clicks — reduced to
+    * ≤`rungs` rows. Run it on a batch sample/replay of the stream's
+    * source (the diagnostic is batch by design: state density is a
+    * property of the DATA, measurable before any query starts).
+    */
+  def asofSliceStats(clicks: DataFrame, keyCol: String, tsCol: String,
+                     horizonUs: Long, rungs: Int = 6): DataFrame = {
+    require(horizonUs > 0, "asofSliceStats: horizon must be positive")
+    require(rungs >= 1, "asofSliceStats: at least one ladder rung")
+    val ladder = sliceLadder(horizonUs, rungs)
+    val lad = array(ladder.map { case (s, a) =>
+      struct(lit(s).as("slice_us"), lit(a).as("amplification"))
+    }: _*)
+    clicks.select(col(keyCol).as("_k"), col(tsCol).cast("long").as("_ts"))
+      .withColumn("_l", explode(lad))
+      .select(col("_l.slice_us").as("slice_us"),
+        col("_l.amplification").as("amplification"), col("_k"),
+        expr("(_ts - pmod(_ts, _l.slice_us)) div _l.slice_us").as("_slot"))
+      .groupBy("slice_us", "amplification", "_k", "_slot")
+      .agg(count(lit(1)).as("_n"))
+      .groupBy("slice_us", "amplification")
+      .agg(count(lit(1)).as("n_slots"), max("_n").as("max_slot"),
+        sum("_n").as("n_rows"))
+  }
+
+  /** The halving slice ladder [[asofSliceStats]] measures: (slice_us,
+    * amplification) per rung, keeping only rungs that divide the horizon
+    * exactly (so the amplification column is exact, not a bound). Public
+    * so an oracle can re-derive the identical ladder.
+    */
+  def sliceLadder(horizonUs: Long, rungs: Int): IndexedSeq[(Long, Long)] =
+    (0 until rungs).map(r => (horizonUs >> r, (1L << r) + 1))
+      .filter { case (s, _) => s > 0 && horizonUs % s == 0 }
+
+  /** Derive [[asofJoinStreamingSliced]]'s `sliceUs` from measured key
+    * density instead of guessing: the LARGEST ladder rung whose maximum
+    * per-(key, slice) occupancy stays within `maxPerSlot` — widest slice
+    * (least left-stream amplification) that still bounds the per-key
+    * state list the join's probe walks linearly. Falls back to the
+    * smallest rung when every rung is denser than the bound (the data is
+    * hot everywhere; the narrowest slice is the best available), and to
+    * the horizon itself on an empty input (no density evidence — the
+    * default slice). One bounded collect over the ≤`rungs`-row stats
+    * frame (the s5i-total pattern); the derived slice feeds the sliced
+    * join unchanged, so the relation is bit-identical at ANY rung —
+    * spec- and oracle-gated.
+    */
+  def deriveSliceUs(clicks: DataFrame, keyCol: String, tsCol: String,
+                    horizonUs: Long, maxPerSlot: Long = 4096,
+                    rungs: Int = 6): Long = {
+    require(maxPerSlot >= 1, "deriveSliceUs: maxPerSlot must be >= 1")
+    val stats = asofSliceStats(clicks, keyCol, tsCol, horizonUs, rungs)
+      .select("slice_us", "max_slot").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (stats.isEmpty) horizonUs
+    else stats.filter(_._2 <= maxPerSlot).map(_._1).maxOption
+      .getOrElse(stats.map(_._1).min)
+  }
+
   /** E9 — predicate ROUTING to two parquet sinks in one pass: the
     * accept/quarantine fork every streaming ingest runs (pass rows flow to
     * the corpus, failures to a reviewable reject store — never dropped on

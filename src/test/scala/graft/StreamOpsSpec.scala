@@ -587,6 +587,43 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("asofSliceStats: ladder keeps horizon-dividing rungs; occupancy and amplification exact (E6e)") {
+    // horizon 100: 100, 50, 25 divide; 12/6/3 (the >> truncations) do not
+    assert(StreamOps.sliceLadder(100L, 6) == IndexedSeq((100L, 2L), (50L, 3L), (25L, 5L)))
+    val clicks = Seq((1L, 10L), (1L, 60L), (1L, 110L), (2L, 10L))
+      .toDF("user_id", "ts_us")
+    val got = StreamOps.asofSliceStats(clicks, "user_id", "ts_us",
+        horizonUs = 100L, rungs = 2)
+      .select("slice_us", "amplification", "n_slots", "max_slot", "n_rows")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (100L, 2L, 3L, 2L, 4L),   // u1:{10,60},{110}; u2:{10}
+      (50L, 3L, 4L, 1L, 4L)),   // every click in its own (user, slice) slot
+      s"hand-computed occupancy expected, got $got")
+  }
+
+  test("deriveSliceUs: widest rung under the bound; smallest on all-dense; horizon on empty (E6f)") {
+    val clicks = Seq((1L, 10L), (1L, 60L), (1L, 110L), (2L, 10L))
+      .toDF("user_id", "ts_us")
+    // bound 1 forces past the horizon rung (max_slot 2) to slice 50
+    assert(StreamOps.deriveSliceUs(clicks, "user_id", "ts_us", 100L,
+      maxPerSlot = 1, rungs = 2) == 50L)
+    // bound 2 admits the widest (cheapest-amplification) rung
+    assert(StreamOps.deriveSliceUs(clicks, "user_id", "ts_us", 100L,
+      maxPerSlot = 2, rungs = 2) == 100L)
+    // two same-timestamp clicks are dense at EVERY rung → smallest rung
+    val dense = Seq((1L, 10L), (1L, 10L)).toDF("user_id", "ts_us")
+    assert(StreamOps.deriveSliceUs(dense, "user_id", "ts_us", 100L,
+      maxPerSlot = 1, rungs = 2) == 50L)
+    // no clicks = no evidence → the default horizon-width slice
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "ts_us")
+    assert(StreamOps.deriveSliceUs(empty, "user_id", "ts_us", 100L,
+      maxPerSlot = 1, rungs = 2) == 100L)
+    // the derived width must reproduce the default-width relation (the
+    // sliced join is width-invariant): gated end-to-end by the e6f
+    // oracle row at maxPerSlot = 1 over the events fixture
+  }
+
   test("window indices FLOOR negative (pre-1970) timestamps, matching SQL // semantics") {
     val w = 3600000000L // 1h in us
     val ev = Seq(
