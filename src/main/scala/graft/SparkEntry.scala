@@ -3631,6 +3631,27 @@ object SparkEntry {
         "vec_id", "embedding", 0.45, dim = 64, bands = 32, bitsPerBand = 4,
         ordinal = true)
         .select("vec_id", "label").orderBy("vec_id")
+    }),
+
+    // D5j: the embedding band index is SQL-MAINTAINABLE — the d2h recipe
+    // on the (vec_id, embedding) + (vec_id, band, bkey) table pair:
+    // day-1 build = two INSERTs from the shared banding CTE chain into
+    // external parquet tables; day-2 = the probe statement's matched set
+    // folded back as two survivor INSERTs (vectors BEFORE band keys —
+    // see the stage helper's ordering note); compaction = the CTAS-stage
+    // compose per table; day-3 probe = the same statement, cosine verify
+    // via the registered graft_cosine kernel. Oracle = the from-scratch
+    // two-generation relation — a SQL-only consumer can now maintain all
+    // four index families (exact d8f, MinHash d2h/d2i, containment d7f,
+    // and the vector index here).
+    "d5j_embed_index_update_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val idxDir = s"${scratchDir(d)}/d5j_emb_index_${stageKey(srcFile, "d64b32p4m4sql")}"
+      embIndexSqlStage(s, idxDir, "graft_emb_vecs_sql", "graft_emb_bands_sql",
+        buildPred = "vec_id % 4 >= 2", dayPreds = Seq("vec_id % 4 = 0"))
+      s.sql(embProbeSql("vec_id % 4 = 1",
+        "graft_emb_vecs_sql", "graft_emb_bands_sql"))
     })
   )
 
@@ -3768,6 +3789,123 @@ object SparkEntry {
       "WHERE round(CASE WHEN sz - inter > 0 THEN inter / (sz - inter) ELSE 0.0 END, 6) >= 0.5) " +
       "SELECT b.doc_id, b.n_chars FROM batch b " +
       "LEFT ANTI JOIN matched m ON b.doc_id = m.id_1 ORDER BY doc_id"
+
+  /** Spark-SQL rendition of the ordinal sketch ([[graft.operators
+    * .Similarity.ordinalSketch]]): the same md5-derived coordinate pairs,
+    * 1-based via element_at (Spark's `[]` is 0-based, unlike DuckDB's —
+    * the one divergence between this and [[ordinalSketchSql]]).
+    */
+  private def ordinalSketchSparkSql(vecExpr: String, dim: Int, bits: Int,
+                                    seed: Long): String =
+    Similarity.ordinalIndexPairs(dim, bits, seed).zipWithIndex.map { case ((a, b), h) =>
+      s"(CASE WHEN element_at($vecExpr, ${a + 1}) > element_at($vecExpr, ${b + 1}) " +
+        s"THEN ${1L << h}L ELSE 0L END)"
+    }.mkString("(", " + ", ")")
+
+  /** The SQL-text rendition of the embedding banding pipeline — 32 bands
+    * × 4-bit ordinal sketches at seeds 1000+b, d5c/d5d's exact
+    * parameterization — over `embeddings` rows matching `pred`: ONE
+    * definition shared by the SQL index build, the survivor fold and the
+    * probe (d5j), so the SQL surface can never drift from itself.
+    * `ebatch(vec_id, embedding, label)`, `ebands(vec_id, band, bkey)` —
+    * a single LATERAL VIEW explode scan, the plan shape the Scala
+    * bandRows takes, not 32 UNION ALL scans.
+    */
+  private def embBandCtes(pred: String): String = {
+    val structs = (0 until 32).map { b =>
+      s"named_struct('band', $b, 'bkey', " +
+        ordinalSketchSparkSql("embedding", dim = 64, bits = 4, seed = 1000L + b) + ")"
+    }.mkString(", ")
+    s"ebatch AS (SELECT vec_id, embedding, label FROM embeddings WHERE $pred), " +
+      s"ebands AS (SELECT vec_id, bd.band AS band, bd.bkey AS bkey FROM ebatch " +
+      s"LATERAL VIEW explode(array($structs)) t AS bd)"
+  }
+
+  /** The d5j SQL index lifecycle — the d2h recipe applied to the
+    * embedding band index (two external-LOCATION tables: vectors +
+    * band keys), staged once per `idxDir`: day-1 build from `buildPred`,
+    * then ONE fold+compact cycle per `dayPreds` entry, every statement
+    * pure SQL text (the registered `graft_cosine` kernel is the verify).
+    * UPDATE ORDER MATTERS, exactly as d2h: survivor VECTORS insert
+    * BEFORE survivor band keys — candidates draw id_2 from the BANDS
+    * table, so inserting bands first would pair each survivor with
+    * itself (cosine 1.0) and mark the whole batch as matched; with
+    * vectors first, the added rows are unreachable (no band entry yet)
+    * until the bands insert completes the fold. Compaction per cycle =
+    * the CTAS-stage compose per table; crash idempotency = the d2h
+    * marker discipline (`_UPDATED` written only after all statements;
+    * an absent marker clears both LOCATION dirs before the build).
+    */
+  private def embIndexSqlStage(s: SparkSession, idxDir: String,
+                               vecsT: String, bandsT: String,
+                               buildPred: String,
+                               dayPreds: Seq[String]): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $vecsT")
+    s.sql(s"DROP TABLE IF EXISTS $bandsT")
+    val staged = new java.io.File(s"$idxDir/_UPDATED").exists()
+    if (!staged) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$idxDir/vecs"))
+      rm(new java.io.File(s"$idxDir/bands"))
+    }
+    s.sql(s"CREATE TABLE $vecsT (vec_id BIGINT, embedding ARRAY<FLOAT>) " +
+      s"USING parquet LOCATION '$idxDir/vecs'")
+    s.sql(s"CREATE TABLE $bandsT (vec_id BIGINT, band INT, " +
+      s"bkey BIGINT) USING parquet LOCATION '$idxDir/bands'")
+    if (!staged) {
+      s.sql(s"INSERT INTO $vecsT " +
+        s"SELECT vec_id, embedding FROM embeddings WHERE $buildPred")
+      s.sql(s"WITH ${embBandCtes(buildPred)} " +
+        s"INSERT INTO $bandsT SELECT vec_id, band, bkey FROM ebands")
+      dayPreds.foreach { pred =>
+        def fold(insert: String) =
+          s"WITH ${embBandCtes(pred)}, " +
+            "cand AS (SELECT DISTINCT b.vec_id AS id_1, i.vec_id AS id_2 " +
+            s"FROM ebands b JOIN $bandsT i " +
+            "ON b.band = i.band AND b.bkey = i.bkey), " +
+            "matched AS (SELECT DISTINCT c.id_1 FROM cand c " +
+            "JOIN ebatch l ON c.id_1 = l.vec_id " +
+            s"JOIN $vecsT r ON c.id_2 = r.vec_id " +
+            "WHERE round(graft_cosine(l.embedding, r.embedding), 6) >= 0.45) " +
+            insert
+        s.sql(fold(s"INSERT INTO $vecsT " +
+          "SELECT v.vec_id, v.embedding FROM ebatch v " +
+          "LEFT ANTI JOIN matched m ON v.vec_id = m.id_1"))
+        s.sql(fold(s"INSERT INTO $bandsT " +
+          "SELECT bb.vec_id, bb.band, bb.bkey FROM ebands bb " +
+          "LEFT ANTI JOIN matched m ON bb.vec_id = m.id_1"))
+        Seq(vecsT -> "vec_id, embedding",
+          bandsT -> "vec_id, band, bkey").foreach { case (t, cols) =>
+          s.sql(s"DROP TABLE IF EXISTS ${t}_stage")
+          s.sql(s"CREATE TABLE ${t}_stage USING parquet AS " +
+            s"SELECT /*+ REPARTITION(4) */ $cols FROM $t")
+          s.sql(s"INSERT OVERWRITE $t SELECT $cols FROM ${t}_stage")
+          s.sql(s"DROP TABLE ${t}_stage")
+        }
+      }
+      new java.io.File(s"$idxDir/_UPDATED").createNewFile()
+    }
+  }
+
+  /** The SQL-text embedding ingest probe: band-key equi-join candidates
+    * against `bandsT`, exact-cosine verify against `vecsT` with the
+    * registered graft_cosine kernel, anti join back to the batch — the
+    * one probe statement the d5j row runs against the maintained index.
+    */
+  private def embProbeSql(pred: String, vecsT: String,
+                          bandsT: String): String =
+    s"WITH ${embBandCtes(pred)}, " +
+      "cand AS (SELECT DISTINCT b.vec_id AS id_1, i.vec_id AS id_2 " +
+      s"FROM ebands b JOIN $bandsT i ON b.band = i.band AND b.bkey = i.bkey), " +
+      "matched AS (SELECT DISTINCT c.id_1 FROM cand c " +
+      "JOIN ebatch l ON c.id_1 = l.vec_id " +
+      s"JOIN $vecsT r ON c.id_2 = r.vec_id " +
+      "WHERE round(graft_cosine(l.embedding, r.embedding), 6) >= 0.45) " +
+      "SELECT b.vec_id, b.label FROM ebatch b " +
+      "LEFT ANTI JOIN matched m ON b.vec_id = m.id_1 ORDER BY vec_id"
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -4305,6 +4443,12 @@ object SparkEntry {
     // the index replay must reproduce d5c exactly — sketch bands + vectors
     // are the same relations whether derived inline or loaded from parquet
     "d5d_index_replay" -> d5cOracleSql,
+
+    // the SQL-maintained vector index against the from-scratch
+    // two-generation oracle: day-2 survivors screened against the base,
+    // the day-3 probe screened against base ∪ survivors — the fold, the
+    // compaction and the probe must be invisible relative to this
+    "d5j_embed_index_update_sql" -> d5jOracleSql,
 
     "sim_lsh_topk" -> {
       // 6-bit ordinal bucket (seed 42) + 1-bit multiprobe + exact cosine +
@@ -6404,6 +6548,41 @@ object SparkEntry {
     * cross-corpus probe shape, then the surviving batch rows) — shared
     * verbatim by the index replay (d5d).
     */
+  /** The d5j from-scratch oracle: the three-way %4 split (base ≥2, day-2
+    * = 0, day-3 probe = 1) replayed WITHOUT the index — day-2 survivors
+    * are the batch rows with no banded-candidate cosine match in the
+    * base, the probe screens against base ∪ survivors. Any fold-ordering
+    * bug, partial compaction, or band/vector drift in the SQL lifecycle
+    * shows up as a hash mismatch against this.
+    */
+  private val d5jOracleSql: String = {
+    val bandSelects = (0 until 32).map { b =>
+      s"SELECT vec_id, $b AS band, " +
+        ordinalSketchSql("embedding", dim = 64, bits = 4, seed = 1000L + b) +
+        " AS bkey FROM embeddings"
+    }.mkString(" UNION ALL ")
+    def cos = "round(list_cosine_similarity(e1.embedding::DOUBLE[], " +
+      "e2.embedding::DOUBLE[]), 6) >= 0.45"
+    s"WITH bands AS ($bandSelects), " +
+      "base AS (SELECT * FROM bands WHERE vec_id % 4 >= 2), " +
+      "day2 AS (SELECT * FROM bands WHERE vec_id % 4 = 0), " +
+      "cand2 AS (SELECT DISTINCT n.vec_id AS id_1, c.vec_id AS id_2 " +
+      "FROM day2 n JOIN base c ON n.band = c.band AND n.bkey = c.bkey), " +
+      "m2 AS (SELECT DISTINCT c.id_1 FROM cand2 c " +
+      "JOIN embeddings e1 ON c.id_1 = e1.vec_id " +
+      s"JOIN embeddings e2 ON c.id_2 = e2.vec_id WHERE $cos), " +
+      "idx AS (SELECT * FROM base UNION ALL " +
+      "SELECT * FROM day2 WHERE vec_id NOT IN (SELECT id_1 FROM m2)), " +
+      "day3 AS (SELECT * FROM bands WHERE vec_id % 4 = 1), " +
+      "cand3 AS (SELECT DISTINCT n.vec_id AS id_1, c.vec_id AS id_2 " +
+      "FROM day3 n JOIN idx c ON n.band = c.band AND n.bkey = c.bkey), " +
+      "m3 AS (SELECT DISTINCT c.id_1 FROM cand3 c " +
+      "JOIN embeddings e1 ON c.id_1 = e1.vec_id " +
+      s"JOIN embeddings e2 ON c.id_2 = e2.vec_id WHERE $cos) " +
+      "SELECT vec_id, label FROM embeddings WHERE vec_id % 4 = 1 " +
+      "AND vec_id NOT IN (SELECT id_1 FROM m3) ORDER BY vec_id"
+  }
+
   private val d5cOracleSql: String = {
     val bandSelects = (0 until 32).map { b =>
       s"SELECT vec_id, $b AS band, " +
