@@ -24,6 +24,20 @@ object Bench {
     // Warm the JVM (Spark core JIT, codegen infra) on data-free work so the
     // first measured query doesn't absorb one-time startup cost.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // CO-TENANCY SENTINEL (r16 What's-wrong #1: two same-code captures 16%
+    // apart with a uniform per-query ratio — capture-time external load,
+    // unreadable after the fact). A fixed CPU-bound probe, min of 3, is
+    // timed AFTER JIT warm-up and compared against the committed idle-box
+    // reference below: a capture whose sentinel runs >1.5× the reference
+    // was taken on a loaded box, and the artifact says so about ITSELF
+    // (`warmup_sec` + `cotenant`) instead of leaving round-over-round
+    // totals to guesswork.
+    val warmupSec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      // modulo keeps the sum far from long overflow under ANSI mode
+      spark.range(64000000L).selectExpr("sum(id % 1000000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run — for focused iteration
     // (blank env var means "all")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -173,7 +187,13 @@ object Bench {
     // r11 c22e238, r12 a53676d, r13 8e93924)
     val captureId = java.security.MessageDigest.getInstance("MD5")
       .digest(qs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"noisy":$noisy,"capture_id":"$captureId","sf":"$sfDir"}"""
+    // Committed idle-box reference for the co-tenancy sentinel (min-of-3
+    // of the fixed 64M-row modulo-sum probe on this round's hardware,
+    // local[32]: measured 0.159-0.186 s idle); re-measure and update when
+    // the hardware changes.
+    val WarmupRefSec = 0.17
+    val cotenant = warmupSec > 1.5 * WarmupRefSec
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"noisy":$noisy,"capture_id":"$captureId","warmup_sec":$warmupSec,"cotenant":$cotenant,"sf":"$sfDir"}"""
     println(json)
     // Also persist the line to a file: stdout capture truncates on long
     // runs (BENCH_r04 lost 9 of 78 per-query timings to the log tail), so
@@ -207,7 +227,8 @@ object Bench {
           f"$k [$mn%.2f, $mx%.2f]"
       }
       val summary = f"bench: ${results.size} queries, total $total%.1f s, " +
-        s"failed $nFailed, capture $captureId, noisy: " +
+        s"failed $nFailed, capture $captureId, " +
+        f"warmup $warmupSec%.2f s${if (cotenant) " CO-TENANT (loaded box)" else ""}, noisy: " +
         (if (noisyKeys.isEmpty) "none" else noisyKeys.mkString("; ")) + "\n"
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_summary.txt"), summary.getBytes("UTF-8"))
