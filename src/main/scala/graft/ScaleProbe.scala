@@ -85,6 +85,22 @@ object ScaleProbe {
       pairs.unpersist()
       res
     }),
+    // the r17 guard gate: the plain fixed-cap sparse-Jaccard name at the
+    // EXACT parameterization whose 100× form disk-DNF'd the r16 sweep —
+    // the probe records whether the call runs or REFUSES (and the wall
+    // measures the histogram pricing pass, the only work a refusal costs)
+    "p_d4f_guard" -> ((s, d) => {
+      import s.implicits._
+      val outcome =
+        try {
+          val n = Dedup.ngramJaccardPairsSparse(Tables.documents(s, d),
+            "doc_id", "text", 3, 0.2, maxDf = 50).count()
+          s"ACCEPTED: $n pairs"
+        } catch {
+          case e: IllegalArgumentException => "REFUSED: " + e.getMessage
+        }
+      Seq(outcome).toDF("guard_outcome")
+    }),
     "p_m2b_1k" -> ((s, d) => {
       val ids = Tables.documents(s, d).filter(col("doc_id") < 1000)
       val png = Multimodal.encodePngBatches(s, ids, "doc_id")

@@ -835,12 +835,14 @@ object Dedup {
     * candidate exchange plus a verify fan bounded at 50M set-merges —
     * comfortably inside a 32-slot executor's working set and ~40× the
     * whole sf0.1 corpus bill (1.27M at maxDf = 50), while the regime the
-    * r16 sweep measured DNF-ing on disk (the same cap at 100×, priced in
-    * the tens of billions — a FIXED df ceiling admits ~quadratically more
-    * candidates as every shingle's df grows with the corpus) is refused
-    * by four orders of magnitude. Override per call when the cluster's
-    * budget genuinely differs; `unbounded = true` bypasses pricing
-    * entirely and pins the reference regime.
+    * r16 sweep measured DNF-ing on disk (the same cap at 100×: priced
+    * 126.6M pairs, whose KB-scale set-pair verify rows are the >60 GB of
+    * spill — a FIXED df ceiling admits ~quadratically more candidates as
+    * every shingle's df grows with the corpus) is refused in the
+    * histogram pass alone (measured 9.8 s, zero spill, BENCH_SCALE r17).
+    * Override per call when the cluster's budget genuinely differs;
+    * `unbounded = true` bypasses pricing entirely and pins the reference
+    * regime.
     */
   private[graft] val FixedCapGuardPairs: Long = 50000000L
 
