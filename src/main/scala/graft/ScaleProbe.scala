@@ -85,6 +85,31 @@ object ScaleProbe {
       pairs.unpersist()
       res
     }),
+    // the r16 #8 stretch A/B: d2's verify INSIDE the band join (the d5g
+    // shape — sets ride band rows, no candidate-sized exchange) vs the
+    // production bloom-pruned sets-join verify. The kernel runs once per
+    // band COLLISION here (a high-jaccard pair collides in many bands)
+    // and KB-scale set arrays ride every band row — the hypothesis under
+    // test is whether that beats sorting the sets frame twice at scale.
+    "p_d2_verify_in_band" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count()
+      val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      val lk = Dedup.bandKeysCarrying(sets, "doc_id", "id_1", 32, 2, carrySets = true)
+      val rk = Dedup.bandKeysCarrying(sets, "doc_id", "id_2", 32, 2, carrySets = true)
+      // text-carrying kernel rows → the 2^16 rows/task width rule
+      val l2 = Dedup.spreadKernel(lk, nDocs * 32, 1L << 16, col("band"), col("bkey"))
+      val r2 = Dedup.spreadKernel(rk, nDocs * 32, 1L << 16, col("band"), col("bkey"))
+      l2.join(r2, Seq("band", "bkey"))
+        .filter(col("id_1") < col("id_2"))
+        .withColumn("inter", graft.functions.ArrayOps
+          .sortedIntersectSize(col("id_1_shs"), col("id_2_shs")).cast("double"))
+        .withColumn("uni", (col("id_1_n") + col("id_2_n") - col("inter")).cast("double"))
+        .withColumn("jaccard",
+          round(when(col("uni") > 0, col("inter") / col("uni")).otherwise(0.0), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_1", "id_2", "jaccard").distinct()
+    }),
     // the r17 guard gate: the plain fixed-cap sparse-Jaccard name at the
     // EXACT parameterization whose 100× form disk-DNF'd the r16 sweep —
     // the probe records whether the call runs or REFUSES (and the wall

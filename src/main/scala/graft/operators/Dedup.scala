@@ -89,13 +89,34 @@ object Dedup {
     */
   private[graft] def bandKeys(sets: DataFrame, idCol: String, as: String,
                        bands: Int, rowsPerBand: Int): DataFrame =
-    ArrayOps.explodeDense(
-      sets.select(col(idCol).as(as), sigArrayExpr(bands * rowsPerBand).as("_sigs")),
-      Seq(col(as)), array((0 until bands).map { b =>
+    bandKeysCarrying(sets, idCol, as, bands, rowsPerBand, carrySets = false)
+
+  /** [[bandKeys]] with `carrySets = true` CARRIES the set payload
+    * (`<as>_n`, `<as>_shs`) on every band row — the verify-in-the-band-
+    * join shape (the d5g lesson A/B'd on the minhash family, BENCH_SCALE
+    * r17): sets ride band rows so the exact-Jaccard verify can evaluate
+    * inside the band join with no candidate-sized exchange. ONE banding
+    * construction backs both forms, so the scheme cannot drift between
+    * the production path and the probe.
+    */
+  private[graft] def bandKeysCarrying(sets: DataFrame, idCol: String, as: String,
+                       bands: Int, rowsPerBand: Int,
+                       carrySets: Boolean): DataFrame = {
+    val base =
+      if (carrySets)
+        sets.select(col(idCol).as(as), col("n_sh").as(s"${as}_n"),
+          col("shs").as(s"${as}_shs"), sigArrayExpr(bands * rowsPerBand).as("_sigs"))
+      else sets.select(col(idCol).as(as), sigArrayExpr(bands * rowsPerBand).as("_sigs"))
+    val keep =
+      if (carrySets) Seq(col(as), col(s"${as}_n"), col(s"${as}_shs"))
+      else Seq(col(as))
+    ArrayOps.explodeDense(base, keep,
+      array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           hash(slice(col("_sigs"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
       }: _*), "bd")
-      .select(col(as), col("bd.band"), col("bd.bkey"))
+      .select(keep :+ col("bd.band") :+ col("bd.bkey"): _*)
+  }
 
   /** Cache-hygiene loan pattern for the shingle-set persists: `build` runs
     * against a persisted copy of `sets`; with `release = true` the result
