@@ -1729,6 +1729,76 @@ object SparkEntry {
           "FROM ranked WHERE rank <= 5 ORDER BY query_id, rank")
     }),
 
+    // SIM-IVF-UPDATE-SQL: the IVF index's UPDATE lifecycle as pure SQL
+    // text (the d5j/d2h discipline applied to the ANN family): day-1 =
+    // the Scala builder trains the quantizer on the BASE split (%5 != 0)
+    // and shards cells + centroids to parquet; day-2 = a SQL-only
+    // consumer assigns the new batch (%5 = 0) against the FROZEN
+    // centroids — one argmax window over the 8-row cents view, the IVF
+    // add() semantics d10c documents (production never retrains per
+    // batch) — INSERTs into the external cells table and CTAS-compacts
+    // it; the probe is sim_probe_sql's statement over the updated cells.
+    // Oracle = from-scratch: deterministic Lloyd on the base split, the
+    // batch assigned to the same centroids, top-k over the union.
+    // Crash idempotency: one _UPDATED marker gates the WHOLE lifecycle
+    // (build included) — a run that died anywhere clears the dir and
+    // replays from scratch, so partial inserts can never be re-adopted.
+    "sim_ivf_update_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val emb = Tables.embeddings(s, d)
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val idxDir = s"${scratchDir(d)}/simivf_upd_${stageKey(srcFile, "d64k8i2m5sql")}"
+      s.sql("DROP TABLE IF EXISTS graft_ivf_cells_upd")
+      val staged = new java.io.File(s"$idxDir/_UPDATED").exists()
+      if (!staged) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(idxDir))
+        Similarity.writeIvfIndex(
+          Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0),
+            "vec_id", "embedding", dim = 64, k = 8, iters = 2),
+          idxDir, "vec_id", shards = 4)
+      }
+      // external table over the staged cells (schema inferred from the
+      // day-1 files), frozen centroids as a read-only view
+      s.sql(s"CREATE TABLE graft_ivf_cells_upd USING parquet LOCATION '$idxDir/cells'")
+      s.read.parquet(s"$idxDir/cents").createOrReplaceTempView("graft_ivf_cents_upd")
+      if (!staged) {
+        s.sql("INSERT INTO graft_ivf_cells_upd " +
+          "SELECT vec_id, embedding, cell FROM (" +
+          "SELECT e.vec_id, e.embedding, c.cell, row_number() OVER (" +
+          "PARTITION BY e.vec_id ORDER BY round(graft_cosine(e.embedding, c.centroid), 6) DESC, " +
+          "c.cell ASC) AS rn " +
+          "FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0) e " +
+          "CROSS JOIN graft_ivf_cents_upd c) WHERE rn = 1")
+        s.sql("DROP TABLE IF EXISTS graft_ivf_cells_upd_stage")
+        s.sql("CREATE TABLE graft_ivf_cells_upd_stage USING parquet AS " +
+          "SELECT /*+ REPARTITION(4) */ vec_id, embedding, cell FROM graft_ivf_cells_upd")
+        s.sql("INSERT OVERWRITE graft_ivf_cells_upd " +
+          "SELECT vec_id, embedding, cell FROM graft_ivf_cells_upd_stage")
+        s.sql("DROP TABLE graft_ivf_cells_upd_stage")
+        new java.io.File(s"$idxDir/_UPDATED").createNewFile()
+      }
+      s.sql(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings " +
+          "WHERE vec_id < 10), " +
+          "cellrank AS (SELECT q.query_id, q.qe, c.cell, row_number() OVER (" +
+          "PARTITION BY q.query_id ORDER BY round(graft_cosine(q.qe, c.centroid), 6) DESC, " +
+          "c.cell ASC) AS crn FROM q CROSS JOIN graft_ivf_cents_upd c), " +
+          "probed AS (SELECT query_id, qe, cell FROM cellrank WHERE crn <= 3), " +
+          "scored AS (SELECT p.query_id, e.vec_id AS neighbor_id, " +
+          "round(graft_cosine(p.qe, e.embedding), 6) AS cosine " +
+          "FROM probed p JOIN graft_ivf_cells_upd e ON e.cell = p.cell " +
+          "AND e.vec_id != p.query_id), " +
+          "ranked AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (" +
+          "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank " +
+          "FROM scored) " +
+          "SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank " +
+          "FROM ranked WHERE rank <= 5 ORDER BY query_id, rank")
+    }),
+
     // SIM CLUSTER CAP: cluster-balanced curation (the SemDeDup recipe's
     // outer loop) — train the deterministic Lloyd quantizer, then keep at
     // most k vectors per cell by the engine-portable id-hash quota
@@ -4154,6 +4224,40 @@ object SparkEntry {
       "ORDER BY query_id, rank"
   }
 
+  /** The sim_ivf_update_sql from-scratch oracle: deterministic Lloyd on
+    * the BASE split only (the trained, frozen quantizer), the day-2
+    * batch assigned to those same centroids by the argmax window, and
+    * the probe's top-k over the UNION of base and batch cells — the
+    * update lifecycle (INSERT + CTAS compaction) must be invisible
+    * relative to this.
+    */
+  private def ivfUpdateOracleSql(dim: Int, k: Int, probes: Int, topK: Int,
+                                 seed: String): String = {
+    def cos(a: String, b: String) = s"round(list_cosine_similarity($a, $b), 6)"
+    val base = "(SELECT * FROM embeddings WHERE vec_id % 5 != 0)"
+    s"${kmeansCtesSql(dim, k, seed, src = base)}, " +
+      "nb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0), " +
+      "anew AS (SELECT vec_id, embedding, cell FROM (SELECT e.vec_id, e.embedding, c.cell, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      s"${cos("e.embedding::DOUBLE[]", "c.centroid")} DESC, c.cell ASC) AS rn " +
+      "FROM nb e CROSS JOIN cents c) WHERE rn = 1), " +
+      "cells AS (SELECT vec_id, embedding, cell FROM a2 " +
+      "UNION ALL SELECT vec_id, embedding, cell FROM anew), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10), " +
+      "cellrank AS (SELECT q.query_id, q.qe, c.cell, row_number() OVER (" +
+      "PARTITION BY q.query_id ORDER BY " +
+      s"${cos("q.qe::DOUBLE[]", "c.centroid")} DESC, c.cell ASC) AS crn " +
+      "FROM q CROSS JOIN cents c), " +
+      s"probed AS (SELECT query_id, qe, cell FROM cellrank WHERE crn <= $probes), " +
+      "scored AS (SELECT p.query_id, e.vec_id AS neighbor_id, " +
+      s"${cos("p.qe::DOUBLE[]", "e.embedding::DOUBLE[]")} AS cosine " +
+      "FROM probed p JOIN cells e ON e.cell = p.cell AND e.vec_id != p.query_id), " +
+      "ranked AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored) " +
+      s"SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $topK " +
+      "ORDER BY query_id, rank"
+  }
+
   /** The t17 query's fixed term set — shared by the Spark row and the
     * oracle builder so they can never drift.
     */
@@ -5217,6 +5321,12 @@ object SparkEntry {
     // replay row — one oracle covers both surfaces
     "sim_probe_sql" -> kmeansIvfSql(dim = 64, k = 8, probes = 3, topK = 5,
       seed = "kmeans"),
+
+    // the SQL-maintained cells table against the from-scratch oracle:
+    // base-trained frozen centroids, batch folded by the same argmax,
+    // top-k over the union — INSERT + compaction must be invisible
+    "sim_ivf_update_sql" -> ivfUpdateOracleSql(dim = 64, k = 8, probes = 3,
+      topK = 5, seed = "kmeans"),
 
     // the quota sampler's rank applied to the deterministic Lloyd
     // assignment — at most 40 per cell, smallest id-hashes win
