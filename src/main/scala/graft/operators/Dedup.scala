@@ -570,6 +570,21 @@ object Dedup {
     * the verify prune engages when the priced candidate volume does —
     * the relation is IDENTICAL either way (spec-pinned against the
     * unbounded form).
+    *
+    * TWO-STAGE PRICING (the d4e ladder in front of the exact histogram):
+    * a hopeless cap must not cost the corpus-wide (shingle, df) aggregate
+    * just to be refused — at 1000× that exact pass alone measured 42.9 s
+    * with 21 GB of spill (BENCH_SCALE r16), i.e. the REFUSAL would be the
+    * most expensive thing the call did. So the guard first prices the cap
+    * on the deterministic 1/16 document sample ([[shingleDfStatsSampled]],
+    * whose `est_*` columns are the unbiased 1/rate² full-corpus
+    * estimates) and refuses IMMEDIATELY when the estimate exceeds 4× the
+    * guard — far enough past the boundary that the sample's O(1/√(df·
+    * rate)) concentration noise cannot flip the verdict. Estimates inside
+    * the 4× band escalate to the exact histogram, which settles admission
+    * (and is then REUSED by the admitted pipeline, so the exact pass is
+    * never wasted work). The sampled stage is skipped when `maxDf/16 < 2`
+    * (the sampled cap axis degenerates below 2).
     */
   def ngramJaccardPairsSparse(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double, maxDf: Int,
@@ -585,7 +600,28 @@ object Dedup {
       withPersistedSets(shingleSets(df, idCol, textCol, n), releaseSets) { sets =>
         sparseJaccardFromSets(sets, idCol, threshold, maxDf)
       }
-    else
+    else {
+      val rate = 0.0625 // 1/16, the d4e binary fraction
+      val sampledCap = (maxDf * rate).toLong
+      if (sampledCap >= 2) {
+        // one tiny collect over the ≤|distinct sampled dfs|-row frame; the
+        // est_cum column is the unbiased full-corpus pair bill
+        val est = shingleDfStatsSampled(df, idCol, textCol, n, rate)
+          .filter(col("df") <= sampledCap)
+          .agg(max("est_cum_pair_cost")).head()
+        val estBill = if (est.isNullAt(0)) 0.0 else est.getDouble(0)
+        if (estBill > 4.0 * guardPairs) {
+          val estL = estBill.toLong
+          throw new IllegalArgumentException(
+            s"ngramJaccardPairsSparse: maxDf=$maxDf prices an ESTIMATED " +
+              s"$estL candidate pairs (>4x the $guardPairs guard) from the " +
+              "1/16 document sample; refused before the corpus-wide " +
+              "histogram (the exact bill could only confirm it). Use " +
+              "ngramJaccardPairsSparseAuto to derive the cap from a pair " +
+              "budget, lower maxDf, or pass unbounded = true to pin the " +
+              "fixed-cap reference regime and own its cost.")
+        }
+      }
       sparseCappedFromHistogram(df, idCol, textCol, n, threshold, releaseSets,
         hist => {
           // cum at the cap = the exact candidate-pair bill this maxDf buys
@@ -603,6 +639,7 @@ object Dedup {
           }
           (maxDf.toLong, priced <= BroadcastRareKeyLimit)
         })
+    }
 
   /** The df-capped candidate+verify body over prepared sets — shared by
     * the fixed-ceiling ([[ngramJaccardPairsSparse]]) and budget-derived

@@ -73,18 +73,36 @@ class DedupSpec extends SparkTestBase {
     val reference = rows(Dedup.ngramJaccardPairsSparse(docs, "doc_id", "text", 3, 0.2, maxDf = 50,
       unbounded = true))
     assert(guarded == reference, "guard admission must be relation-neutral")
-    // a cap whose priced candidate volume exceeds the guard REFUSES,
-    // naming the bill and the escapes (guardPairs = 0 forces it on any
-    // corpus with at least one df>=2 shingle)
+    // STAGE 1 (sampled quick refusal): guardPairs = 0 puts any non-zero
+    // estimate past the 4x escalation band, so the refusal comes from the
+    // 1/16-sample pricing BEFORE the corpus-wide histogram
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     val e = intercept[IllegalArgumentException] {
       Dedup.ngramJaccardPairsSparse(docs, "doc_id", "text", 3, 0.2, maxDf = 50,
         guardPairs = 0L).count()
     }
-    assert(e.getMessage.contains("candidate"), s"pricing in message: ${e.getMessage}")
+    assert(e.getMessage.contains("ESTIMATED"), s"quick stage refuses: ${e.getMessage}")
     assert(e.getMessage.contains("unbounded"), "escape hatch named in message")
-    // the refusal releases its evidence caches (sets + df aggregate) —
-    // a refused call must leave no new persists behind
+    // STAGE 2 (exact refusal): a guard just below the true bill keeps the
+    // estimate inside the 4x band, so the call escalates to the exact
+    // histogram and refuses on the exact number
+    val cum = Dedup.shingleDfStats(docs, "doc_id", "text", 3)
+      .filter(col("df") <= 50).agg(org.apache.spark.sql.functions.max("cum_pair_cost"))
+      .head().getLong(0)
+    val est = Dedup.shingleDfStatsSampled(docs, "doc_id", "text", 3, rate = 0.0625)
+      .filter(col("df") <= 3).agg(org.apache.spark.sql.functions.max("est_cum_pair_cost"))
+      .head().getDouble(0)
+    assert(est <= 4.0 * (cum - 1),
+      s"fixture precondition for the escalation test (est=$est cum=$cum)")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairsSparse(docs, "doc_id", "text", 3, 0.2, maxDf = 50,
+        guardPairs = cum - 1).count()
+    }
+    assert(e2.getMessage.contains(s"prices $cum candidate"),
+      s"exact stage refuses with the exact bill: ${e2.getMessage}")
+    assert(!e2.getMessage.contains("ESTIMATED"), "exact refusal, not the sampled stage")
+    // either refusal releases its evidence caches — a refused call must
+    // leave no new persists behind
     assert((spark.sparkContext.getPersistentRDDs.keySet -- baseline).isEmpty,
       "refusal must not leak persists")
   }
