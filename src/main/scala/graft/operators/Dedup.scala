@@ -583,14 +583,19 @@ object Dedup {
     * rate)) concentration noise cannot flip the verdict. Estimates inside
     * the 4× band escalate to the exact histogram, which settles admission
     * (and is then REUSED by the admitted pipeline, so the exact pass is
-    * never wasted work). The sampled stage is skipped when `maxDf/16 < 2`
-    * (the sampled cap axis degenerates below 2).
+    * never wasted work). The sampled stage runs only where it earns its
+    * keep: corpora of at least `quickPriceMinDocs` documents (the
+    * `pruneVerifyMinRows` precedent — below ~1M docs the exact histogram
+    * is sub-second and the extra sampled pass is pure overhead, measured
+    * +1.3 s on the sf0.1 bench row), and caps where `maxDf/16 >= 2` (the
+    * sampled cap axis degenerates below 2).
     */
   def ngramJaccardPairsSparse(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double, maxDf: Int,
                               releaseSets: Boolean = false,
                               unbounded: Boolean = false,
-                              guardPairs: Long = FixedCapGuardPairs): DataFrame =
+                              guardPairs: Long = FixedCapGuardPairs,
+                              quickPriceMinDocs: Long = 1L << 20): DataFrame =
     if (unbounded)
       // The reduced sets feed FIVE plan positions (df-count, both sides of
       // the candidate self-join via inv, both verify sides); without a cache
@@ -603,7 +608,9 @@ object Dedup {
     else {
       val rate = 0.0625 // 1/16, the d4e binary fraction
       val sampledCap = (maxDf * rate).toLong
-      if (sampledCap >= 2) {
+      // corpus-count read: the Pairs.autoBlocks / minhash big-corpus gate
+      // precedent — one cheap job against the (cached) input
+      if (sampledCap >= 2 && df.count() >= quickPriceMinDocs) {
         // one tiny collect over the ≤|distinct sampled dfs|-row frame; the
         // est_cum column is the unbiased full-corpus pair bill
         val est = shingleDfStatsSampled(df, idCol, textCol, n, rate)

@@ -78,8 +78,9 @@ class DedupSpec extends SparkTestBase {
     // 1/16-sample pricing BEFORE the corpus-wide histogram
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     val e = intercept[IllegalArgumentException] {
+      // quickPriceMinDocs = 0 arms the sampled stage on the small fixture
       Dedup.ngramJaccardPairsSparse(docs, "doc_id", "text", 3, 0.2, maxDf = 50,
-        guardPairs = 0L).count()
+        guardPairs = 0L, quickPriceMinDocs = 0L).count()
     }
     assert(e.getMessage.contains("ESTIMATED"), s"quick stage refuses: ${e.getMessage}")
     assert(e.getMessage.contains("unbounded"), "escape hatch named in message")
