@@ -110,6 +110,21 @@ object ScaleProbe {
         .filter(col("jaccard") >= 0.5)
         .select("id_1", "id_2", "jaccard").distinct()
     }),
+    // j3b's task-memory lever: the bucketed as-of at HALF the bucket
+    // width — same relation (width is a physical blocking knob), half
+    // the per-(key, bucket) window state. The r17 third-decade row saw
+    // 3.4×/decade peak-task growth on the densified fixture; this probe
+    // measures that width is the lever that flattens it.
+    "p_j3b_narrow" -> ((s, d) => {
+      val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      graft.operators.Joins.asofJoinBucketed(purchases, clicks,
+        ("user_id", "user_id"), ("ts_us", "ts_us"),
+        width = 1800000000L, tiebreak = Some("event_id"))
+        .select("event_id", "user_id", "ts_us", "r_event_id", "r_ts_us")
+    }),
     // the r17 guard gate: the plain fixed-cap sparse-Jaccard name at the
     // EXACT parameterization whose 100× form disk-DNF'd the r16 sweep —
     // the probe records whether the call runs or REFUSES (and the wall

@@ -301,4 +301,22 @@ class EmptyInputSpec extends SparkTestBase {
     // simhash pairs (first-agreeing-chunk form) over nothing
     assert(Dedup.simhashNearDups(emptyDocs, "doc_id", "text").count() == 0)
   }
+
+  test("round-17 additions: empty inputs degrade to empty/zero, never throw") {
+    // the guarded fixed-cap sparse path on no docs: the sampled stage is
+    // size-gated off, the exact histogram is empty (priced 0 <= guard),
+    // and the admitted pipeline yields no pairs — even when the sampled
+    // stage is explicitly ARMED, a zero estimate must admit, not refuse
+    assert(Dedup.ngramJaccardPairsSparse(emptyDocs, "doc_id", "text", 3, 0.2,
+      maxDf = 50).count() == 0)
+    assert(Dedup.ngramJaccardPairsSparse(emptyDocs, "doc_id", "text", 3, 0.2,
+      maxDf = 50, quickPriceMinDocs = 0L).count() == 0)
+    // slice diagnostic over no clicks: schema intact, zero rows; the
+    // derivation then falls back to the horizon (spec'd in StreamOpsSpec)
+    val emptyClicks = Seq.empty[(Long, Long)].toDF("user_id", "ts_us")
+    val st = graft.streaming.StreamOps.asofSliceStats(emptyClicks,
+      "user_id", "ts_us", 3600000000L)
+    assert(st.columns.toSeq == Seq("slice_us", "amplification", "n_slots",
+      "max_slot", "n_rows") && st.count() == 0)
+  }
 }
