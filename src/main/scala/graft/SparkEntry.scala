@@ -3905,6 +3905,18 @@ object SparkEntry {
     * the CTAS-stage compose per table; crash idempotency = the d2h
     * marker discipline (`_UPDATED` written only after all statements;
     * an absent marker clears both LOCATION dirs before the build).
+    *
+    * SCALE REGIME: the fold/probe statements run the UNBOUNDED banded
+    * candidate join — d5c's 32×4-at-0.45 parameterization, i.e. the
+    * pinned d5b reference regime, quadratic per (band, bkey) bucket once
+    * corpus/16 rows share a 4-bit key (measured family-wide: the r16
+    * sweep's ~4e10-row admission arithmetic). At the oracle scales the
+    * buckets hold tens of rows; at 100×+ a consumer must gate admission
+    * first — price Σ n_batch·n_corpus over the joined bucket counts
+    * against batch×corpus exactly as [[graft.operators.Dedup
+    * .embeddingIncrementalAuto]] does (the d5h/d5i oracles state that
+    * gate in pure SQL, so the SQL-only consumer has the statement). The
+    * build/compact statements are linear and scale-safe.
     */
   private def embIndexSqlStage(s: SparkSession, idxDir: String,
                                vecsT: String, bandsT: String,
