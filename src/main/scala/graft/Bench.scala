@@ -38,6 +38,22 @@ object Bench {
       spark.range(64000000L).selectExpr("sum(id % 1000000)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // IO-SENSITIVE SENTINEL (r17 Next #3: two sentinel-idle same-code
+    // captures still differed 1.054× — the CPU modulo-sum is blind to
+    // disk/page-cache contention). A fixed full-column parquet scan of
+    // the largest fixture file, min of 3, timed alongside the CPU probe:
+    // a capture slow on THIS probe but clean on the CPU one was taken
+    // under IO pressure, and the artifact distinguishes the two.
+    val ioProbeSec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      try spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(l_quantity)", "sum(l_orderkey % 1000000)",
+          "sum(length(l_returnflag))").collect()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] io probe failed (continuing): ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run — for focused iteration
     // (blank env var means "all")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -187,13 +203,21 @@ object Bench {
     // r11 c22e238, r12 a53676d, r13 8e93924)
     val captureId = java.security.MessageDigest.getInstance("MD5")
       .digest(qs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    // Committed idle-box reference for the co-tenancy sentinel (min-of-3
-    // of the fixed 64M-row modulo-sum probe on this round's hardware,
-    // local[32]: measured 0.159-0.186 s idle); re-measure and update when
-    // the hardware changes.
-    val WarmupRefSec = 0.17
-    val cotenant = warmupSec > 1.5 * WarmupRefSec
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"noisy":$noisy,"capture_id":"$captureId","warmup_sec":$warmupSec,"cotenant":$cotenant,"sf":"$sfDir"}"""
+    // Committed idle-box references for the two co-tenancy sentinels
+    // (min-of-3 on this round's hardware, local[32]; CPU probe = the 64M
+    // modulo-sum, measured 0.159-0.222 s idle; IO probe = the full-column
+    // lineitem scan, sf0.1, page-cache warm, measured 0.249-0.273 s
+    // idle). Both are EMITTED into the
+    // artifact next to their measurements, so a stale constant is
+    // auditable from the JSON itself (r17 advisory: the hardcoded 0.17
+    // left 25% headroom with no signal when the band drifted), and both
+    // are env-overridable for other hardware without a rebuild.
+    val warmupRefSec = sys.env.get("SPARK_GRAFT_WARMUP_REF")
+      .flatMap(_.trim.toDoubleOption).getOrElse(0.19)
+    val ioRefSec = sys.env.get("SPARK_GRAFT_IO_REF")
+      .flatMap(_.trim.toDoubleOption).getOrElse(0.26)
+    val cotenant = warmupSec > 1.5 * warmupRefSec || ioProbeSec > 1.5 * ioRefSec
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"noisy":$noisy,"capture_id":"$captureId","warmup_sec":$warmupSec,"warmup_ref_sec":$warmupRefSec,"io_probe_sec":$ioProbeSec,"io_ref_sec":$ioRefSec,"cotenant":$cotenant,"sf":"$sfDir"}"""
     println(json)
     // Also persist the line to a file: stdout capture truncates on long
     // runs (BENCH_r04 lost 9 of 78 per-query timings to the log tail), so
@@ -228,7 +252,9 @@ object Bench {
       }
       val summary = f"bench: ${results.size} queries, total $total%.1f s, " +
         s"failed $nFailed, capture $captureId, " +
-        f"warmup $warmupSec%.2f s${if (cotenant) " CO-TENANT (loaded box)" else ""}, noisy: " +
+        f"warmup $warmupSec%.2f s (ref $warmupRefSec%.2f), " +
+        f"io $ioProbeSec%.2f s (ref $ioRefSec%.2f)" +
+        f"${if (cotenant) " CO-TENANT (loaded box)" else ""}, noisy: " +
         (if (noisyKeys.isEmpty) "none" else noisyKeys.mkString("; ")) + "\n"
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_summary.txt"), summary.getBytes("UTF-8"))

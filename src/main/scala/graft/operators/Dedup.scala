@@ -588,7 +588,12 @@ object Dedup {
     * `pruneVerifyMinRows` precedent — below ~1M docs the exact histogram
     * is sub-second and the extra sampled pass is pure overhead, measured
     * +1.3 s on the sf0.1 bench row), and caps where `maxDf/16 >= 2` (the
-    * sampled cap axis degenerates below 2).
+    * sampled cap axis degenerates below 2). The size gate reads a count
+    * ONLY when the input is a leaf plan (bare file scan / cached frame —
+    * footer- or cache-cheap); a DERIVED input skips the gate and prices
+    * from the sample unconditionally, because a dedicated counting pass
+    * over the derivation would cost more than the sampled stage it gates
+    * (r17 advisory), and the 4× refusal margin is corpus-size-safe.
     */
   def ngramJaccardPairsSparse(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double, maxDf: Int,
@@ -608,9 +613,25 @@ object Dedup {
     else {
       val rate = 0.0625 // 1/16, the d4e binary fraction
       val sampledCap = (maxDf * rate).toLong
-      // corpus-count read: the Pairs.autoBlocks / minhash big-corpus gate
-      // precedent — one cheap job against the (cached) input
-      if (sampledCap >= 2 && df.count() >= quickPriceMinDocs) {
+      // Corpus-size evidence for the quickPriceMinDocs gate must not cost
+      // a dedicated full pass over a DERIVED input (the r17 advisory: the
+      // count() job re-evaluates the whole derivation just to decide
+      // whether the sampled stage arms). So the count runs only where it
+      // is genuinely cheap — a bare file scan (parquet footer counts) or
+      // an already-cached frame — and a derived input skips the size gate
+      // and prices from the sample unconditionally: one 1/16-cost pass in
+      // place of the full counting pass, and the 4× refusal margin does
+      // not depend on corpus size (small corpora cannot inflate a
+      // sub-guard bill past 4× the guard — the flukes are low-df keys
+      // whose absolute cost is tiny), so the verdict stays safe.
+      val cheapDocs: Option[Long] = {
+        import org.apache.spark.sql.catalyst.plans.logical.LeafNode
+        df.queryExecution.optimizedPlan match {
+          case _: LeafNode => Some(df.count())
+          case _ => None
+        }
+      }
+      if (sampledCap >= 2 && cheapDocs.forall(_ >= quickPriceMinDocs)) {
         // one tiny collect over the ≤|distinct sampled dfs|-row frame; the
         // est_cum column is the unbiased full-corpus pair bill
         val est = shingleDfStatsSampled(df, idCol, textCol, n, rate)

@@ -518,10 +518,18 @@ object StreamOps {
     * amplification) per rung, keeping only rungs that divide the horizon
     * exactly (so the amplification column is exact, not a bound). Public
     * so an oracle can re-derive the identical ladder.
+    *
+    * Amplification is computed FROM the kept width (`horizon/s + 1`),
+    * never from the rung index: a truncated shift `horizonUs >> r` can
+    * divide an odd horizon while differing from `horizonUs / 2^r`
+    * (horizon 9, rung 3 → width 1 divides, but 2^3+1 = 9 understates the
+    * true 9/1+1 = 10 probes per left row) — so the divisibility filter
+    * alone does not make the power-of-two label exact.
     */
   def sliceLadder(horizonUs: Long, rungs: Int): IndexedSeq[(Long, Long)] =
-    (0 until rungs).map(r => (horizonUs >> r, (1L << r) + 1))
-      .filter { case (s, _) => s > 0 && horizonUs % s == 0 }
+    (0 until rungs).map(r => horizonUs >> r)
+      .filter(s => s > 0 && horizonUs % s == 0)
+      .map(s => (s, horizonUs / s + 1))
 
   /** Derive [[asofJoinStreamingSliced]]'s `sliceUs` from measured key
     * density instead of guessing: the LARGEST ladder rung whose maximum

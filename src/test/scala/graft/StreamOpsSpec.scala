@@ -590,6 +590,11 @@ class StreamOpsSpec extends SparkTestBase {
   test("asofSliceStats: ladder keeps horizon-dividing rungs; occupancy and amplification exact (E6e)") {
     // horizon 100: 100, 50, 25 divide; 12/6/3 (the >> truncations) do not
     assert(StreamOps.sliceLadder(100L, 6) == IndexedSeq((100L, 2L), (50L, 3L), (25L, 5L)))
+    // odd horizon: the truncated shift 9 >> 3 = 1 divides 9 but is NOT
+    // 9 / 2^3 — amplification must come from the kept width (9/1 + 1 =
+    // 10 probes), not from the rung's power-of-two label (which would
+    // understate it as 2^3 + 1 = 9)
+    assert(StreamOps.sliceLadder(9L, 4) == IndexedSeq((9L, 2L), (1L, 10L)))
     val clicks = Seq((1L, 10L), (1L, 60L), (1L, 110L), (2L, 10L))
       .toDF("user_id", "ts_us")
     val got = StreamOps.asofSliceStats(clicks, "user_id", "ts_us",
