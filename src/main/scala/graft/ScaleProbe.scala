@@ -141,6 +141,23 @@ object ScaleProbe {
         }
       Seq(outcome).toDF("guard_outcome")
     }),
+    // the r18 in-SQL lifecycle guard: the guarded embedding-index fold
+    // (d5k) at the canonical parameterization whose UNGUARDED fold the
+    // r17 100× probe measured fatal — the probe records whether the
+    // lifecycle runs or REFUSES (wall = the linear day-1 build plus the
+    // pricing aggregates, the only work a refusal costs; no fold insert
+    // ever runs on a refused day)
+    "p_d5k_guard" -> ((s, d) => {
+      import s.implicits._
+      val outcome =
+        try {
+          val n = SparkEntry.queries("d5k_embed_index_guarded_sql")(s, d).count()
+          s"ACCEPTED: $n survivors"
+        } catch {
+          case e: IllegalArgumentException => "REFUSED: " + e.getMessage
+        }
+      Seq(outcome).toDF("guard_outcome")
+    }),
     "p_m2b_1k" -> ((s, d) => {
       val ids = Tables.documents(s, d).filter(col("doc_id") < 1000)
       val png = Multimodal.encodePngBatches(s, ids, "doc_id")

@@ -3718,10 +3718,36 @@ object SparkEntry {
       Tables.registerAll(s, d)
       val srcFile = new java.io.File(s"$d/embeddings.parquet")
       val idxDir = s"${scratchDir(d)}/d5j_emb_index_${stageKey(srcFile, "d64b32p4m4sql")}"
+      // guardPairs = 0 pins the UNGUARDED reference regime (the d4b
+      // discipline): this row documents what the raw lifecycle costs;
+      // the plain guarded form is the d5k row below
       embIndexSqlStage(s, idxDir, "graft_emb_vecs_sql", "graft_emb_bands_sql",
-        buildPred = "vec_id % 4 >= 2", dayPreds = Seq("vec_id % 4 = 0"))
+        buildPred = "vec_id % 4 >= 2", dayPreds = Seq("vec_id % 4 = 0"),
+        guardPairs = 0L)
       s.sql(embProbeSql("vec_id % 4 = 1",
         "graft_emb_vecs_sql", "graft_emb_bands_sql"))
+    }),
+
+    // D5k: the d5j lifecycle behind the IN-SQL admission guard (the d4f
+    // pattern applied to the last measured-fatal plainly-reachable
+    // regime — r17 Next #1): every fold day and the probe run the
+    // banded-bill pricing statement first (the d5h/d5i numerator as pure
+    // SQL) and REFUSE over the 50M-pair guard, before any insert touches
+    // the index. On the canonical fixture every day admits, so the row
+    // shares d5j's from-scratch oracle VERBATIM — the guard is gated to
+    // be relation-invisible where it admits, and SqlSurfaceSpec pins the
+    // refusal on a dense fixture the unguarded form would go quadratic
+    // on.
+    "d5k_embed_index_guarded_sql" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val idxDir = s"${scratchDir(d)}/d5k_emb_index_${stageKey(srcFile, "d64b32p4m4gsql")}"
+      embIndexSqlStage(s, idxDir, "graft_emb_vecs_gsql", "graft_emb_bands_gsql",
+        buildPred = "vec_id % 4 >= 2", dayPreds = Seq("vec_id % 4 = 0"))
+      requireEmbBillUnder(s, "vec_id % 4 = 1", "graft_emb_bands_gsql",
+        EmbSqlGuardPairs)
+      s.sql(embProbeSql("vec_id % 4 = 1",
+        "graft_emb_vecs_gsql", "graft_emb_bands_gsql"))
     })
   )
 
@@ -3906,22 +3932,29 @@ object SparkEntry {
     * marker discipline (`_UPDATED` written only after all statements;
     * an absent marker clears both LOCATION dirs before the build).
     *
-    * SCALE REGIME: the fold/probe statements run the UNBOUNDED banded
-    * candidate join — d5c's 32×4-at-0.45 parameterization, i.e. the
-    * pinned d5b reference regime, quadratic per (band, bkey) bucket once
-    * corpus/16 rows share a 4-bit key (measured family-wide: the r16
-    * sweep's ~4e10-row admission arithmetic). At the oracle scales the
-    * buckets hold tens of rows; at 100×+ a consumer must gate admission
-    * first — price Σ n_batch·n_corpus over the joined bucket counts
-    * against batch×corpus exactly as [[graft.operators.Dedup
-    * .embeddingIncrementalAuto]] does (the d5h/d5i oracles state that
-    * gate in pure SQL, so the SQL-only consumer has the statement). The
-    * build/compact statements are linear and scale-safe.
+    * SCALE REGIME: the fold/probe statements run the banded candidate
+    * join — d5c's 32×4-at-0.45 parameterization, i.e. the pinned d5b
+    * reference regime, quadratic per (band, bkey) bucket once corpus/16
+    * rows share a 4-bit key (measured family-wide: the r16 sweep's
+    * ~4e10-row admission arithmetic). `guardPairs > 0` puts the d4f gate
+    * IN the lifecycle (the r17 ask): before every fold cycle the stage
+    * runs [[embBandBillSql]] — the d5h/d5i pricing numerator, Σ
+    * n_batch·n_index over the joined (band, bkey) bucket counts, itself
+    * pure SQL a consumer can run — and REFUSES when the bill exceeds the
+    * guard, naming the priced volume and the escapes, BEFORE any fold
+    * insert mutates the index (a refused day leaves both tables exactly
+    * as the previous day left them). `guardPairs = 0` pins the unguarded
+    * reference regime (the d5j row) and owns its cost — at the oracle
+    * scales the buckets hold tens of rows; at 100×+ the r17 probe
+    * measured the unguarded fold fatal, and the guarded form refuses it
+    * in seconds (BENCH_SCALE r18). The build/compact statements are
+    * linear and scale-safe, and are not priced.
     */
   private def embIndexSqlStage(s: SparkSession, idxDir: String,
                                vecsT: String, bandsT: String,
                                buildPred: String,
-                               dayPreds: Seq[String]): Unit = {
+                               dayPreds: Seq[String],
+                               guardPairs: Long = EmbSqlGuardPairs): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $vecsT")
     s.sql(s"DROP TABLE IF EXISTS $bandsT")
     val staged = new java.io.File(s"$idxDir/_UPDATED").exists()
@@ -3943,6 +3976,7 @@ object SparkEntry {
       s.sql(s"WITH ${embBandCtes(buildPred)} " +
         s"INSERT INTO $bandsT SELECT vec_id, band, bkey FROM ebands")
       dayPreds.foreach { pred =>
+        if (guardPairs > 0) requireEmbBillUnder(s, pred, bandsT, guardPairs)
         def fold(insert: String) =
           s"WITH ${embBandCtes(pred)}, " +
             "cand AS (SELECT DISTINCT b.vec_id AS id_1, i.vec_id AS id_2 " +
@@ -3988,6 +4022,47 @@ object SparkEntry {
       "WHERE round(graft_cosine(l.embedding, r.embedding), 6) >= 0.45) " +
       "SELECT b.vec_id, b.label FROM ebatch b " +
       "LEFT ANTI JOIN matched m ON b.vec_id = m.id_1 ORDER BY vec_id"
+
+  /** The banded-candidate BILL of one fold/probe day, as pure SQL text —
+    * the d5h/d5i admission numerator (Σ n_batch·n_index over the joined
+    * (band, bkey) bucket counts; two linear scans + tiny aggregates,
+    * never the candidate join itself). This is the statement a SQL-only
+    * consumer runs in front of a fold/probe against a corpus whose
+    * density they do not know; [[embIndexSqlStage]] runs it for them
+    * when `guardPairs > 0`.
+    */
+  private def embBandBillSql(pred: String, bandsT: String): String =
+    s"WITH ${embBandCtes(pred)}, " +
+      "bb AS (SELECT band, bkey, count(*) AS n FROM ebands GROUP BY band, bkey), " +
+      s"ib AS (SELECT band, bkey, count(*) AS n FROM $bandsT GROUP BY band, bkey) " +
+      "SELECT coalesce(sum(bb.n * ib.n), 0L) AS banded_bill " +
+      "FROM bb JOIN ib ON bb.band = ib.band AND bb.bkey = ib.bkey"
+
+  /** Default guard for the SQL index lifecycle's banded candidate bill —
+    * the d4 family's 50M-pair ceiling ([[graft.operators.Dedup
+    * .FixedCapGuardPairs]]): past it the candidate join's task memory and
+    * shuffle are the measured scale-killers (the r17 100× probe).
+    */
+  private val EmbSqlGuardPairs: Long = 50000000L
+
+  /** Run [[embBandBillSql]] and REFUSE a day whose banded candidate bill
+    * exceeds `guardPairs` — the d4f contract on the SQL lifecycle: the
+    * refusal costs the pricing aggregates only and happens before any
+    * fold insert, so a refused day cannot half-mutate the index.
+    */
+  private def requireEmbBillUnder(s: SparkSession, pred: String,
+                                  bandsT: String, guardPairs: Long): Unit = {
+    val bill = s.sql(embBandBillSql(pred, bandsT)).head().getLong(0)
+    if (bill > guardPairs)
+      throw new IllegalArgumentException(
+        s"embIndexSqlStage: the day '$pred' prices $bill banded candidate " +
+          s"pairs against $bandsT, over the $guardPairs guard. Gate " +
+          "admission first (the d5h/d5i statement: compare the bill to " +
+          "batch*corpus and route to the measured branch), shrink the " +
+          "day's batch, or pass guardPairs = 0 to pin the unguarded " +
+          "reference regime and own its cost (measured fatal at 100x - " +
+          "BENCH_SCALE r17).")
+  }
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -4565,6 +4640,10 @@ object SparkEntry {
     // the day-3 probe screened against base ∪ survivors — the fold, the
     // compaction and the probe must be invisible relative to this
     "d5j_embed_index_update_sql" -> d5jOracleSql,
+    // the guarded lifecycle admits every canonical day, so it must
+    // reproduce the unguarded relation bit-for-bit (the d4b/d4f shared
+    // oracle discipline)
+    "d5k_embed_index_guarded_sql" -> d5jOracleSql,
 
     "sim_lsh_topk" -> {
       // 6-bit ordinal bucket (seed 42) + 1-bit multiprobe + exact cosine +

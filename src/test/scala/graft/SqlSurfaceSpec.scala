@@ -114,4 +114,49 @@ class SqlSurfaceSpec extends SparkTestBase {
     // compacted tables and must land on the same relation
     assert(run() == got, "replay over the staged index diverged")
   }
+
+  test("d5k guarded SQL lifecycle refuses a dense fold day before any insert (r17 #1)") {
+    // 6000 copies of ONE vector: every row lands in the same (band, bkey)
+    // bucket, so the fold day prices 32 x 1500 x 3000 = 144M banded
+    // candidates - over the 50M guard the plain d5k name carries. The
+    // unguarded d5j form would run that join; the guarded form must
+    // refuse from the pricing aggregates alone, leaving the index exactly
+    // as day-1 built it (no marker, no fold rows).
+    import spark.implicits._
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    val v = (0 until 64).map(i => (i % 7).toFloat / 7.0f).toArray
+    val dense = (0L until 6000L).map(i => (i, v, 0)).toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+    val dir = "target/tmp/sqlsurface_d5k_dense"
+    dense.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException](
+      SparkEntry.queries("d5k_embed_index_guarded_sql")(spark, dir).collect())
+    assert(e.getMessage.contains("banded candidate") &&
+      e.getMessage.contains("guard"),
+      s"refusal must name the priced bill and the guard: ${e.getMessage}")
+    // refused BEFORE mutating: day-1 build rows only (3000 base vectors x
+    // 32 bands), and the lifecycle marker was never written - a rerun
+    // replays from scratch instead of adopting a half-folded index
+    assert(spark.sql("SELECT count(*) FROM graft_emb_bands_gsql").head().getLong(0)
+      == 3000L * 32, "a refused day must not have inserted fold rows")
+    assert(!new java.io.File(
+      s"target/tmp/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}").exists() ||
+      !new java.io.File(s"target/tmp/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+        .listFiles().exists(f => f.getName.startsWith("d5k_emb_index_") &&
+          new java.io.File(f, "_UPDATED").exists()),
+      "a refused lifecycle must not stage the _UPDATED marker")
+  }
+
+  test("d5k guarded lifecycle is relation-identical to unguarded d5j where it admits") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.registerFunctions(spark)
+    def rel(name: String) = SparkEntry.queries(name)(spark, sf)
+      .as[(Long, Int)].collect().toSeq
+    val guarded = rel("d5k_embed_index_guarded_sql")
+    val plain = rel("d5j_embed_index_update_sql")
+    assert(guarded == plain,
+      "the admission guard must be invisible to the relation where it admits")
+    assert(guarded.nonEmpty, "canonical fixture must produce survivors")
+  }
 }
