@@ -119,6 +119,23 @@ object SparkEntry {
 
   private val E6HorizonUs = 3600000000L
 
+  /** The sim_ivf_retrain row's two imbalance triggers — literals shared
+    * by the Spark derivation and the DuckDB oracle so the decision
+    * arithmetic can never drift between them. The row runs the arc at
+    * BOTH (the embedAutoOracleSql both-branches discipline): the FIRE
+    * arm (1.0 — any measured imbalance; the canonical fixture's
+    * bootstrap-append occupancy sits at 1.12-1.23 across SFs, and a
+    * 500-row/8-cell index cannot be exactly uniform) exercises the
+    * triggered rebuild, the HOLD arm (6.0 — unreachable: max/mean is
+    * bounded by the cell count 8 and measured an order under it) pins
+    * the not-triggered branch, so neither arm of the gate is ever
+    * vacuously green. The production API default stays 3.0 on
+    * [[graft.operators.Similarity.shouldRetrainIvf]]; BENCH_SCALE
+    * exercises THAT trigger under a genuinely skewed appended load.
+    */
+  private val SimRetrainFire = 1.0
+  private val SimRetrainHold = 6.0
+
   /** Stage the e6-family replay source ONCE per (events source, horizon):
     * events + one far-future sentinel per stream (non-joining negative
     * user ids) whose watermark flushes every real append-mode group.
@@ -1684,6 +1701,67 @@ object SparkEntry {
           idxDir, "vec_id", shards = 4)
       }
       Similarity.ivfIndexStats(s, idxDir)
+    }),
+
+    // SIM-IVF-RETRAIN: the diagnostic → derivation → plan ARC for the
+    // ANN family (r17 Next #2 — sim_ivf_stats' telemetry now feeds a
+    // plan choice, the d4c/e6f discipline): bootstrap the quantizer on
+    // the first 16 vectors (the tiny early sample a pipeline trains its
+    // day-1 index on), append the other ~30× under the FROZEN centroids
+    // (the documented updateIvfIndex regime: appends can never
+    // rebalance), read the occupancy imbalance, derive shouldRetrainIvf,
+    // and run the triggered rebuild. The arc runs at BOTH row
+    // thresholds — the FIRE arm retrains and reports the rebuilt
+    // occupancy, the HOLD arm reports the appended occupancy — so the
+    // oracle (which re-derives both Lloyd trainings, the argmax append,
+    // the occupancy arithmetic, and the CASE-gated branch choice in
+    // SQL) hash-verifies BOTH branches of the gate, the d4d pattern
+    // with no vacuous arm. The retrained index bit-matches a
+    // from-scratch build on the union (SimilaritySpec).
+    "sim_ivf_retrain" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val idxDir = s"${scratchDir(d)}/sim_ivf_retrain_${stageKey(srcFile, "d64k8i2b16arms")}"
+      if (!new java.io.File(s"$idxDir/_RETRAIN_DONE").exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(idxDir))
+        Similarity.writeIvfIndex(
+          Similarity.buildIvfIndex(emb.filter(col("vec_id") < 16),
+            "vec_id", "embedding", dim = 64, k = 8, iters = 2),
+          idxDir, "vec_id", shards = 4)
+        Similarity.updateIvfIndex(emb.filter(col("vec_id") >= 16)
+            .select("vec_id", "embedding"),
+          idxDir, "vec_id", "embedding", shards = 4)
+        def stats() = Similarity.ivfIndexStats(s, idxDir).head()
+        val pre = stats()
+        val fire = Similarity.shouldRetrainIvf(s, idxDir,
+          maxImbalance = SimRetrainFire)
+        val hold = Similarity.shouldRetrainIvf(s, idxDir,
+          maxImbalance = SimRetrainHold)
+        if (fire || hold)
+          Similarity.retrainIvfIndex(s, idxDir, "vec_id", "embedding",
+            dim = 64, k = 8, iters = 2)
+        val post = stats()
+        // the decision rows persist WITH the staged index: a replay must
+        // report the evidence each decision was taken on, not re-measure
+        // an index the retrain already rebalanced
+        def arm(threshold: Double, fired: Boolean) = {
+          val r = if (fired) post else pre
+          (threshold, pre.getDouble(4), fired, r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getDouble(3), r.getDouble(4))
+        }
+        Seq(arm(SimRetrainFire, fire), arm(SimRetrainHold, hold))
+          .toDF("threshold", "pre_imbalance", "retrained", "cells",
+            "vectors", "max_cell", "mean_cell", "imbalance")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$idxDir/decision.parquet")
+        new java.io.File(s"$idxDir/_RETRAIN_DONE").createNewFile()
+      }
+      s.read.parquet(s"$idxDir/decision.parquet").orderBy("threshold")
     }),
 
     // SIM-PROBE-SQL: the sim_ivf_index_replay probe stated as PURE SQL
@@ -4273,8 +4351,15 @@ object SparkEntry {
     * oracle (`a2` = the final assignment, `cents` = its centroids) —
     * [[kmeansIvfSql]] probes them, the sim_ivf_stats oracle counts them.
     */
+  /** `tag` suffixes every CTE name (c0→c0r, …, cents→centsr) so TWO
+    * trainings over different sources can compose in one statement (the
+    * sim_ivf_retrain oracle trains the frozen quantizer AND the
+    * from-scratch union rebuild); the default "" keeps every existing
+    * consumer's `a2`/`cents` references intact.
+    */
   private def kmeansCtesSql(dim: Int, k: Int, seed: String,
-                            src: String = "embeddings"): String = {
+                            src: String = "embeddings",
+                            tag: String = ""): String = {
     val centCols = (1 to dim).map(i =>
       s"CAST(CAST(round(avg(embedding[$i]), 4) + 0.0 AS FLOAT) AS DOUBLE)").mkString(", ")
     def cos(a: String, b: String) = s"round(list_cosine_similarity($a, $b), 6)"
@@ -4283,13 +4368,13 @@ object SparkEntry {
         s"row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
         s"${cos("e.embedding::DOUBLE[]", "c.centroid")} DESC, c.cell ASC) AS rn " +
         s"FROM $from e CROSS JOIN $cents c) WHERE rn = 1"
-    s"WITH c0 AS (SELECT cell, centroid FROM (SELECT embedding::DOUBLE[] AS centroid, " +
+    s"WITH c0$tag AS (SELECT cell, centroid FROM (SELECT embedding::DOUBLE[] AS centroid, " +
       s"row_number() OVER (ORDER BY md5('$seed:' || CAST(vec_id AS VARCHAR)), " +
       s"CAST(vec_id AS VARCHAR)) - 1 AS cell FROM $src) WHERE cell < $k), " +
-      s"a1 AS (${assign(src, "c0")}), " +
-      s"c1 AS (SELECT cell, [$centCols] AS centroid FROM a1 GROUP BY cell), " +
-      s"a2 AS (${assign(src, "c1")}), " +
-      s"cents AS (SELECT cell, [$centCols] AS centroid FROM a2 GROUP BY cell)"
+      s"a1$tag AS (${assign(src, s"c0$tag")}), " +
+      s"c1$tag AS (SELECT cell, [$centCols] AS centroid FROM a1$tag GROUP BY cell), " +
+      s"a2$tag AS (${assign(src, s"c1$tag")}), " +
+      s"cents$tag AS (SELECT cell, [$centCols] AS centroid FROM a2$tag GROUP BY cell)"
   }
 
   private def kmeansIvfSql(dim: Int, k: Int, probes: Int, topK: Int,
@@ -4343,6 +4428,50 @@ object SparkEntry {
       "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored) " +
       s"SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $topK " +
       "ORDER BY query_id, rank"
+  }
+
+  /** The sim_ivf_retrain from-scratch oracle — the WHOLE arc re-derived
+    * in SQL (the d4d discipline: the decision arithmetic is what the
+    * hash verifies, not just a chosen branch's output): train the
+    * frozen bootstrap quantizer on the first 16 vectors (`a2`/`cents`),
+    * argmax the remaining append against it, aggregate the PRE
+    * occupancy and its imbalance, train the union rebuild from scratch
+    * (`a2r`, the tag'd second Lloyd), aggregate the POST occupancy, and
+    * emit ONE ARM PER THRESHOLD with every post-decision column
+    * CASE-gated on `pre.imbalance > threshold` — an engine that
+    * retrained without the trigger, or skipped the rebuild with it,
+    * hash-mismatches on that arm's branch columns.
+    */
+  private def ivfRetrainOracleSql(dim: Int, k: Int, seed: String,
+                                  thresholds: Seq[Double]): String = {
+    def cos(a: String, b: String) = s"round(list_cosine_similarity($a, $b), 6)"
+    def occStats(src: String) =
+      s"SELECT count(*)::BIGINT AS cells, sum(n)::BIGINT AS vectors, " +
+        s"max(n)::BIGINT AS max_cell, round(avg(n), 6) AS mean_cell, " +
+        s"round(max(n) / avg(n), 6) AS imbalance FROM $src"
+    def arm(threshold: Double) = {
+      val trig = s"pre.imbalance > $threshold"
+      val branch = Seq("cells", "vectors", "max_cell", "mean_cell", "imbalance")
+        .map(c => s"CASE WHEN $trig THEN post.$c ELSE pre.$c END AS $c")
+        .mkString(", ")
+      s"SELECT CAST($threshold AS DOUBLE) AS threshold, " +
+        s"pre.imbalance AS pre_imbalance, " +
+        s"$trig AS retrained, $branch FROM pre, post"
+    }
+    s"${kmeansCtesSql(dim, k, seed, src = "(SELECT * FROM embeddings WHERE vec_id < 16)")}, " +
+      "nb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16), " +
+      "anew AS (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cell, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      s"${cos("e.embedding::DOUBLE[]", "c.centroid")} DESC, c.cell ASC) AS rn " +
+      "FROM nb e CROSS JOIN cents c) WHERE rn = 1), " +
+      "occpre AS (SELECT cell, count(*)::BIGINT AS n FROM " +
+      "(SELECT cell FROM a2 UNION ALL SELECT cell FROM anew) GROUP BY cell), " +
+      s"pre AS (${occStats("occpre")}), " +
+      s"${kmeansCtesSql(dim, k, seed, src = "embeddings", tag = "r").stripPrefix("WITH ")}, " +
+      "occpost AS (SELECT cell, count(*)::BIGINT AS n FROM a2r GROUP BY cell), " +
+      s"post AS (${occStats("occpost")}) " +
+      thresholds.map(arm).mkString(" UNION ALL ") +
+      " ORDER BY threshold"
   }
 
   /** The t17 query's fixed term set — shared by the Spark row and the
@@ -5418,6 +5547,9 @@ object SparkEntry {
     // top-k over the union — INSERT + compaction must be invisible
     "sim_ivf_update_sql" -> ivfUpdateOracleSql(dim = 64, k = 8, probes = 3,
       topK = 5, seed = "kmeans"),
+
+    "sim_ivf_retrain" -> ivfRetrainOracleSql(dim = 64, k = 8,
+      seed = "kmeans", thresholds = Seq(SimRetrainFire, SimRetrainHold)),
 
     // the quota sampler's rank applied to the deterministic Lloyd
     // assignment — at most 40 per cell, smallest id-hashes win

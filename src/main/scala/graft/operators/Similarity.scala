@@ -769,6 +769,60 @@ object Similarity {
         round(avg("n"), 6).as("mean_cell"),
         round(max("n") / avg("n"), 6).as("imbalance"))
 
+  /** The PLAN DERIVATION [[ivfIndexStats]] exists to feed (the
+    * d4c/d9c/e6f pattern: diagnostic → derivation → plan, never a
+    * guessed knob): true when the measured max/mean occupancy imbalance
+    * exceeds `maxImbalance`, i.e. when the frozen quantizer mis-fits the
+    * appended data badly enough that probe cost is no longer ~probes/k
+    * of the corpus and the periodic rebuild documented on
+    * [[updateIvfIndex]] should fire. 3.0 is the production default (a
+    * 3× hot cell triples the expected probe scan); an empty or
+    * single-cell-degenerate index reports no imbalance and never
+    * triggers. Reads the ≤1-row stats frame — one bounded collect.
+    */
+  def shouldRetrainIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                       maxImbalance: Double = 3.0): Boolean = {
+    require(maxImbalance >= 1.0, "shouldRetrainIvf: maxImbalance must be >= 1")
+    val r = ivfIndexStats(spark, path).head()
+    !r.isNullAt(4) && r.getDouble(4) > maxImbalance
+  }
+
+  /** The rebuild [[shouldRetrainIvf]] triggers: retrain the coarse
+    * quantizer ON THE CURRENTLY INDEXED VECTORS (base build + every
+    * appended delta) and replace the index in place. The result is
+    * BIT-IDENTICAL to a from-scratch [[buildIvfIndex]] over the union —
+    * the deterministic Lloyd seeding is a pure function of the id SET
+    * (md5-smallest k), floats round-trip parquet exactly, and the
+    * training input is set-equal to union-of-appends by construction —
+    * so SimilaritySpec gates equality instead of plausibility.
+    *
+    * Swap discipline: the rebuild READS `cells/` lazily, so it fully
+    * materializes into `retrain_stage/` before the live dirs are
+    * replaced (a direct overwrite would read-from-under-write). On a
+    * shared filesystem at scale the same shape applies with a manifest
+    * repoint instead of a rename; the stage-then-swap is the portable
+    * part.
+    */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, vecCol: String, dim: Int, k: Int,
+                      iters: Int = 2, seed: String = "kmeans",
+                      roundTo: Int = 4, shards: Int = 4): Unit = {
+    val vecs = spark.read.parquet(s"$path/cells").select(col(idCol), col(vecCol))
+    val idx = buildIvfIndex(vecs, idCol, vecCol, dim, k, iters, seed, roundTo)
+    writeIvfIndex(idx, s"$path/retrain_stage", idCol, shards)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Seq("cells", "cents").foreach { sub =>
+      rm(new java.io.File(s"$path/$sub"))
+      require(new java.io.File(s"$path/retrain_stage/$sub")
+        .renameTo(new java.io.File(s"$path/$sub")),
+        s"retrainIvfIndex: could not swap $sub into place")
+    }
+    rm(new java.io.File(s"$path/retrain_stage"))
+  }
+
   /** LSH-bucketed approximate top-k with 1-bit multiprobe. Candidates from
     * bucket collisions only; exact scores; the same k-bounded aggregate as
     * [[bruteForceTopK]] ranks them (multiprobe duplicates removed first so

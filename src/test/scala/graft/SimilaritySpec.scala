@@ -296,6 +296,57 @@ class SimilaritySpec extends SparkTestBase {
     assert(sSkew._5 > sBal._5, s"imbalance must order by appended skew: ${sSkew._5} vs ${sBal._5}")
   }
 
+  test("shouldRetrainIvf derives from measured imbalance; retrainIvfIndex bit-matches a from-scratch union build (r17 #2)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val dir = "target/tmp/simspec_ivf_retrain"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(base, "vec_id", "embedding", dim = 64, k = 8, iters = 2),
+      dir, "vec_id", shards = 2)
+    // appended-skew load: copies of the hottest cell's vectors re-assign
+    // to their own frozen centroid, so the append provably piles into one
+    // cell and imbalance rises
+    val baseCells = spark.read.parquet(s"$dir/cells")
+    val hot = baseCells.groupBy("cell").count()
+      .collect().maxBy(r => (r.getLong(1), -r.getInt(0))).getInt(0)
+    // materialized locally: the lazy frame would re-read cells/ AFTER the
+    // retrain swap replaces those files (the exact hazard retrainIvfIndex's
+    // stage-then-swap exists to avoid inside the API)
+    val skewRows = baseCells.filter(col("cell") === hot).limit(24)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val skewBatch = spark.createDataFrame(skewRows)
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    Similarity.updateIvfIndex(skewBatch, dir, "vec_id", "embedding", shards = 2)
+    val preImb = Similarity.ivfIndexStats(spark, dir).head().getDouble(4)
+    assert(preImb > 1.0, "the skewed append must register as imbalance")
+    // the derivation is EXACTLY "measured imbalance exceeds the bound":
+    // strictly-below fires, at-or-above holds
+    assert(Similarity.shouldRetrainIvf(spark, dir, maxImbalance = preImb - 0.01))
+    assert(!Similarity.shouldRetrainIvf(spark, dir, maxImbalance = preImb))
+    // the triggered rebuild bit-matches a from-scratch build on the union
+    val union = base.select(col("vec_id"), col("embedding"))
+      .unionAll(skewBatch)
+    Similarity.retrainIvfIndex(spark, dir, "vec_id", "embedding",
+      dim = 64, k = 8, iters = 2)
+    val fresh = Similarity.buildIvfIndex(union, "vec_id", "embedding",
+      dim = 64, k = 8, iters = 2)
+    def cellsSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "embedding").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toList)).toSet
+    def centsSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("cell", "centroid").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toList)).toSet
+    val got = Similarity.readIvfIndex(spark, dir)
+    assert(cellsSet(got.cells) == cellsSet(fresh.cells),
+      "retrained cells must equal a from-scratch union build")
+    assert(centsSet(got.cents) == centsSet(fresh.cents),
+      "retrained centroids must equal a from-scratch union build")
+    // the stage dir must not survive the swap
+    assert(!new java.io.File(s"$dir/retrain_stage").exists())
+  }
+
   test("quantizeInt8: packed codes are deterministic, in range, zero-vector safe") {
     val vecs = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f)),
