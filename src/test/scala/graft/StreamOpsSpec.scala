@@ -629,6 +629,53 @@ class StreamOpsSpec extends SparkTestBase {
     // oracle row at maxPerSlot = 1 over the events fixture
   }
 
+  test("deriveSliceUs at the DEFAULT bound picks a sub-horizon rung on a dense key; replay bit-matches unsliced (r17 #4)") {
+    // r17's e6f forced a non-default rung with maxPerSlot = 1; this pins
+    // the DEFAULT 4096 bound non-vacuously: one hot user with 6000 clicks
+    // inside a single horizon-width slot (> 4096) that halving once
+    // splits into ~3000-row slots (< 4096), so the default derivation
+    // must step down exactly one rung — and the join relation at that
+    // measured width must still bit-match the unsliced join.
+    implicit val sqlCtx = spark.sqlContext
+    val horizon = 1024L
+    val base = 1000000000000000L
+    val a = base - base % horizon // slot-aligned hot window
+    val clickRows = (0 until 6000).map(i => (100L + i, 1L, a + (i % horizon)))
+    val batchClicks = clickRows.toDF("event_id", "user_id", "ts_us")
+    val derived = StreamOps.deriveSliceUs(batchClicks, "user_id", "ts_us",
+      horizonUs = horizon) // default maxPerSlot = 4096, rungs = 6
+    assert(derived == horizon / 2,
+      s"default bound must step past the dense horizon rung, got $derived")
+    val purchRows = Seq(
+      (1L, 1L, a + 1000),    // dense window: latest in-horizon click wins
+      (2L, 1L, a + horizon + 900), // horizon reaches back into the hot slot
+      (3L, 2L, a + 500))     // user with no clicks at all
+    def run(sliceUs: Long, name: String) = {
+      val purchases = MemoryStream[(Long, Long, Long)]
+      val clicks = MemoryStream[(Long, Long, Long)]
+      clicks.addData(clickRows: _*)
+      purchases.addData(purchRows: _*)
+      purchases.addData((-1L, -100L, a + 100000000L))
+      clicks.addData((-2L, -200L, a + 100000000L))
+      val df = StreamOps.asofJoinStreamingSliced(
+        purchases.toDF().toDF("event_id", "user_id", "ts_us"),
+        clicks.toDF().toDF("event_id", "user_id", "ts_us"),
+        horizonUs = horizon, watermark = "1 second", sliceUs = sliceUs)
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).filter(col("event_id") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    }
+    val atDerived = run(derived, "e6f_default_derived_out")
+    val unsliced = run(horizon, "e6f_default_ref_out")
+    assert(atDerived == unsliced,
+      s"derived-width relation must bit-match unsliced: $atDerived vs $unsliced")
+    assert(unsliced.size == 2 && unsliced.exists(_._1 == 1L),
+      s"fixture must join inside the dense window, got $unsliced")
+  }
+
   test("window indices FLOOR negative (pre-1970) timestamps, matching SQL // semantics") {
     val w = 3600000000L // 1h in us
     val ev = Seq(
