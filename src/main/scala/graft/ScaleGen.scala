@@ -99,6 +99,13 @@ object ScaleGen {
 
   def generate(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     require(copies >= 1, "ScaleGen: copies must be >= 1")
+    // SPARK_GRAFT_SCALEGEN_TABLES=documents[,events,…] restricts generation
+    // to the named tables — the growth-axis probes past 1000× only need one
+    // corpus table, and the full fixture would not fit the box
+    val only = sys.env.get("SPARK_GRAFT_SCALEGEN_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    def want(t: String): Boolean = only.forall(_.contains(t))
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit = {
       df.repartition(32).write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -106,6 +113,7 @@ object ScaleGen {
     }
 
     // ------- documents: word-suffix per copy -------
+    if (want("documents")) {
     val docs = read("documents")
     val docStride = math.max(1L, read("documents").agg(max("doc_id")).head().getLong(0) + 1)
     val docCopies = (0 until copies).map { c =>
@@ -115,8 +123,10 @@ object ScaleGen {
         t.as("text"), col("lang"), col("source"), length(t).as("n_chars"))
     }
     write(docCopies.reduce(_ unionByName _), "documents")
+    }
 
     // ------- embeddings: coordinate rotation per copy -------
+    if (want("embeddings")) {
     val emb = read("embeddings")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val vecStride = math.max(1L, emb.agg(max("vec_id")).head().getLong(0) + 1)
@@ -129,19 +139,23 @@ object ScaleGen {
         v.as("embedding"), col("label"))
     }
     write(embCopies.reduce(_ unionByName _), "embeddings")
+    }
 
     // ------- lineitem/orders: orderkey stride per copy -------
+    if (want("lineitem") || want("orders")) {
     val li = read("lineitem")
     val ord = read("orders")
     val okStride = math.max(1L, ord.agg(max("o_orderkey")).head().getLong(0) + 1)
-    write((0 until copies).map { c =>
+    if (want("lineitem")) write((0 until copies).map { c =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(c * okStride))
     }.reduce(_ unionByName _), "lineitem")
-    write((0 until copies).map { c =>
+    if (want("orders")) write((0 until copies).map { c =>
       ord.withColumn("o_orderkey", col("o_orderkey") + lit(c * okStride))
     }.reduce(_ unionByName _), "orders")
+    }
 
     // ------- events: ts offset per copy (disjoint windows, same density) -------
+    if (want("events")) {
     val evRaw = spark.read.parquet(s"$src/events.parquet")
     val tsType = evRaw.schema("ts").dataType
     val evStride = 1000000L // event_id stride; ts shifted by c days
@@ -153,9 +167,10 @@ object ScaleGen {
           case _ => col("ts") + expr(s"INTERVAL ${c * 86400L} SECOND")
         })
     }.reduce(_ unionByName _), "events")
+    }
 
     // ------- dimensions: 1× passthrough -------
     Seq("region", "nation", "customer", "supplier", "part")
-      .foreach(t => write(read(t), t))
+      .filter(want).foreach(t => write(read(t), t))
   }
 }

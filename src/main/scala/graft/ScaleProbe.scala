@@ -158,6 +158,54 @@ object ScaleProbe {
         }
       Seq(outcome).toDF("guard_outcome")
     }),
+    // the r18 retrain arc under an appended-skew load AT SCALE: build the
+    // IVF index on the full corpus, append one hot cell's entire
+    // population AGAIN (2× the hottest cell — the pile-up appends create
+    // when the frozen quantizer mis-fits arrivals), read the occupancy
+    // telemetry, derive shouldRetrainIvf at a trigger the skew crosses,
+    // and run the triggered rebuild; the row reports the arc's numbers
+    // (pre/post imbalance, fired). Fresh dir every run — the probe
+    // measures the WHOLE arc, not a staged replay.
+    "p_sim_ivf_retrain_skew" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Similarity
+      val dir = "target/tmp/probe_ivf_retrain_skew"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+      val emb = Tables.embeddings(s, d)
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding", dim = 64,
+          k = 8, iters = 2), dir, "vec_id", shards = 32)
+      val baseCells = s.read.parquet(s"$dir/cells")
+      val hot = baseCells.groupBy("cell").count()
+        .collect().maxBy(r => (r.getLong(1), -r.getInt(0))).getInt(0)
+      val maxId = emb.agg(max("vec_id")).head().getLong(0)
+      Similarity.updateIvfIndex(
+        baseCells.filter(col("cell") === hot)
+          .select((col("vec_id") + maxId + 1L).as("vec_id"), col("embedding")),
+        dir, "vec_id", "embedding", shards = 32)
+      val pre = Similarity.ivfIndexStats(s, dir).head()
+      val fired = Similarity.shouldRetrainIvf(s, dir, maxImbalance = 1.5)
+      if (fired)
+        Similarity.retrainIvfIndex(s, dir, "vec_id", "embedding",
+          dim = 64, k = 8, iters = 2, shards = 32)
+      val post = Similarity.ivfIndexStats(s, dir).head()
+      // the k-growth lever: a same-k retrain cannot flatten an append
+      // whose mass is GENUINELY dense (the duplicated blob is a real
+      // cluster); the production rebuild grows k with the corpus, so
+      // report the occupancy a k-doubled rebuild of the same union gets
+      val grown = Similarity.buildIvfIndex(
+        s.read.parquet(s"$dir/cells").select("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 64, k = 16, iters = 2)
+      val gImb = grown.cells.groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(round(max("n") / avg("n"), 6)).head().getDouble(0)
+      Seq((pre.getDouble(4), fired, post.getDouble(4), gImb, post.getLong(1)))
+        .toDF("pre_imbalance", "retrained", "post_imbalance",
+          "post_imbalance_k16", "vectors")
+    }),
     "p_m2b_1k" -> ((s, d) => {
       val ids = Tables.documents(s, d).filter(col("doc_id") < 1000)
       val png = Multimodal.encodePngBatches(s, ids, "doc_id")
