@@ -195,16 +195,20 @@ object ScaleProbe {
       val post = Similarity.ivfIndexStats(s, dir).head()
       // the k-growth lever: a same-k retrain cannot flatten an append
       // whose mass is GENUINELY dense (the duplicated blob is a real
-      // cluster); the production rebuild grows k with the corpus, so
-      // report the occupancy a k-doubled rebuild of the same union gets
+      // cluster); the production rebuild grows k with the corpus —
+      // deriveIvfK reads the same stats row and sizes the rebuild so
+      // expected probe scan stays ~probes × targetMeanCell
+      val kGrown = Similarity.deriveIvfK(s, dir,
+        targetMeanCell = math.max(1L, post.getLong(1) / 64))
       val grown = Similarity.buildIvfIndex(
         s.read.parquet(s"$dir/cells").select("vec_id", "embedding"),
-        "vec_id", "embedding", dim = 64, k = 16, iters = 2)
+        "vec_id", "embedding", dim = 64, k = kGrown, iters = 2)
       val gImb = grown.cells.groupBy("cell").agg(count(lit(1)).as("n"))
         .agg(round(max("n") / avg("n"), 6)).head().getDouble(0)
-      Seq((pre.getDouble(4), fired, post.getDouble(4), gImb, post.getLong(1)))
+      Seq((pre.getDouble(4), fired, post.getDouble(4), kGrown.toLong, gImb,
+        post.getLong(1)))
         .toDF("pre_imbalance", "retrained", "post_imbalance",
-          "post_imbalance_k16", "vectors")
+          "derived_k", "post_imbalance_derived_k", "vectors")
     }),
     "p_m2b_1k" -> ((s, d) => {
       val ids = Tables.documents(s, d).filter(col("doc_id") < 1000)

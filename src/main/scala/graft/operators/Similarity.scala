@@ -787,6 +787,34 @@ object Similarity {
     !r.isNullAt(4) && r.getDouble(4) > maxImbalance
   }
 
+  /** The k DERIVATION for the triggered rebuild — the second half of the
+    * r18 finding (BENCH_SCALE): a same-k retrain cannot flatten an
+    * append whose mass is genuinely dense (max/mean at fixed k reports
+    * true density), so the production rebuild grows k with the corpus.
+    * k' = vectors / targetMeanCell (ceiling), floored at the CURRENT
+    * cell count (a rebuild must never shrink the index's resolution) —
+    * the same one-row stats frame every other derivation here reads, so
+    * the whole arc is: [[ivfIndexStats]] → [[shouldRetrainIvf]] +
+    * [[deriveIvfK]] → [[retrainIvfIndex]](k'). `targetMeanCell` is the
+    * probe-cost knob: expected scan per query ≈ probes × targetMeanCell
+    * rows. Clamped to `maxK` (the k×dim centroid matrix must stay
+    * driver- and broadcast-small: 2^20 × 64 floats = 256 MB is the
+    * practical ceiling the D10 packed-argmax path documents).
+    */
+  def deriveIvfK(spark: org.apache.spark.sql.SparkSession, path: String,
+                 targetMeanCell: Long = 4096,
+                 maxK: Int = 1 << 20): Int = {
+    require(targetMeanCell >= 1, "deriveIvfK: targetMeanCell must be >= 1")
+    val r = ivfIndexStats(spark, path).head()
+    if (r.isNullAt(1)) 1
+    else {
+      val vectors = r.getLong(1)
+      val cells = r.getLong(0)
+      val want = (vectors + targetMeanCell - 1) / targetMeanCell
+      math.min(maxK.toLong, math.max(math.max(1L, cells), want)).toInt
+    }
+  }
+
   /** The rebuild [[shouldRetrainIvf]] triggers: retrain the coarse
     * quantizer ON THE CURRENTLY INDEXED VECTORS (base build + every
     * appended delta) and replace the index in place. The result is

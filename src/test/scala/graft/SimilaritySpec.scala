@@ -325,6 +325,15 @@ class SimilaritySpec extends SparkTestBase {
     // strictly-below fires, at-or-above holds
     assert(Similarity.shouldRetrainIvf(spark, dir, maxImbalance = preImb - 0.01))
     assert(!Similarity.shouldRetrainIvf(spark, dir, maxImbalance = preImb))
+    // the k derivation reads the same stats row: ceil(vectors/target),
+    // floored at the current cell count, clamped to maxK
+    val vectors = Similarity.ivfIndexStats(spark, dir).head().getLong(1)
+    assert(Similarity.deriveIvfK(spark, dir, targetMeanCell = 50)
+      == ((vectors + 49) / 50).toInt, "k' = ceil(vectors/target) when it grows")
+    assert(Similarity.deriveIvfK(spark, dir, targetMeanCell = 1000000) == 8,
+      "a rebuild must never shrink the index's resolution (floor = current cells)")
+    assert(Similarity.deriveIvfK(spark, dir, targetMeanCell = 1, maxK = 16) == 16,
+      "k' clamps at maxK")
     // the triggered rebuild bit-matches a from-scratch build on the union
     val union = base.select(col("vec_id"), col("embedding"))
       .unionAll(skewBatch)
