@@ -44,16 +44,24 @@ object Bench {
     // the largest fixture file, min of 3, timed alongside the CPU probe:
     // a capture slow on THIS probe but clean on the CPU one was taken
     // under IO pressure, and the artifact distinguishes the two.
-    val ioProbeSec = (1 to 3).map { _ =>
+    // A failed probe iteration must NOT enter the min as a fast success
+    // (a missing lineitem file would otherwise stamp an exceptionally
+    // clean IO arm exactly when nothing was measured): failures record
+    // +inf, and an all-failed probe emits -1 with the IO arm excluded
+    // from the cotenant verdict.
+    val ioProbeRaw = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      try spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .selectExpr("sum(l_quantity)", "sum(l_orderkey % 1000000)",
-          "sum(length(l_returnflag))").collect()
-      catch { case scala.util.control.NonFatal(e) =>
+      try {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .selectExpr("sum(l_quantity)", "sum(l_orderkey % 1000000)",
+            "sum(length(l_returnflag))").collect()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] io probe failed (continuing): ${e.getMessage}")
+        Double.PositiveInfinity
       }
-      (System.nanoTime() - t0) / 1e9
     }.min
+    val ioProbeSec = if (ioProbeRaw.isInfinity) -1.0 else ioProbeRaw
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run — for focused iteration
     // (blank env var means "all")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -212,11 +220,18 @@ object Bench {
     // auditable from the JSON itself (r17 advisory: the hardcoded 0.17
     // left 25% headroom with no signal when the band drifted), and both
     // are env-overridable for other hardware without a rebuild.
-    val warmupRefSec = sys.env.get("SPARK_GRAFT_WARMUP_REF")
-      .flatMap(_.trim.toDoubleOption).getOrElse(0.19)
-    val ioRefSec = sys.env.get("SPARK_GRAFT_IO_REF")
-      .flatMap(_.trim.toDoubleOption).getOrElse(0.26)
-    val cotenant = warmupSec > 1.5 * warmupRefSec || ioProbeSec > 1.5 * ioRefSec
+    // a SET-but-unparseable override must fail loudly, not silently fall
+    // back to this box's constant (that would reintroduce the r17
+    // stale-reference problem on the machine the override was FOR)
+    def refEnv(name: String, default: Double): Double = sys.env.get(name) match {
+      case Some(v) => v.trim.toDoubleOption.getOrElse(
+        sys.error(s"$name must be a number, got '$v'"))
+      case None => default
+    }
+    val warmupRefSec = refEnv("SPARK_GRAFT_WARMUP_REF", 0.19)
+    val ioRefSec = refEnv("SPARK_GRAFT_IO_REF", 0.26)
+    val cotenant = warmupSec > 1.5 * warmupRefSec ||
+      (ioProbeSec > 0 && ioProbeSec > 1.5 * ioRefSec)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"noisy":$noisy,"capture_id":"$captureId","warmup_sec":$warmupSec,"warmup_ref_sec":$warmupRefSec,"io_probe_sec":$ioProbeSec,"io_ref_sec":$ioRefSec,"cotenant":$cotenant,"sf":"$sfDir"}"""
     println(json)
     // Also persist the line to a file: stdout capture truncates on long

@@ -105,6 +105,13 @@ object ScaleGen {
     val only = sys.env.get("SPARK_GRAFT_SCALEGEN_TABLES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // a typo'd table name must fail fast, not silently generate nothing
+    only.foreach { names =>
+      val unknown = names -- Tables.AllNames.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALEGEN_TABLES: unknown table(s) ${unknown.mkString(", ")}; " +
+          s"known: ${Tables.AllNames.mkString(", ")}")
+    }
     def want(t: String): Boolean = only.forall(_.contains(t))
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit = {

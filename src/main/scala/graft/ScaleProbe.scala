@@ -170,10 +170,8 @@ object ScaleProbe {
       import s.implicits._
       import graft.operators.Similarity
       val dir = "target/tmp/probe_ivf_retrain_skew"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
+      def rm(f: java.io.File): Unit =
+        graft.sources.ParquetSink.deleteRecursively(f)
       rm(new java.io.File(dir))
       val emb = Tables.embeddings(s, d)
       Similarity.writeIvfIndex(
@@ -188,7 +186,9 @@ object ScaleProbe {
           .select((col("vec_id") + maxId + 1L).as("vec_id"), col("embedding")),
         dir, "vec_id", "embedding", shards = 32)
       val pre = Similarity.ivfIndexStats(s, dir).head()
-      val fired = Similarity.shouldRetrainIvf(s, dir, maxImbalance = 1.5)
+      // shouldRetrainIvf's arithmetic on the collected row (the API call
+      // would re-scan cells/ for the same number)
+      val fired = !pre.isNullAt(4) && pre.getDouble(4) > 1.5
       if (fired)
         Similarity.retrainIvfIndex(s, dir, "vec_id", "embedding",
           dim = 64, k = 8, iters = 2, shards = 32)
@@ -367,10 +367,8 @@ object ScaleProbe {
       // corpus-sized output ever sits on disk — a nanoTime-keyed dir per
       // run accumulated ~5M-row outputs unboundedly across sessions
       val out = s"target/scratch_probe/e3_${new java.io.File(d).getName}"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
+      def rm(f: java.io.File): Unit =
+        graft.sources.ParquetSink.deleteRecursively(f)
       rm(new java.io.File(out))
       graft.streaming.StreamOps.runToParquet(s,
         graft.streaming.StreamOps.dedupExactStreaming(src, "text", "ts_us", "1 hour")

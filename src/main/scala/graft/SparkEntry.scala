@@ -1349,10 +1349,8 @@ object SparkEntry {
         // crash idempotency (the d2h rule): no marker ⇒ any partial
         // LOCATION dirs are stale scratch from a dead run — clear them
         // before the re-created tables can re-adopt their rows
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
+        def rm(f: java.io.File): Unit =
+          graft.sources.ParquetSink.deleteRecursively(f)
         tables.foreach(t => rm(new java.io.File(s"$idxDir/$t")))
       }
       s.sql("CREATE TABLE graft_ct_sets_sql (doc_id BIGINT, n_sh INT, " +
@@ -1722,13 +1720,13 @@ object SparkEntry {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
       val srcFile = new java.io.File(s"$d/embeddings.parquet")
-      val idxDir = s"${scratchDir(d)}/sim_ivf_retrain_${stageKey(srcFile, "d64k8i2b16arms")}"
+      // the threshold literals are part of the stage key: editing an arm
+      // must invalidate the staged decision rows, or a replay reports a
+      // stale decision against a regenerated oracle (the stageKey doc's
+      // exact failure mode)
+      val idxDir = s"${scratchDir(d)}/sim_ivf_retrain_${stageKey(srcFile, s"d64k8i2b16f${SimRetrainFire}h$SimRetrainHold")}"
       if (!new java.io.File(s"$idxDir/_RETRAIN_DONE").exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(idxDir))
+        graft.sources.ParquetSink.deleteRecursively(new java.io.File(idxDir))
         Similarity.writeIvfIndex(
           Similarity.buildIvfIndex(emb.filter(col("vec_id") < 16),
             "vec_id", "embedding", dim = 64, k = 8, iters = 2),
@@ -1738,10 +1736,11 @@ object SparkEntry {
           idxDir, "vec_id", "embedding", shards = 4)
         def stats() = Similarity.ivfIndexStats(s, idxDir).head()
         val pre = stats()
-        val fire = Similarity.shouldRetrainIvf(s, idxDir,
-          maxImbalance = SimRetrainFire)
-        val hold = Similarity.shouldRetrainIvf(s, idxDir,
-          maxImbalance = SimRetrainHold)
+        // the verdicts ARE shouldRetrainIvf's arithmetic on the row just
+        // collected (spec-pinned equivalence in SimilaritySpec) — deriving
+        // them locally avoids two more full cells/ scans per cold stage
+        val fire = pre.getDouble(4) > SimRetrainFire
+        val hold = pre.getDouble(4) > SimRetrainHold
         if (fire || hold)
           Similarity.retrainIvfIndex(s, idxDir, "vec_id", "embedding",
             dim = 64, k = 8, iters = 2)
@@ -1829,10 +1828,8 @@ object SparkEntry {
       s.sql("DROP TABLE IF EXISTS graft_ivf_cells_upd")
       val staged = new java.io.File(s"$idxDir/_UPDATED").exists()
       if (!staged) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
+        def rm(f: java.io.File): Unit =
+          graft.sources.ParquetSink.deleteRecursively(f)
         rm(new java.io.File(idxDir))
         Similarity.writeIvfIndex(
           Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0),
@@ -3868,10 +3865,8 @@ object SparkEntry {
     s.sql(s"DROP TABLE IF EXISTS $bandsT")
     val staged = new java.io.File(s"$idxDir/_UPDATED").exists()
     if (!staged) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
+      def rm(f: java.io.File): Unit =
+        graft.sources.ParquetSink.deleteRecursively(f)
       rm(new java.io.File(s"$idxDir/sets"))
       rm(new java.io.File(s"$idxDir/bands"))
     }
@@ -4037,10 +4032,8 @@ object SparkEntry {
     s.sql(s"DROP TABLE IF EXISTS $bandsT")
     val staged = new java.io.File(s"$idxDir/_UPDATED").exists()
     if (!staged) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
+      def rm(f: java.io.File): Unit =
+        graft.sources.ParquetSink.deleteRecursively(f)
       rm(new java.io.File(s"$idxDir/vecs"))
       rm(new java.io.File(s"$idxDir/bands"))
     }

@@ -826,7 +826,12 @@ object Similarity {
     *
     * Swap discipline: the rebuild READS `cells/` lazily, so it fully
     * materializes into `retrain_stage/` before the live dirs are
-    * replaced (a direct overwrite would read-from-under-write). On a
+    * replaced (a direct overwrite would read-from-under-write). The swap
+    * tears BOTH live dirs down before renaming either staged dir in: a
+    * crash mid-swap then leaves a MISSING directory — readIvfIndex fails
+    * loudly and the complete staged index is still on disk for recovery —
+    * never the silent wrongness of new cell assignments paired with old
+    * centroids (which a swap-one-then-the-other order permits). On a
     * shared filesystem at scale the same shape applies with a manifest
     * repoint instead of a rename; the stage-then-swap is the portable
     * part.
@@ -838,17 +843,16 @@ object Similarity {
     val vecs = spark.read.parquet(s"$path/cells").select(col(idCol), col(vecCol))
     val idx = buildIvfIndex(vecs, idCol, vecCol, dim, k, iters, seed, roundTo)
     writeIvfIndex(idx, s"$path/retrain_stage", idCol, shards)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    Seq("cells", "cents").foreach { sub =>
-      rm(new java.io.File(s"$path/$sub"))
+    val subs = Seq("cells", "cents")
+    subs.foreach(sub =>
+      graft.sources.ParquetSink.deleteRecursively(new java.io.File(s"$path/$sub")))
+    subs.foreach { sub =>
       require(new java.io.File(s"$path/retrain_stage/$sub")
         .renameTo(new java.io.File(s"$path/$sub")),
         s"retrainIvfIndex: could not swap $sub into place")
     }
-    rm(new java.io.File(s"$path/retrain_stage"))
+    graft.sources.ParquetSink.deleteRecursively(
+      new java.io.File(s"$path/retrain_stage"))
   }
 
   /** LSH-bucketed approximate top-k with 1-bit multiprobe. Candidates from

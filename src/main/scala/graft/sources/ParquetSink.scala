@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object ParquetSink {
 
+  /** Recursive local-filesystem delete — the ONE copy of the staging
+    * helper every marker-gated lifecycle (index stages, retrain swaps,
+    * probe scratch dirs) previously duplicated inline. Local paths only
+    * (the staged-artifact scratch model); no-op on a missing path.
+    */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   def writeSharded(df: DataFrame, path: String, idCol: String, shards: Int): Unit = {
     require(shards >= 1, "writeSharded: shards must be >= 1")
     // hash-repartition, NOT round-robin repartition(n): round-robin shard

@@ -294,11 +294,7 @@ class StreamOpsSpec extends SparkTestBase {
 
   test("routeToSinks: one batch read, two filtered sinks; null predicate routes to FAIL (E9)") {
     val base = "target/tmp/e9_route_spec"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    graft.sources.ParquetSink.deleteRecursively(new java.io.File(base))
     Seq((1L, Some(10)), (2L, Some(3)), (3L, None))
       .toDF("id", "score")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/src")
