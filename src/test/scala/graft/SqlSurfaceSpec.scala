@@ -135,6 +135,11 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(e.getMessage.contains("banded candidate") &&
       e.getMessage.contains("guard"),
       s"refusal must name the priced bill and the guard: ${e.getMessage}")
+    // the priced quantity is EXACT, not an estimate: every identical
+    // vector lands in one bucket per band, so the bill is precisely
+    // 32 bands x 1500 batch x 3000 indexed = 144,000,000
+    assert(e.getMessage.contains("144000000"),
+      s"the bill must be the exact bucket-product sum: ${e.getMessage}")
     // refused BEFORE mutating: day-1 build rows only (3000 base vectors x
     // 32 bands), and the lifecycle marker was never written - a rerun
     // replays from scratch instead of adopting a half-folded index
