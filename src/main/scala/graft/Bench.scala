@@ -38,30 +38,51 @@ object Bench {
       spark.range(64000000L).selectExpr("sum(id % 1000000)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
-    // IO-SENSITIVE SENTINEL (r17 Next #3: two sentinel-idle same-code
+    // IO-SENSITIVE SENTINELS (r17 Next #3: two sentinel-idle same-code
     // captures still differed 1.054× — the CPU modulo-sum is blind to
-    // disk/page-cache contention). A fixed full-column parquet scan of
-    // the largest fixture file, min of 3, timed alongside the CPU probe:
-    // a capture slow on THIS probe but clean on the CPU one was taken
-    // under IO pressure, and the artifact distinguishes the two.
-    // A failed probe iteration must NOT enter the min as a fast success
-    // (a missing lineitem file would otherwise stamp an exceptionally
-    // clean IO arm exactly when nothing was measured): failures record
-    // +inf, and an all-failed probe emits -1 with the IO arm excluded
-    // from the cotenant verdict.
-    val ioProbeRaw = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      try {
-        spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .selectExpr("sum(l_quantity)", "sum(l_orderkey % 1000000)",
-            "sum(length(l_returnflag))").collect()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] io probe failed (continuing): ${e.getMessage}")
-        Double.PositiveInfinity
-      }
-    }.min
-    val ioProbeSec = if (ioProbeRaw.isInfinity) -1.0 else ioProbeRaw
+    // disk/page-cache contention). r19 (r18 ADVICE + VERDICT #3): the
+    // read probe scans a FIXED self-generated 600k-row file instead of
+    // $sfDir/lineitem.parquet — the old probe's duration scaled with the
+    // fixture, so its committed reference was only valid at sf0.1 (any
+    // larger dir flagged cotenant=true on an idle box). The synthetic
+    // frame matches the sf0.1 lineitem probe's work shape (600k rows,
+    // ~10 MB, three aggregated columns) so the probe keeps its
+    // sensitivity while the reference becomes per-hardware only.
+    // A WRITE probe joins it: the r18 capture-band attribution showed
+    // page-cache pollution drifting exactly the WRITE-path rows
+    // (s10/s11/s12, the sink chains) while staying under both read-side
+    // sentinels — dirty-writeback pressure is only visible to a write.
+    // A failed probe iteration must NOT enter the min as a fast success:
+    // failures record +inf, and an all-failed probe emits -1 with that
+    // arm excluded from the verdicts.
+    val ioProbeDir = "target/tmp/io_probe.parquet"
+    def ioFrame = spark.range(600000L).selectExpr("id",
+      "cast(id % 97 as double) as a", "cast(id % 1000003 as long) as b",
+      "repeat(chr(65 + cast(id % 26 as int)), 8) as s")
+    def probe(label: String)(body: => Unit): Double = {
+      val raw = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { body; (System.nanoTime() - t0) / 1e9 }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $label probe failed (continuing): ${e.getMessage}")
+          Double.PositiveInfinity
+        }
+      }.min
+      if (raw.isInfinity) -1.0 else raw
+    }
+    // seed the read-probe file (untimed; also warms its page-cache state
+    // to the same point every capture starts from)
+    try ioFrame.write.mode("overwrite").parquet(ioProbeDir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] io probe seed failed: ${e.getMessage}")
+    }
+    val ioProbeSec = probe("io read") {
+      spark.read.parquet(ioProbeDir)
+        .selectExpr("sum(a)", "sum(b % 1000000)", "sum(length(s))").collect()
+    }
+    val ioWriteSec = probe("io write") {
+      ioFrame.write.mode("overwrite").parquet("target/tmp/io_probe_w.parquet")
+    }
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run — for focused iteration
     // (blank env var means "all")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -211,11 +232,12 @@ object Bench {
     // r11 c22e238, r12 a53676d, r13 8e93924)
     val captureId = java.security.MessageDigest.getInstance("MD5")
       .digest(qs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    // Committed idle-box references for the two co-tenancy sentinels
+    // Committed idle-box references for the co-tenancy sentinels
     // (min-of-3 on this round's hardware, local[32]; CPU probe = the 64M
-    // modulo-sum, measured 0.159-0.222 s idle; IO probe = the full-column
-    // lineitem scan, sf0.1, page-cache warm, measured 0.249-0.273 s
-    // idle). Both are EMITTED into the
+    // modulo-sum, measured 0.159-0.222 s idle; IO read probe = the fixed
+    // 600k-row synthetic scan (fixture-size-invariant, so the ref is
+    // per-HARDWARE only — r18 ADVICE); IO write probe = the same frame
+    // written to target/tmp). All are EMITTED into the
     // artifact next to their measurements, so a stale constant is
     // auditable from the JSON itself (r17 advisory: the hardcoded 0.17
     // left 25% headroom with no signal when the band drifted), and both
@@ -229,10 +251,26 @@ object Bench {
       case None => default
     }
     val warmupRefSec = refEnv("SPARK_GRAFT_WARMUP_REF", 0.19)
-    val ioRefSec = refEnv("SPARK_GRAFT_IO_REF", 0.26)
+    // idle band measured r19 (4 captures, min-of-3 each): read
+    // 0.247-0.342 (steady 0.25-0.28), write 0.274-0.335 (steady
+    // 0.27-0.32) — refs sit at the steady band's top so a clean capture
+    // never stamps suspect on scheduler jitter alone
+    val ioRefSec = refEnv("SPARK_GRAFT_IO_REF", 0.28)
+    val ioWriteRefSec = refEnv("SPARK_GRAFT_IOW_REF", 0.31)
     val cotenant = warmupSec > 1.5 * warmupRefSec ||
-      (ioProbeSec > 0 && ioProbeSec > 1.5 * ioRefSec)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"noisy":$noisy,"capture_id":"$captureId","warmup_sec":$warmupSec,"warmup_ref_sec":$warmupRefSec,"io_probe_sec":$ioProbeSec,"io_ref_sec":$ioRefSec,"cotenant":$cotenant,"sf":"$sfDir"}"""
+      (ioProbeSec > 0 && ioProbeSec > 1.5 * ioRefSec) ||
+      (ioWriteSec > 0 && ioWriteSec > 1.5 * ioWriteRefSec)
+    // PAGE-CACHE SUSPECT (r18 VERDICT #3): the r18 polluted capture sat
+    // UNDER both 1.5× sentinels while drifting the write-path rows ~5% —
+    // so a second, tighter band (1.2×) on either IO arm stamps the
+    // capture suspect without condemning it. Round-over-round totals
+    // should be compared between captures where this is false; when the
+    // driver capture and the committed one disagree, the stamp says
+    // which one was taken on a churned cache.
+    val pageCacheSuspect = !cotenant &&
+      ((ioProbeSec > 0 && ioProbeSec > 1.2 * ioRefSec) ||
+       (ioWriteSec > 0 && ioWriteSec > 1.2 * ioWriteRefSec))
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"noisy":$noisy,"capture_id":"$captureId","warmup_sec":$warmupSec,"warmup_ref_sec":$warmupRefSec,"io_probe_sec":$ioProbeSec,"io_ref_sec":$ioRefSec,"io_write_sec":$ioWriteSec,"io_write_ref_sec":$ioWriteRefSec,"cotenant":$cotenant,"page_cache_suspect":$pageCacheSuspect,"sf":"$sfDir"}"""
     println(json)
     // Also persist the line to a file: stdout capture truncates on long
     // runs (BENCH_r04 lost 9 of 78 per-query timings to the log tail), so
@@ -268,8 +306,10 @@ object Bench {
       val summary = f"bench: ${results.size} queries, total $total%.1f s, " +
         s"failed $nFailed, capture $captureId, " +
         f"warmup $warmupSec%.2f s (ref $warmupRefSec%.2f), " +
-        f"io $ioProbeSec%.2f s (ref $ioRefSec%.2f)" +
-        f"${if (cotenant) " CO-TENANT (loaded box)" else ""}, noisy: " +
+        f"io $ioProbeSec%.2f s (ref $ioRefSec%.2f), " +
+        f"iow $ioWriteSec%.2f s (ref $ioWriteRefSec%.2f)" +
+        f"${if (cotenant) " CO-TENANT (loaded box)" else ""}" +
+        f"${if (pageCacheSuspect) " PAGE-CACHE SUSPECT" else ""}, noisy: " +
         (if (noisyKeys.isEmpty) "none" else noisyKeys.mkString("; ")) + "\n"
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_summary.txt"), summary.getBytes("UTF-8"))

@@ -186,13 +186,21 @@ object ScaleProbe {
           .select((col("vec_id") + maxId + 1L).as("vec_id"), col("embedding")),
         dir, "vec_id", "embedding", shards = 32)
       val pre = Similarity.ivfIndexStats(s, dir).head()
+      require(!pre.isNullAt(4),
+        s"p_sim_ivf_retrain_skew: index at $dir reports no occupancy " +
+          "imbalance — empty or degenerate index (empty embeddings fixture?)")
       // shouldRetrainIvf's arithmetic on the collected row (the API call
       // would re-scan cells/ for the same number)
-      val fired = !pre.isNullAt(4) && pre.getDouble(4) > 1.5
+      val fired = pre.getDouble(4) > 1.5
       if (fired)
         Similarity.retrainIvfIndex(s, dir, "vec_id", "embedding",
           dim = 64, k = 8, iters = 2, shards = 32)
       val post = Similarity.ivfIndexStats(s, dir).head()
+      // same null discipline as the pre read (r18 ADVICE): a degenerate
+      // index reports NULL imbalance — name it instead of NPE'ing
+      require(!post.isNullAt(4),
+        s"p_sim_ivf_retrain_skew: index at $dir reports no occupancy " +
+          "imbalance after the arc — empty or degenerate index")
       // the k-growth lever: a same-k retrain cannot flatten an append
       // whose mass is GENUINELY dense (the duplicated blob is a real
       // cluster); the production rebuild grows k with the corpus —

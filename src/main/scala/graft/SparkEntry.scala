@@ -1736,6 +1736,14 @@ object SparkEntry {
           idxDir, "vec_id", "embedding", shards = 4)
         def stats() = Similarity.ivfIndexStats(s, idxDir).head()
         val pre = stats()
+        // shouldRetrainIvf's own null discipline, mirrored (r18 ADVICE):
+        // a degenerate fixture (no vec_id < 16 rows → empty bootstrap
+        // index) reports a NULL imbalance, and the unguarded getDouble
+        // would throw an opaque NPE instead of naming the cause
+        require(!pre.isNullAt(4),
+          s"sim_ivf_retrain: index at $idxDir reports no occupancy " +
+            s"imbalance — empty or degenerate bootstrap (no vec_id < 16 " +
+            s"rows in $d/embeddings.parquet?)")
         // the verdicts ARE shouldRetrainIvf's arithmetic on the row just
         // collected (spec-pinned equivalence in SimilaritySpec) — deriving
         // them locally avoids two more full cells/ scans per cold stage

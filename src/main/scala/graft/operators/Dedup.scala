@@ -625,11 +625,27 @@ object Dedup {
       // sub-guard bill past 4× the guard — the flukes are low-df keys
       // whose absolute cost is tiny), so the verdict stays safe.
       val cheapDocs: Option[Long] = {
-        import org.apache.spark.sql.catalyst.plans.logical.LeafNode
-        df.queryExecution.optimizedPlan match {
-          case _: LeafNode => Some(df.count())
-          case _ => None
+        import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project}
+        // A count is "cheap" when the plan is a leaf (parquet footer
+        // counts / cached frame) OR a projection/filter stack over one —
+        // after pushdown those count() jobs scan at most the filter
+        // columns, far below the sampled pricing pass they gate (r18
+        // ADVICE: keying on LeafNode alone sent every trivially-derived
+        // small corpus to the 1/16-sample estimate, re-introducing the
+        // +1.3 s overhead quickPriceMinDocs exists to avoid and trading
+        // the exact histogram for a higher-variance sample). Failing
+        // that, Catalyst plan statistics' rowCount (exact for cached
+        // relations) serves as gate evidence WITHOUT a job — an estimate
+        // can only mis-route between two GUARDED paths, never unguard.
+        def nearLeaf(p: LogicalPlan): Boolean = p match {
+          case _: LeafNode => true
+          case Project(_, child) => nearLeaf(child)
+          case Filter(_, child) => nearLeaf(child)
+          case _ => false
         }
+        val plan = df.queryExecution.optimizedPlan
+        if (nearLeaf(plan)) Some(df.count())
+        else plan.stats.rowCount.map(_.longValue)
       }
       if (sampledCap >= 2 && cheapDocs.forall(_ >= quickPriceMinDocs)) {
         // one tiny collect over the ≤|distinct sampled dfs|-row frame; the
