@@ -136,6 +136,28 @@ object SparkEntry {
   private val SimRetrainFire = 1.0
   private val SimRetrainHold = 6.0
 
+  /** The sim_ivf_retrain_k row's two k-derivation arms (r18 VERDICT #1 —
+    * the one derivation still outside the oracle pattern gets the
+    * production gate). Literals shared by the Spark arc and the DuckDB
+    * oracle, which re-derives k' = min(maxK, max(1, cells, ceil(vectors /
+    * targetMeanCell))) from the SAME pre-occupancy row and then trains
+    * the union rebuild AT THE DERIVED k (the seed filter takes k from a
+    * scalar subquery) — so both the derivation arithmetic AND the
+    * k'-rebuild's occupancy hash-verify against a from-scratch build:
+    *   - GROW (target 32): want = ceil(vectors/32) exceeds the bootstrap
+    *     cell count at every fixture SF, so the growth branch of the max
+    *     binds and the rebuild runs at a k the corpus sized.
+    *   - FLOOR (target 2^20): want = 1, so the floor-at-current-cells
+    *     branch binds — a rebuild must never shrink the index's
+    *     resolution — and the rebuild is the same-k retrain.
+    * CLAMP (maxK 12) is derived as a THIRD column on both arms: it binds
+    * on the grow arm (12 < want) and not on the floor arm, gating the
+    * min() without paying a third Lloyd training.
+    */
+  private val SimRetrainKGrow = 32L
+  private val SimRetrainKFloor = 1L << 20
+  private val SimRetrainKClampMax = 12
+
   /** Stage the e6-family replay source ONCE per (events source, horizon):
     * events + one far-future sentinel per stream (non-joining negative
     * user ids) whose watermark flushes every real append-mode group.
@@ -1769,6 +1791,65 @@ object SparkEntry {
         new java.io.File(s"$idxDir/_RETRAIN_DONE").createNewFile()
       }
       s.read.parquet(s"$idxDir/decision.parquet").orderBy("threshold")
+    }),
+
+    // SIM-IVF-RETRAIN-K: the k DERIVATION oracle-gated (r18 VERDICT #1).
+    // sim_ivf_retrain gates WHETHER to rebuild; this row gates WHAT K the
+    // rebuild runs at — the round-18 measurement said the same-k rebuild
+    // cannot flatten a dense append (1.792 vs derived-k 1.346 at 100×),
+    // making deriveIvfK the production lever, so its arithmetic gets the
+    // production gate, not just a spec. Per arm (see SimRetrainK*): the
+    // bootstrap-append arc, the one-row stats read, deriveIvfK at the
+    // arm's target (plus the clamp derivation at maxK = 12), then
+    // retrainIvfIndex AT THE DERIVED k. The oracle re-derives the whole
+    // thing — ceil, floor-at-cells, clamp — and trains the union rebuild
+    // at ITS OWN derived k (a scalar subquery feeds the Lloyd seed
+    // filter), so a wrong Spark derivation mismatches twice: on the
+    // derived_k column and on every occupancy column of a rebuild sized
+    // differently than the data says.
+    "sim_ivf_retrain_k" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val idxDir = s"${scratchDir(d)}/sim_ivf_retrain_k_${stageKey(srcFile,
+        s"d64k8i2g${SimRetrainKGrow}f${SimRetrainKFloor}c$SimRetrainKClampMax")}"
+      if (!new java.io.File(s"$idxDir/_RETRAIN_K_DONE").exists()) {
+        graft.sources.ParquetSink.deleteRecursively(new java.io.File(idxDir))
+        def arm(target: Long) = {
+          val armDir = s"$idxDir/arm_$target"
+          Similarity.writeIvfIndex(
+            Similarity.buildIvfIndex(emb.filter(col("vec_id") < 16),
+              "vec_id", "embedding", dim = 64, k = 8, iters = 2),
+            armDir, "vec_id", shards = 4)
+          Similarity.updateIvfIndex(emb.filter(col("vec_id") >= 16)
+              .select("vec_id", "embedding"),
+            armDir, "vec_id", "embedding", shards = 4)
+          val pre = Similarity.ivfIndexStats(s, armDir).head()
+          require(!pre.isNullAt(4),
+            s"sim_ivf_retrain_k: degenerate bootstrap index at $armDir")
+          val vectors = pre.getLong(1)
+          // integer-exact ceil, the deriveIvfK arithmetic (the oracle's
+          // ceil(vectors/target.0) agrees exactly below 2^53)
+          val wantK = (vectors + target - 1) / target
+          val derivedK = Similarity.deriveIvfK(s, armDir, targetMeanCell = target)
+          val clampK = Similarity.deriveIvfK(s, armDir, targetMeanCell = target,
+            maxK = SimRetrainKClampMax)
+          Similarity.retrainIvfIndex(s, armDir, "vec_id", "embedding",
+            dim = 64, k = derivedK, iters = 2)
+          val post = Similarity.ivfIndexStats(s, armDir).head()
+          (target, pre.getLong(0), vectors, pre.getDouble(4), wantK,
+            derivedK.toLong, clampK.toLong, post.getLong(0), post.getLong(1),
+            post.getLong(2), post.getDouble(3), post.getDouble(4))
+        }
+        Seq(arm(SimRetrainKGrow), arm(SimRetrainKFloor))
+          .toDF("target_mean_cell", "pre_cells", "pre_vectors",
+            "pre_imbalance", "want_k", "derived_k", "clamp_k", "cells",
+            "vectors", "max_cell", "mean_cell", "imbalance")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$idxDir/decision.parquet")
+        new java.io.File(s"$idxDir/_RETRAIN_K_DONE").createNewFile()
+      }
+      s.read.parquet(s"$idxDir/decision.parquet").orderBy("target_mean_cell")
     }),
 
     // SIM-PROBE-SQL: the sim_ivf_index_replay probe stated as PURE SQL
@@ -4360,7 +4441,20 @@ object SparkEntry {
     */
   private def kmeansCtesSql(dim: Int, k: Int, seed: String,
                             src: String = "embeddings",
-                            tag: String = ""): String = {
+                            tag: String = ""): String =
+    kmeansCtesSqlExpr(dim, k.toString, seed, src, tag)
+
+  /** [[kmeansCtesSql]] with k stated as a SQL EXPRESSION — the derived-k
+    * oracle's form (r18 VERDICT #1): `kExpr` may be a scalar subquery
+    * over an earlier CTE (e.g. `(SELECT dk FROM kd)`), so the training's
+    * own seed-set size is re-derived by the oracle from the data rather
+    * than interpolated as a constant the Spark side happens to agree
+    * with. Only the c0 seed filter consumes k — every later CTE is
+    * k-generic (GROUP BY over whatever cells survive).
+    */
+  private def kmeansCtesSqlExpr(dim: Int, kExpr: String, seed: String,
+                                src: String = "embeddings",
+                                tag: String = ""): String = {
     val centCols = (1 to dim).map(i =>
       s"CAST(CAST(round(avg(embedding[$i]), 4) + 0.0 AS FLOAT) AS DOUBLE)").mkString(", ")
     def cos(a: String, b: String) = s"round(list_cosine_similarity($a, $b), 6)"
@@ -4371,7 +4465,7 @@ object SparkEntry {
         s"FROM $from e CROSS JOIN $cents c) WHERE rn = 1"
     s"WITH c0$tag AS (SELECT cell, centroid FROM (SELECT embedding::DOUBLE[] AS centroid, " +
       s"row_number() OVER (ORDER BY md5('$seed:' || CAST(vec_id AS VARCHAR)), " +
-      s"CAST(vec_id AS VARCHAR)) - 1 AS cell FROM $src) WHERE cell < $k), " +
+      s"CAST(vec_id AS VARCHAR)) - 1 AS cell FROM $src) WHERE cell < $kExpr), " +
       s"a1$tag AS (${assign(src, s"c0$tag")}), " +
       s"c1$tag AS (SELECT cell, [$centCols] AS centroid FROM a1$tag GROUP BY cell), " +
       s"a2$tag AS (${assign(src, s"c1$tag")}), " +
@@ -4473,6 +4567,58 @@ object SparkEntry {
       s"post AS (${occStats("occpost")}) " +
       thresholds.map(arm).mkString(" UNION ALL ") +
       " ORDER BY threshold"
+  }
+
+  /** The sim_ivf_retrain_k from-scratch oracle (r18 VERDICT #1): the k
+    * DERIVATION re-derived in SQL and then USED — per arm, `kd` computes
+    * want = ceil(vectors/target), derived = min(maxK, max(1, cells,
+    * want)) and clamp = the same at maxK = clampMaxK from the bootstrap-
+    * append pre-occupancy, and the union rebuild's Lloyd training takes
+    * its seed count FROM that derivation (`(SELECT dk_<tag> FROM kd)` in
+    * the c0 filter) — so the post-occupancy columns gate the k'-rebuild
+    * against a from-scratch build at the ORACLE's own derived k, not at
+    * a constant both sides were handed.
+    */
+  private def ivfRetrainKOracleSql(dim: Int, bootK: Int, seed: String,
+                                   targets: Seq[(Long, String)],
+                                   clampMaxK: Int, maxK: Int): String = {
+    def cos(a: String, b: String) = s"round(list_cosine_similarity($a, $b), 6)"
+    def occStats(src: String) =
+      s"SELECT count(*)::BIGINT AS cells, sum(n)::BIGINT AS vectors, " +
+        s"max(n)::BIGINT AS max_cell, round(avg(n), 6) AS mean_cell, " +
+        s"round(max(n) / avg(n), 6) AS imbalance FROM $src"
+    val kdCols = targets.map { case (t, tg) =>
+      def want = s"CAST(ceil(vectors / $t.0) AS BIGINT)"
+      s"$want AS want_$tg, " +
+        s"CAST(LEAST($maxK, GREATEST(1, cells, $want)) AS BIGINT) AS dk_$tg, " +
+        s"CAST(LEAST($clampMaxK, GREATEST(1, cells, $want)) AS BIGINT) AS ck_$tg"
+    }.mkString(", ")
+    val trainings = targets.map { case (_, tg) =>
+      s"${kmeansCtesSqlExpr(dim, s"(SELECT dk_$tg FROM kd)", seed,
+        src = "embeddings", tag = tg).stripPrefix("WITH ")}, " +
+        s"occpost$tg AS (SELECT cell, count(*)::BIGINT AS n FROM a2$tg GROUP BY cell), " +
+        s"post$tg AS (${occStats(s"occpost$tg")})"
+    }.mkString(", ")
+    val arms = targets.map { case (t, tg) =>
+      s"SELECT CAST($t AS BIGINT) AS target_mean_cell, " +
+        "pre.cells AS pre_cells, pre.vectors AS pre_vectors, " +
+        "pre.imbalance AS pre_imbalance, " +
+        s"kd.want_$tg AS want_k, kd.dk_$tg AS derived_k, kd.ck_$tg AS clamp_k, " +
+        s"post$tg.cells, post$tg.vectors, post$tg.max_cell, " +
+        s"post$tg.mean_cell, post$tg.imbalance FROM pre, kd, post$tg"
+    }.mkString(" UNION ALL ")
+    s"${kmeansCtesSql(dim, bootK, seed, src = "(SELECT * FROM embeddings WHERE vec_id < 16)")}, " +
+      "nb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16), " +
+      "anew AS (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cell, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      s"${cos("e.embedding::DOUBLE[]", "c.centroid")} DESC, c.cell ASC) AS rn " +
+      "FROM nb e CROSS JOIN cents c) WHERE rn = 1), " +
+      "occpre AS (SELECT cell, count(*)::BIGINT AS n FROM " +
+      "(SELECT cell FROM a2 UNION ALL SELECT cell FROM anew) GROUP BY cell), " +
+      s"pre AS (${occStats("occpre")}), " +
+      s"kd AS (SELECT $kdCols FROM pre), " +
+      s"$trainings " +
+      arms + " ORDER BY target_mean_cell"
   }
 
   /** The t17 query's fixed term set — shared by the Spark row and the
@@ -5551,6 +5697,11 @@ object SparkEntry {
 
     "sim_ivf_retrain" -> ivfRetrainOracleSql(dim = 64, k = 8,
       seed = "kmeans", thresholds = Seq(SimRetrainFire, SimRetrainHold)),
+
+    "sim_ivf_retrain_k" -> ivfRetrainKOracleSql(dim = 64, bootK = 8,
+      seed = "kmeans",
+      targets = Seq(SimRetrainKGrow -> "g", SimRetrainKFloor -> "f"),
+      clampMaxK = SimRetrainKClampMax, maxK = 1 << 20),
 
     // the quota sampler's rank applied to the deterministic Lloyd
     // assignment — at most 40 per cell, smallest id-hashes win

@@ -356,6 +356,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(!new java.io.File(s"$dir/retrain_stage").exists())
   }
 
+  test("retrainIvfIndex at the DERIVED k bit-matches a from-scratch build at k' (r18 #1)") {
+    // the production pairing (deriveIvfK → retrainIvfIndex(k')) holds the
+    // same from-scratch-equality contract as the same-k rebuild: the
+    // deterministic Lloyd seeding is a pure function of the id SET at ANY
+    // k, so the gate is the identical argument at the derived value. The
+    // oracle row (sim_ivf_retrain_k) hash-gates the k'-rebuild's
+    // occupancy; this pins the FULL relation.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = "target/tmp/simspec_ivf_retrain_k"
+    graft.sources.ParquetSink.deleteRecursively(new java.io.File(dir))
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", dim = 64, k = 8, iters = 2),
+      dir, "vec_id", shards = 2)
+    Similarity.updateIvfIndex(emb.filter(col("vec_id") >= 16)
+      .select("vec_id", "embedding"), dir, "vec_id", "embedding", shards = 2)
+    val kPrime = Similarity.deriveIvfK(spark, dir, targetMeanCell = 32)
+    val vectors = Similarity.ivfIndexStats(spark, dir).head().getLong(1)
+    assert(kPrime == ((vectors + 31) / 32).toInt && kPrime > 8,
+      "the growth branch must bind on this fixture (want > bootstrap cells)")
+    Similarity.retrainIvfIndex(spark, dir, "vec_id", "embedding",
+      dim = 64, k = kPrime, iters = 2)
+    val fresh = Similarity.buildIvfIndex(emb.select("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 64, k = kPrime, iters = 2)
+    def cellsSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "embedding").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toList)).toSet
+    def centsSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("cell", "centroid").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toList)).toSet
+    val got = Similarity.readIvfIndex(spark, dir)
+    assert(cellsSet(got.cells) == cellsSet(fresh.cells),
+      "derived-k retrain must equal a from-scratch union build at k'")
+    assert(centsSet(got.cents) == centsSet(fresh.cents),
+      "derived-k retrained centroids must equal a from-scratch build at k'")
+  }
+
   test("quantizeInt8: packed codes are deterministic, in range, zero-vector safe") {
     val vecs = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f)),
