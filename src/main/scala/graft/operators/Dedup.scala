@@ -64,15 +64,38 @@ object Dedup {
     * the self-join case.
     */
   private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
-                            idCol: String, threshold: Double): DataFrame =
-    verifyJaccard2(candidates, sets, sets, idCol, threshold)
+                            idCol: String, threshold: Double,
+                            spreadRows: Option[Long] = None): DataFrame =
+    verifyJaccard2(candidates, sets, sets, idCol, threshold, spreadRows)
 
+  /** `spreadRows` (r18 VERDICT #2): a PRICED verify-pair volume — the
+    * exact candidate count where the caller materialized it, the
+    * histogram's cum pair bill where it priced one — widens the two
+    * verify-join exchanges via [[kernelWidth]] at the text-carrying
+    * 2^16 rows/task rule. The 2000× d2 A/B showed wall tracking
+    * verify/output MASS (3.98× pairs → 4.26× wall) with 1.38×
+    * recoverable at identical shuffle volume purely by widening: the
+    * band-row width rule prices the BAND exchange, which says nothing
+    * about how many candidate pairs the bands produce, and AQE coalesces
+    * the bytes-tiny pair frames onto too few kernel threads (the d9e
+    * lesson). None (the small-corpus paths) keeps today's plan — as does
+    * any priced volume whose derived width would only hit the
+    * parallelism floor: there the explicit exchange buys no width and
+    * merely vetoes AQE's (correct, measured: d4d +0.4 s at sf0.1)
+    * broadcast/coalesce choices for genuinely small pair frames.
+    */
   private def verifyJaccard2(candidates: DataFrame, setsL: DataFrame,
                              setsR: DataFrame, idCol: String,
-                             threshold: Double): DataFrame = {
+                             threshold: Double,
+                             spreadRows: Option[Long] = None): DataFrame = {
     val s1 = setsL.select(col(idCol).as("id_1"), col("n_sh").as("n_1"), col("shs").as("shs_1"))
     val s2 = setsR.select(col(idCol).as("id_2"), col("n_sh").as("n_2"), col("shs").as("shs_2"))
-    candidates.join(s1, "id_1").join(s2, "id_2")
+    val engaged = spreadRows.filter(_ > VerifyPairRowsPerPartition *
+      candidates.sparkSession.sparkContext.defaultParallelism)
+    def spread(df: DataFrame, key: String) =
+      engaged.map(n => spreadKernel(df, n, VerifyPairRowsPerPartition, col(key)))
+        .getOrElse(df)
+    spread(spread(candidates, "id_1").join(s1, "id_1"), "id_2").join(s2, "id_2")
       .withColumn("inter", ArrayOps.sortedIntersectSize(col("shs_1"), col("shs_2")).cast("double"))
       .withColumn("uni", (col("n_1") + col("n_2") - col("inter")).cast("double"))
       .withColumn("jaccard",
@@ -240,6 +263,17 @@ object Dedup {
     */
   private val BandRowsPerPartition: Long = 1L << 20
 
+  /** Per-task row target for VERIFY-PAIR exchanges (the [[kernelWidth]]
+    * doc's 2^16 text-carrying rule, given a name): each verify row joins
+    * two KB-scale hashed shingle arrays and runs the merge-intersect
+    * kernel, so ~64k rows/task bounds both the sort state (~128 MB at
+    * ~2 KB/pair) and the kernel time per task. Fed by whatever pair
+    * evidence the call already paid for — the materialized candidate
+    * count on the minhash prune path, the histogram's cum pair bill on
+    * the df-capped sparse path.
+    */
+  private val VerifyPairRowsPerPartition: Long = 1L << 16
+
   /** The kernel-exchange width rule, shared by every kernel-heavy verify
     * (r15 #7): turn a PRICED row volume into an explicit exchange width —
     * `pricedRows / rowsPerTask`, floored at `defaultParallelism` (never
@@ -345,7 +379,8 @@ object Dedup {
         val nIds = if (nCand == 0L) 0L else ids.distinct().count()
         // past ~16M distinct ids the filter is ~20 MB of task literal — fall
         // back to the un-pruned verify rather than ship a monster
-        if (nIds == 0L || nIds > (1L << 24)) verifyJaccard(cand, sets, idCol, threshold)
+        if (nIds == 0L || nIds > (1L << 24))
+          verifyJaccard(cand, sets, idCol, threshold, spreadRows = Some(nCand))
         else {
           import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
           import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -360,7 +395,8 @@ object Dedup {
           val mightMatch = shim.toColumn(BloomFilterMightContain(
             Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
             shim.toExpression(xxhash64(col(idCol)))))
-          verifyJaccard(cand, sets.filter(mightMatch), idCol, threshold)
+          verifyJaccard(cand, sets.filter(mightMatch), idCol, threshold,
+            spreadRows = Some(nCand))
         }
       }
     }
@@ -710,7 +746,8 @@ object Dedup {
                                     broadcastRareKeys: Boolean = false,
                                     pruneVerify: Boolean = false,
                                     candidateCache: Option[DataFrame => Unit] = None,
-                                    rareKeysPrepared: Option[(DataFrame, Long)] = None)
+                                    rareKeysPrepared: Option[(DataFrame, Long)] = None,
+                                    pricedPairs: Option[Long] = None)
                                    : DataFrame = {
     val inv = ArrayOps.explodeDense(sets, Seq(col(idCol).as("id")), col("shs"), "sk")
     // `rareKeysPrepared` = (qualifying-keys frame, exact key count) from a
@@ -784,12 +821,16 @@ object Dedup {
     // frame never crosses an exchange. The candidate persist is
     // budget-bounded and travels with the result (the caller's loan, as
     // with tokenBudgetSelect's prefix).
+    // exact pair evidence where the prune already counts the persisted
+    // candidates; otherwise the caller's priced bill (the histogram's cum
+    // pair cost — an upper bound on candidates, which only ever widens)
+    var verifyRows: Option[Long] = pricedPairs
     val candidates =
       if (!pruneVerify) rawCandidates
       else {
         val c = graft.Caches.loan(
           rawCandidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        c.count()
+        verifyRows = Some(c.count())
         // the rare-keys cache fed (count, bloom, probe); candidates are
         // materialized past it now, so it owes nothing downstream
         rareKeysCache.foreach { f => f.unpersist(); graft.Caches.settled(f) }
@@ -802,7 +843,8 @@ object Dedup {
         broadcast(candidates.select(col("id_1").as("_vid"))
           .union(candidates.select(col("id_2").as("_vid"))).distinct()),
         sets(idCol) === col("_vid"), "left_semi")
-    verifyJaccard(candidates, verifySets, idCol, threshold)
+    verifyJaccard(candidates, verifySets, idCol, threshold,
+      spreadRows = verifyRows)
   }
 
   /** D4c — document-frequency distribution diagnostic for the sparse
@@ -995,7 +1037,7 @@ object Dedup {
       // cumulative candidate cost) and the count of qualifying keys
       // (drives the broadcast-vs-shuffle pruning choice). Arithmetic
       // identical to dfHistogram's — cum over ascending df.
-      val (ceiling, pruneVerify, rareKeyCount) =
+      val (ceiling, pruneVerify, rareKeyCount, pricedBill) =
         try {
           val strata = skdf.groupBy(col("_df").as("df"))
             .agg(count(lit(1)).as("n_shingles"))
@@ -1006,7 +1048,10 @@ object Dedup {
             cum += n0 * (d0 * (d0 - 1) / 2); (d0, n0, cum)
           }.toIndexedSeq
           val (c0, pv) = choose(hist)
-          (c0, pv, hist.filter(t => t._1 >= 2 && t._1 <= c0).map(_._2).sum)
+          (c0, pv, hist.filter(t => t._1 >= 2 && t._1 <= c0).map(_._2).sum,
+            // the cap's cum pair cost — verify-width evidence the
+            // histogram already priced (r18 VERDICT #2)
+            hist.filter(_._1 <= c0).map(_._3).maxOption)
         } catch { case e: Throwable =>
           // a refused cap returns nothing — the evidence caches must not
           // outlive the refusal (the sets loan included: there is no
@@ -1022,7 +1067,8 @@ object Dedup {
         candidateCache = Some(c => candCache = Some(c)),
         rareKeysPrepared = Some((
           skdf.filter(col("_df") >= 2 && col("_df") <= ceiling).select("sk"),
-          rareKeyCount)))
+          rareKeyCount)),
+        pricedPairs = pricedBill)
     }
     candCache match {
       // releaseSets path: the result was already materialized inside the
