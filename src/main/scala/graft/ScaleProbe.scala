@@ -218,6 +218,62 @@ object ScaleProbe {
         .toDF("pre_imbalance", "retrained", "post_imbalance",
           "derived_k", "post_imbalance_derived_k", "vectors")
     }),
+    // the retrain arc at the THIRD DECADE with per-stage walls and the
+    // cost-crossover evidence (r18 VERDICT #5): the retrain-vs-rebuild
+    // economics a pipeline actually faces is "how many probe batches
+    // amortize one retrain" — so the probe times every stage of the arc
+    // (append under frozen centroids, the stats read, the k derivation,
+    // the staged k'-rebuild + swap) AND the same top-k probe batch
+    // before/after, emitting the numbers the crossover arithmetic needs:
+    // n_queries* = retrain_sec / (probe_pre_sec − probe_post_sec) per
+    // batch. Dense-append skew load = the r18 skew recipe (the hottest
+    // cell's population appended again). The rebuild runs at the DERIVED
+    // k' (the production pairing the r18 finding established), so the
+    // Lloyd passes dominate exactly as they would in production.
+    "p_sim_ivf_retrain_arc" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Similarity
+      val dir = "target/tmp/probe_ivf_retrain_arc"
+      graft.sources.ParquetSink.deleteRecursively(new java.io.File(dir))
+      val emb = Tables.embeddings(s, d)
+      def timed[T](body: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = body
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, tBuild) = timed(Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(emb, "vec_id", "embedding", dim = 64,
+          k = 8, iters = 2), dir, "vec_id", shards = 32))
+      val baseCells = s.read.parquet(s"$dir/cells")
+      val hot = baseCells.groupBy("cell").count()
+        .collect().maxBy(r => (r.getLong(1), -r.getInt(0))).getInt(0)
+      val maxId = emb.agg(max("vec_id")).head().getLong(0)
+      val (_, tAppend) = timed(Similarity.updateIvfIndex(
+        baseCells.filter(col("cell") === hot)
+          .select((col("vec_id") + maxId + 1L).as("vec_id"), col("embedding")),
+        dir, "vec_id", "embedding", shards = 32))
+      val (pre, tStats) = timed(Similarity.ivfIndexStats(s, dir).head())
+      require(!pre.isNullAt(4), "p_sim_ivf_retrain_arc: degenerate index")
+      // production probe-cost knob: expected scan ≈ probes × target rows
+      val target = math.max(1L, pre.getLong(1) / 640)
+      val (kPrime, tDerive) = timed(
+        Similarity.deriveIvfK(s, dir, targetMeanCell = target))
+      val queries = emb.filter(col("vec_id") < 1000)
+      def probeBatch(): Double = timed(
+        Similarity.ivfTopKFromIndex(Similarity.readIvfIndex(s, dir), queries,
+          "vec_id", "embedding", k = 10, probes = 2)
+          .queryExecution.toRdd.count())._2
+      val tProbePre = probeBatch()
+      val (_, tRetrain) = timed(Similarity.retrainIvfIndex(s, dir,
+        "vec_id", "embedding", dim = 64, k = kPrime, iters = 2, shards = 32))
+      val tProbePost = probeBatch()
+      val post = Similarity.ivfIndexStats(s, dir).head()
+      require(!post.isNullAt(4), "p_sim_ivf_retrain_arc: degenerate rebuild")
+      Seq((pre.getLong(1), pre.getDouble(4), kPrime.toLong, post.getDouble(4),
+        tBuild, tAppend, tStats, tDerive, tRetrain, tProbePre, tProbePost))
+        .toDF("vectors", "pre_imbalance", "derived_k", "post_imbalance",
+          "t_build", "t_append", "t_stats", "t_derive", "t_retrain",
+          "t_probe_pre", "t_probe_post")
+    }),
     "p_m2b_1k" -> ((s, d) => {
       val ids = Tables.documents(s, d).filter(col("doc_id") < 1000)
       val png = Multimodal.encodePngBatches(s, ids, "doc_id")
