@@ -90,10 +90,8 @@ object Dedup {
                              spreadRows: Option[Long] = None): DataFrame = {
     val s1 = setsL.select(col(idCol).as("id_1"), col("n_sh").as("n_1"), col("shs").as("shs_1"))
     val s2 = setsR.select(col(idCol).as("id_2"), col("n_sh").as("n_2"), col("shs").as("shs_2"))
-    val engaged = spreadRows.filter(_ > VerifyPairRowsPerPartition *
-      candidates.sparkSession.sparkContext.defaultParallelism)
     def spread(df: DataFrame, key: String) =
-      engaged.map(n => spreadKernel(df, n, VerifyPairRowsPerPartition, col(key)))
+      spreadRows.map(n => spreadIfWide(df, n, VerifyPairRowsPerPartition, col(key)))
         .getOrElse(df)
     spread(spread(candidates, "id_1").join(s1, "id_1"), "id_2").join(s2, "id_2")
       .withColumn("inter", ArrayOps.sortedIntersectSize(col("shs_1"), col("shs_2")).cast("double"))
@@ -303,6 +301,17 @@ object Dedup {
     df.repartition(kernelWidth(df.sparkSession, pricedRows, rowsPerTask),
       keys: _*)
 
+  /** [[spreadKernel]] that engages only when the derived width EXCEEDS
+    * the parallelism floor: below it the explicit exchange buys no width
+    * and merely vetoes AQE's broadcast/coalesce choices for genuinely
+    * small frames (measured +0.4 s on d4d at sf0.1 — r19).
+    */
+  private def spreadIfWide(df: DataFrame, pricedRows: Long, rowsPerTask: Long,
+                           keys: org.apache.spark.sql.Column*): DataFrame =
+    if (pricedRows / rowsPerTask > df.sparkSession.sparkContext.defaultParallelism)
+      spreadKernel(df, pricedRows, rowsPerTask, keys: _*)
+    else df
+
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
                       bands: Int = 32, rowsPerBand: Int = 2,
@@ -354,9 +363,23 @@ object Dedup {
                 col("band"), col("bkey")),
               spreadKernel(rk0, nDocs * bands, BandRowsPerPartition,
                 col("band"), col("bkey")))
-      val rawCand = lk.join(rk, Seq("band", "bkey"))
+      // The candidate DISTINCT is the one exchange between the (already
+      // spread) band join and the (already spread) verify joins — left at
+      // the session default it re-narrows the collision stream to a
+      // 32-wide sort whose per-task state grows with the corpus (r19
+      // measured at 2000×: the distinct was the residual 155 s between
+      // the derived-width run and the hand-tuned global-128 one). The
+      // collision stream is ≥ the band-row volume in any dup-carrying
+      // regime, so the band width rule is the evidence already in hand;
+      // partitioning by exactly the distinct's keys means the aggregate
+      // reuses the exchange rather than adding one.
+      val rawCand0 = lk.join(rk, Seq("band", "bkey"))
         .filter(col("id_1") < col("id_2"))
-        .select("id_1", "id_2").distinct()
+        .select("id_1", "id_2")
+      val rawCand =
+        (if (!pruneVerifySides) rawCand0
+         else spreadIfWide(rawCand0, nDocs * bands, BandRowsPerPartition,
+           col("id_1"), col("id_2"))).distinct()
       if (!pruneVerifySides) verifyJaccard(rawCand, sets, idCol, threshold)
       else {
         // Materialize the candidates and bloom-prune BOTH verify sides to
@@ -808,10 +831,16 @@ object Dedup {
           inv.filter(mightMatch).join(rk, "sk")
         }
       }
-    val rawCandidates = rare.select(col("id").as("id_1"), col("sk"))
+    // same distinct-width discipline as the minhash path: the priced cum
+    // pair bill is exactly the pre-distinct volume of this stream
+    val rawCandidates0 = rare.select(col("id").as("id_1"), col("sk"))
       .join(rare.select(col("id").as("id_2"), col("sk")), "sk")
       .filter(col("id_1") < col("id_2"))
-      .select("id_1", "id_2").distinct()
+      .select("id_1", "id_2")
+    val rawCandidates = pricedPairs
+      .map(n => spreadIfWide(rawCandidates0, n, BandRowsPerPartition,
+        col("id_1"), col("id_2")))
+      .getOrElse(rawCandidates0).distinct()
     // pruneVerify (the Auto path, where |candidates| ≤ budgetPairs by
     // construction): MATERIALIZE the bounded candidate set once (without
     // the cache boundary the prune's broadcast subtree re-runs the whole
