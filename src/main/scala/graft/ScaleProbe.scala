@@ -548,6 +548,16 @@ object ScaleProbe {
       // become the measured ceiling instead of the streaming state. The
       // production shape is the parquet-sink replay (p_e3_parquet).
       .config("spark.driver.maxResultSize", "8g")
+      // SPARK_GRAFT_EVENTLOG=1 writes the Spark event log under
+      // target/eventlog for STAGE-LEVEL wall attribution — the listener's
+      // run aggregates can say a config is slower but not which exchange
+      // paid for it (the r19 d2 width investigation's tool)
+      .config("spark.eventLog.enabled",
+        if (sys.env.get("SPARK_GRAFT_EVENTLOG").exists(_ == "1")) "true" else "false")
+      .config("spark.eventLog.dir", {
+        val d = new java.io.File("target/eventlog"); d.mkdirs()
+        d.getAbsolutePath
+      })
       .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${advisoryMb}m")
       .config("spark.sql.files.maxPartitionBytes", s"${maxPartMb}m")

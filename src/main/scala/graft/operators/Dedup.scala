@@ -131,13 +131,23 @@ object Dedup {
     val keep =
       if (carrySets) Seq(col(as), col(s"${as}_n"), col(s"${as}_shs"))
       else Seq(col(as))
+    explodeBands(base, keep, bands, rowsPerBand)
+  }
+
+  /** The one banding EXPLODE over a frame already carrying `_sigs` —
+    * shared by [[bandKeysCarrying]] (which computes the signatures
+    * inline) and [[bandKeysFromSigs]] (which reads them from a persist),
+    * so the band/bkey scheme has exactly one definition.
+    */
+  private def explodeBands(base: DataFrame, keep: Seq[org.apache.spark.sql.Column],
+                           bands: Int, rowsPerBand: Int): DataFrame =
     ArrayOps.explodeDense(base, keep,
       array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           hash(slice(col("_sigs"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
       }: _*), "bd")
       .select(keep :+ col("bd.band") :+ col("bd.bkey"): _*)
-  }
+
 
   /** Cache-hygiene loan pattern for the shingle-set persists: `build` runs
     * against a persisted copy of `sets`; with `release = true` the result
@@ -320,6 +330,10 @@ object Dedup {
     // candidate persist follows the Auto path's loan: internal, dropped
     // once the result can no longer recompute it
     var candCache: Option[DataFrame] = None
+    // the shared banded-keys persist (big-corpus path — one signature
+    // pass for both join sides), settled the moment the candidates
+    // materialize
+    var sigCache: Option[DataFrame] = None
     // The verify prune below costs three extra driver-side jobs
     // (candidate count, distinct-id count, bloom build) — worth it only
     // when the verify joins would otherwise SORT a big array-carrying
@@ -355,14 +369,34 @@ object Dedup {
       // non-spillable and fails outright under the same memory share
       // ("Can't acquire 64 MB to build hash relation") where SMJ
       // degrades gracefully — exactly the wrong property at 100 TB.
-      val lk0 = bandKeys(sets, idCol, "id_1", bands, rowsPerBand)
-      val rk0 = bandKeys(sets, idCol, "id_2", bands, rowsPerBand)
+      // Past the big-corpus gate the BANDED KEYS are persisted and both
+      // join sides derive from the one frame: without a cache boundary
+      // Spark evaluates the 64-minhash signature pipeline once PER SIDE,
+      // and event-log stage attribution at 2000× (r19) put those two map
+      // stages at ~60-70% of the row's entire wall — the dominant cost
+      // was never an exchange. The cached relation is the EXPLODED
+      // (id, band, bkey) frame, all primitive columns, ~20 B × bands per
+      // doc: caching the signature ARRAYS instead was measured and
+      // rejected (each side's cache read cost ~half a full recompute —
+      // the r11 columnar array-deserialization penalty, which primitives
+      // don't pay). Settled as soon as the candidates materialize.
+      // Below the gate the inline double-compute stays: a persist on a
+      // ~100k-doc corpus is pure overhead against sub-second signature
+      // passes.
       val (lk, rk) =
-        if (!pruneVerifySides) (lk0, rk0)
-        else (spreadKernel(lk0, nDocs * bands, BandRowsPerPartition,
-                col("band"), col("bkey")),
-              spreadKernel(rk0, nDocs * bands, BandRowsPerPartition,
-                col("band"), col("bkey")))
+        if (!pruneVerifySides)
+          (bandKeys(sets, idCol, "id_1", bands, rowsPerBand),
+           bandKeys(sets, idCol, "id_2", bands, rowsPerBand))
+        else {
+          val banded = graft.Caches.loan(
+            bandKeys(sets, idCol, "_bid", bands, rowsPerBand)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          sigCache = Some(banded)
+          (spreadKernel(banded.withColumnRenamed("_bid", "id_1"),
+            nDocs * bands, BandRowsPerPartition, col("band"), col("bkey")),
+           spreadKernel(banded.withColumnRenamed("_bid", "id_2"),
+            nDocs * bands, BandRowsPerPartition, col("band"), col("bkey")))
+        }
       // The candidate DISTINCT is the one exchange between the (already
       // spread) band join and the (already spread) verify joins — left at
       // the session default it re-narrows the collision stream to a
@@ -393,6 +427,11 @@ object Dedup {
         val cand = rawCand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nCand = cand.count()
         candCache = Some(cand)
+        // the candidates are materialized — nothing downstream reads the
+        // banded-keys frame again (verify consumes sets), so its loan
+        // settles here, not at call end
+        sigCache.foreach { f => f.unpersist(); graft.Caches.settled(f) }
+        sigCache = None
         // size the filter by DISTINCT ids, not pairs: a dense candidate set
         // shares ids heavily (5M pairs over ~600k ids at the 1000× probe),
         // and the capacity drives the filter bytes every task carries. The
