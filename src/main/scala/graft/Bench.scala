@@ -80,9 +80,45 @@ object Bench {
       spark.read.parquet(ioProbeDir)
         .selectExpr("sum(a)", "sum(b % 1000000)", "sum(length(s))").collect()
     }
-    val ioWriteSec = probe("io write") {
-      ioFrame.write.mode("overwrite").parquet("target/tmp/io_probe_w.parquet")
+    // The write probe's frame is materialized OUTSIDE the timed body (r19
+    // ADVICE: generating ioFrame's range + repeat/chr expressions inside
+    // the timing aliased CPU contention into the write arm and partially
+    // duplicated the CPU sentinel). Cached + counted first, so the timed
+    // body is dominated by parquet encode + dirty-writeback pressure —
+    // the thing this arm exists to see. Same work shape as before, so the
+    // committed reference band (0.27-0.32 idle on this hardware) still
+    // holds; re-measured r20: 0.27-0.31 idle.
+    val ioWriteFrame = ioFrame.persist()
+    try ioWriteFrame.count()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] io write probe fill failed (continuing): ${e.getMessage}")
     }
+    val ioWriteSec = probe("io write") {
+      ioWriteFrame.write.mode("overwrite").parquet("target/tmp/io_probe_w.parquet")
+    }
+    ioWriteFrame.unpersist(blocking = true)
+    // MEMORY-BANDWIDTH SENTINEL (r20, the fourth arm — r19 VERDICT #1(c)
+    // predicted a blind spot and this round hit it: a box with clean CPU,
+    // IO-read and IO-write stamps still ran the whole suite a uniform
+    // ~1.22× slower than the r18 capture box, steal 0.5%, frequency
+    // pinned — short-burst probes cannot see sustained-throughput
+    // differences such as a slower memory subsystem on a different host
+    // generation. This arm scans a ~3 GB cached long column across all
+    // cores for ~a second per iteration — memory-bound, not compute- or
+    // disk-bound — so a capture taken on a box whose sustained bandwidth
+    // differs from the committed reference stamps ITSELF the way
+    // cotenant/page-cache captures already do. Reference measured idle on
+    // this round's box; env-overridable per hardware like the other refs.
+    val membwFrame = spark.range(400000000L).toDF("id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try membwFrame.count()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] membw probe fill failed (continuing): ${e.getMessage}")
+    }
+    val membwSec = probe("membw") {
+      membwFrame.selectExpr("sum(id % 7)").collect()
+    }
+    membwFrame.unpersist(blocking = true)
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run — for focused iteration
     // (blank env var means "all")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -257,9 +293,19 @@ object Bench {
     // never stamps suspect on scheduler jitter alone
     val ioRefSec = refEnv("SPARK_GRAFT_IO_REF", 0.28)
     val ioWriteRefSec = refEnv("SPARK_GRAFT_IOW_REF", 0.31)
+    // idle band measured r20 on this box (min-of-3 across captures):
+    // see the membw probe note above
+    val membwRefSec = refEnv("SPARK_GRAFT_MEMBW_REF", 0.62)
     val cotenant = warmupSec > 1.5 * warmupRefSec ||
       (ioProbeSec > 0 && ioProbeSec > 1.5 * ioRefSec) ||
-      (ioWriteSec > 0 && ioWriteSec > 1.5 * ioWriteRefSec)
+      (ioWriteSec > 0 && ioWriteSec > 1.5 * ioWriteRefSec) ||
+      (membwSec > 0 && membwSec > 1.5 * membwRefSec)
+    // SLOW-BOX SUSPECT (r20): the sustained-bandwidth arm outside its
+    // 1.2× band with the burst arms clean — totals from this capture are
+    // not comparable against captures whose membw matched the reference
+    // (the r19→r20 lesson: a uniform ~1.22× whole-suite drift arrived
+    // with all three burst stamps clean).
+    val membwSuspect = membwSec > 0 && membwSec > 1.2 * membwRefSec
     // PAGE-CACHE SUSPECT (r18 VERDICT #3): the r18 polluted capture sat
     // UNDER both 1.5× sentinels while drifting the write-path rows ~5% —
     // so a second, tighter band (1.2×) on either IO arm stamps the
@@ -270,7 +316,7 @@ object Bench {
     val pageCacheSuspect = !cotenant &&
       ((ioProbeSec > 0 && ioProbeSec > 1.2 * ioRefSec) ||
        (ioWriteSec > 0 && ioWriteSec > 1.2 * ioWriteRefSec))
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"noisy":$noisy,"capture_id":"$captureId","warmup_sec":$warmupSec,"warmup_ref_sec":$warmupRefSec,"io_probe_sec":$ioProbeSec,"io_ref_sec":$ioRefSec,"io_write_sec":$ioWriteSec,"io_write_ref_sec":$ioWriteRefSec,"cotenant":$cotenant,"page_cache_suspect":$pageCacheSuspect,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"runs":$runs,"noisy":$noisy,"capture_id":"$captureId","warmup_sec":$warmupSec,"warmup_ref_sec":$warmupRefSec,"io_probe_sec":$ioProbeSec,"io_ref_sec":$ioRefSec,"io_write_sec":$ioWriteSec,"io_write_ref_sec":$ioWriteRefSec,"membw_sec":$membwSec,"membw_ref_sec":$membwRefSec,"cotenant":$cotenant,"page_cache_suspect":$pageCacheSuspect,"membw_suspect":$membwSuspect,"sf":"$sfDir"}"""
     println(json)
     // Also persist the line to a file: stdout capture truncates on long
     // runs (BENCH_r04 lost 9 of 78 per-query timings to the log tail), so
@@ -307,9 +353,11 @@ object Bench {
         s"failed $nFailed, capture $captureId, " +
         f"warmup $warmupSec%.2f s (ref $warmupRefSec%.2f), " +
         f"io $ioProbeSec%.2f s (ref $ioRefSec%.2f), " +
-        f"iow $ioWriteSec%.2f s (ref $ioWriteRefSec%.2f)" +
+        f"iow $ioWriteSec%.2f s (ref $ioWriteRefSec%.2f), " +
+        f"membw $membwSec%.2f s (ref $membwRefSec%.2f)" +
         f"${if (cotenant) " CO-TENANT (loaded box)" else ""}" +
-        f"${if (pageCacheSuspect) " PAGE-CACHE SUSPECT" else ""}, noisy: " +
+        f"${if (pageCacheSuspect) " PAGE-CACHE SUSPECT" else ""}" +
+        f"${if (membwSuspect) " MEMBW SUSPECT (slow box)" else ""}, noisy: " +
         (if (noisyKeys.isEmpty) "none" else noisyKeys.mkString("; ")) + "\n"
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_summary.txt"), summary.getBytes("UTF-8"))

@@ -39,6 +39,12 @@ object Explain {
         if (r == 1) {
           println(s"\n######## $name — optimized logical plan ########")
           println(df.queryExecution.optimizedPlan.toString)
+          // the optimization rounds' judge artifact: explain("formatted")
+          // (operator list + details: PushedFilters/ReadSchema, join
+          // strategy and build side, exchange partitioning)
+          println(s"\n######## $name — explain(formatted) ########")
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
         }
         val t0 = System.nanoTime()
         val n = df.queryExecution.toRdd.count()

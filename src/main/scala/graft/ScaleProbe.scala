@@ -555,7 +555,10 @@ object ScaleProbe {
       .config("spark.eventLog.enabled",
         if (sys.env.get("SPARK_GRAFT_EVENTLOG").exists(_ == "1")) "true" else "false")
       .config("spark.eventLog.dir", {
-        val d = new java.io.File("target/eventlog"); d.mkdirs()
+        // created only when event logging is actually on (r19 ADVICE —
+        // an unconditional mkdirs left target/eventlog on every probe run)
+        val d = new java.io.File("target/eventlog")
+        if (sys.env.get("SPARK_GRAFT_EVENTLOG").exists(_ == "1")) d.mkdirs()
         d.getAbsolutePath
       })
       .config("spark.sql.shuffle.partitions", shufParts)

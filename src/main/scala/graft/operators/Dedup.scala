@@ -134,10 +134,11 @@ object Dedup {
     explodeBands(base, keep, bands, rowsPerBand)
   }
 
-  /** The one banding EXPLODE over a frame already carrying `_sigs` —
-    * shared by [[bandKeysCarrying]] (which computes the signatures
-    * inline) and [[bandKeysFromSigs]] (which reads them from a persist),
-    * so the band/bkey scheme has exactly one definition.
+  /** The one banding EXPLODE over a frame already carrying `_sigs` — the
+    * band/bkey scheme's single definition. Consumers: [[bandKeysCarrying]]
+    * (signatures computed inline) and, through it, the big-corpus path in
+    * [[minhashNearDups]] that persists the exploded (id, band, bkey) frame
+    * so both self-join sides share one signature pass.
     */
   private def explodeBands(base: DataFrame, keep: Seq[org.apache.spark.sql.Column],
                            bands: Int, rowsPerBand: Int): DataFrame =
@@ -735,10 +736,22 @@ object Dedup {
         // that, Catalyst plan statistics' rowCount (exact for cached
         // relations) serves as gate evidence WITHOUT a job — an estimate
         // can only mis-route between two GUARDED paths, never unguard.
+        // A Filter qualifies only when its predicate is deterministic and
+        // UDF-free (r19 ADVICE): a Scala-closure or non-deterministic
+        // predicate cannot push to the scan, so df.count() would evaluate
+        // the full filter over the whole corpus — the exact full pre-pass
+        // the r17 advisory removed. Such plans fall through to the
+        // stats-based estimate below.
+        def cheapPredicate(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+          e.deterministic && e.find {
+            case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF => true
+            case _: org.apache.spark.sql.catalyst.expressions.objects.Invoke => true
+            case _ => false
+          }.isEmpty
         def nearLeaf(p: LogicalPlan): Boolean = p match {
           case _: LeafNode => true
           case Project(_, child) => nearLeaf(child)
-          case Filter(_, child) => nearLeaf(child)
+          case Filter(cond, child) => cheapPredicate(cond) && nearLeaf(child)
           case _ => false
         }
         val plan = df.queryExecution.optimizedPlan
@@ -1692,7 +1705,15 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for maxHamming <= 3")
-    val sh = simhash(df, idCol, textCol)
+    // PERSIST the sketch (r20, the d2 signature-sharing treatment): both
+    // self-join sides derive from `sh`, and without a cache boundary Spark
+    // evaluates the whole simhash pipeline (md5 per distinct token + the
+    // 60-bit majority fold) once PER SIDE — event-log attribution at 100×
+    // put the two sketch map stages at ~75% of this operator's entire
+    // core-time. The cached frame is two primitive columns (~16 B/doc);
+    // the chunk explode below is four cheap bit-ops rows per cached row.
+    // Loan convention: the result is lazy, Caches.drain settles it.
+    val sh = graft.Caches.persistLoaned(simhash(df, idCol, textCol))
     val chunked = sh.select(
       col(idCol), col("simhash"),
       explode(array((0 until 4).map { c =>
@@ -1787,8 +1808,16 @@ object Dedup {
     // every pair first). Join payloads stay 32 bytes (id, sketch, len);
     // texts ship only for pairs that already passed hamming + length.
     if (unbounded)
+      // Persist the banded sketch rows (r20): the verify's two join sides
+      // each re-evaluated the simhash pipeline (md5 per token + 60-bit
+      // fold) without a cache boundary — the same double-evaluation the
+      // budget/auto entries already avoid via their chunked persist. Loan
+      // convention (lazy result, Caches.drain settles); this is a plan
+      // cache, not the admission budget or releasable result persist the
+      // `require` above rejects for the unbounded form.
       fuzzyVerify(df, idCol, textCol, maxDist, maxHamming,
-        fuzzyChunked(df, idCol, textCol, maxDist), chunkDedup = true)
+        graft.Caches.persistLoaned(fuzzyChunked(df, idCol, textCol, maxDist)),
+        chunkDedup = true)
     else
       fuzzyNearDupsAuto(df, idCol, textCol, maxDist, maxHamming, pairsPerDoc,
         release)
@@ -2334,21 +2363,35 @@ object Dedup {
                                          threshold: Double, dim: Int,
                                          bands: Int, bitsPerBand: Int,
                                          ordinal: Boolean,
-                                         pricedRows: Long = 0L): DataFrame = {
+                                         pricedRows: Long = 0L): DataFrame =
+    embeddingIncrementalBandedSketched(newVecs,
+      Similarity.sketchedVecs(newVecs, idCol, vecCol, dim, bands, bitsPerBand, ordinal),
+      Similarity.sketchedVecs(corpus, idCol, vecCol, dim, bands, bitsPerBand, ordinal),
+      idCol, threshold, pricedRows)
+
+  /** The banded cross-probe body over prepared sketch frames — the auto
+    * gate passes its (persisted) pricing sketches in, so neither side is
+    * re-sketched for the probe join (r20; before this the corpus sketch
+    * pipeline ran twice per gated call: once for bucket counts, once in
+    * the probe).
+    */
+  private def embeddingIncrementalBandedSketched(newVecs: DataFrame,
+                                                 skB: DataFrame, skC: DataFrame,
+                                                 idCol: String, threshold: Double,
+                                                 pricedRows: Long): DataFrame = {
     val matched =
       if (pricedRows <= 0) {
-        val candidates = Similarity.lshCandidatesCross(newVecs, corpus, idCol,
-          vecCol, dim, bands, bitsPerBand, ordinal)
-        val v1 = newVecs.select(col(idCol).as("id_1"), col(vecCol).as("v_1"))
-        val v2 = corpus.select(col(idCol).as("id_2"), col(vecCol).as("v_2"))
+        val candidates = Similarity.bandRowsFromSketched(skB, "id_1")
+          .join(Similarity.bandRowsFromSketched(skC, "id_2"), Seq("band", "bkey"))
+          .select("id_1", "id_2").distinct()
+        val v1 = skB.select(col("_sid").as("id_1"), col("_svec").as("v_1"))
+        val v2 = skC.select(col("_sid").as("id_2"), col("_svec").as("v_2"))
         candidates.join(v1, "id_1").join(v2, "id_2")
           .filter(round(Vectors.cosine(col("v_1"), col("v_2")), 6) >= threshold)
           .select("id_1").distinct()
       } else {
-        val l0 = Similarity.bandRowsWithVec(newVecs, idCol, "id_1", "v_1",
-          vecCol, dim, bands, bitsPerBand, ordinal)
-        val r0 = Similarity.bandRowsWithVec(corpus, idCol, "id_2", "v_2",
-          vecCol, dim, bands, bitsPerBand, ordinal)
+        val l0 = Similarity.bandRowsWithVecFromSketched(skB, "id_1", "v_1")
+        val r0 = Similarity.bandRowsWithVecFromSketched(skC, "id_2", "v_2")
         val w = 1L << 16
         val l = spreadKernel(l0, pricedRows, w, col("band"), col("bkey"))
         val r = spreadKernel(r0, pricedRows, w, col("band"), col("bkey"))
@@ -2409,21 +2452,33 @@ object Dedup {
                                ordinal: Boolean = false,
                                admissionDenom: Long = 10L): DataFrame = {
     require(admissionDenom >= 1, "embeddingIncrementalAuto: admissionDenom must be >= 1")
-    val nb = Similarity.lshBucketCounts(newVecs, idCol, vecCol, dim, bands, bitsPerBand, ordinal)
-      .withColumnRenamed("n", "n_b")
-    val cb = Similarity.lshBucketCounts(corpus, idCol, vecCol, dim, bands, bitsPerBand, ordinal)
-      .withColumnRenamed("n", "n_c")
+    // ONE sketch pass per side (r20, the d2 treatment in cross form): the
+    // pricing bucket counts, the side counts, and — when the banded branch
+    // is chosen — the probe join all read the two persisted sketch frames;
+    // before this each side's sketch pipeline evaluated twice per call.
+    // The counts double as the persists' materialization points.
+    val skB = graft.Caches.persistLoaned(Similarity.sketchedVecs(
+      newVecs, idCol, vecCol, dim, bands, bitsPerBand, ordinal))
+    val skC = graft.Caches.persistLoaned(Similarity.sketchedVecs(
+      corpus, idCol, vecCol, dim, bands, bitsPerBand, ordinal))
+    val allPairs = BigInt(skB.count()) * BigInt(skC.count())
+    val nb = Similarity.lshBucketCountsFromSketched(skB).withColumnRenamed("n", "n_b")
+    val cb = Similarity.lshBucketCountsFromSketched(skC).withColumnRenamed("n", "n_c")
     val pairCost = nb.join(cb, Seq("band", "bkey"))
       .agg(sum(col("n_b") * col("n_c"))).head.getAs[Any](0) match {
         case null => 0L
         case l: Long => l
       }
-    val allPairs = BigInt(newVecs.count()) * BigInt(corpus.count())
     if (BigInt(pairCost) * BigInt(admissionDenom) <= allPairs)
-      embeddingIncrementalBanded(newVecs, corpus, idCol, vecCol, threshold,
-        dim, bands, bitsPerBand, ordinal, pricedRows = pairCost)
-    else
+      // the sketch loans stay live for the (lazy) probe — Caches.drain settles
+      embeddingIncrementalBandedSketched(newVecs, skB, skC, idCol, threshold,
+        pricedRows = pairCost)
+    else {
+      // the exact scan never reads the sketches again — settle both now
+      skB.unpersist(); graft.Caches.settled(skB)
+      skC.unpersist(); graft.Caches.settled(skC)
       embeddingIncrementalExact(newVecs, corpus, idCol, vecCol, threshold)
+    }
   }
 
   // ------------------------------------------------------------------ //
@@ -2942,21 +2997,40 @@ object Dedup {
                        ordinal: Boolean = false,
                        admissionDenom: Long = 10L): DataFrame = {
     require(admissionDenom >= 1, "embedNearDupAuto: admissionDenom must be >= 1")
-    val pairCost = Similarity.lshBandStats(df, idCol, vecCol, dim, bands, bitsPerBand, ordinal)
-      .agg(sum("pair_cost")).head.getAs[Any](0) match {
-        case null => 0L
-        case l: Long => l
-      }
-    val n = df.count()
+    // ONE sketch pass for the whole call (r20, the d2 signature-sharing
+    // treatment): the gate's pricing aggregate, the corpus count, and —
+    // when the banded branch is chosen — BOTH band-join sides read the
+    // persisted sketch frame. Before this the sketch pipeline (bands ×
+    // bitsPerBand dim-length folds per vector) evaluated three times per
+    // call; event-log attribution at 100× put each evaluation at
+    // ~800–1,350 core-s — essentially the entire d5g wall. The count()
+    // doubles as the persist's materialization point.
+    val sk = graft.Caches.persistLoaned(
+      Similarity.sketchedVecs(df, idCol, vecCol, dim, bands, bitsPerBand, ordinal))
+    // ONE pricing aggregate yields BOTH gate inputs: Σ b(b−1)/2 over all
+    // (band, bucket) cells = the admitted candidate volume, and Σ b = n ×
+    // bands (every vector lands in exactly one bucket per band), so the
+    // corpus count needs no separate job. The aggregate is also the
+    // persist's materialization point. Same arithmetic as before — the
+    // oracle re-derivation is unchanged.
+    val row = Similarity.bandRowsFromSketched(sk, "id")
+      .groupBy("band", "bkey").agg(count(lit(1)).as("_b"))
+      .agg(sum(expr("_b * (_b - 1) DIV 2")).as("_pc"), sum("_b").as("_rows"))
+      .head()
+    val pairCost = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val n = if (row.isNullAt(1)) 0L else row.getLong(1) / bands
     val allPairs = BigInt(n) * BigInt(n - 1) / 2
     if (BigInt(pairCost) * BigInt(admissionDenom) <= allPairs)
       // the banded branch rides the gate's own pricing: pairCost IS the
       // admitted candidate volume, so the verify exchanges run at the
-      // kernel width it implies instead of the session default
-      embeddingLshBanded(df, idCol, vecCol, threshold, dim, bands, bitsPerBand,
-        ordinal, pricedRows = pairCost)
-    else
+      // kernel width it implies instead of the session default. The sketch
+      // loan stays live for the (lazy) result — Caches.drain settles it.
+      embeddingLshBandedFromSketched(sk, threshold, pricedRows = pairCost)
+    else {
+      // the exact branch never reads the sketch again — settle now
+      sk.unpersist(); graft.Caches.settled(sk)
       embeddingNearDups(df, idCol, vecCol, threshold)
+    }
   }
 
   /** High-threshold variant: banded sign-sketch LSH candidates
@@ -3014,21 +3088,35 @@ object Dedup {
   private def embeddingLshBanded(df: DataFrame, idCol: String, vecCol: String,
                                  threshold: Double, dim: Int, bands: Int,
                                  bitsPerBand: Int, ordinal: Boolean,
-                                 pricedRows: Long = 0L): DataFrame = {
+                                 pricedRows: Long = 0L): DataFrame =
+    // the self-join reads the sketch once per side — persist it so the
+    // bands × bits dim-length sketch folds run once per vector, not twice
+    // (loan convention: lazy result, Caches.drain settles)
+    embeddingLshBandedFromSketched(
+      graft.Caches.persistLoaned(Similarity.sketchedVecs(
+        df, idCol, vecCol, dim, bands, bitsPerBand, ordinal)),
+      threshold, pricedRows)
+
+  /** The banded self-join body over a prepared (persisted) sketch frame —
+    * both join sides, and the verify vectors of the distinct-first shape,
+    * derive from the ONE sketch evaluation.
+    */
+  private def embeddingLshBandedFromSketched(sk: DataFrame, threshold: Double,
+                                             pricedRows: Long): DataFrame = {
     if (pricedRows <= 0) {
-      val candidates = Similarity.lshCandidates(df, idCol, vecCol, dim, bands,
-        bitsPerBand, ordinal)
-      val v1 = df.select(col(idCol).as("id_1"), col(vecCol).as("v_1"))
-      val v2 = df.select(col(idCol).as("id_2"), col(vecCol).as("v_2"))
+      val candidates = Similarity.bandRowsFromSketched(sk, "id_1")
+        .join(Similarity.bandRowsFromSketched(sk, "id_2"), Seq("band", "bkey"))
+        .filter(col("id_1") < col("id_2"))
+        .select("id_1", "id_2").distinct()
+      val v1 = sk.select(col("_sid").as("id_1"), col("_svec").as("v_1"))
+      val v2 = sk.select(col("_sid").as("id_2"), col("_svec").as("v_2"))
       candidates.join(v1, "id_1").join(v2, "id_2")
         .withColumn("cosine", round(Vectors.cosine(col("v_1"), col("v_2")), 6))
         .filter(col("cosine") >= threshold)
         .select("id_1", "id_2", "cosine")
     } else {
-      val l0 = Similarity.bandRowsWithVec(df, idCol, "id_1", "v_1", vecCol,
-        dim, bands, bitsPerBand, ordinal)
-      val r0 = Similarity.bandRowsWithVec(df, idCol, "id_2", "v_2", vecCol,
-        dim, bands, bitsPerBand, ordinal)
+      val l0 = Similarity.bandRowsWithVecFromSketched(sk, "id_1", "v_1")
+      val r0 = Similarity.bandRowsWithVecFromSketched(sk, "id_2", "v_2")
       val w = 1L << 16
       val l = spreadKernel(l0, pricedRows, w, col("band"), col("bkey"))
       val r = spreadKernel(r0, pricedRows, w, col("band"), col("bkey"))

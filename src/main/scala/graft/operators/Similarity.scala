@@ -194,12 +194,8 @@ object Similarity {
   def lshBandStats(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                    bands: Int = 16, bitsPerBand: Int = 8,
                    ordinal: Boolean = false): DataFrame =
-    bandRows(df, idCol, "id", vecCol, dim, bands, bitsPerBand, ordinal)
-      .groupBy("band", "bkey").agg(count(lit(1)).as("_b"))
-      .groupBy("band").agg(
-        count(lit(1)).as("n_buckets"),
-        max("_b").as("max_bucket"),
-        expr("sum(_b * (_b - 1) DIV 2)").as("pair_cost"))
+    lshBandStatsFromSketched(
+      sketchedVecs(df, idCol, vecCol, dim, bands, bitsPerBand, ordinal))
 
   /** Per-(band, bucket) sketch-row counts — the cross-corpus pricing
     * input ([[lshBandStats]]'s self-join form reduces these to per-band
@@ -210,8 +206,8 @@ object Similarity {
   def lshBucketCounts(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                       bands: Int = 16, bitsPerBand: Int = 8,
                       ordinal: Boolean = false): DataFrame =
-    bandRows(df, idCol, "id", vecCol, dim, bands, bitsPerBand, ordinal)
-      .groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+    lshBucketCountsFromSketched(
+      sketchedVecs(df, idCol, vecCol, dim, bands, bitsPerBand, ordinal))
 
   /** Cross-corpus variant: candidate (id_1 ∈ a, id_2 ∈ b) pairs whose
     * sketches collide in some band — the probe shape of incremental
@@ -238,16 +234,71 @@ object Similarity {
                     bands: Int, bitsPerBand: Int, ordinal: Boolean): DataFrame =
     bandRows(df, idCol, idCol, vecCol, dim, bands, bitsPerBand, ordinal)
 
+  /** The SKETCHED frame — `(_sid, _svec, _bds)` with the band-struct array
+    * computed exactly once per vector — that every banded consumer below
+    * derives from. This is the d2 signature-sharing treatment (r19) applied
+    * to the embedding family: the sketch itself (`bands × bitsPerBand`
+    * dim-length dot products / comparisons per vector) is the dominant map
+    * cost of the d5 rows — stage-level event-log attribution at 100×
+    * (r20) put each EVALUATION of this pipeline at ~800–1,350 core-s, and
+    * the self-join paths evaluated it once per join side plus once for the
+    * admission gate's pricing aggregate. Callers that consume the sketch
+    * more than once persist this frame (loan convention) so the band join,
+    * the verify vectors, and the gate's bucket counts all read one cached
+    * copy; single-consumer paths use it unpersisted, where Catalyst
+    * collapses it into the same plan as before.
+    */
+  private[graft] def sketchedVecs(df: DataFrame, idCol: String, vecCol: String,
+                                  dim: Int, bands: Int, bitsPerBand: Int,
+                                  ordinal: Boolean): DataFrame =
+    df.select(col(idCol).as("_sid"), col(vecCol).as("_svec"),
+      bandStructs(vecCol, dim, bands, bitsPerBand, ordinal).as("_bds"))
+
+  /** Banded rows `(as, band, bkey)` derived from a [[sketchedVecs]] frame —
+    * a cheap struct-array explode, no re-sketching.
+    */
+  private[graft] def bandRowsFromSketched(sk: DataFrame, as: String): DataFrame =
+    graft.functions.ArrayOps.explodeDense(sk, Seq(col("_sid").as(as)),
+      col("_bds"), "bd")
+      .select(col(as), col("bd.band"), col("bd.bkey"))
+
+  /** [[bandRowsFromSketched]] carrying the vector (`vecAs`) — the
+    * verify-in-join input shape, from the shared sketch frame.
+    */
+  private[graft] def bandRowsWithVecFromSketched(sk: DataFrame, as: String,
+                                                 vecAs: String): DataFrame =
+    graft.functions.ArrayOps.explodeDense(sk,
+      Seq(col("_sid").as(as), col("_svec").as(vecAs)), col("_bds"), "bd")
+      .select(col(as), col(vecAs), col("bd.band"), col("bd.bkey"))
+
+  /** [[lshBucketCounts]] over a prepared [[sketchedVecs]] frame — the
+    * cross-ingest gate's pricing input without a second sketch pass.
+    */
+  private[graft] def lshBucketCountsFromSketched(sk: DataFrame): DataFrame =
+    bandRowsFromSketched(sk, "id")
+      .groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+
+  /** [[lshBandStats]] over a prepared [[sketchedVecs]] frame — the
+    * self-join gate's pricing input without a second sketch pass.
+    */
+  private[graft] def lshBandStatsFromSketched(sk: DataFrame): DataFrame =
+    bandRowsFromSketched(sk, "id")
+      .groupBy("band", "bkey").agg(count(lit(1)).as("_b"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        max("_b").as("max_bucket"),
+        expr("sum(_b * (_b - 1) DIV 2)").as("pair_cost"))
+
   /** The ONE definition of banded sketch rows (id aliased to `as`, band,
     * bkey) shared by the self-join and cross-corpus candidate forms so the
-    * banding scheme can never drift between them.
+    * banding scheme can never drift between them — expressed through
+    * [[sketchedVecs]], the single sketch-frame definition.
     */
   private def bandRows(df: DataFrame, idCol: String, as: String, vecCol: String,
                        dim: Int, bands: Int, bitsPerBand: Int,
                        ordinal: Boolean): DataFrame =
-    graft.functions.ArrayOps.explodeDense(df, Seq(col(idCol).as(as)),
-      bandStructs(vecCol, dim, bands, bitsPerBand, ordinal), "bd")
-      .select(col(as), col("bd.band"), col("bd.bkey"))
+    bandRowsFromSketched(
+      sketchedVecs(df, idCol, vecCol, dim, bands, bitsPerBand, ordinal), as)
 
   /** The ONE band-struct array — seed base, struct layout, sketch choice —
     * behind BOTH [[bandRows]] and [[bandRowsWithVec]]: extracting it is
@@ -278,10 +329,9 @@ object Similarity {
                                          vecAs: String, vecCol: String, dim: Int,
                                          bands: Int, bitsPerBand: Int,
                                          ordinal: Boolean): DataFrame =
-    graft.functions.ArrayOps.explodeDense(df,
-      Seq(col(idCol).as(as), col(vecCol).as(vecAs)),
-      bandStructs(vecCol, dim, bands, bitsPerBand, ordinal), "bd")
-      .select(col(as), col(vecAs), col("bd.band"), col("bd.bkey"))
+    bandRowsWithVecFromSketched(
+      sketchedVecs(df, idCol, vecCol, dim, bands, bitsPerBand, ordinal),
+      as, vecAs)
 
   /** Per-label embedding centroids in long format: (label, n_vecs,
     * dim_idx, centroid_val). One aggregation with `dim` per-coordinate
