@@ -515,26 +515,48 @@ object Dedup {
                                threshold: Double, n: Int = 3,
                                bands: Int = 32, rowsPerBand: Int = 2,
                                expand: Boolean = true,
-                               releaseSets: Boolean = false): DataFrame = {
+                               releaseSets: Boolean = false): DataFrame =
+    minhashNearDupsCollapsedFromNorm(df, idCol, textCol,
+      normalizedClasses(df, idCol, textCol), threshold, n, bands, rowsPerBand,
+      expand, releaseSets)
+
+  /** The (id, _fp, _ntok, _hasw) normalized-class frame shared by the
+    * collapse and [[minhashNearDupsAuto]]'s pricing aggregate. `_fp` is md5
+    * of the space-joined token sequence — exactly the normalization
+    * [[shingleSets]] applies, so fp-equal ⇒ identical shingle sets (NOT
+    * Text.fingerprint, whose strip-all-punctuation normalization is
+    * STRONGER than the shingle view and would merge texts with different
+    * shingle sets). `_hasw` marks rows whose token array is non-null: the
+    * pricing aggregate counts EVERY row (a null text contributes the
+    * empty-string fingerprint, exactly as the pre-r21 inline aggregate
+    * did), while class formation excludes null texts — see the null-text
+    * note in [[minhashNearDupsCollapsedFromNorm]].
+    */
+  private def normalizedClasses(df: DataFrame, idCol: String,
+                                textCol: String): DataFrame =
+    df.select(col(idCol),
+        split(lower(trim(col(textCol))), "\\s+").as("_words"))
+      .select(col(idCol), md5(concat_ws(" ", col("_words"))).as("_fp"),
+        size(col("_words")).as("_ntok"), col("_words").isNotNull.as("_hasw"))
+
+  private def minhashNearDupsCollapsedFromNorm(df: DataFrame, idCol: String,
+                                               textCol: String, norm0: DataFrame,
+                                               threshold: Double, n: Int,
+                                               bands: Int, rowsPerBand: Int,
+                                               expand: Boolean,
+                                               releaseSets: Boolean): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "minhashNearDupsCollapsed: threshold must be in (0, 1]")
-    // the class key is md5 of the space-joined token sequence — exactly
-    // the normalization [[shingleSets]] applies, so fp-equal ⇒ identical
-    // shingle sets (NOT Text.fingerprint, whose strip-all-punctuation
-    // normalization is STRONGER than the shingle view and would merge
-    // texts with different shingle sets). Tokens cannot contain
-    // whitespace, so the space join is injective on token sequences —
-    // PROVIDED null texts are excluded first: concat_ws skips a null
-    // array, so a NULL text (no shingle set at all) would share the
-    // empty-text fingerprint and the within-class branch would emit an
-    // (empty, null) pair at jaccard 1.0 that the plain LSH path scores 0.
-    // Null-text rows can never appear in a plain-path pair (no shingles),
-    // so dropping them from class formation preserves result identity.
-    val norm = df.select(col(idCol),
-      split(lower(trim(col(textCol))), "\\s+").as("_words"))
-      .filter(col("_words").isNotNull)
-      .select(col(idCol), md5(concat_ws(" ", col("_words"))).as("_fp"),
-        size(col("_words")).as("_ntok"))
+    // Tokens cannot contain whitespace, so the space join behind `_fp` is
+    // injective on token sequences — PROVIDED null texts are excluded
+    // first: concat_ws skips a null array, so a NULL text (no shingle set
+    // at all) would share the empty-text fingerprint and the within-class
+    // branch would emit an (empty, null) pair at jaccard 1.0 that the
+    // plain LSH path scores 0. Null-text rows can never appear in a
+    // plain-path pair (no shingles), so dropping them from class
+    // formation preserves result identity.
+    val norm = norm0.filter(col("_hasw"))
+      .select(col(idCol), col("_fp"), col("_ntok"))
     // one exchange of (16-byte fp, id, ntok) — texts never shuffle; the
     // rep is the min id of the class, attached by a window over the same
     // partitioning (no second shuffle, no join)
@@ -587,17 +609,34 @@ object Dedup {
                           releaseSets: Boolean = false): DataFrame = {
     require(dupFracGate >= 0.0 && dupFracGate <= 1.0,
       "minhashNearDupsAuto: dupFracGate must be in [0, 1]")
-    val row = df.agg(
+    // The pricing aggregate and the collapse's class formation hash the
+    // SAME normalization (md5 of the space-joined token sequence) — until
+    // r21 the gate ran that tokenize+md5 corpus pass twice, once per
+    // consumer. The norm frame is persisted (loan convention) so the
+    // pricing aggregate's fill is the only tokenize pass; the collapsed
+    // branch reads its classes from the cache, and the plain branch
+    // settles the loan immediately (its pipeline never touches the class
+    // fingerprint). Footprint ~50 B/doc (id, 32-char md5, int, bool) —
+    // the cheapest cacheable form of the pass (caching token ARRAYS was
+    // measured and rejected in the d2 signature path, r11). Pricing
+    // arithmetic is bit-identical to the pre-r21 inline aggregate: every
+    // row counts, null texts contribute the empty-string fingerprint.
+    val norm0 = graft.Caches.persistLoaned(
+      normalizedClasses(df, idCol, textCol))
+    val row = norm0.agg(
       count(lit(1)).as("_n"),
-      count_distinct(md5(concat_ws(" ",
-        split(lower(trim(col(textCol))), "\\s+")))).as("_u")).head()
+      count_distinct(col("_fp")).as("_u")).head()
     val nDocs = row.getLong(0)
     val dupFrac = if (nDocs == 0L) 0.0 else 1.0 - row.getLong(1).toDouble / nDocs
     if (dupFrac >= dupFracGate)
-      minhashNearDupsCollapsed(df, idCol, textCol, threshold, n, bands,
-        rowsPerBand, expand = true, releaseSets)
-    else minhashNearDups(df, idCol, textCol, threshold, n, bands,
-      rowsPerBand, releaseSets)
+      minhashNearDupsCollapsedFromNorm(df, idCol, textCol, norm0, threshold,
+        n, bands, rowsPerBand, expand = true, releaseSets)
+    else {
+      norm0.unpersist()
+      graft.Caches.settled(norm0)
+      minhashNearDups(df, idCol, textCol, threshold, n, bands,
+        rowsPerBand, releaseSets)
+    }
   }
 
   /** Exact word-n-gram Jaccard for ALL pairs above `threshold`, on the

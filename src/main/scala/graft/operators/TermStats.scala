@@ -355,7 +355,16 @@ object TermStats {
   def duplicateSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
                             w: Int): DataFrame = {
     require(w >= 1, "duplicateSpanCoverage: w must be >= 1")
-    val base = tokenizedBase(docs, idCol, textCol)
+    // The tokenized base feeds THREE plan positions here (the eager
+    // tokenVolume pricing aggregate, the window pass, the final per-doc
+    // join) and FOUR in [[scrubDuplicateSpans]] — without a cache boundary
+    // each one re-runs the regex tokenize over the full corpus (the d3b/
+    // sketchedVecs double-evaluation pattern, r20). Loan convention:
+    // Caches.drain settles it at end of run; the pricing aggregate below
+    // fills it, so no extra job. Footprint ≈ the tokenized corpus
+    // (token array + id + count per doc, MEMORY_AND_DISK — see
+    // BENCH_SCALE's loan-footprint table).
+    val base = graft.Caches.persistLoaned(tokenizedBase(docs, idCol, textCol))
     val priced = tokenVolume(base)
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("start"))
     // the doc-keyed repartition satisfies the window's required
@@ -397,7 +406,10 @@ object TermStats {
   def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                           w: Int): DataFrame = {
     require(w >= 1, "scrubDuplicateSpans: w must be >= 1")
-    val base = tokenizedBase(docs, idCol, textCol)
+    // persisted for the same reason as [[duplicateSpanCoverage]]'s base —
+    // four consumers (pricing, window pass, posexplode, final join); the
+    // two queries share the plan, so CacheManager reuses one entry
+    val base = graft.Caches.persistLoaned(tokenizedBase(docs, idCol, textCol))
     val priced = tokenVolume(base)
     // covered positions explode the dup starts w× (worst case ≈ w·tokens
     // on a dup-heavy corpus); the (doc, pos)-keyed spread satisfies the
