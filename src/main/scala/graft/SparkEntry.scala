@@ -42,6 +42,23 @@ object SparkEntry {
   private def stageKey(srcFile: java.io.File, params: String): String =
     s"${srcFile.lastModified}_${srcFile.length}_$params"
 
+  /** Total bytes under a staged/source path (file or directory) — the
+    * backlog-size evidence [[graft.streaming.StreamOps.deriveStateWidth]]
+    * turns into a state-store width for the stateful streaming replays;
+    * a local stat, never a Spark job.
+    */
+  private def pathBytes(p: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else if (f.isFile) f.length()
+      else 0L
+    walk(new java.io.File(p))
+  }
+
+  /** [[graft.streaming.StreamOps.deriveStateWidth]] over [[pathBytes]]. */
+  private def stateWidthFor(p: String): Int =
+    graft.streaming.StreamOps.deriveStateWidth(pathBytes(p))
+
   /** The e6/e6b shared streaming replay: ONE left-outer stream-stream
     * as-of pass (watermarked interval join + latest-click aggregate over
     * the staged sentinel copy) serves BOTH gates — the inner relation is
@@ -198,7 +215,8 @@ object SparkEntry {
         val joined = StreamOps.asofJoinStreaming(
           slice("purchase"), slice("click"), E6HorizonUs, "1 minute",
           joinType = "left_outer", sliced = false)
-        StreamOps.runToMemoryTable(s, joined, "e6_shared_asof_sink")
+        StreamOps.runToMemoryTable(s, joined, "e6_shared_asof_sink",
+          stateWidth = stateWidthFor(stageDir))
       })
     }
 
@@ -220,7 +238,8 @@ object SparkEntry {
         val joined = StreamOps.asofJoinStreamingSliced(
           slice("purchase"), slice("click"), E6HorizonUs, "1 minute",
           joinType = "left_outer")
-        StreamOps.runToMemoryTable(s, joined, "e6c_sliced_asof_sink")
+        StreamOps.runToMemoryTable(s, joined, "e6c_sliced_asof_sink",
+          stateWidth = stateWidthFor(stageDir))
       })
     }
 
@@ -249,7 +268,8 @@ object SparkEntry {
         val joined = StreamOps.asofJoinStreamingSliced(
           slice("purchase"), slice("click"), E6HorizonUs, "1 minute",
           joinType = "left_outer", sliceUs = derived)
-        StreamOps.runToMemoryTable(s, joined, "e6f_derived_asof_sink")
+        StreamOps.runToMemoryTable(s, joined, "e6f_derived_asof_sink",
+          stateWidth = stateWidthFor(stageDir))
       })
     }
 
@@ -292,10 +312,10 @@ object SparkEntry {
         which match {
           case "users" => StreamOps.runToMemoryTable(s,
             StreamOps.windowDistinctUsersStreaming(src, "1 hour", "1 minute"),
-            "e8b_stream_distinct_sink")
+            "e8b_stream_distinct_sink", stateWidth = stateWidthFor(stageDir))
           case _ => StreamOps.runToMemoryTable(s,
             StreamOps.windowEventCountsStreaming(src, "1 hour", "1 minute"),
-            "e8c_window_counts_sink")
+            "e8c_window_counts_sink", stateWidth = stateWidthFor(stageDir))
         }
       }))
     }
@@ -3237,7 +3257,8 @@ object SparkEntry {
         // sitting exactly on it is discarded as late (doc_id 0 was dropped)
         .withColumn("ts_us", col("doc_id") + lit(1000000000000000L))
       val deduped = StreamOps.dedupExactStreaming(src, "text", "ts_us", "1 hour")
-      StreamOps.runToMemoryTable(s, deduped, "e3_stream_dedup_sink")
+      StreamOps.runToMemoryTable(s, deduped, "e3_stream_dedup_sink",
+        stateWidth = stateWidthFor(s"$d/documents.parquet"))
         .select("fingerprint").orderBy("fingerprint")
     }),
 
@@ -3254,7 +3275,8 @@ object SparkEntry {
         .parquet(s"$d/events.*")
         .withColumn("ts_us", Tables.tsUsColumn(schema("ts").dataType))
       val agg = StreamOps.tumblingCountsStreaming(src, "1 hour", "1 minute")
-      StreamOps.runToMemoryTable(s, agg, "e1b_stream_window_sink", mode = "complete")
+      StreamOps.runToMemoryTable(s, agg, "e1b_stream_window_sink", mode = "complete",
+        stateWidth = stateWidthFor(s"$d/events.parquet"))
         .select(expr("unix_micros(window.start) div 3600000000").as("bucket"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("bucket", "event_type")
@@ -3276,7 +3298,8 @@ object SparkEntry {
       val enriched = StreamOps.enrichWithStatic(src, dim, "user_id")
         .groupBy("cohort")
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
-      StreamOps.runToMemoryTable(s, enriched, "e5_stream_enrich_sink", mode = "complete")
+      StreamOps.runToMemoryTable(s, enriched, "e5_stream_enrich_sink", mode = "complete",
+        stateWidth = stateWidthFor(s"$d/events.parquet"))
         .orderBy("cohort")
     }),
 
@@ -3319,7 +3342,8 @@ object SparkEntry {
         }
         val src = s.readStream.schema(s.read.parquet(stageDir).schema).parquet(stageDir)
         val sess = StreamOps.sessionizeStreaming(s, src, gapUs, withTimeout = false)
-        StreamOps.runToMemoryTable(s, sess.toDF(), "e2b_stream_sessionize_sink")
+        StreamOps.runToMemoryTable(s, sess.toDF(), "e2b_stream_sessionize_sink",
+          stateWidth = stateWidthFor(stageDir))
           .orderBy("user_id", "session_start_us")
       }
     }),
@@ -3335,7 +3359,8 @@ object SparkEntry {
         .parquet(s"$d/events.*")
         .withColumn("ts_us", Tables.tsUsColumn(schema("ts").dataType))
       val agg = StreamOps.hoppingCountsStreaming(src, "2 hours", "1 hour", "1 minute")
-      StreamOps.runToMemoryTable(s, agg, "e4b_stream_hopping_sink", mode = "complete")
+      StreamOps.runToMemoryTable(s, agg, "e4b_stream_hopping_sink", mode = "complete",
+        stateWidth = stateWidthFor(s"$d/events.parquet"))
         .select(expr("unix_micros(window.start)").as("win_start"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("win_start", "event_type")

@@ -31,6 +31,15 @@ object StreamProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Session.tune(spark)
+    // SPARK_GRAFT_PROBE_CONF="k=v;k2=v2" — runtime conf overrides for
+    // A/B experiments (state width, provider class) without a rebuild
+    sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach { s =>
+      s.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        println(s"[probe] conf $k=$v")
+        spark.conf.set(k, v)
+      }
+    }
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
         println(s"[probe] query started ${e.name}")

@@ -620,14 +620,52 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming STATE-STORE width derived from the replay's backlog size
+    * instead of inherited from the session's core-count-sized
+    * `spark.sql.shuffle.partitions` (r21, guide §2 "derive partitioning
+    * from input size, not a constant"). The stateful exchange's partition
+    * count fixes the number of state-store instances for the life of the
+    * query, and each instance pays a fixed per-batch commit (delta file
+    * create + fsync): measured on the sf0.1 window replay (e1b, 3,600
+    * state rows), 32 instances spent a CUMULATIVE 119 s in commit
+    * (concurrent fsyncs on one device go superlinear) where 1–4 instances
+    * spent 0.1–1.2 s — 8.9 s → 2.9 s wall, identical results. Core count
+    * is the wrong unit for state stores; backlog volume is the evidence
+    * in hand at query start (the kernelWidth discipline applied to
+    * streaming state). 16 MB of backlog per store keeps per-store state
+    * far below task memory at any scale; `cap` bounds store count the way
+    * kernelWidth's 8192 bounds task count — on a cluster whose
+    * executors × cores exceed it, raise the cap or pass an explicit
+    * width. NOTE state partition count is FROZEN into a checkpoint at
+    * first start; this derivation is for fresh replays (catch-up runs,
+    * the bench rows) — resuming an existing checkpoint keeps its width
+    * regardless of conf, so changing the derivation never corrupts one.
+    */
+  def deriveStateWidth(backlogBytes: Long, bytesPerStore: Long = 16L << 20,
+                       cap: Int = 4096): Int = {
+    require(bytesPerStore > 0 && cap >= 1,
+      "deriveStateWidth: bytesPerStore and cap must be positive")
+    math.max(1L, math.min(cap.toLong,
+      (math.max(0L, backlogBytes) + bytesPerStore - 1) / bytesPerStore)).toInt
+  }
+
   def runToMemoryTable(spark: SparkSession, streamed: DataFrame, name: String,
-                       mode: String = "append"): DataFrame = {
+                       mode: String = "append", stateWidth: Int = 0): DataFrame = {
     spark.catalog.dropTempView(name)
-    val q = streamed.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    // stateWidth > 0: run the query under a backlog-derived shuffle width
+    // (read at query start, so wrapping start+drain is sufficient; the
+    // prior session value is restored before the sink table is returned)
+    def run(): DataFrame = {
+      val q = streamed.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
+    if (stateWidth > 0)
+      graft.Session.withConf(spark,
+        "spark.sql.shuffle.partitions" -> stateWidth.toString)(run())
+    else run()
   }
 
   case class Ev(user_id: Long, ts_us: Long, event_id: Long)
