@@ -2278,7 +2278,12 @@ object Dedup {
   def semDedupCellStats(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, k: Int, iters: Int = 2,
                         seed: String = "kmeans"): DataFrame = {
-    val cells = Similarity.kmeansAssign(df, idCol, vecCol, dim, k, iters, seed)
+    // persisted for plan-identity with [[semDedup]]'s cells — the stats
+    // row is one aggregate over the assignment d10 already cached; a
+    // standalone call pays one fill for one read (scale note: the entry
+    // is corpus-wide, see the BENCH_SCALE loan-footprint table)
+    val cells = graft.Caches.persistLoaned(
+      Similarity.kmeansAssign(df, idCol, vecCol, dim, k, iters, seed))
       .groupBy("cell").agg(count(lit(1)).as("cell_size"))
     val hist = cells.groupBy("cell_size").agg(count(lit(1)).as("n_cells"))
       // c·(c−1) is even, so DIV 2 is exact long arithmetic
@@ -2315,8 +2320,11 @@ object Dedup {
                           idCol: String, vecCol: String, dim: Int, k: Int,
                           threshold: Double, iters: Int = 2,
                           seed: String = "kmeans"): DataFrame = {
-    val corpusCells = Similarity.kmeansAssign(corpus, idCol, vecCol, dim, k,
-      iters, seed)
+    // two consumers (the re-centered centroid collect and the probe
+    // join's corpus side) — persist so the frozen quantizer's assignment
+    // projection evaluates once (loan convention)
+    val corpusCells = graft.Caches.persistLoaned(
+      Similarity.kmeansAssign(corpus, idCol, vecCol, dim, k, iters, seed))
     val cents = Similarity.labelCentroidVectors(corpusCells, "cell", vecCol, dim)
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toIndexedSeq
@@ -2340,7 +2348,15 @@ object Dedup {
   def semDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                k: Int, threshold: Double, iters: Int = 2,
                seed: String = "kmeans"): DataFrame = {
-    val cells = Similarity.kmeansAssign(df, idCol, vecCol, dim, k, iters, seed)
+    // The trained assignment feeds BOTH sides of the within-cell pair
+    // join — unpersisted, each side re-evaluates the k-centroid argmax
+    // projection over the corpus (k cosines × dim per row per side), the
+    // d3b double-evaluation pattern (guide §3/§5). Persist it (loan
+    // convention; ~one int over the corpus width). The same plan is what
+    // sim_ivf_trained and d10b derive from — CacheManager plan-matching
+    // shares one entry across the family, as t18/t19 do.
+    val cells = graft.Caches.persistLoaned(
+      Similarity.kmeansAssign(df, idCol, vecCol, dim, k, iters, seed))
     val l = cells.select(col("cell"), col(idCol).as("id_1"), col(vecCol).as("_v1"))
     val r = cells.select(col("cell"), col(idCol).as("id_2"), col(vecCol).as("_v2"))
     val pairs = l.join(r, "cell")

@@ -174,15 +174,20 @@ object Joins {
       .orderBy(col("_t").asc, col("_tag").asc, col("_tb").asc_nulls_first)
       .rowsBetween(W.unboundedPreceding, W.currentRow)
     val local = u.withColumn("_rloc", last(col("_rrow"), ignoreNulls = true).over(wLocal))
-    // Final build row per bucket: max over (t, tb, row) — struct comparison
-    // puts null tb first, matching the window's asc_nulls_first "last wins".
-    val bucketFin = u.filter(col("_tag") === 0)
-      .groupBy("_k", "_b")
-      .agg(max(struct(col("_t"), col("_tb"), col("_rrow"))).getField("_rrow").as("_bfin"))
+    // Final build row per bucket, on every (key, bucket) that has ANY row:
+    // one conditional aggregate — max over (t, tb, row) structs of the
+    // build rows only (max skips the nulls the when() gives probe rows;
+    // struct comparison puts null tb first, matching the window's
+    // asc_nulls_first "last wins"), null _bfin for build-less buckets.
+    // This replaces a separate build-only aggregate + a distinct over all
+    // (key, bucket) + a left join reuniting them — three consumers of the
+    // tagged union collapsed to two, one exchange and one join removed
+    // (guide §2.4); same relation, JoinsSpec pins parity with asofJoin.
     val wCarry = W.partitionBy(col("_k")).orderBy(col("_b").asc_nulls_first)
       .rowsBetween(W.unboundedPreceding, -1)
-    val carry = u.select("_k", "_b").distinct()
-      .join(bucketFin, Seq("_k", "_b"), "left")
+    val carry = u.groupBy("_k", "_b")
+      .agg(max(when(col("_tag") === 0, struct(col("_t"), col("_tb"), col("_rrow"))))
+        .getField("_rrow").as("_bfin"))
       .withColumn("_carry", last(col("_bfin"), ignoreNulls = true).over(wCarry))
       .select("_k", "_b", "_carry")
     asofProject(left, right)(
